@@ -1,0 +1,302 @@
+"""Deduplication operators — SURVEY.md §2.7 (D1-D6) plus the
+training-data-pipeline near-dup family (exact, MinHash+LSH, SimHash,
+n-gram Jaccard) over the ``documents`` domain.
+
+Scale design: every near-dup algorithm here is bucketed — candidate
+pairs only form inside an LSH band bucket / SimHash chunk bucket /
+shared-token group, never via a full cross join. That is the difference
+between O(n²) and O(n·bucket) at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from market_insights_app_spark.functions.text import (
+    md5_fingerprint,
+    normalize_text,
+    word_shingles,
+)
+
+# ---------------------------------------------------------------------------
+# Exact dedup (D1/D2/D3: INSERT OR IGNORE on natural keys, db.py:44,126-131)
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact_keys(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """D1: keep one row per natural key (reference: first insert wins;
+    Spark batch: dropDuplicates — arbitrary winner, use
+    ``latest_wins``/``first_wins`` when precedence matters)."""
+    return df.dropDuplicates(key_cols)
+
+
+def first_wins(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Deterministic D1: keep the row with the smallest ``order_col``
+    per key — matches INSERT OR IGNORE arrival order when order_col is
+    the ingest sequence."""
+    from market_insights_app_spark.operators.windows import latest_per_key
+
+    # latest_per_key with inverted order = earliest wins
+    return latest_per_key(
+        df.withColumn("__neg", -F.col(order_col)), key_cols, "__neg"
+    ).drop("__neg")
+
+
+def dedup_exact_content(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content dedup by md5 fingerprint of normalized text: one winner
+    (min doc ordering handled by caller)."""
+    return df.withColumn("fp", md5_fingerprint(text_col)).dropDuplicates(["fp"])
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+MERSENNE_P = (1 << 61) - 1
+
+
+def _hash_token(col: Column, seed: int) -> Column:
+    """Deterministic 64-bit-ish token hash: xxhash64 with fixed seed,
+    folded into [0, 2^61-1). JVM-side, no UDF."""
+    return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(MERSENNE_P))
+
+
+def minhash_signature(text_col: Column | str, num_hashes: int = 32, shingle_n: int = 2) -> Column:
+    """array<long> of length ``num_hashes``: for each hash fn i,
+    min over shingles of hash_i(shingle). Empty shingle set → nulls.
+
+    NB: the per-seed lambda must close over ``i`` via a factory — a
+    default-argument lambda would be bound by Spark as the 2-arg
+    (element, index) form and silently hash with the array index.
+    """
+    sh = word_shingles(text_col, shingle_n)
+
+    def min_hash_for_seed(seed: int) -> Column:
+        return F.array_min(F.transform(sh, lambda s: _hash_token(s, seed)))
+
+    return F.array(*[min_hash_for_seed(i) for i in range(num_hashes)])
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: signature → ``bands`` bands of
+    ``num_hashes/bands`` rows → self-join within (band_idx, band_hash)
+    buckets → distinct (a < b) pairs.
+
+    The self-join is an equi-join on the bucket key, so Spark shuffles
+    on the bucket hash — no cross product. Returns (a, b) candidate
+    pairs; verify with ``ngram_jaccard_pairs`` downstream.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"), minhash_signature(text_col, num_hashes, shingle_n).alias("sig")
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_near_dupes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Candidate pairs verified by exact shingle-set Jaccard >= threshold.
+    Output: (a, b, jaccard)."""
+    cands = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_n)
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("sh")
+    )
+    joined = (
+        cands.join(sh.withColumnRenamed("id", "a").withColumnRenamed("sh", "sh_a"), "a")
+        .join(sh.withColumnRenamed("id", "b").withColumnRenamed("sh", "sh_b"), "b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        joined.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(text_col: Column | str, bits: int = 64, shingle_n: int = 1) -> Column:
+    """64-bit SimHash over token hashes: for each bit, sum(+1/-1) over
+    tokens' bit values; sign → bit. Pure column expressions: per-bit
+    popcount via shiftright/bitwise-and aggregated with F.aggregate."""
+    sh = word_shingles(text_col, shingle_n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s, F.lit(1234567)))
+
+    def votes_for_bit(b: int) -> Column:
+        # closure factory (not a default-arg lambda — see minhash note)
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+
+    def bit_value(b: int) -> Column:
+        # 1<<63 overflows signed long; the sign bit needs the negative literal
+        mask = (1 << b) if b < 63 else -(1 << 63)
+        return F.when(votes_for_bit(b) > 0, F.lit(mask).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    out = bit_value(0)
+    for b in range(1, bits):
+        out = out.bitwiseOR(bit_value(b))
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dupes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 64,
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= k. Bucketing: split the
+    64-bit hash into k+1 chunks — any pair within distance k agrees on
+    at least one chunk (pigeonhole), so candidates form via equi-join on
+    (chunk_idx, chunk_value). Output (a, b, hamming)."""
+    chunks = max_hamming + 1
+    chunk_bits = bits // chunks
+    sh = df.select(F.col(id_col).alias("id"), simhash(text_col, bits).alias("h"))
+    mask = (1 << chunk_bits) - 1
+    exploded = sh.select(
+        "id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright(F.col("h"), i * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("cv"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "h", "c.ci", "c.cv")
+    l, r = exploded.alias("l"), exploded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.ci") == F.col("r.ci"))
+            & (F.col("l.cv") == F.col("r.cv"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            hamming64(F.col("l.h"), F.col("r.h")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, token-join formulation — no arrays shipped in join)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_vs_query(
+    df: DataFrame,
+    query_doc: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 1,
+) -> DataFrame:
+    """Jaccard(doc, query) for every doc: explode distinct n-grams,
+    equi-join on the gram, count intersections, derive union from set
+    sizes: |A∪B| = |A|+|B|-|A∩B|. Output (doc_id, jaccard)."""
+    grams = lambda d: d.select(  # noqa: E731
+        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("g")
+    )
+    d_grams = grams(df)
+    q_grams = grams(query_doc).select("g").distinct()
+    q_size = q_grams.count()
+    sizes = d_grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        d_grams.join(F.broadcast(q_grams), "g")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        sizes.join(inter, "id", "left")
+        .withColumn("inter", F.coalesce(F.col("inter"), F.lit(0)))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz") + F.lit(q_size) - F.col("inter")), 6
+            ),
+        )
+    )
+    return out.select(F.col("id").alias(id_col), "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# Latest-wins upsert readback (D4/D5 without Delta)
+# ---------------------------------------------------------------------------
+
+
+def latest_wins(df: DataFrame, key_cols: list[str], version_col: str, id_col: str | None = None) -> DataFrame:
+    """Versioned-append + latest-version-wins view — the plain-parquet
+    MERGE substitute (SURVEY §7.4.5): newest version per key."""
+    from market_insights_app_spark.operators.windows import latest_per_key
+
+    return latest_per_key(df, key_cols, version_col, id_col)

@@ -1,0 +1,214 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a single scan with a JVM-side
+dot product (F.aggregate over zipped arrays; no Python in the loop),
+then TakeOrderedAndProject. Scale paths:
+
+- ``ann_lsh_topk``: random-hyperplane LSH — probe only vectors sharing
+  a signature bucket with the query (sign-bit signature via fixed
+  deterministic hyperplanes).
+- ``ivf_topk``: IVF-style coarse quantization — k-means-ish centroid
+  assignment (deterministic seeded centroids sampled from the data),
+  probe the ``nprobe`` nearest cells only.
+- ``cosine_self_join_neardup``: embedding near-dup pairs, bucketed by a
+  coarse key so no cross product forms.
+
+At 100 TB the bucketed variants turn a full-scan top-k into a
+partition-pruned probe of a small fraction of cells.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Index-ordered dot product — deterministic summation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k vs a literal query vector. One scan, no
+    shuffle until the final top-k merge (TakeOrderedAndProject)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine(_as_double(F.col(vec_col)), q)
+    return (
+        df.select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _deterministic_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Fixed pseudo-random unit hyperplanes from a splitmix64-style
+    generator — deterministic across runs/engines, no numpy RNG state."""
+    planes = []
+    state = seed & 0xFFFFFFFFFFFFFFFF
+    def nxt():
+        nonlocal state
+        state = (state + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = state
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        z = z ^ (z >> 31)
+        return z / 2**64  # uniform [0,1)
+    for _ in range(n_planes):
+        # Box-Muller from the uniform stream → gaussian components
+        comps = []
+        while len(comps) < dim:
+            u1, u2 = max(nxt(), 1e-12), nxt()
+            r = math.sqrt(-2.0 * math.log(u1))
+            comps.append(r * math.cos(2 * math.pi * u2))
+            comps.append(r * math.sin(2 * math.pi * u2))
+        planes.append(comps[:dim])
+    return planes
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature as a long (bit i = sign(vec · plane_i))."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        pl = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(vec, pl) >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+        sig = sig.bitwiseOR(bit)
+    return sig
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    max_hamming: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: compute each vector's LSH signature, keep only
+    vectors whose signature is within ``max_hamming`` bits of the
+    query's, then exact cosine on the survivors. The signature filter is
+    a pushdown-able integer predicate; with the table pre-partitioned by
+    signature it becomes partition pruning."""
+    dim = len(query_vec)
+    planes = _deterministic_hyperplanes(dim, n_planes)
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, p)) >= 0:
+            qsig |= 1 << i
+    v = _as_double(F.col(vec_col))
+    sig = lsh_signature(v, planes)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = df.withColumn("__sig", sig).filter(
+        F.bit_count(F.col("__sig").bitwiseXOR(F.lit(qsig))) <= max_hamming
+    )
+    return (
+        cand.select(F.col(id_col), F.round(cosine(_as_double(F.col(vec_col)), q), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def cosine_self_join_neardup(
+    df: DataFrame,
+    bucket_col: str,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a coarse bucket (e.g. a
+    cluster label, an LSH signature): equi-join on the bucket then exact
+    cosine. The bucket key bounds the pair blow-up; never a full cross
+    join. Output (a, b, cosine)."""
+    slim = df.select(
+        F.col(id_col).alias("id"), F.col(bucket_col).alias("bk"), _as_double(F.col(vec_col)).alias("v")
+    )
+    l, r = slim.alias("l"), slim.alias("r")
+    pairs = l.join(
+        r, (F.col("l.bk") == F.col("r.bk")) & (F.col("l.id") < F.col("r.id"))
+    ).select(
+        F.col("l.id").alias("a"),
+        F.col("r.id").alias("b"),
+        F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= threshold)
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_ids: list[int] | None = None,
+) -> DataFrame:
+    """IVF-flat: centroids = embeddings of ``n_cells`` deterministic
+    seed rows (ids 0..n_cells-1 by default); every vector is assigned to
+    its nearest centroid (argmax cosine); the query probes the
+    ``nprobe`` nearest cells and runs exact cosine inside them only."""
+    seed_ids = seed_ids if seed_ids is not None else list(range(n_cells))
+    cents = [
+        (i, [float(x) for x in row[0]])
+        for i, row in enumerate(
+            df.filter(F.col(id_col).isin(seed_ids)).orderBy(id_col).select(vec_col).collect()
+        )
+    ]
+    v = _as_double(F.col(vec_col))
+
+    def cell_of(vec_expr: Column) -> Column:
+        # argmax via an array of sims + array_position — NOT an
+        # iterated when-chain, whose expression tree doubles per
+        # centroid and OOMs the planner at 16 cells.
+        sims = F.array(
+            *[
+                cosine(vec_expr, F.array(*[F.lit(x) for x in cvec]))
+                for _, cvec in cents
+            ]
+        )
+        return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+    probe = sorted(
+        cents,
+        key=lambda c: -(
+            sum(a * b for a, b in zip(query_vec, c[1]))
+            / (
+                (sum(a * a for a in query_vec) ** 0.5)
+                * (sum(b * b for b in c[1]) ** 0.5)
+                or 1.0
+            )
+        ),
+    )[:nprobe]
+    probe_ids = [c[0] for c in probe]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    assigned = df.withColumn("__cell", cell_of(v))
+    cand = assigned.filter(F.col("__cell").isin(probe_ids))
+    return (
+        cand.select(F.col(id_col), F.round(cosine(_as_double(F.col(vec_col)), q), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1,0 +1,150 @@
+"""Window-function family — SURVEY.md §2.5 (W1-W14).
+
+The reference implements all of these as O(n·w) JavaScript array loops
+over a collected series (static/main.js:217-383, 559-565, 990-1000).
+Here each is a single-pass Spark window computation, partitioned by the
+series key so state never exceeds one key's rows per task; at 100 TB
+the partition column IS the scale story — no window here is global
+except where the reference's semantics are global (equity curve over
+one account's trades).
+
+Window-over-window compositions (W3 over W2, W6 over W1, W8 over W5)
+are staged via chained select/withColumn — nesting two window
+aggregates in one projection is invalid (§7.4.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window, WindowSpec
+
+
+def series_window(key_cols: list[str], ts_col: str, id_col: str | None = None) -> WindowSpec:
+    """Canonical ordered per-key window; id tiebreaker keeps every
+    downstream frame deterministic under equal timestamps (§7.4.1)."""
+    order = [F.col(ts_col).asc()]
+    if id_col:
+        order.append(F.col(id_col).asc())
+    return Window.partitionBy(*key_cols).orderBy(*order)
+
+
+def trailing(w: WindowSpec, n: int) -> WindowSpec:
+    """Trailing-n-rows frame: rowsBetween(-(n-1), 0)."""
+    return w.rowsBetween(-(n - 1), Window.currentRow)
+
+
+def running(w: WindowSpec) -> WindowSpec:
+    return w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+
+# --- W1: SMA(n) with warm-up nulls (main.js:217-227) -----------------------
+def sma(value: Column | str, w: WindowSpec, n: int) -> Column:
+    v = F.col(value) if isinstance(value, str) else value
+    avg = F.avg(v).over(trailing(w, n))
+    warm = F.row_number().over(w) >= n
+    return F.when(warm, avg)
+
+
+# --- W2: rolling sample stddev (main.js:232) -------------------------------
+def rolling_stddev(value: Column | str, w: WindowSpec, n: int) -> Column:
+    v = F.col(value) if isinstance(value, str) else value
+    sd = F.stddev_samp(v).over(trailing(w, n))
+    warm = F.row_number().over(w) >= n
+    return F.when(warm, sd)
+
+
+# --- W3: rolling min (composes over W2's output via staged select) ---------
+def rolling_min(value: Column | str, w: WindowSpec, n: int) -> Column:
+    v = F.col(value) if isinstance(value, str) else value
+    return F.min(v).over(trailing(w, n))
+
+
+def rolling_max(value: Column | str, w: WindowSpec, n: int) -> Column:
+    v = F.col(value) if isinstance(value, str) else value
+    return F.max(v).over(trailing(w, n))
+
+
+# --- W4: highest/lowest + arg-extreme over trailing frame ------------------
+def arg_extreme(
+    value: Column | str, arg: Column | str, w: WindowSpec, n: int, highest: bool = True
+) -> Column:
+    """Value of ``arg`` at the max (or min) of ``value`` within the
+    trailing-n frame — max_by/min_by as window functions."""
+    v = F.col(value) if isinstance(value, str) else value
+    a = F.col(arg) if isinstance(arg, str) else arg
+    fn = F.max_by if highest else F.min_by
+    return fn(a, v).over(trailing(w, n))
+
+
+# --- W5: local extrema via lag/lead (main.js:322-335) ----------------------
+def local_extrema_flags(df: DataFrame, value: str, w: WindowSpec) -> DataFrame:
+    """Adds is_local_high / is_local_low: px[i] >= both neighbors (high),
+    <= both neighbors (low); series endpoints are never extrema
+    (reference loops i in 1..n-2)."""
+    v = F.col(value)
+    prev, nxt = F.lag(v, 1).over(w), F.lead(v, 1).over(w)
+    return df.withColumn(
+        "is_local_high", (v >= prev) & (v >= nxt)
+    ).withColumn("is_local_low", (v <= prev) & (v <= nxt))
+
+
+# --- W6/W7: MA slope + trend classification (main.js:242-245) --------------
+def slope(col: Column | str, w: WindowSpec, k: int) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c - F.lag(c, k).over(w)
+
+
+def trend_label(short_slope: Column, long_slope: Column) -> Column:
+    return (
+        F.when((short_slope > 0) & (long_slope > 0), F.lit("bullish"))
+        .when((short_slope < 0) & (long_slope < 0), F.lit("bearish"))
+        .otherwise(F.lit("neutral"))
+    )
+
+
+# --- W9: premium/discount vs window mid (main.js:343-346) ------------------
+def premium_discount(value: Column, hi: Column, lo: Column) -> Column:
+    return F.when(value >= (hi + lo) / 2, F.lit("premium")).otherwise(F.lit("discount"))
+
+
+# --- W11: cumulative sum / equity curve (main.js:990-1000) -----------------
+def cumulative(value: Column | str, w: WindowSpec) -> Column:
+    v = F.col(value) if isinstance(value, str) else value
+    return F.sum(v).over(running(w))
+
+
+# --- W12: lag-1 delta (main.js:559-565) ------------------------------------
+def lag_delta(value: Column | str, w: WindowSpec, k: int = 1) -> Column:
+    v = F.col(value) if isinstance(value, str) else value
+    return v - F.lag(v, k).over(w)
+
+
+# --- W13: latest-per-key ranking dedup (db.py:391-396) ---------------------
+def latest_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Newest row per key: row_number over (key, ts DESC, id DESC) == 1.
+    THE canonical ranking window — J1's left side, D5's latest-wins
+    read. One shuffle on the key; at scale prefer pre-bucketing the
+    table by the same key to eliminate it."""
+    order = [F.col(ts_col).desc()]
+    if id_col:
+        order.append(F.col(id_col).desc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# --- W14: min-max normalization (web/components/Sparkline.tsx:6-10) --------
+def minmax_normalize(value: Column | str, w: WindowSpec, eps: float = 1e-9) -> Column:
+    v = F.col(value) if isinstance(value, str) else value
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    lo, hi = F.min(v).over(frame), F.max(v).over(frame)
+    return (v - lo) / F.greatest(hi - lo, F.lit(eps))

@@ -1,0 +1,469 @@
+"""Core relational query registry — the oracle-checked restatement of
+SURVEY.md §2's scan/filter/join/agg/window/sort/dedup inventory over
+the driver testdata (FIXTURES.md §B role bindings: events ≈ prices,
+user_id ≈ symbol, value ≈ price, ts ≈ as_of, event_id ≈ id).
+
+Every function here has the driver signature ``(spark, sf_dir) ->
+DataFrame`` and a DuckDB oracle twin in ``ORACLE_SQL`` with IDENTICAL
+column names and rounding. Conventions that make cross-engine value
+hashing stable:
+
+- timestamps leave as epoch microseconds (``ts_us``; DuckDB
+  ``epoch_us``) — no tz/format ambiguity;
+- per-row double math rounds to 6 dp; big-sum aggregates go through
+  DECIMAL(18,x) so summation is exact and order-free in both engines,
+  then cast back to double;
+- every LIMIT sits on a total order with an id tiebreaker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from market_insights_app_spark.functions.scalars import pnl, r_multiple, ts_us
+from market_insights_app_spark.operators import windows as W
+from market_insights_app_spark.operators.joins import asof_join, latest_join, union_merge
+from market_insights_app_spark.operators.journal import histogram
+from market_insights_app_spark.operators.pagination import page, recent_n, top_k_per_group
+from market_insights_app_spark.operators.windows import latest_per_key
+from market_insights_app_spark.sources.tables import load_table
+
+EVENTS_W = lambda: Window.partitionBy("user_id").orderBy("ts", "event_id")  # noqa: E731
+
+START, END = "2024-01-05", "2024-01-20"
+
+
+def _events(spark, sf):
+    return load_table(spark, sf, "events")
+
+
+# ---------------------------------------------------------------------------
+# §2.2 filters + §2.6 pagination
+# ---------------------------------------------------------------------------
+
+
+def q_prices_filter_range_limit(spark: SparkSession, sf: str) -> DataFrame:
+    """P1+T1 (db.py:271-302): conjunctive filter + desc sort with id
+    tiebreaker + limit. Filters/projection push into the parquet scan."""
+    ev = _events(spark, sf)
+    filtered = ev.filter(
+        (F.col("event_type") == "click") & (F.col("ts") >= START) & (F.col("ts") <= END)
+    )
+    out = page(filtered, [F.col("ts").desc(), F.col("event_id").desc()], limit=100)
+    return out.select(
+        "event_id", ts_us("ts").alias("ts_us"), "user_id", "event_type", F.round("value", 6).alias("value")
+    )
+
+
+def q_prices_page2(spark: SparkSession, sf: str) -> DataFrame:
+    """T1 page 2: OFFSET 100 LIMIT 100 on the same total order."""
+    ev = _events(spark, sf)
+    filtered = ev.filter(F.col("event_type") == "click")
+    out = page(filtered, [F.col("ts").desc(), F.col("event_id").desc()], limit=100, offset=100)
+    return out.select("event_id", ts_us("ts").alias("ts_us"), F.round("value", 6).alias("value"))
+
+
+def q_recent_n_tail(spark: SparkSession, sf: str) -> DataFrame:
+    """T5 (db.py:264-268): ORDER BY id DESC LIMIT 50."""
+    return recent_n(_events(spark, sf), "event_id", 50).select(
+        "event_id", ts_us("ts").alias("ts_us"), "user_id", "event_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows
+# ---------------------------------------------------------------------------
+
+
+def q_latest_per_key(spark: SparkSession, sf: str) -> DataFrame:
+    """W13 (db.py:391-396): newest row per key with id tiebreaker."""
+    out = latest_per_key(_events(spark, sf), ["user_id"], "ts", "event_id")
+    return out.select("user_id", "event_id", ts_us("ts").alias("ts_us"), "event_type",
+                      F.round("value", 6).alias("value"))
+
+
+def q_lag_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """W12 (main.js:559-565): per-key delta vs previous observation."""
+    ev = _events(spark, sf)
+    delta = W.lag_delta("value", EVENTS_W())
+    return ev.select("event_id", F.round(delta, 6).alias("delta"))
+
+
+def q_sma5(spark: SparkSession, sf: str) -> DataFrame:
+    """W1 (main.js:217-227): SMA(5) with warm-up nulls. The rolling sum
+    goes through DECIMAL so the frame aggregate is exact and identical
+    across engines (values are 2-dp); divide in double after."""
+    ev = _events(spark, sf)
+    w = EVENTS_W()
+    sum5 = F.sum(F.col("value").cast("decimal(18,2)")).over(W.trailing(w, 5)).cast("double")
+    rn = F.row_number().over(w)
+    return ev.select("event_id", F.round(F.when(rn >= 5, sum5 / 5), 6).alias("sma5"))
+
+
+def q_rolling_stddev10(spark: SparkSession, sf: str) -> DataFrame:
+    """W2 (main.js:232): trailing sample stddev(10). stddev has no
+    decimal path; 4-dp rounding absorbs cross-engine float-order noise."""
+    ev = _events(spark, sf)
+    return ev.select(
+        "event_id", F.round(W.rolling_stddev("value", EVENTS_W(), 10), 4).alias("sd10")
+    )
+
+
+def q_rolling_min_volatility(spark: SparkSession, sf: str) -> DataFrame:
+    """W3-over-W2 (main.js:233, 249-251): trailing min of the rolling
+    stddev — staged window-over-window (§7.4.3)."""
+    ev = _events(spark, sf)
+    staged = ev.select(
+        "user_id", "ts", "event_id", W.rolling_stddev("value", EVENTS_W(), 10).alias("sd10")
+    )
+    out = staged.select(
+        "event_id", F.round(W.rolling_min("sd10", EVENTS_W(), 5), 4).alias("min_vol")
+    )
+    return out
+
+
+def q_ma_slope_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """W6+W7 (main.js:242-245): SMA slopes at lags 2 and 5 → trend.
+    DECIMAL rolling sum (exact) → double division, as in q_sma5."""
+    ev = _events(spark, sf)
+    w = EVENTS_W()
+    sum5 = F.sum(F.col("value").cast("decimal(18,2)")).over(W.trailing(w, 5)).cast("double")
+    staged = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(F.row_number().over(w) >= 5, sum5 / 5).alias("sma5"),
+    )
+    s2 = W.slope("sma5", EVENTS_W(), 2)
+    s5 = W.slope("sma5", EVENTS_W(), 5)
+    return staged.select(
+        "event_id",
+        F.round(s2, 6).alias("slope2"),
+        F.round(s5, 6).alias("slope5"),
+        W.trend_label(s2, s5).alias("trend"),
+    )
+
+
+def q_local_extrema(spark: SparkSession, sf: str) -> DataFrame:
+    """W5 (main.js:322-335): lag/lead local highs/lows; endpoints null."""
+    ev = _events(spark, sf)
+    out = W.local_extrema_flags(ev, "value", EVENTS_W())
+    return out.select(
+        "event_id",
+        F.col("is_local_high").cast("int").alias("is_high"),
+        F.col("is_local_low").cast("int").alias("is_low"),
+    )
+
+
+def q_equity_cumsum(spark: SparkSession, sf: str) -> DataFrame:
+    """W11 (main.js:990-1000): running per-key cumulative sum."""
+    ev = _events(spark, sf)
+    cum = (
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(W.running(EVENTS_W()))
+        .cast("double")
+    )
+    return ev.select("event_id", F.round(cum, 4).alias("equity"))
+
+
+def q_minmax_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """W14 (Sparkline.tsx:6-10): per-key min-max scaling."""
+    ev = _events(spark, sf)
+    return ev.select(
+        "event_id", F.round(W.minmax_normalize("value", EVENTS_W()), 6).alias("norm")
+    )
+
+
+def q_window_delta_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """A7 (main.js:64-67): per-key first→last delta and pct, via
+    order-insensitive min_by/max_by on the (ts, id) tuple."""
+    ev = _events(spark, sf)
+    key = F.struct("ts", "event_id")
+    agg = ev.groupBy("user_id").agg(
+        F.min_by("value", key).alias("first_v"), F.max_by("value", key).alias("last_v")
+    )
+    return agg.select(
+        "user_id",
+        F.round(F.col("last_v") - F.col("first_v"), 6).alias("diff"),
+        F.round((F.col("last_v") - F.col("first_v")) / F.col("first_v") * 100, 6).alias("pct"),
+    )
+
+
+def q_minmax_mid_premium(spark: SparkSession, sf: str) -> DataFrame:
+    """A4+W9 (main.js:343-346): per-key hi/lo/mid + premium-discount of
+    the newest value."""
+    ev = _events(spark, sf)
+    key = F.struct("ts", "event_id")
+    agg = ev.groupBy("user_id").agg(
+        F.max("value").alias("hi"),
+        F.min("value").alias("lo"),
+        F.max_by("value", key).alias("last_v"),
+    )
+    mid = (F.col("hi") + F.col("lo")) / 2
+    return agg.select(
+        "user_id",
+        F.round("hi", 6).alias("hi"),
+        F.round("lo", 6).alias("lo"),
+        F.round(mid, 6).alias("mid"),
+        F.when(F.col("last_v") >= mid, F.lit("premium")).otherwise(F.lit("discount")).alias("pd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+
+def q_positions_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """A1 (db.py:399-425) on events: purchase≡BUY, click≡SELL,
+    value≡qty, value/10≡price, fees 0.5/row. Same conditional-sum shape
+    as operators.positions.aggregate_positions, with per-row DECIMAL
+    casts so the sums are exact and order-free for the oracle; the
+    BUY/SELL branches mirror the case-insensitive ``typ.upper()``
+    contract (db.py:409,414)."""
+    ev = _events(spark, sf)
+    et = F.col("event_type")
+    v = F.col("value")
+    qty_term = (
+        F.when(et == "purchase", v).when(et == "click", -v).otherwise(F.lit(0.0))
+    ).cast("decimal(18,2)")
+    cost_term = (
+        F.when(et == "purchase", v * (v / 10)).otherwise(F.lit(0.0))
+    ).cast("decimal(28,8)")
+    fees_term = (
+        F.when(et.isin("purchase", "click"), F.lit(0.5)).otherwise(F.lit(0.0))
+    ).cast("decimal(18,2)")
+    buys_term = (F.when(et == "purchase", v).otherwise(F.lit(0.0))).cast("decimal(18,2)")
+    agg = ev.groupBy("user_id").agg(
+        F.sum(qty_term).cast("double").alias("qty"),
+        F.sum(cost_term).cast("double").alias("cost"),
+        F.sum(fees_term).cast("double").alias("fees"),
+        F.sum(buys_term).cast("double").alias("buys"),
+    )
+    # qty/cost/fees/buys are exact decimal sums cast to double — emit
+    # unrounded (bit-identical across engines); rounding could land on a
+    # true half-way point and diverge.
+    return agg.select(
+        "user_id",
+        "qty",
+        "cost",
+        "fees",
+        "buys",
+        F.round(
+            F.coalesce(F.col("cost") / F.nullif(F.col("buys"), F.lit(0.0)), F.lit(0.0)), 6
+        ).alias("avg_cost"),
+    )
+
+
+def q_tpch_q1_style(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1-shaped conditional aggregation over lineitem — the A1
+    semantics at the scale table. DECIMAL sums for exact, order-free
+    cross-engine equality."""
+    li = load_table(spark, sf, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
+    disc = (F.lit(1.0) - F.col("l_discount")).cast("decimal(12,2)")
+    taxp = (F.lit(1.0) + F.col("l_tax")).cast("decimal(12,2)")
+    out = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(d("l_extendedprice") * disc).cast("double").alias("sum_disc_price"),
+            F.sum(d("l_extendedprice") * disc * taxp).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 6))
+        .withColumn("avg_price", F.round(F.col("sum_base_price") / F.col("count_order"), 6))
+    )
+    return out
+
+
+def q_journal_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """A2 (main.js:939-947) with events.value-50 standing in for pnl:
+    trades / wins / winrate% / total / avg-r."""
+    ev = _events(spark, sf)
+    p = F.col("value") - 50.0
+    pd = p.cast("decimal(18,6)")
+    return ev.agg(
+        F.count(F.lit(1)).alias("trades"),
+        F.sum((p > 0).cast("long")).alias("wins"),
+        F.round(100.0 * F.sum((p > 0).cast("long")) / F.count(F.lit(1)), 0).alias("winrate"),
+        F.sum(pd).cast("double").alias("total_pnl"),
+        F.round(F.sum(pd).cast("double") / F.count(F.lit(1)) / 50.0, 6).alias("avg_r"),
+    )
+
+
+def q_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """A5 (main.js:1006-1011): 10 equal-width bins over
+    lineitem.l_extendedprice with clamp."""
+    li = load_table(spark, sf, "lineitem")
+    return histogram(li, "l_extendedprice", bins=10)
+
+
+def q_pnl_r_scalars(spark: SparkSession, sf: str) -> DataFrame:
+    """F7/F8 (main.js:901-916): trade PnL and R-multiple over a
+    deterministic journal-shaped projection of events."""
+    ev = _events(spark, sf)
+    j = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 2 == 0, F.lit("Long")).otherwise(F.lit("Short")).alias("direction"),
+        F.col("value").alias("entry"),
+        (F.col("value") * 1.1).alias("exit"),
+        (F.col("value") * 0.95).alias("stop"),
+        ((F.col("event_id") % 5) + 1).cast("double").alias("qty"),
+        F.lit(1.0).alias("fees"),
+    )
+    j = j.withColumn("pnl", pnl("direction", "entry", "exit", "qty", "fees"))
+    j = j.withColumn("r", r_multiple("pnl", "entry", "stop", "qty"))
+    return j.select("event_id", F.round("pnl", 6).alias("pnl"), F.round("r", 6).alias("r"))
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+
+def q_latest_join_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    """J1 (db.py:399-425): enrich customers with their newest event
+    value (user_id ≈ c_custkey); LEFT join keeps null last/market_value
+    for customers with no events (db.py:422-423). Latest side is
+    broadcast."""
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    ev = _events(spark, sf).select(
+        F.col("user_id").alias("c_custkey"), "ts", "event_id", F.col("value").alias("last")
+    )
+    out = latest_join(cust, ev, "c_custkey", "ts", "event_id", ["last"])
+    return out.select(
+        "c_custkey",
+        F.round("last", 6).alias("last"),
+        F.round(F.col("last") * F.col("c_acctbal"), 4).alias("market_value"),
+    )
+
+
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of backward join (J1 generalized, SURVEY §2.3): for each
+    purchase event, the newest prior-or-equal 'view' value of the same
+    user — union-merge formulation, no range cross-product."""
+    ev = _events(spark, sf)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    out = asof_join(purchases, views, "user_id", "ts", "ts", ["view_value"])
+    return out.select("event_id", F.round("view_value", 6).alias("view_value"))
+
+
+def q_multi_join_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """J2 generalized to the TPC-H Q5-ish chain: revenue per region via
+    region⋈nation⋈customer⋈orders⋈lineitem. Dimension sides broadcast;
+    DECIMAL revenue sum for exactness."""
+    region = F.broadcast(load_table(spark, sf, "region"))
+    nation = F.broadcast(load_table(spark, sf, "nation"))
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1.0) - F.col("l_discount")).cast("decimal(12,2)"))
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+    return out
+
+
+def q_union_merge_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """J3+D6 (main.js:853-867): server-wins signature-keyed merge of two
+    overlapping slices."""
+    ev = _events(spark, sf).select("event_id", "user_id", "ts", "event_type", "value")
+    server = ev.filter(F.col("event_id") % 3 != 0)
+    local = ev.filter(F.col("user_id") < 8)
+    merged = union_merge(server, local, ["user_id", "ts", "event_type"])
+    return merged.select(
+        "event_id", "user_id", ts_us("ts").alias("ts_us"), "event_type",
+        F.round("value", 6).alias("value"),
+    )
+
+
+def q_group_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """T6 generalized: top-3 by value per event_type with id tiebreak."""
+    ev = _events(spark, sf)
+    out = top_k_per_group(
+        ev, ["event_type"], [F.col("value").desc(), F.col("event_id").asc()], 3
+    )
+    return out.select("event_type", "event_id", F.round("value", 6).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# §2.7 dedup / upsert readback
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_latest_wins(spark: SparkSession, sf: str) -> DataFrame:
+    """D4/D5 readback (db.py:166-201): latest-version-wins per
+    composite key — the plain-parquet MERGE view."""
+    out = latest_per_key(_events(spark, sf), ["user_id", "event_type"], "ts", "event_id")
+    return out.select(
+        "user_id", "event_type", "event_id", ts_us("ts").alias("ts_us"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# semi-structured + time windows (§2.8 F12/F19, §2.9 ST5 batch parity)
+# ---------------------------------------------------------------------------
+
+
+def q_json_extract_props(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured props JSON → typed column → bucketed agg
+    (reference's dict-.get JSON edge, alpha_vantage.py:29-47)."""
+    ev = _events(spark, sf)
+    k = F.get_json_object("props", "$.k").cast("int")
+    out = (
+        ev.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"))
+    )
+    return out
+
+
+def q_tumbling_window_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """ST5 batch parity: 15-minute tumbling windows per event_type."""
+    ev = _events(spark, sf)
+    out = (
+        ev.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"))
+        .select(ts_us(F.col("w.start")).alias("window_start_us"), "event_type", "n", "sum_value")
+    )
+    return out
+
+
+def q_sliding_window_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """ST5: 30-minute windows sliding every 15 minutes."""
+    ev = _events(spark, sf)
+    out = (
+        ev.groupBy(F.window("ts", "30 minutes", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(ts_us(F.col("w.start")).alias("window_start_us"), "event_type", "n")
+    )
+    return out
+
+
+def q_session_window_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """ST5: session windows (30-minute gap) per user — batch form of
+    the streaming sessionization."""
+    ev = _events(spark, sf)
+    out = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"))
+        .select(ts_us(F.col("w.start")).alias("session_start_us"), "user_id", "n", "sum_value")
+    )
+    return out

@@ -1,0 +1,316 @@
+"""DuckDB oracle twins for plans.core — ANSI SQL over the same parquet
+views (region nation customer supplier part orders lineitem events
+documents embeddings). Column names, rounding, DECIMAL casts, and tie
+ordering match the Spark side exactly (see plans/core.py header).
+"""
+
+W_EVENTS = "PARTITION BY user_id ORDER BY ts, event_id"
+
+# events.ts is parquet TIMESTAMP(NANOS); the Spark side truncates to
+# microseconds at load (sources/tables.py), so every oracle reads events
+# through the identical truncation.
+EV_SUB = "(SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events)"
+
+CORE_ORACLES: dict[str, str] = {
+    "prices_filter_range_limit": """
+        SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+               round(value, 6) AS value
+        FROM events
+        WHERE event_type = 'click'
+          AND ts >= TIMESTAMP '2024-01-05' AND ts <= TIMESTAMP '2024-01-20'
+        ORDER BY ts DESC, event_id DESC
+        LIMIT 100
+    """,
+    "prices_page2": """
+        SELECT event_id, epoch_us(ts) AS ts_us, round(value, 6) AS value
+        FROM events
+        WHERE event_type = 'click'
+        ORDER BY ts DESC, event_id DESC
+        LIMIT 100 OFFSET 100
+    """,
+    "recent_n_tail": """
+        SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type
+        FROM events ORDER BY event_id DESC LIMIT 50
+    """,
+    "latest_per_key": f"""
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+               round(value, 6) AS value
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        WHERE rn = 1
+    """,
+    "lag_delta": f"""
+        SELECT event_id,
+               round(value - lag(value) OVER ({W_EVENTS}), 6) AS delta
+        FROM events
+    """,
+    "sma5": f"""
+        SELECT event_id,
+               round(CASE WHEN rn >= 5 THEN CAST(sum5 AS DOUBLE) / 5 END, 6) AS sma5
+        FROM (
+          SELECT event_id, row_number() OVER w AS rn,
+                 SUM(CAST(value AS DECIMAL(18,2)))
+                   OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sum5
+          FROM events WINDOW w AS ({W_EVENTS}))
+    """,
+    "rolling_stddev10": f"""
+        SELECT event_id,
+               round(CASE WHEN rn >= 10 THEN sd END, 4) AS sd10
+        FROM (
+          SELECT event_id, row_number() OVER w AS rn,
+                 stddev_samp(value)
+                   OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS sd
+          FROM events WINDOW w AS ({W_EVENTS}))
+    """,
+    "rolling_min_volatility": f"""
+        SELECT event_id,
+               round(min(sd10) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)
+                 AS min_vol
+        FROM (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN row_number() OVER w >= 10 THEN
+                   stddev_samp(value) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+                 END AS sd10
+          FROM events WINDOW w AS ({W_EVENTS}))
+        WINDOW w AS ({W_EVENTS})
+    """,
+    "ma_slope_trend": f"""
+        SELECT event_id,
+               round(sma5 - lag(sma5, 2) OVER w, 6) AS slope2,
+               round(sma5 - lag(sma5, 5) OVER w, 6) AS slope5,
+               CASE
+                 WHEN (sma5 - lag(sma5, 2) OVER w) > 0 AND (sma5 - lag(sma5, 5) OVER w) > 0
+                   THEN 'bullish'
+                 WHEN (sma5 - lag(sma5, 2) OVER w) < 0 AND (sma5 - lag(sma5, 5) OVER w) < 0
+                   THEN 'bearish'
+                 ELSE 'neutral'
+               END AS trend
+        FROM (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN row_number() OVER w >= 5 THEN
+                   CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                     OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) / 5
+                 END AS sma5
+          FROM events WINDOW w AS ({W_EVENTS}))
+        WINDOW w AS ({W_EVENTS})
+    """,
+    "local_extrema": f"""
+        SELECT event_id,
+               CAST(value >= lag(value) OVER w AND value >= lead(value) OVER w AS INT)
+                 AS is_high,
+               CAST(value <= lag(value) OVER w AND value <= lead(value) OVER w AS INT)
+                 AS is_low
+        FROM events WINDOW w AS ({W_EVENTS})
+    """,
+    "equity_cumsum": f"""
+        SELECT event_id,
+               round(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                 OVER ({W_EVENTS} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE), 4) AS equity
+        FROM events
+    """,
+    "minmax_normalize": """
+        SELECT event_id,
+               round((value - lo) / greatest(hi - lo, 1e-9), 6) AS norm
+        FROM (SELECT event_id, value,
+                     min(value) OVER (PARTITION BY user_id) AS lo,
+                     max(value) OVER (PARTITION BY user_id) AS hi
+              FROM events)
+    """,
+    "window_delta_stats": f"""
+        SELECT DISTINCT user_id,
+               round(last_v - first_v, 6) AS diff,
+               round((last_v - first_v) / first_v * 100, 6) AS pct
+        FROM (SELECT user_id,
+                     first_value(value) OVER ({W_EVENTS}) AS first_v,
+                     last_value(value) OVER ({W_EVENTS}
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v
+              FROM events)
+    """,
+    "minmax_mid_premium": f"""
+        SELECT DISTINCT user_id,
+               round(hi, 6) AS hi, round(lo, 6) AS lo,
+               round((hi + lo) / 2, 6) AS mid,
+               CASE WHEN last_v >= (hi + lo) / 2 THEN 'premium' ELSE 'discount' END AS pd
+        FROM (SELECT user_id,
+                     max(value) OVER (PARTITION BY user_id) AS hi,
+                     min(value) OVER (PARTITION BY user_id) AS lo,
+                     last_value(value) OVER ({W_EVENTS}
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v
+              FROM events)
+    """,
+    "positions_agg": """
+        SELECT user_id,
+               CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+                                  WHEN event_type = 'click' THEN -value
+                                  ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+               CAST(SUM(CAST(CASE WHEN event_type = 'purchase'
+                                  THEN value * (value / 10)
+                                  ELSE 0.0 END AS DECIMAL(28,8))) AS DOUBLE) AS cost,
+               CAST(SUM(CAST(CASE WHEN event_type IN ('purchase','click') THEN 0.5
+                                  ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS fees,
+               CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+                                  ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS buys,
+               round(COALESCE(
+                 CAST(SUM(CAST(CASE WHEN event_type = 'purchase'
+                                    THEN value * (value / 10)
+                                    ELSE 0.0 END AS DECIMAL(28,8))) AS DOUBLE)
+                 / NULLIF(CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+                                             ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE), 0),
+                 0.0), 6) AS avg_cost
+        FROM events GROUP BY user_id
+    """,
+    "tpch_q1_style": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(1.0 - l_discount AS DECIMAL(12,2))
+                        * CAST(1.0 + l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sum_charge,
+               COUNT(*) AS count_order,
+               round(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6)
+                 AS avg_qty,
+               round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6)
+                 AS avg_price
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "journal_stats": """
+        SELECT COUNT(*) AS trades,
+               SUM(CASE WHEN value - 50.0 > 0 THEN 1 ELSE 0 END) AS wins,
+               round(100.0 * SUM(CASE WHEN value - 50.0 > 0 THEN 1 ELSE 0 END) / COUNT(*), 0)
+                 AS winrate,
+               CAST(SUM(CAST(value - 50.0 AS DECIMAL(18,6))) AS DOUBLE) AS total_pnl,
+               round(CAST(SUM(CAST(value - 50.0 AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*) / 50.0, 6) AS avg_r
+        FROM events
+    """,
+    "histogram": """
+        WITH s AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+                   FROM lineitem),
+             b AS (SELECT CAST(least(9, greatest(0,
+                     CAST(floor((l_extendedprice - lo) / ((hi - lo) / 10)) AS BIGINT)))
+                     AS INT) AS bin, lo, hi
+                   FROM lineitem, s)
+        SELECT bin, COUNT(*) AS n,
+               round(lo + bin * ((hi - lo) / 10), 6) AS bin_lo,
+               round(lo + (bin + 1) * ((hi - lo) / 10), 6) AS bin_hi
+        FROM b GROUP BY bin, lo, hi
+    """,
+    "pnl_r_scalars": """
+        SELECT event_id,
+               round(pnl, 6) AS pnl,
+               round(CASE WHEN abs(value - value * 0.95) * abs(qty) = 0 THEN 0.0
+                          ELSE pnl / (abs(value - value * 0.95) * abs(qty)) END, 6) AS r
+        FROM (
+          SELECT event_id, value,
+                 CAST((event_id % 5) + 1 AS DOUBLE) AS qty,
+                 (CASE WHEN event_id % 2 = 0 THEN value * 1.1 - value
+                       ELSE value - value * 1.1 END)
+                   * CAST((event_id % 5) + 1 AS DOUBLE) - 1.0 AS pnl
+          FROM events)
+    """,
+    "latest_join_enrich": """
+        WITH latest AS (
+          SELECT user_id AS c_custkey, value AS last FROM (
+            SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+                     ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+          WHERE rn = 1)
+        SELECT c.c_custkey, round(l.last, 6) AS last,
+               round(l.last * c.c_acctbal, 4) AS market_value
+        FROM customer c LEFT JOIN latest l USING (c_custkey)
+    """,
+    "asof_join": """
+        SELECT p.event_id, round(v.view_value, 6) AS view_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT user_id, ts, value AS view_value FROM events
+                        WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    "multi_join_revenue": """
+        SELECT r_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "union_merge_dedup": """
+        WITH server AS (SELECT event_id, user_id, ts, event_type, value
+                        FROM events WHERE event_id % 3 <> 0),
+             local AS (SELECT event_id, user_id, ts, event_type, value
+                       FROM events WHERE user_id < 8)
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+               round(value, 6) AS value
+        FROM server
+        UNION ALL
+        SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.event_type,
+               round(l.value, 6) AS value
+        FROM local l
+        WHERE NOT EXISTS (SELECT 1 FROM server s
+                          WHERE s.user_id = l.user_id AND s.ts = l.ts
+                            AND s.event_type = l.event_type)
+    """,
+    "group_topk": """
+        SELECT event_type, event_id, round(value, 6) AS value
+        FROM (SELECT event_type, event_id, value,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY value DESC, event_id ASC) AS rn
+              FROM events)
+        WHERE rn <= 3
+    """,
+    "dedup_latest_wins": """
+        SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+               round(value, 6) AS value
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                     ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        WHERE rn = 1
+    """,
+    "json_extract_props": """
+        SELECT (CAST(json_extract_string(props, '$.k') AS INT) % 10) AS k_bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1
+    """,
+    "tumbling_window_agg": """
+        SELECT epoch_us(time_bucket(INTERVAL '15 minutes', ts)) AS window_start_us,
+               event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "sliding_window_agg": """
+        SELECT epoch_us(time_bucket(INTERVAL '15 minutes', ts)
+                        - k.k * INTERVAL '15 minutes') AS window_start_us,
+               event_type, COUNT(*) AS n
+        FROM events CROSS JOIN (VALUES (0), (1)) k(k)
+        GROUP BY 1, 2
+    """,
+    "session_window_agg": """
+        WITH o AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             s AS (
+          SELECT user_id, ts, value,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM o)
+        SELECT epoch_us(min(ts)) AS session_start_us, user_id, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM s GROUP BY user_id, sid
+    """,
+}
+
+# apply the ns→µs truncation wrapper to every events reference
+CORE_ORACLES = {
+    k: v.replace("FROM events", f"FROM {EV_SUB} events") for k, v in CORE_ORACLES.items()
+}

@@ -1,0 +1,421 @@
+"""Text-analysis / dedup / similarity / connector query registry —
+the training-data-pipeline surface (SURVEY.md §7.2 step 9 + §2.1
+connectors) with DuckDB oracle twins where SQL can express the
+semantics; the LSH-family operators are rows-only here and verified
+against pure-Python reference implementations in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from market_insights_app_spark.functions import text as TX
+from market_insights_app_spark.operators.dedup import (
+    minhash_near_dupes,
+    ngram_jaccard_vs_query,
+    simhash_near_dupes,
+)
+from market_insights_app_spark.operators.multimodal import decode_media
+from market_insights_app_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_self_join_neardup,
+    cosine_topk,
+    ivf_topk,
+)
+from market_insights_app_spark.sources.http_quotes import (
+    parse_alpha_vantage_fx,
+    parse_yahoo_chart,
+)
+from market_insights_app_spark.sources.tables import load_table
+
+# normalized-text SQL fragment shared by several oracles
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+
+
+def _docs(spark, sf):
+    return load_table(spark, sf, "documents")
+
+
+def _emb(spark, sf):
+    return load_table(spark, sf, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """D1/D2 content form (db.py:44, 126-131): md5-of-normalized-text
+    fingerprint groups; keeper = min doc_id (first-insert-wins)."""
+    docs = _docs(spark, sf)
+    return (
+        docs.select(TX.md5_fingerprint("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """1-gram Jaccard of every document vs doc_id=0 — the exact-verify
+    stage of near-dup dedup, in the token-join formulation."""
+    docs = _docs(spark, sf)
+    return ngram_jaccard_vs_query(docs, docs.filter(F.col("doc_id") == 0), n=1)
+
+
+def q_minhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (rows-only: hash functions are
+    engine-side; verified vs a Python reference in tests)."""
+    return minhash_near_dupes(_docs(spark, sf), threshold=0.5)
+
+
+def q_simhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs, Hamming <= 3 (rows-only)."""
+    return simhash_near_dupes(_docs(spark, sf), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# text analysis family
+# ---------------------------------------------------------------------------
+
+
+def q_tokens_count(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _docs(spark, sf)
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.bpe_ish_token_count("text").alias("n_bpe"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _docs(spark, sf)
+    feats = TX.quality_features("text")
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(TX.quality_score("text"), 6).alias("quality"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _docs(spark, sf)
+    return docs.select("doc_id", TX.lang_id("text").alias("pred_lang"))
+
+
+def q_impact_classify(spark: SparkSession, sf: str) -> DataFrame:
+    """F3 keyword-tier classifier (main.py:645-653) with corpus-domain
+    keyword tiers; aggregated class counts."""
+    from market_insights_app_spark.functions.scalars import score_impact
+
+    docs = _docs(spark, sf)
+    impact = score_impact("text", high=["dup", "slow"], medium=["merge", "hash"])
+    return docs.select(impact.alias("impact")).groupBy("impact").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_tag_split(spark: SparkSession, sf: str) -> DataFrame:
+    """F9 (main.js:958) generalized: explode whitespace tokens, count."""
+    docs = _docs(spark, sf)
+    return (
+        docs.select(F.explode(TX.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_level_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """F11 (main.js:474-492) UDTF shape: one row per numeric token
+    extracted from events.props."""
+    ev = load_table(spark, sf, "events")
+    exploded = ev.select(
+        "event_id",
+        F.explode(F.regexp_extract_all("props", F.lit(TX.NUMBER_RE), 0)).alias("lvl"),
+    )
+    return exploded.select("event_id", F.col("lvl").cast("double").alias("level"))
+
+
+def q_fingerprint_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprints: md5 of normalized text + polynomial
+    rolling hash (mod 2^31-1) — both pure column expressions."""
+    docs = _docs(spark, sf)
+    return docs.select(
+        "doc_id",
+        TX.md5_fingerprint("text").alias("fp"),
+        TX.rolling_fingerprint("text").alias("rh"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity family
+# ---------------------------------------------------------------------------
+
+
+def _query_vec(spark, sf) -> list[float]:
+    row: Row = (
+        _emb(spark, sf).filter(F.col("vec_id") == 0).select("embedding").first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-10 vs vec_id=0 (the correctness baseline
+    for ANN)."""
+    return cosine_topk(_emb(spark, sf), _query_vec(spark, sf), k=10)
+
+
+def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs bucketed by label (the coarse
+    bucket standing in for an LSH/cluster key at scale)."""
+    return cosine_self_join_neardup(_emb(spark, sf), "label", threshold=0.95)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH (rows-only —
+    approximation quality asserted against brute force in tests)."""
+    return ann_lsh_topk(_emb(spark, sf), _query_vec(spark, sf), k=10)
+
+
+def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate top-10 via IVF coarse quantization (rows-only)."""
+    return ivf_topk(_emb(spark, sf), _query_vec(spark, sf), k=10)
+
+
+# ---------------------------------------------------------------------------
+# connector parsing (S1-S3) — deterministic payloads, no network
+# ---------------------------------------------------------------------------
+
+_FX_PAYLOAD = (
+    '{"Realtime Currency Exchange Rate": {"1. From_Currency Code": "EUR", '
+    '"3. To_Currency Code": "USD", "5. Exchange Rate": "1.08250000", '
+    '"6. Last Refreshed": "2024-03-01 10:15:30"}}'
+)
+
+_YAHOO_PAYLOAD = (
+    '{"chart": {"result": [{"meta": {"symbol": "AAPL", "currency": "USD"}, '
+    '"timestamp": [1709290000, 1709290060, 1709290120], '
+    '"indicators": {"quote": [{"close": [189.5, null, 190.25]}]}}]}}'
+)
+
+
+def q_connector_fx_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """S2 (alpha_vantage_fx.py:16-62): nested-JSON FX quote → normalized
+    row, via from_json — no network, deterministic payload."""
+    raw = spark.createDataFrame([(_FX_PAYLOAD,)], ["payload"])
+    out = parse_alpha_vantage_fx(raw)
+    return out.select(
+        "symbol",
+        F.round("price", 6).alias("price"),
+        F.unix_micros("as_of").alias("ts_us"),
+        "currency",
+        "source",
+    )
+
+
+def q_connector_yahoo_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """S3 (yahoo.py:7-47): chart arrays → last non-null close."""
+    raw = spark.createDataFrame([(_YAHOO_PAYLOAD,)], ["payload"])
+    out = parse_yahoo_chart(raw)
+    return out.select(
+        "symbol",
+        F.round("price", 6).alias("price"),
+        F.unix_micros("as_of").alias("ts_us"),
+        "currency",
+        "source",
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (rows-only; deterministic fake decoder)
+# ---------------------------------------------------------------------------
+
+
+def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-column pipeline: documents' text bytes stand in for media
+    payloads; mapInPandas fake decoder computes byte statistics.
+    Oracle covers the exact columns (n_bytes) and 4-dp mean."""
+    docs = _docs(spark, sf)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+    )
+    decoded = decode_media(media, fake=True)
+    return decoded.select(
+        "media_id", "kind", "n_bytes", F.round("feat_mean", 4).alias("feat_mean")
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+TEXTML_ORACLES: dict[str, str] = {
+    "dedup_exact": f"""
+        SELECT md5({_NORM_SQL}) AS fp, min(doc_id) AS keeper, COUNT(*) AS n
+        FROM documents GROUP BY 1
+    """,
+    "ngram_jaccard": f"""
+        WITH norm AS (SELECT doc_id,
+               list_distinct(list_filter(
+                 string_split_regex({_NORM_SQL}, '\\s+'), x -> x <> '')) AS grams
+             FROM documents),
+        d AS (SELECT doc_id, unnest(grams) AS g FROM norm),
+        q AS (SELECT DISTINCT unnest(grams) AS g FROM norm WHERE doc_id = 0),
+        qs AS (SELECT COUNT(*) AS qn FROM q),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY 1),
+        inter AS (SELECT d.doc_id, COUNT(*) AS i FROM d JOIN q USING (g) GROUP BY 1)
+        SELECT s.doc_id,
+               round(COALESCE(i, 0) / (sz + qn - COALESCE(i, 0)), 6) AS jaccard
+        FROM sizes s LEFT JOIN inter USING (doc_id) CROSS JOIN qs
+    """,
+    "tokens_count": f"""
+        SELECT doc_id,
+               len({_TOKS_SQL}) AS n_tokens,
+               len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe
+        FROM documents
+    """,
+    "text_quality": f"""
+        WITH f AS (
+          SELECT doc_id,
+                 length(text) AS n_chars,
+                 len({_TOKS_SQL}) AS n_tokens,
+                 len(list_filter({_TOKS_SQL},
+                   x -> lower(x) IN ('the','a','and','of','to','in','is','it','that','for')))
+                   AS n_stop,
+                 length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct
+          FROM documents)
+        SELECT doc_id, n_chars, n_tokens,
+               round(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens
+                          ELSE 0.0 END, 6) AS stopword_ratio,
+               round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars
+                          ELSE 0.0 END, 6) AS punct_ratio,
+               round(least(1.0, n_tokens / 50.0) * 0.4
+                     + least(1.0, (CASE WHEN n_tokens > 0
+                                        THEN CAST(n_stop AS DOUBLE) / n_tokens
+                                        ELSE 0.0 END) * 5.0) * 0.3
+                     + greatest(0.0, 1.0 - (CASE WHEN n_chars > 0
+                                                 THEN CAST(n_punct AS DOUBLE) / n_chars
+                                                 ELSE 0.0 END) * 4.0) * 0.3, 6) AS quality
+        FROM f
+    """,
+    "lang_id": f"""
+        WITH t AS (SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')
+                 AS toks
+             FROM documents),
+        h AS (SELECT doc_id,
+               len(list_filter(toks, x -> x IN ('the','and','of','is','to','a','in'))) AS h_en,
+               len(list_filter(toks, x -> x IN ('el','la','de','que','los','una'))) AS h_es,
+               len(list_filter(toks, x -> x IN ('le','la','les','des','est','une'))) AS h_fr,
+               len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht'))) AS h_de,
+               len(list_filter(toks, x -> x IN ('的','是','了','在'))) AS h_zh
+             FROM t)
+        SELECT doc_id,
+               CASE WHEN h_en > 0 AND h_en = best THEN 'en'
+                    WHEN h_es > 0 AND h_es = best THEN 'es'
+                    WHEN h_fr > 0 AND h_fr = best THEN 'fr'
+                    WHEN h_de > 0 AND h_de = best THEN 'de'
+                    WHEN h_zh > 0 AND h_zh = best THEN 'zh'
+                    ELSE 'und' END AS pred_lang
+        FROM (SELECT *, greatest(h_en, h_es, h_fr, h_de, h_zh) AS best FROM h)
+    """,
+    "impact_classify": """
+        SELECT impact, COUNT(*) AS n FROM (
+          SELECT CASE WHEN regexp_matches(lower(text), 'dup|slow') THEN 'High'
+                      WHEN regexp_matches(lower(text), 'merge|hash') THEN 'Medium'
+                      ELSE 'Low' END AS impact
+          FROM documents)
+        GROUP BY impact
+    """,
+    "tag_split": f"""
+        SELECT tok, COUNT(*) AS n
+        FROM (SELECT unnest({_TOKS_SQL}) AS tok FROM documents)
+        GROUP BY tok
+    """,
+    "level_extract": """
+        SELECT event_id,
+               CAST(unnest(regexp_extract_all(props, '[0-9]+(\\.[0-9]+)?')) AS DOUBLE)
+                 AS level
+        FROM events
+    """,
+    "fingerprint_docs": f"""
+        SELECT doc_id,
+               md5({_NORM_SQL}) AS fp,
+               list_reduce(
+                 list_transform(regexp_extract_all({_NORM_SQL}, '.'),
+                                x -> CAST(ord(x) AS BIGINT)),
+                 (a, b) -> (a * 257 + b) % 2147483647) AS rh
+        FROM documents
+    """,
+    "embedding_topk": """
+        WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                   FROM embeddings WHERE vec_id = 0),
+        e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+              FROM embeddings)
+        SELECT vec_id,
+               round(
+                 list_reduce(list_transform(list_zip(ev, qv), p -> p[1] * p[2]),
+                             (a, b) -> a + b)
+                 / NULLIF(
+                     sqrt(list_reduce(list_transform(ev, x -> x * x), (a, b) -> a + b))
+                     * sqrt(list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b)),
+                     0), 6) AS cosine
+        FROM e CROSS JOIN q
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT 10
+    """,
+    "embedding_neardup": """
+        WITH e AS (SELECT vec_id, label,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings)
+        SELECT a, b, cosine FROM (
+          SELECT l.vec_id AS a, r.vec_id AS b,
+                 round(
+                   list_reduce(list_transform(list_zip(l.v, r.v), p -> p[1] * p[2]),
+                               (x, y) -> x + y)
+                   / NULLIF(
+                       sqrt(list_reduce(list_transform(l.v, x -> x * x), (x, y) -> x + y))
+                       * sqrt(list_reduce(list_transform(r.v, x -> x * x), (x, y) -> x + y)),
+                       0), 6) AS cosine
+          FROM e l JOIN e r ON l.label = r.label AND l.vec_id < r.vec_id)
+        WHERE cosine >= 0.95
+    """,
+    "connector_fx_parse": """
+        SELECT 'EURUSD' AS symbol, 1.0825 AS price,
+               epoch_us(TIMESTAMP '2024-03-01 10:15:30') AS ts_us,
+               'USD' AS currency, 'alpha_vantage_fx' AS source
+    """,
+    "connector_yahoo_parse": """
+        SELECT 'AAPL' AS symbol, 190.25 AS price,
+               epoch_us(to_timestamp(1709290120)) AS ts_us,
+               'USD' AS currency, 'yahoo' AS source
+    """,
+    "media_decode": f"""
+        WITH c AS (SELECT doc_id, regexp_extract_all(text, '.') AS chars
+                   FROM documents)
+        SELECT doc_id AS media_id, 'image' AS kind,
+               length(text) AS n_bytes,
+               round(CAST(list_sum(list_transform(chars, x -> ord(x))) AS DOUBLE)
+                     / len(chars), 4) AS feat_mean
+        FROM c JOIN documents USING (doc_id)
+    """,
+}
+
+
+# events.ts ns→µs truncation (see plans/core_oracles.EV_SUB)
+from market_insights_app_spark.plans.core_oracles import EV_SUB as _EV_SUB  # noqa: E402
+
+TEXTML_ORACLES = {
+    k: v.replace("FROM events", f"FROM {_EV_SUB} events")
+    for k, v in TEXTML_ORACLES.items()
+}

@@ -1,0 +1,52 @@
+"""SparkSession builder tuned for this engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32) but every
+config here is chosen to also make sense on a large multi-executor
+cluster: AQE for runtime re-planning (partition coalescing, skew-join
+splitting), a shuffle-partition count sized to the parallelism, and
+Arrow for any Python-side exchange.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "market-insights-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle = str(shuffle_partitions or (int(cpus) if cpus.isdigit() else 32))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # AQE: coalesce tiny post-shuffle partitions, split skewed ones,
+        # convert to broadcast joins at runtime when a side turns out small.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        # Deterministic timestamp behavior for the differential oracle.
+        .config("spark.sql.session.timeZone", "UTC")
+        # testdata events.ts is parquet TIMESTAMP(NANOS) — Spark has no
+        # nanosecond timestamps, so read as long and convert (tables.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Arrow-accelerated pandas exchange for the Pandas-UDF operators.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+    )
+    return builder.getOrCreate()
+
+
+def tune_for_oracle(spark: SparkSession) -> SparkSession:
+    """Apply the session settings the differential-oracle contract needs
+    on a session we did not build (the driver passes its own)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark

@@ -1,0 +1,49 @@
+"""Parquet table loaders for the driver testdata.
+
+Columnar parquet replaces the reference's single-file row-store SQLite
+(db.py:9-16). Reads are plain ``spark.read.parquet`` so Catalyst keeps
+full pushdown freedom: filters and projections written downstream reach
+the scan (PushedFilters / ReadSchema), which is the 100 TB-scale
+contract — never pre-materialize, never collect.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from market_insights_app_spark.schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", default)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table. Schema comes from the parquet footer
+    (already the exact types in schemas.TESTDATA); passing no explicit
+    schema keeps vectorized reader + pushdown defaults intact.
+
+    events.ts is parquet TIMESTAMP(NANOS), which Spark cannot represent:
+    with ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as
+    a long of nanoseconds and is canonicalized here to a microsecond
+    TimestampType by integer truncation — the DuckDB oracles apply the
+    identical truncation (``make_timestamp(epoch_ns(ts) // 1000)``), so
+    both engines see the same instants.
+    """
+    if name not in TESTDATA_TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TESTDATA_TABLES}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    names = names or TESTDATA_TABLES
+    return {n: load_table(spark, sf_dir, n) for n in names}

@@ -1,0 +1,145 @@
+"""Structured Streaming surface — SURVEY.md §2.9 (ST1-ST5).
+
+The reference approximates streaming with a 15 s browser poll
+(main.js:592-596) and idempotent inserts (db.py:44, 253-259). The
+Spark-native surface:
+
+- file-source replay of the events table as a stream (tests) or any
+  directory of parquet/json drops (production shape);
+- watermark + dropDuplicates for the D1 idempotency contract (ST3) —
+  the reference never drops late data, so the default watermark here is
+  deliberately generous and documented as the deviation (§7.4.6);
+- tumbling / sliding / session window aggregations (ST5 — no reference
+  counterpart; part of the Spark-native surface mandate);
+- a foreachBatch sink that applies latest-wins merge semantics to a
+  parquet target (D4/D5 without Delta).
+
+All builders return unstarted DataFrames/queries so tests drive them
+with ``trigger(availableNow=True)`` + memory sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from market_insights_app_spark.schemas import TESTDATA
+
+
+def events_file_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Replay the events parquet as a micro-batched stream (ST1)."""
+    return (
+        spark.readStream.schema(TESTDATA["events"])
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def with_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """ST3: watermark + dropDuplicates on the natural key — the
+    streaming form of INSERT OR IGNORE (db.py:44). Watermark horizon is
+    the documented deviation from the reference's accept-forever
+    semantics: state must be bounded to run unbounded."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+
+
+def tumbling_agg(
+    stream: DataFrame,
+    duration: str = "15 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """ST5 tumbling windows: per (window, key) count + sum(value)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), duration), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            key_col,
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(
+    stream: DataFrame,
+    duration: str = "30 minutes",
+    slide: str = "15 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), duration, slide), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            key_col,
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_agg(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """ST5 session windows: events within ``gap`` of each other merge
+    into one session per key."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            key_col,
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Test/driver helper: drain everything currently available into an
+    in-memory table and stop (ST2's on-demand trigger analog)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def idempotent_append_batch(batch: DataFrame, target_path: str, key_cols: list[str]) -> None:
+    """foreachBatch sink body: drop in-batch dupes, anti-join against
+    the target's existing natural keys, append the remainder — the
+    plain-parquet MERGE WHEN NOT MATCHED INSERT (S4, db.py:253-261)."""
+    spark = batch.sparkSession
+    fresh = batch.dropDuplicates(key_cols)
+    try:
+        existing = spark.read.parquet(target_path).select(*key_cols).distinct()
+        fresh = fresh.join(existing, on=key_cols, how="left_anti")
+    except Exception:
+        pass  # first batch: target does not exist yet
+    fresh.write.mode("append").parquet(target_path)
