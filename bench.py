@@ -1,0 +1,74 @@
+"""Benchmark harness — times the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": <scale factor>}
+
+Each query executes its FULL plan into the noop sink (no
+collect-to-driver overhead in the measurement). One untimed warmup
+query initializes the JVM/codegen so the first timed entry is not
+charged for session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "prices_filter_range_limit",
+    "latest_per_key",
+    "positions_agg",
+    "tpch_q1_style",
+    "multi_join_revenue",
+    "equity_cumsum",
+    "sma5",
+    "histogram",
+    "union_merge_dedup",
+    "session_window_agg",
+    "dedup_exact",
+    "minhash_neardup",
+    "embedding_topk",
+    "text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from market_insights_app_spark.plans.registry import QUERIES
+    from market_insights_app_spark.session import get_spark
+
+    spark = get_spark(app_name="mias-bench", cpus=cpus)
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    run("recent_n_tail")  # warmup: JVM + codegen + parquet footer cache
+
+    timings = {name: round(run(name), 3) for name in HEADLINE}
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall-clock, noop sink",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -78,6 +78,33 @@ def minhash_signature(text_col: Column | str, num_hashes: int = 32, shingle_n: i
     return F.array(*[min_hash_for_seed(i) for i in range(num_hashes)])
 
 
+def minhash_signatures_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """MinHash signatures as a DataFrame (id, h0..h{n-1}).
+
+    Scalable formulation: explode shingles → hash each gram once per
+    seed → groupBy(id).min per seed. One shuffle on the id; shingling
+    runs ONCE per document (the pure-expression ``minhash_signature``
+    inlines the tokenizer into each of the 32 columns — 30×+ slower at
+    5k docs, and worse at scale). Documents with zero shingles drop out
+    (they cannot near-dup)."""
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("g"),
+    )
+    hashed = grams.select(
+        "id", *[_hash_token(F.col("g"), i).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -92,12 +119,10 @@ def lsh_candidate_pairs(
 
     The self-join is an equi-join on the bucket key, so Spark shuffles
     on the bucket hash — no cross product. Returns (a, b) candidate
-    pairs; verify with ``ngram_jaccard_pairs`` downstream.
+    pairs; verify with ``ngram_jaccard`` downstream.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"), minhash_signature(text_col, num_hashes, shingle_n).alias("sig")
-    )
+    sig = minhash_signatures_df(df, id_col, text_col, num_hashes, shingle_n)
     banded = sig.select(
         "id",
         F.explode(
@@ -106,7 +131,12 @@ def lsh_candidate_pairs(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                            *[
+                                F.col(f"h{i}")
+                                for i in range(
+                                    b * rows_per_band, (b + 1) * rows_per_band
+                                )
+                            ]
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -198,6 +228,44 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """SimHash as a DataFrame (id, h) via explode + groupBy bit votes —
+    the scalable form (the pure-expression ``simhash`` inlines the
+    tokenizer into each of the 64 bit votes; see minhash_signatures_df).
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("g"),
+    ).select("id", F.xxhash64(F.col("g"), F.lit(1234567)).alias("gh"))
+    votes = grams.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("gh"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+
+    def bit_value(b: int) -> Column:
+        mask = (1 << b) if b < 63 else -(1 << 63)
+        return F.when(F.col(f"v{b}") > 0, F.lit(mask).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    out = bit_value(0)
+    for b in range(1, bits):
+        out = out.bitwiseOR(bit_value(b))
+    return votes.select("id", out.alias("h"))
+
+
 def simhash_near_dupes(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -211,7 +279,7 @@ def simhash_near_dupes(
     (chunk_idx, chunk_value). Output (a, b, hamming)."""
     chunks = max_hamming + 1
     chunk_bits = bits // chunks
-    sh = df.select(F.col(id_col).alias("id"), simhash(text_col, bits).alias("h"))
+    sh = simhash_df(df, id_col, text_col, bits)
     mask = (1 << chunk_bits) - 1
     exploded = sh.select(
         "id",
