@@ -92,8 +92,15 @@ def fmt_price_decimals(symbol: Column | str) -> Column:
 
 
 def fmt_price(price: Column | str, symbol: Column | str) -> Column:
+    # format_number needs a literal decimal count — branch per class
     p = F.col(price) if isinstance(price, str) else price
-    return F.format_number(p, fmt_price_decimals(symbol))
+    s = F.col(symbol) if isinstance(symbol, str) else symbol
+    return (
+        F.when(s.endswith("JPY"), F.format_number(p, 3))
+        .when(s.startswith("XA"), F.format_number(p, 2))
+        .when(s.rlike("^[A-Z]{6}$"), F.format_number(p, 5))
+        .otherwise(F.format_number(p, 4))
+    )
 
 
 # --- F7/F8: trade PnL and R-multiple (main.js:901-916) ---------------------

@@ -154,7 +154,10 @@ def extract_levels(col: Column | str):
     the line by first matching keyword. Returns array<struct<label,
     level:double>> — explode downstream for the UDTF shape (one row per
     level)."""
-    lines = F.split(_c(col), r"[\n.;]")
+    # Deviation from the reference: its /\n|\.|;/ split breaks decimal
+    # numbers apart ("1.0850" → "1" + "0850"); here a period only
+    # splits when not followed by a digit.
+    lines = F.split(_c(col), r"\n|;|\.(?!\d)")
     label = lambda line: F.coalesce(  # noqa: E731
         *[
             F.when(F.lower(line).contains(kw), F.lit(kw))

@@ -58,7 +58,7 @@ def parse_alpha_vantage_quote(raw: DataFrame, payload_col: str = "payload") -> D
     day = F.coalesce(gq["07. latest trading day"], gq["07_latest_trading_day"])
     return raw.select(
         symbol.alias("symbol"),
-        price_s.cast("double").alias("price"),
+        price_s.try_cast("double").alias("price"),  # malformed → null, not ANSI error
         normalize_timestamp(day).alias("as_of"),
         F.lit(None).cast("string").alias("currency"),
         F.lit("alpha_vantage").alias("source"),
@@ -94,7 +94,8 @@ ALPHA_VANTAGE_FX_SCHEMA = T.StructType(
 def parse_alpha_vantage_fx(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
     j = F.from_json(F.col(payload_col), ALPHA_VANTAGE_FX_SCHEMA)
     r = j["Realtime Currency Exchange Rate"]
-    rate = r["5. Exchange Rate"].cast("double")
+    rate = r["5. Exchange Rate"].try_cast("double")  # float-coercion validation
+    # (alpha_vantage_fx.py:40-47 raises; here: null + error column)
     return raw.select(
         F.concat(
             F.upper(r["1. From_Currency Code"]), F.upper(r["3. To_Currency Code"])
@@ -176,7 +177,7 @@ def parse_yahoo_chart(raw: DataFrame, payload_col: str = "payload") -> DataFrame
         res["indicators"]["quote"].getItem(0)["close"].alias("close"),
     )
     valid = F.filter(zipped, lambda x: x["close"].isNotNull())
-    last = F.element_at(valid, -1)
+    last = F.try_element_at(valid, F.lit(-1))  # empty → null, not ANSI error
     return raw.select(
         F.upper(res["meta"]["symbol"]).alias("symbol"),
         last["close"].alias("price"),

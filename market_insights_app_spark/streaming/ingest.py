@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from market_insights_app_spark.schemas import TESTDATA
 
@@ -29,12 +30,26 @@ from market_insights_app_spark.schemas import TESTDATA
 def events_file_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
-    """Replay the events parquet as a micro-batched stream (ST1)."""
-    return (
-        spark.readStream.schema(TESTDATA["events"])
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(f"{sf_dir}/events.parquet")
+    """Replay the events parquet as a micro-batched stream (ST1).
+
+    The file source needs a directory, so the sf_dir is the basePath
+    with a glob for the events file. ts arrives as long nanoseconds
+    (TIMESTAMP(NANOS) + nanosAsLong, see sources/tables.py) and is
+    canonicalized to a microsecond timestamp here."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.LongType())
+            for f in TESTDATA["events"].fields
+        ]
     )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def with_dedup(

@@ -1,0 +1,190 @@
+"""Connector parsing (S1-S3) incl. error paths, and the scalar library
+(F1-F19) — mirrors the reference's mocked-network test strategy
+(tests/test_alpha_vantage.py, tests/test_ingest.py) without any HTTP.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def one(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+# --- S1: equity quote --------------------------------------------------------
+
+
+def test_alpha_vantage_dotted_keys(spark):
+    from market_insights_app_spark.sources.http_quotes import parse_alpha_vantage_quote
+
+    payload = (
+        '{"Global Quote": {"01. symbol": "aapl", "05. price": "123.45", '
+        '"07. latest trading day": "2024-01-02"}}'
+    )
+    r = one(parse_alpha_vantage_quote(spark.createDataFrame([(payload,)], ["payload"])))
+    assert r["symbol"] == "AAPL" and r["price"] == 123.45
+    assert r["error"] is None
+    assert str(r["as_of"]).startswith("2024-01-02")  # date-only → midnight (F2)
+
+
+def test_alpha_vantage_underscore_fallback(spark):
+    """Key-variant fallback (alpha_vantage.py:33-36)."""
+    from market_insights_app_spark.sources.http_quotes import parse_alpha_vantage_quote
+
+    payload = '{"Global Quote": {"01_symbol": "MSFT", "05_price": "9.5"}}'
+    r = one(parse_alpha_vantage_quote(spark.createDataFrame([(payload,)], ["payload"])))
+    assert r["symbol"] == "MSFT" and r["price"] == 9.5
+
+
+def test_alpha_vantage_throttle_note(spark):
+    """Throttle Note surfaces as error (alpha_vantage.py:30-32)."""
+    from market_insights_app_spark.sources.http_quotes import parse_alpha_vantage_quote
+
+    payload = '{"Note": "Thank you for using Alpha Vantage! 5 calls/min"}'
+    r = one(parse_alpha_vantage_quote(spark.createDataFrame([(payload,)], ["payload"])))
+    assert r["price"] is None and "Alpha Vantage" in r["error"]
+
+
+def test_alpha_vantage_empty_quote(spark):
+    from market_insights_app_spark.sources.http_quotes import parse_alpha_vantage_quote
+
+    r = one(parse_alpha_vantage_quote(spark.createDataFrame([('{"Global Quote": {}}',)], ["payload"])))
+    assert r["error"] == "empty or malformed quote"
+
+
+# --- S2: FX ------------------------------------------------------------------
+
+
+def test_fx_invalid_rate(spark):
+    """Non-numeric rate → error, null price (alpha_vantage_fx.py:40-47)."""
+    from market_insights_app_spark.sources.http_quotes import parse_alpha_vantage_fx
+
+    payload = (
+        '{"Realtime Currency Exchange Rate": {"1. From_Currency Code": "EUR", '
+        '"3. To_Currency Code": "USD", "5. Exchange Rate": "not-a-number"}}'
+    )
+    r = one(parse_alpha_vantage_fx(spark.createDataFrame([(payload,)], ["payload"])))
+    assert r["price"] is None and r["error"] == "invalid or missing exchange rate"
+
+
+# --- S3: Yahoo ---------------------------------------------------------------
+
+
+def test_yahoo_all_null_closes(spark):
+    """All-null close array → error (yahoo.py:33-40 null handling)."""
+    from market_insights_app_spark.sources.http_quotes import parse_yahoo_chart
+
+    payload = (
+        '{"chart": {"result": [{"meta": {"symbol": "X", "currency": "USD"}, '
+        '"timestamp": [1, 2], "indicators": {"quote": [{"close": [null, null]}]}}]}}'
+    )
+    r = one(parse_yahoo_chart(spark.createDataFrame([(payload,)], ["payload"])))
+    assert r["price"] is None and r["error"] == "no non-null close"
+
+
+# --- scalar library ----------------------------------------------------------
+
+
+def test_parse_pair(spark):
+    from market_insights_app_spark.functions.scalars import parse_pair
+
+    df = spark.createDataFrame([("eur/usd",), ("XAUUSD",), ("bad",)], ["p"])
+    rows = df.select(parse_pair("p").alias("pp")).collect()
+    assert (rows[0]["pp"]["base"], rows[0]["pp"]["quote"]) == ("EUR", "USD")
+    assert rows[1]["pp"]["base"] == "XAU"
+    assert rows[2]["pp"] is None  # len != 6 → null (reference raises 400)
+
+
+def test_normalize_timestamp_variants(spark):
+    """F2 (alpha_vantage_fx.py:50-61): space-form, T-form, Z-suffix,
+    date-only; garbage falls back to now() (non-null)."""
+    from market_insights_app_spark.functions.scalars import format_iso_z, normalize_timestamp
+
+    df = spark.createDataFrame(
+        [("2024-03-01 10:15:30",), ("2024-03-01T10:15:30Z",), ("2024-03-01",), ("garbage",)],
+        ["s"],
+    )
+    out = df.select(format_iso_z(normalize_timestamp("s")).alias("z")).collect()
+    assert out[0]["z"] == "2024-03-01T10:15:30Z"
+    assert out[1]["z"] == "2024-03-01T10:15:30Z"
+    assert out[2]["z"] == "2024-03-01T00:00:00Z"
+    assert out[3]["z"] is not None  # now() fallback
+
+
+def test_score_impact_reference_keywords(spark):
+    """F3 with the reference's own vocab (main.py:645-653)."""
+    from market_insights_app_spark.functions.scalars import score_impact
+
+    df = spark.createDataFrame(
+        [("US CPI inflation surges",), ("Retail PMI revised",), ("quiet day",)], ["t"]
+    )
+    got = [r[0] for r in df.select(score_impact("t")).collect()]
+    assert got == ["High", "Medium", "Low"]
+
+
+def test_fmt_price_decimals(spark):
+    """F6 (main.js:41-47): JPY→3dp, XA*→2dp, 6-char FX→5dp, else 4dp."""
+    from market_insights_app_spark.functions.scalars import fmt_price
+
+    df = spark.createDataFrame(
+        [("USDJPY", 151.23456), ("XAUUSD", 2315.5), ("EURUSD", 1.08251), ("AAPL", 189.5)],
+        ["s", "p"],
+    )
+    got = [r[0] for r in df.select(fmt_price("p", "s")).collect()]
+    assert got == ["151.235", "2,315.50", "1.08251", "189.5000"]
+
+
+def test_split_tags_and_signature(spark):
+    from market_insights_app_spark.functions.scalars import composite_signature, split_tags
+
+    df = spark.createDataFrame(
+        [(" a , b ,, c ", "AAPL", "Long", 1.0, 2.0)], ["tags", "sym", "d", "e", "x"]
+    ).withColumn("dt", F.to_timestamp(F.lit("2025-01-02 03:04:05")))
+    r = df.select(
+        split_tags("tags").alias("tags"),
+        composite_signature("sym", "dt", "d", "e", "x").alias("sig"),
+    ).collect()[0]
+    assert r["tags"] == ["a", "b", "c"]
+    assert r["sig"] == "AAPL|2025-01-02T03:04|Long|1.0|2.0"
+
+
+def test_extract_levels(spark):
+    """F11 (main.js:474-492): numbers per line, labeled by keyword."""
+    from market_insights_app_spark.functions.text import extract_levels
+
+    text = "Entry at 1.0850; stop 1.0800. target zone 1.0950 and 1.1000"
+    df = spark.createDataFrame([(text,)], ["text"])
+    rows = df.select(F.explode(extract_levels("text")).alias("l")).select("l.*").collect()
+    got = [(r["label"], r["level"]) for r in rows]
+    assert ("entry", 1.085) in got and ("stop", 1.08) in got
+    assert ("target", 1.095) in got and ("target", 1.1) in got
+
+
+def test_is_fx_symbol(spark):
+    from market_insights_app_spark.operators.filters import is_fx_symbol
+
+    df = spark.createDataFrame([("EURUSD",), ("XAGUSD",), ("AAPL",)], ["s"])
+    got = [r[0] for r in df.select(is_fx_symbol("s")).collect()]
+    assert got == [True, True, False]
+
+
+def test_lang_id_markers(spark):
+    from market_insights_app_spark.functions.text import lang_id
+
+    df = spark.createDataFrame(
+        [("the cat and the dog",), ("el perro de la casa",), ("qqq zzz",)], ["text"]
+    )
+    got = [r[0] for r in df.select(lang_id("text")).collect()]
+    assert got == ["en", "es", "und"]
+
+
+def test_data_url_to_binary(spark):
+    from market_insights_app_spark.operators.multimodal import data_url_to_binary
+
+    df = spark.createDataFrame([("data:image/png;base64,aGVsbG8=",)], ["u"])
+    r = df.select(data_url_to_binary("u").alias("m")).select("m.*").collect()[0]
+    assert r["mime"] == "image/png" and bytes(r["payload"]) == b"hello"

@@ -1,0 +1,183 @@
+"""LSH-family operators vs pure-Python reference implementations —
+the verification channel for the rows-only (non-SQL-expressible)
+queries in the registry."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+    (2, "completely different text about spark engines and shuffles"),
+    (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (4, "spark engines and shuffles are completely different topics"),
+    (5, "one two three four five six seven eight nine ten"),
+]
+
+
+def py_shingles(text: str, n: int) -> set[str]:
+    toks = " ".join(text.lower().split()).split()
+    if n == 1:
+        return set(toks)
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def py_jaccard(a: set, b: set) -> float:
+    return len(a & b) / len(a | b) if a | b else 0.0
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_minhash_neardup_matches_true_jaccard(docs):
+    """Every reported pair's jaccard must equal the exact set Jaccard
+    (the verify stage is exact), and the obvious near-dup pairs must be
+    found by the LSH candidate stage."""
+    from market_insights_app_spark.operators.dedup import minhash_near_dupes
+
+    out = {(r["a"], r["b"]): r["jaccard"] for r in minhash_near_dupes(docs, threshold=0.3).collect()}
+    assert (0, 3) in out and out[(0, 3)] == 1.0  # exact dup always caught
+    assert (0, 1) in out  # 8/10 shingle overlap
+    for (a, b), j in out.items():
+        truth = py_jaccard(py_shingles(DOCS[a][1], 2), py_shingles(DOCS[b][1], 2))
+        assert j == pytest.approx(truth, abs=1e-6), (a, b)
+
+
+def test_minhash_signature_is_real_minimum(spark, docs):
+    """Signature h_i == min over shingles of the same hash Spark uses —
+    recompute the hashes via Spark on exploded shingles and compare
+    (guards the lambda-binding regression where every row of the
+    signature silently used the same hash function)."""
+    from market_insights_app_spark.functions.text import word_shingles
+    from market_insights_app_spark.operators.dedup import (
+        MERSENNE_P,
+        minhash_signatures_df,
+    )
+
+    sig = {r["id"]: [r[f"h{i}"] for i in range(32)] for r in minhash_signatures_df(docs).collect()}
+    # signatures across hash indices must differ (not one function repeated)
+    for v in sig.values():
+        assert len(set(v)) > 1
+    # cross-check h0/h1 against direct per-shingle hashing
+    grams = docs.select(
+        F.col("doc_id"), F.explode(word_shingles("text", 2)).alias("g")
+    )
+    direct = (
+        grams.select(
+            "doc_id",
+            F.pmod(F.xxhash64("g", F.lit(0)), F.lit(MERSENNE_P)).alias("a"),
+            F.pmod(F.xxhash64("g", F.lit(1)), F.lit(MERSENNE_P)).alias("b"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("a").alias("h0"), F.min("b").alias("h1"))
+    )
+    for r in direct.collect():
+        assert sig[r["doc_id"]][0] == r["h0"]
+        assert sig[r["doc_id"]][1] == r["h1"]
+
+
+def test_simhash_near_dupes(docs):
+    from market_insights_app_spark.operators.dedup import simhash_near_dupes
+
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_near_dupes(docs, max_hamming=10).collect()}
+    assert pairs[(0, 3)] == 0  # identical text → identical simhash
+    assert (0, 1) in pairs  # near-dup within 10 bits
+    # dissimilar docs must NOT appear at a tight radius
+    tight = {
+        (r["a"], r["b"])
+        for r in simhash_near_dupes(docs, max_hamming=3).collect()
+    }
+    assert (0, 5) not in tight and (2, 5) not in tight
+
+
+def test_ngram_jaccard_vs_python(docs):
+    from market_insights_app_spark.operators.dedup import ngram_jaccard_vs_query
+
+    out = {
+        r["doc_id"]: r["jaccard"]
+        for r in ngram_jaccard_vs_query(docs, docs.filter(F.col("doc_id") == 0), n=1).collect()
+    }
+    for i, text in DOCS:
+        truth = py_jaccard(py_shingles(text, 1), py_shingles(DOCS[0][1], 1))
+        assert out[i] == pytest.approx(truth, abs=1e-6), i
+
+
+def test_exact_dedup_first_wins(spark):
+    from market_insights_app_spark.operators.dedup import first_wins
+
+    df = spark.createDataFrame(
+        [(1, "k", "first"), (2, "k", "second"), (3, "j", "only")],
+        "seq long, key string, v string",
+    )
+    out = {r["key"]: r["v"] for r in first_wins(df, ["key"], "seq").collect()}
+    assert out == {"k": "first", "j": "only"}  # INSERT OR IGNORE arrival order
+
+
+def test_md5_fingerprint_matches_python(spark):
+    from market_insights_app_spark.functions.text import md5_fingerprint
+
+    df = spark.createDataFrame([("  Hello   WORLD  ",)], "text string")
+    got = df.select(md5_fingerprint("text").alias("fp")).collect()[0]["fp"]
+    assert got == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_rolling_fingerprint_matches_python(spark):
+    from market_insights_app_spark.functions.text import rolling_fingerprint
+
+    text = "abc xyz"
+    h = 0
+    for ch in "abc xyz":
+        h = (h * 257 + ord(ch)) % ((1 << 31) - 1)
+    df = spark.createDataFrame([(text,)], "text string")
+    assert df.select(rolling_fingerprint("text").alias("rh")).collect()[0]["rh"] == h
+
+
+def test_ann_and_ivf_recall(spark):
+    """Approximate top-k: self must rank first; recall vs brute force
+    above a floor on clustered vectors."""
+    import math
+
+    from market_insights_app_spark.operators.similarity import (
+        ann_lsh_topk,
+        cosine_topk,
+        ivf_topk,
+    )
+
+    # 3 tight clusters of 40 vectors in 16-d (deterministic construction)
+    rows = []
+    for i in range(120):
+        c = i % 3
+        base = [1.0 if d // 5 == c else 0.05 for d in range(16)]
+        vec = [b + 0.01 * math.sin(i * 7 + d) for d, b in enumerate(base)]
+        rows.append((i, vec, c))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = rows[0][1]
+    bf = [r["vec_id"] for r in cosine_topk(df, q, k=10).collect()]
+    assert bf[0] == 0
+    ann = [r["vec_id"] for r in ann_lsh_topk(df, q, k=10).collect()]
+    assert ann[0] == 0 and len(set(bf) & set(ann)) >= 5
+    ivf = [r["vec_id"] for r in ivf_topk(df, q, k=10, n_cells=6, nprobe=3, seed_ids=[0, 1, 2, 3, 4, 5]).collect()]
+    assert ivf[0] == 0 and len(set(bf) & set(ivf)) >= 5
+
+
+def test_embedding_neardup_bucketed(spark):
+    from market_insights_app_spark.operators.similarity import cosine_self_join_neardup
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.999, 0.01], 0),
+            (2, [0.0, 1.0], 1),  # different bucket — never compared with 0/1
+            (3, [1.0, 0.001], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    pairs = {(r["a"], r["b"]) for r in cosine_self_join_neardup(df, "label", 0.99).collect()}
+    assert (0, 1) in pairs
+    assert all(a_b not in pairs for a_b in [(0, 3), (1, 3)])  # cross-bucket excluded

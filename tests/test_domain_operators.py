@@ -1,0 +1,192 @@
+"""Golden-value tests for the reference-domain operators, using the
+FIXTURES.md §A representative rows (themselves lifted from the
+reference's seeds/tests — seed_demo.py:103-108, tests/test_db.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+UTC = dt.timezone.utc
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def txns(spark):
+    rows = [
+        # (id, portfolio_id, date, symbol, type, qty, price, fees)
+        (1, 1, ts("2025-09-15"), "AAPL", "BUY", 10.0, 190.0, 0.0),
+        (2, 1, ts("2025-09-20"), "AAPL", "SELL", 5.0, 200.0, 0.0),
+        (3, 1, ts("2025-09-10"), "XAUUSD", "buy", 1.0, 2300.0, 0.0),  # case-insensitive
+        (4, 1, ts("2025-09-22"), "EURUSD", "BUY", 10000.0, 1.08, 0.0),
+        (5, 1, ts("2025-09-23"), "AAPL", "DIV", 0.0, 0.0, 0.0),  # ignored type
+        (6, 2, ts("2025-09-23"), "MSFT", "BUY", 3.0, 400.0, 1.5),  # other portfolio
+    ]
+    return spark.createDataFrame(
+        rows, "id long, portfolio_id long, date timestamp, symbol string, type string, qty double, price double, fees double"
+    )
+
+
+@pytest.fixture(scope="module")
+def prices(spark):
+    rows = [
+        (1, "AAPL", 195.0, ts("2025-09-24T10:00:00"), "USD", "test"),
+        (2, "AAPL", 196.0, ts("2025-09-24T11:00:00"), "USD", "test"),
+        (3, "XAUUSD", 2350.0, ts("2025-09-24T10:00:00"), "USD", "test"),
+        # EURUSD has NO price row → null last / market_value (db.py:422-423)
+    ]
+    return spark.createDataFrame(
+        rows, "id long, symbol string, price double, as_of timestamp, currency string, source string"
+    )
+
+
+def test_compute_positions_golden(txns, prices):
+    """db.py:399-425 semantics on the seed_demo.py:103-108 rows."""
+    from market_insights_app_spark.operators.positions import compute_positions
+
+    out = {
+        r["symbol"]: r
+        for r in compute_positions(txns, prices, portfolio_id=1).collect()
+    }
+    assert set(out) == {"AAPL", "XAUUSD", "EURUSD"}
+    aapl = out["AAPL"]
+    assert aapl["qty"] == 5.0  # 10 BUY - 5 SELL; DIV ignored
+    assert aapl["avg_cost"] == 190.0  # cost 1900 / buys 10
+    assert aapl["last"] == 196.0  # newest price (id tiebreak)
+    assert aapl["market_value"] == 5.0 * 196.0
+    gold = out["XAUUSD"]
+    assert gold["qty"] == 1.0 and gold["avg_cost"] == 2300.0  # lowercase 'buy'
+    eur = out["EURUSD"]
+    assert eur["last"] is None and eur["market_value"] is None  # null propagation
+    # portfolio scoping: MSFT (portfolio 2) absent
+    assert "MSFT" not in out
+
+
+def test_positions_no_buys_avg_cost_zero(spark, prices):
+    from market_insights_app_spark.operators.positions import compute_positions
+
+    only_sell = spark.createDataFrame(
+        [(1, 1, ts("2025-09-01"), "AAPL", "SELL", 2.0, 100.0, 0.0)],
+        "id long, portfolio_id long, date timestamp, symbol string, type string, qty double, price double, fees double",
+    )
+    row = compute_positions(only_sell, prices).collect()[0]
+    assert row["qty"] == -2.0 and row["avg_cost"] == 0.0  # db.py:421 guard
+
+
+@pytest.fixture(scope="module")
+def journal(spark):
+    rows = [
+        # Long win: (110-100)*2 - 1 = 19; risk |100-95|*2=10 → r=1.9
+        (1, "AAPL", ts("2025-01-01"), "Long", 2.0, 100.0, 95.0, 110.0, 1.0, "a,b", None),
+        # Short loss: (100-110)*1 - 0 = -10; risk |100-105|=5 → r=-2
+        (2, "AAPL", ts("2025-01-02"), "Short", 1.0, 100.0, 105.0, 110.0, 0.0, None, None),
+        # stop == entry → r = 0 guard (main.js:909-916)
+        (3, "EURUSD", ts("2025-01-03"), "Long", 1.0, 1.0, 1.0, 2.0, 0.0, "fx", None),
+        # null exit → coerced 0: (0-100)*1 - 0 = -100
+        (4, "MSFT", ts("2025-01-04"), "Long", 1.0, 100.0, 90.0, None, 0.0, None, None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "id long, symbol string, date timestamp, direction string, qty double, "
+        "entry double, stop double, exit double, fees double, tags string, notes string",
+    )
+
+
+def test_trade_scalars_golden(journal):
+    from market_insights_app_spark.operators.journal import with_trade_scalars
+
+    out = {r["id"]: r for r in with_trade_scalars(journal).collect()}
+    assert out[1]["pnl"] == pytest.approx(19.0) and out[1]["r"] == pytest.approx(1.9)
+    assert out[2]["pnl"] == pytest.approx(-10.0) and out[2]["r"] == pytest.approx(-2.0)
+    assert out[3]["r"] == 0.0
+    assert out[4]["pnl"] == pytest.approx(-100.0)
+
+
+def test_journal_stats_and_equity(journal):
+    from market_insights_app_spark.operators.journal import (
+        equity_curve,
+        journal_stats,
+        with_trade_scalars,
+    )
+
+    t = with_trade_scalars(journal)
+    s = journal_stats(t).collect()[0]
+    assert s["trades"] == 4 and s["wins"] == 2 and s["winrate"] == 50.0
+    assert s["total_pnl"] == pytest.approx(19 - 10 + 1 - 100)
+    eq = [r["equity"] for r in equity_curve(t).orderBy("date").collect()]
+    assert eq == pytest.approx([19.0, 9.0, 10.0, -90.0])  # running sum in date order
+
+
+def test_journal_filter(journal):
+    from market_insights_app_spark.operators.filters import journal_filter
+
+    assert journal_filter(journal, symbol="aapl").count() == 2  # case-insensitive
+    assert journal_filter(journal, direction="Short").count() == 1
+    assert journal_filter(journal, tag="B").count() == 1  # lowercase substring
+    assert (
+        journal_filter(journal, date_from="2025-01-02", date_to="2025-01-03").count() == 2
+    )
+
+
+def test_union_merge_server_wins(spark):
+    from market_insights_app_spark.operators.joins import union_merge
+
+    schema = "sig string, v string"
+    server = spark.createDataFrame([("k1", "server"), ("k2", "server")], schema)
+    local = spark.createDataFrame([("k1", "local"), ("k3", "local")], schema)
+    out = {r["sig"]: r["v"] for r in union_merge(server, local, ["sig"]).collect()}
+    assert out == {"k1": "server", "k2": "server", "k3": "local"}  # main.js:853-867
+
+
+def test_asof_join_semantics(spark):
+    from market_insights_app_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "A", 100), (2, "A", 205), (3, "B", 50)], "id long, k string, t long"
+    )
+    right = spark.createDataFrame(
+        [("A", 100, 1.0), ("A", 200, 2.0), ("C", 10, 9.0)], "k string, t long, px double"
+    )
+    out = {r["id"]: r["px"] for r in asof_join(left, right, "k", "t", "t", ["px"]).collect()}
+    assert out[1] == 1.0  # equal timestamp included (backward inclusive)
+    assert out[2] == 2.0  # newest prior
+    assert out[3] is None  # key with no right rows → null
+
+    # with tolerance: at t=205 the px@200 is within 10, px@100 is not
+    tol = asof_join(left, right, "k", "t", "t", ["px"], tolerance=10)
+    got = {r["id"]: r["px"] for r in tol.collect()}
+    assert got[2] == 2.0 and got[1] == 1.0
+
+    tol0 = asof_join(left, right, "k", "t", "t", ["px"], tolerance=3)
+    got0 = {r["id"]: r["px"] for r in tol0.collect()}
+    assert got0[2] is None  # 205-200=5 > 3 → dropped
+
+
+def test_pagination_contract(spark):
+    """tests/test_api_and_ingest.py:42-64: 3 rows, limit 2 → page1
+    count=2 next_offset=2; page2 count=1 next_offset=None."""
+    from market_insights_app_spark.operators.pagination import next_offset, page
+
+    df = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "id long, ts long")
+    order = [F.col("ts").desc(), F.col("id").desc()]
+    p1 = page(df, order, limit=2, offset=0).collect()
+    assert [r["id"] for r in p1] == [3, 2]
+    assert next_offset(len(p1), 2, 0) == 2
+    p2 = page(df, order, limit=2, offset=2).collect()
+    assert [r["id"] for r in p2] == [1]
+    assert next_offset(len(p2), 2, 2) is None
+
+
+def test_keyset_pagination_matches_offset(spark):
+    from market_insights_app_spark.operators.pagination import keyset_page
+
+    df = spark.createDataFrame([(i, i % 3) for i in range(20)], "id long, ts long")
+    p1 = keyset_page(df, "ts", "id", limit=5).collect()
+    p2 = keyset_page(df, "ts", "id", limit=5, after_ts=p1[-1]["ts"], after_id=p1[-1]["id"]).collect()
+    ids = [r["id"] for r in p1 + p2]
+    assert len(ids) == len(set(ids)) == 10  # no overlap, no gaps at boundary

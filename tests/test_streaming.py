@@ -1,0 +1,130 @@
+"""Structured Streaming surface (ST1-ST5): file-stream replay of the
+events table with availableNow triggers into memory sinks; streaming
+results cross-checked against the equivalent batch aggregation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def stream(spark):
+    from market_insights_app_spark.streaming.ingest import events_file_stream
+
+    return events_file_stream(spark, SF)
+
+
+def _batch_events(spark):
+    from market_insights_app_spark.sources.tables import load_table
+
+    return load_table(spark, SF, "events")
+
+
+def test_stream_is_streaming(stream):
+    assert stream.isStreaming
+
+
+def test_tumbling_agg_matches_batch(spark, stream):
+    from market_insights_app_spark.streaming.ingest import (
+        run_available_now_to_memory,
+        tumbling_agg,
+    )
+
+    run_available_now_to_memory(tumbling_agg(stream), "t_tumbling", "append")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM t_tumbling").collect()
+    }
+    batch = (
+        _batch_events(spark)
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("s"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "s")
+    )
+    want = {(r["ws"], r["event_type"]): (r["n"], r["s"]) for r in batch.collect()}
+    # availableNow + watermark may hold back the final (open) windows;
+    # everything emitted must match batch, and coverage must be near-total.
+    assert got
+    for k, v in got.items():
+        assert want[k] == v
+    assert len(got) >= len(want) * 0.9
+
+
+def test_stream_dedup_drops_duplicates(spark):
+    from market_insights_app_spark.streaming.ingest import run_available_now_to_memory, with_dedup
+
+    # duplicate every event by unioning the stream source twice via two
+    # file streams of the same path is not possible in one query; instead
+    # dedup on a coarse key so in-stream collisions exist.
+    from market_insights_app_spark.streaming.ingest import events_file_stream
+
+    s = events_file_stream(spark, SF)
+    deduped = with_dedup(s, ["user_id", "event_type"])
+    run_available_now_to_memory(deduped, "t_dedup", "append")
+    n = spark.sql("SELECT count(*) c FROM t_dedup").collect()[0]["c"]
+    distinct = (
+        _batch_events(spark).select("user_id", "event_type").distinct().count()
+    )
+    assert n == distinct
+
+
+def test_session_agg_runs(spark, stream):
+    from market_insights_app_spark.streaming.ingest import (
+        run_available_now_to_memory,
+        session_agg,
+    )
+
+    run_available_now_to_memory(session_agg(stream), "t_session", "append")
+    rows = spark.sql("SELECT * FROM t_session").collect()
+    # closed sessions only (watermark); all emitted sessions must be valid
+    for r in rows:
+        assert r["session_end"] > r["session_start"] and r["n"] >= 1
+
+
+def test_idempotent_append_batch(spark, tmp_path):
+    from market_insights_app_spark.streaming.ingest import idempotent_append_batch
+
+    target = str(tmp_path / "prices")
+    b1 = spark.createDataFrame(
+        [("A", 1, "s", 1.0), ("A", 1, "s", 1.0), ("B", 2, "s", 2.0)],
+        "symbol string, as_of long, source string, price double",
+    )
+    idempotent_append_batch(b1, target, ["symbol", "as_of", "source"])
+    assert spark.read.parquet(target).count() == 2  # in-batch dup dropped
+    # redelivery of the same observations is a no-op (D1, db.py:253-259)
+    idempotent_append_batch(b1, target, ["symbol", "as_of", "source"])
+    assert spark.read.parquet(target).count() == 2
+    b2 = spark.createDataFrame(
+        [("A", 9, "s", 3.0)], "symbol string, as_of long, source string, price double"
+    )
+    idempotent_append_batch(b2, target, ["symbol", "as_of", "source"])
+    assert spark.read.parquet(target).count() == 3
+
+
+def test_media_decode_fake_and_stub(spark):
+    from market_insights_app_spark.operators.multimodal import decode_media
+
+    media = spark.createDataFrame(
+        [(1, 2, "image", "image/png", bytearray(b"\x00\x10\x20"), None, None, None)],
+        "media_id long, doc_id long, kind string, mime string, payload binary, "
+        "width int, height int, duration_ms long",
+    )
+    r = decode_media(media, fake=True).collect()[0]
+    assert r["n_bytes"] == 3 and r["feat_mean"] == pytest.approx((0 + 16 + 32) / 3)
+    with pytest.raises(Exception, match="NotImplementedError|decode requires"):
+        decode_media(media, fake=False).collect()
+
+
+def test_frame_sample_plan(spark):
+    from market_insights_app_spark.operators.multimodal import frame_sample_plan
+
+    media = spark.createDataFrame(
+        [(1, None, "video", "video/mp4", None, None, None, 3500)],
+        "media_id long, doc_id long, kind string, mime string, payload binary, "
+        "width int, height int, duration_ms long",
+    )
+    frames = [r["frame_ms"] for r in frame_sample_plan(media, every_ms=1000).collect()]
+    assert frames == [0, 1000, 2000, 3000]
