@@ -47,9 +47,11 @@ def _events(spark, sf):
 def q_prices_filter_range_limit(spark: SparkSession, sf: str) -> DataFrame:
     """P1+T1 (db.py:271-302): conjunctive filter + desc sort with id
     tiebreaker + limit. Filters/projection push into the parquet scan."""
+    from market_insights_app_spark.operators.filters import events_ts_range
+
     ev = _events(spark, sf)
-    filtered = ev.filter(
-        (F.col("event_type") == "click") & (F.col("ts") >= START) & (F.col("ts") <= END)
+    filtered = events_ts_range(
+        ev.filter(F.col("event_type") == "click"), START, END
     )
     out = page(filtered, [F.col("ts").desc(), F.col("event_id").desc()], limit=100)
     return out.select(
@@ -467,3 +469,26 @@ def q_session_window_agg(spark: SparkSession, sf: str) -> DataFrame:
         .select(ts_us(F.col("w.start")).alias("session_start_us"), "user_id", "n", "sum_value")
     )
     return out
+
+
+def q_ict_analysis(spark: SparkSession, sf: str) -> DataFrame:
+    """U1 (main.js:336-383): the full analyzeICT composite — hi/lo/mid,
+    premium-discount, MA-slope bias, equal-highs/lows, OTE retracement
+    zone — one row per user_id, composed from W1-W10."""
+    from market_insights_app_spark.operators.ict import analyze_ict
+
+    ev = _events(spark, sf)
+    out = analyze_ict(ev, ["user_id"], "ts", "event_id")
+    return out.select(
+        "user_id",
+        "hi",
+        "lo",
+        F.round("mid", 6).alias("mid"),
+        "last",
+        "pd",
+        "bias",
+        F.col("equal_highs").cast("int").alias("equal_highs"),
+        F.col("equal_lows").cast("int").alias("equal_lows"),
+        F.round("ote_lo", 6).alias("ote_lo"),
+        F.round("ote_hi", 6).alias("ote_hi"),
+    )

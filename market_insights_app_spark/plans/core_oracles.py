@@ -314,3 +314,64 @@ CORE_ORACLES: dict[str, str] = {
 CORE_ORACLES = {
     k: v.replace("FROM events", f"FROM {EV_SUB} events") for k, v in CORE_ORACLES.items()
 }
+
+CORE_ORACLES["ict_analysis"] = f"""
+    WITH s1 AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN row_number() OVER w >= 5
+                  THEN avg(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+             END AS sma,
+             (value >= lag(value) OVER w AND value >= lead(value) OVER w) AS ih,
+             (value <= lag(value) OVER w AND value <= lead(value) OVER w) AS il
+      FROM {EV_SUB} events WINDOW w AS ({W_EVENTS})),
+    s2 AS (
+      SELECT *, sma - lag(sma, 2) OVER w AS s2v, sma - lag(sma, 5) OVER w AS s5v
+      FROM s1 WINDOW w AS ({W_EVENTS})),
+    s3 AS (
+      SELECT *,
+             SUM(CASE WHEN ih THEN 1 ELSE 0 END)
+               OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi_rank,
+             SUM(CASE WHEN il THEN 1 ELSE 0 END)
+               OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lo_rank,
+             last_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+               AND UNBOUNDED FOLLOWING) AS last_v,
+             last_value(s2v) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+               AND UNBOUNDED FOLLOWING) AS last_s2,
+             last_value(s5v) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+               AND UNBOUNDED FOLLOWING) AS last_s5
+      FROM s2 WINDOW w AS ({W_EVENTS})),
+    pre AS (
+      SELECT user_id,
+             max(CASE WHEN ih THEN hi_rank END) AS nh,
+             max(CASE WHEN il THEN lo_rank END) AS nl
+      FROM s3 GROUP BY user_id),
+    agg AS (
+      SELECT s3.user_id,
+             max(value) AS hi, min(value) AS lo,
+             max(last_v) AS last_v, max(last_s2) AS last_s2, max(last_s5) AS last_s5,
+             max(CASE WHEN ih AND hi_rank = nh THEN value END) AS h1,
+             max(CASE WHEN ih AND hi_rank = nh - 1 THEN value END) AS h2,
+             max(CASE WHEN il AND lo_rank = nl THEN value END) AS l1,
+             max(CASE WHEN il AND lo_rank = nl - 1 THEN value END) AS l2,
+             max(CASE WHEN ih AND hi_rank = nh THEN epoch_us(ts) END) AS hk_us,
+             max(CASE WHEN il AND lo_rank = nl THEN epoch_us(ts) END) AS lk_us
+      FROM s3 JOIN pre ON s3.user_id = pre.user_id
+      GROUP BY s3.user_id)
+    SELECT user_id, hi, lo, round((hi + lo) / 2, 6) AS mid, last_v AS last,
+           CASE WHEN last_v >= (hi + lo) / 2 THEN 'premium' ELSE 'discount' END AS pd,
+           CASE WHEN last_s2 > 0 AND last_s5 > 0 THEN 'bullish'
+                WHEN last_s2 < 0 AND last_s5 < 0 THEN 'bearish'
+                ELSE 'neutral' END AS bias,
+           CAST(h1 IS NOT NULL AND h2 IS NOT NULL
+                AND abs(h1 - h2) <= 5e-4 * (h1 + h2) / 2 AS INT) AS equal_highs,
+           CAST(l1 IS NOT NULL AND l2 IS NOT NULL
+                AND abs(l1 - l2) <= 5e-4 * (l1 + l2) / 2 AS INT) AS equal_lows,
+           round(least(leg_end - 0.62 * (leg_end - leg_start),
+                       leg_end - 0.79 * (leg_end - leg_start)), 6) AS ote_lo,
+           round(greatest(leg_end - 0.62 * (leg_end - leg_start),
+                          leg_end - 0.79 * (leg_end - leg_start)), 6) AS ote_hi
+    FROM (SELECT *,
+                 CASE WHEN hk_us >= lk_us THEN l1 ELSE h1 END AS leg_start,
+                 CASE WHEN hk_us >= lk_us THEN h1 ELSE l1 END AS leg_end
+          FROM agg)
+"""

@@ -40,7 +40,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Keep the raw nanos column: predicates on the converted ts
+        # cannot push through the arithmetic into the parquet scan, but
+        # an equivalent raw-space predicate on ts_ns can (row-group
+        # pruning at scale) — see operators.filters.events_ts_range.
+        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     return df
 
 
