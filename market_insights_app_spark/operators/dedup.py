@@ -53,13 +53,35 @@ def dedup_exact_content(df: DataFrame, text_col: str = "text") -> DataFrame:
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
 
-MERSENNE_P = (1 << 61) - 1
+MERSENNE_P = (1 << 31) - 1  # 2^31-1: a*h+b stays within long range
+
+
+def _affine_params(seed: int) -> tuple[int, int]:
+    """Deterministic (a, b) for the seed-th affine permutation
+    h -> (a*h + b) mod p — splitmix-style, no RNG state."""
+    x = (seed * 0x9E3779B97F4A7C15 + 0xD1B54A32D192ED03) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 31
+    a = (x % (MERSENNE_P - 1)) + 1  # a in [1, p)
+    b = (x >> 17) % MERSENNE_P
+    return a, b
+
+
+def _base_hash(col: Column) -> Column:
+    return F.pmod(F.xxhash64(col), F.lit(MERSENNE_P))
 
 
 def _hash_token(col: Column, seed: int) -> Column:
-    """Deterministic 64-bit-ish token hash: xxhash64 with fixed seed,
-    folded into [0, 2^61-1). JVM-side, no UDF."""
-    return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(MERSENNE_P))
+    """Deterministic token hash for the seed-th MinHash function:
+    one xxhash64 base hash + an affine permutation (a*h+b) mod p —
+    the classic formulation; ~32× cheaper than re-hashing the token
+    per seed. JVM-side, no UDF."""
+    a, b = _affine_params(seed)
+    return F.pmod(_base_hash(col) * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))
+
+
+def _permute(base: Column, seed: int) -> Column:
+    a, b = _affine_params(seed)
+    return F.pmod(base * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))
 
 
 def minhash_signature(text_col: Column | str, num_hashes: int = 32, shingle_n: int = 2) -> Column:
@@ -96,9 +118,9 @@ def minhash_signatures_df(
     grams = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(text_col, shingle_n)).alias("g"),
-    )
+    ).select("id", _base_hash(F.col("g")).alias("gh"))
     hashed = grams.select(
-        "id", *[_hash_token(F.col("g"), i).alias(f"h{i}") for i in range(num_hashes)]
+        "id", *[_permute(F.col("gh"), i).alias(f"h{i}") for i in range(num_hashes)]
     )
     return hashed.groupBy("id").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]

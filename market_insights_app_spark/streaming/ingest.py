@@ -158,3 +158,58 @@ def idempotent_append_batch(batch: DataFrame, target_path: str, key_cols: list[s
     except Exception:
         pass  # first batch: target does not exist yet
     fresh.write.mode("append").parquet(target_path)
+
+
+def ema_stateful(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.2,
+    timeout_duration: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-key
+    exponential moving average carried across micro-batches — the
+    pattern for operators Structured Streaming lacks natively
+    (SURVEY §2.9 / prompt mandate). State = (last_ema, n_seen).
+
+    Rows within a batch are processed in event-time order; emits one
+    row per key per batch with the updated EMA.
+    """
+    import pandas as pd  # noqa: F811 (executor-side import)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("ema", T.DoubleType()),
+            T.StructField("n_seen", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ema", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        ema, n = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for v in pdf[value_col]:
+                ema = float(v) if ema is None else alpha * float(v) + (1 - alpha) * ema
+                n += 1
+        state.update((ema, n))
+        yield pd.DataFrame([{"key": key[0], "ema": ema, "n_seen": n}])
+
+    return (
+        stream.groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

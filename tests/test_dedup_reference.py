@@ -56,7 +56,7 @@ def test_minhash_signature_is_real_minimum(spark, docs):
     signature silently used the same hash function)."""
     from market_insights_app_spark.functions.text import word_shingles
     from market_insights_app_spark.operators.dedup import (
-        MERSENNE_P,
+        _hash_token,
         minhash_signatures_df,
     )
 
@@ -71,8 +71,8 @@ def test_minhash_signature_is_real_minimum(spark, docs):
     direct = (
         grams.select(
             "doc_id",
-            F.pmod(F.xxhash64("g", F.lit(0)), F.lit(MERSENNE_P)).alias("a"),
-            F.pmod(F.xxhash64("g", F.lit(1)), F.lit(MERSENNE_P)).alias("b"),
+            _hash_token(F.col("g"), 0).alias("a"),
+            _hash_token(F.col("g"), 1).alias("b"),
         )
         .groupBy("doc_id")
         .agg(F.min("a").alias("h0"), F.min("b").alias("h1"))

@@ -190,3 +190,42 @@ def test_keyset_pagination_matches_offset(spark):
     p2 = keyset_page(df, "ts", "id", limit=5, after_ts=p1[-1]["ts"], after_id=p1[-1]["id"]).collect()
     ids = [r["id"] for r in p1 + p2]
     assert len(ids) == len(set(ids)) == 10  # no overlap, no gaps at boundary
+
+
+def test_salted_agg_matches_plain(spark):
+    from market_insights_app_spark.operators.skew import key_histogram, salted_agg
+
+    df = spark.createDataFrame(
+        [(i % 3, float(i)) for i in range(1000)], "k long, v double"
+    )
+    out = {
+        r["k"]: (r["total"], r["n"], r["mx"])
+        for r in salted_agg(
+            df, ["k"], {"total": ("v", "sum"), "n": ("*", "count"), "mx": ("v", "max")}
+        ).collect()
+    }
+    plain = {
+        r["k"]: (r["total"], r["n"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n"), F.max("v").alias("mx"))
+        .collect()
+    }
+    for k in plain:
+        assert out[k][1] == plain[k][1] and out[k][2] == plain[k][2]
+        assert out[k][0] == pytest.approx(plain[k][0], rel=1e-12)
+    top = key_histogram(df, ["k"]).collect()
+    assert top[0]["n"] >= top[-1]["n"]
+
+
+def test_salted_join_matches_plain(spark):
+    from market_insights_app_spark.operators.skew import salted_join
+
+    facts = spark.createDataFrame(
+        [(i % 2, i) for i in range(500)], "k long, fact long"
+    )
+    dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k long, d string")
+    out = salted_join(facts, dim, "k").orderBy("fact").collect()
+    plain = facts.join(dim, "k").orderBy("fact").collect()
+    assert sorted([(r["k"], r["fact"], r["d"]) for r in out]) == sorted(
+        [(r["k"], r["fact"], r["d"]) for r in plain]
+    )

@@ -1,0 +1,124 @@
+"""Plan-quality regression tests — the 100 TB discipline asserted on
+the actual physical plans: filters/columns reach the parquet scan,
+small sides broadcast, no stray shuffles, and bucketing eliminates the
+join shuffle entirely."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_range_filter_pushed_to_scan(spark):
+    """Time-range + equality predicates must appear in PushedFilters —
+    including the range, which pushes in raw-ns space past the µs
+    conversion (operators/filters.events_ts_range)."""
+    from market_insights_app_spark.plans.registry import QUERIES
+
+    p = plan_of(QUERIES["prices_filter_range_limit"](spark, SF_ORACLE))
+    assert "EqualTo(event_type,click)" in p
+    assert "GreaterThanOrEqual(ts," in p  # raw-ns pushdown
+    assert "LessThan(ts," in p
+
+
+def test_column_pruning(spark):
+    """A narrow projection must produce a narrow ReadSchema."""
+    from market_insights_app_spark.sources.tables import load_table
+
+    df = load_table(spark, SF_ORACLE, "lineitem").select("l_orderkey", "l_quantity")
+    p = plan_of(df)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in p
+
+
+def test_dim_joins_broadcast(spark):
+    """The revenue chain must broadcast every dimension side — no
+    sort-merge joins at this shape."""
+    from market_insights_app_spark.plans.registry import QUERIES
+
+    import re
+
+    p = plan_of(QUERIES["multi_join_revenue"](spark, SF_ORACLE))
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 4
+    assert "SortMergeJoin" not in p
+
+
+def test_latest_join_broadcasts_latest_side(spark):
+    from market_insights_app_spark.plans.registry import QUERIES
+
+    p = plan_of(QUERIES["latest_join_enrich"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in p
+
+
+def test_single_shuffle_aggregation(spark):
+    """Conditional-sum positions agg: exactly one Exchange (the groupBy
+    shuffle); partial aggregation happens map-side."""
+    from market_insights_app_spark.plans.registry import QUERIES
+
+    p = plan_of(QUERIES["positions_agg"](spark, SF_ORACLE))
+    assert p.count("Exchange") <= 2  # hashpartitioning (+AQE coalesce read)
+    assert "HashAggregate" in p
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Pre-bucketing both sides on the join key removes the Exchange
+    from the join plan — the co-located join strategy for repeated
+    large-large joins at scale."""
+    from market_insights_app_spark.sources.tables import load_table
+
+    warehouse_db = "bucketdemo"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {warehouse_db}")
+    orders = load_table(spark, SF_ORACLE, "orders")
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable(f"{warehouse_db}.orders_b")
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable(f"{warehouse_db}.lineitem_b")
+    )
+    ob = spark.table(f"{warehouse_db}.orders_b")
+    lb = spark.table(f"{warehouse_db}.lineitem_b")
+    with_buckets = lb.join(ob, lb.l_orderkey == ob.o_orderkey).groupBy(
+        "o_orderpriority"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # disable broadcast to force the join strategy decision
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(with_buckets)
+        # bucketed SMJ needs no Exchange before the join
+        join_section = p.split("SortMergeJoin")[0]
+        assert "Exchange hashpartitioning(l_orderkey" not in p
+        assert "Exchange hashpartitioning(o_orderkey" not in p
+        n = with_buckets.count()
+        assert n > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql(f"DROP TABLE IF EXISTS {warehouse_db}.orders_b")
+        spark.sql(f"DROP TABLE IF EXISTS {warehouse_db}.lineitem_b")
+        spark.sql(f"DROP DATABASE IF EXISTS {warehouse_db}")
+
+
+def test_take_ordered_not_global_sort(spark):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject, not a
+    global Sort."""
+    from market_insights_app_spark.plans.registry import QUERIES
+
+    p = plan_of(QUERIES["recent_n_tail"](spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in p

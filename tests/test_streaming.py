@@ -128,3 +128,34 @@ def test_frame_sample_plan(spark):
     )
     frames = [r["frame_ms"] for r in frame_sample_plan(media, every_ms=1000).collect()]
     assert frames == [0, 1000, 2000, 3000]
+
+
+def test_ema_stateful(spark):
+    """applyInPandasWithState: per-key EMA carried across batches;
+    final state must equal the sequential Python EMA over the ordered
+    series."""
+    from market_insights_app_spark.sources.tables import load_table
+    from market_insights_app_spark.streaming.ingest import (
+        ema_stateful,
+        events_file_stream,
+        run_available_now_to_memory,
+    )
+
+    s = events_file_stream(spark, SF)
+    run_available_now_to_memory(ema_stateful(s), "t_ema", "append")
+    rows = spark.sql("SELECT * FROM t_ema").collect()
+    # one emission per key per batch; keep the last per key
+    last = {}
+    for r in rows:
+        last[r["key"]] = (r["ema"], r["n_seen"])
+    batch = load_table(spark, SF, "events").orderBy("ts", "event_id").collect()
+    expect = {}
+    for r in batch:
+        ema, n = expect.get(r["user_id"], (None, 0))
+        v = float(r["value"])
+        ema = v if ema is None else 0.2 * v + 0.8 * ema
+        expect[r["user_id"]] = (ema, n + 1)
+    assert set(last) == set(expect)
+    for k, (ema, n) in expect.items():
+        assert last[k][1] == n
+        assert last[k][0] == pytest.approx(ema, rel=1e-9)
