@@ -419,3 +419,63 @@ TEXTML_ORACLES = {
     k: v.replace("FROM events", f"FROM {_EV_SUB} events")
     for k, v in TEXTML_ORACLES.items()
 }
+
+
+def q_ngram_jaccard_bigram(spark: SparkSession, sf: str) -> DataFrame:
+    """Word-bigram (n=2) Jaccard vs doc_id=0 — exercises the O(n)
+    shifted-slice shingle construction against an oracle."""
+    docs = _docs(spark, sf)
+    return ngram_jaccard_vs_query(docs, docs.filter(F.col("doc_id") == 0), n=2)
+
+
+def q_timestamp_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """F2 (alpha_vantage_fx.py:50-61): normalize the reference's three
+    accepted timestamp string shapes back to timestamps — derived
+    deterministically from events.ts, round-tripped through strings."""
+    from market_insights_app_spark.functions.scalars import normalize_timestamp
+
+    ev = load_table(spark, sf, "events")
+    shaped = ev.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        )
+        .when(F.col("event_id") % 3 == 1, F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .otherwise(F.date_format("ts", "yyyy-MM-dd"))
+        .alias("raw"),
+    )
+    return shaped.select(
+        "event_id", F.unix_micros(normalize_timestamp("raw")).alias("ts_us")
+    )
+
+
+TEXTML_ORACLES["ngram_jaccard_bigram"] = f"""
+    WITH norm AS (SELECT doc_id,
+           list_filter(string_split_regex({_NORM_SQL}, '\\s+'), x -> x <> '') AS toks
+         FROM documents),
+    g AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i+1])) AS grams
+         FROM norm),
+    d AS (SELECT doc_id, unnest(grams) AS g FROM g),
+    q AS (SELECT DISTINCT unnest(grams) AS g FROM g WHERE doc_id = 0),
+    qs AS (SELECT COUNT(*) AS qn FROM q),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY 1),
+    inter AS (SELECT d.doc_id, COUNT(*) AS i FROM d JOIN q USING (g) GROUP BY 1)
+    SELECT s.doc_id,
+           round(COALESCE(i, 0) / (sz + qn - COALESCE(i, 0)), 6) AS jaccard
+    FROM sizes s LEFT JOIN inter USING (doc_id) CROSS JOIN qs
+"""
+
+TEXTML_ORACLES["timestamp_normalize"] = """
+    SELECT event_id,
+           epoch_us(CASE
+             WHEN event_id % 3 = 0 THEN strptime(strftime(ts, '%Y-%m-%dT%H:%M:%SZ'),
+                                                 '%Y-%m-%dT%H:%M:%SZ')
+             WHEN event_id % 3 = 1 THEN strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'),
+                                                 '%Y-%m-%d %H:%M:%S')
+             ELSE strptime(strftime(ts, '%Y-%m-%d'), '%Y-%m-%d')
+           END) AS ts_us
+    FROM (SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events) e
+"""

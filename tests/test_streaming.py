@@ -159,3 +159,72 @@ def test_ema_stateful(spark):
     for k, (ema, n) in expect.items():
         assert last[k][1] == n
         assert last[k][0] == pytest.approx(ema, rel=1e-9)
+
+
+def test_foreachbatch_ingest_pipeline(spark, tmp_path):
+    """S2+S4+ST2 end-to-end: a stream of raw FX payloads → from_json
+    normalize → idempotent parquet sink via foreachBatch — the full
+    POST /ingest/fx path (SURVEY §3.2) as a streaming pipeline.
+    Includes a duplicate redelivery and an erroneous payload."""
+    import json
+
+    from market_insights_app_spark.sources.http_quotes import parse_alpha_vantage_fx
+    from market_insights_app_spark.streaming.ingest import idempotent_append_batch
+
+    def fx_payload(pair, rate, refreshed):
+        return json.dumps(
+            {
+                "Realtime Currency Exchange Rate": {
+                    "1. From_Currency Code": pair[:3],
+                    "3. To_Currency Code": pair[3:],
+                    "5. Exchange Rate": str(rate),
+                    "6. Last Refreshed": refreshed,
+                }
+            }
+        )
+
+    src = str(tmp_path / "payloads")
+    target = str(tmp_path / "prices")
+    import os
+
+    os.makedirs(src)
+    with open(f"{src}/batch1.json", "w") as f:
+        f.write(fx_payload("EURUSD", 1.08, "2024-03-01 10:00:00") + "\n")
+        f.write(fx_payload("EURUSD", 1.08, "2024-03-01 10:00:00") + "\n")  # dup
+        f.write(fx_payload("GBPUSD", 1.27, "2024-03-01 10:00:00") + "\n")
+        f.write('{"Note": "rate limited"}' + "\n")  # error payload
+
+    raw = (
+        spark.readStream.schema("payload string")
+        .text(src)
+        .withColumnRenamed("value", "payload")
+    )
+
+    def sink(batch, batch_id):
+        parsed = parse_alpha_vantage_fx(batch)
+        good = parsed.filter(F.col("error").isNull()).drop("error")
+        idempotent_append_batch(good, target, ["symbol", "as_of", "source"])
+
+    q = (
+        raw.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(target)
+    assert out.count() == 2  # dup collapsed, error row filtered
+    assert {r["symbol"] for r in out.collect()} == {"EURUSD", "GBPUSD"}
+
+    # late redelivery in a new file: same observations → no-op; one new
+    with open(f"{src}/batch2.json", "w") as f:
+        f.write(fx_payload("EURUSD", 1.08, "2024-03-01 10:00:00") + "\n")
+        f.write(fx_payload("EURUSD", 1.09, "2024-03-01 11:00:00") + "\n")
+    q = (
+        raw.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(target).count() == 3
