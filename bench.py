@@ -32,6 +32,11 @@ HEADLINE = [
     "minhash_neardup",
     "embedding_topk",
     "text_quality",
+    "asof_join",
+    "ict_analysis",
+    "rollup_revenue",
+    "simhash_neardup",
+    "sliding_window_agg",
 ]
 
 

@@ -390,3 +390,23 @@ def latest_wins(df: DataFrame, key_cols: list[str], version_col: str, id_col: st
     from market_insights_app_spark.operators.windows import latest_per_key
 
     return latest_per_key(df, key_cols, version_col, id_col)
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    bump_col: str | None = None,
+) -> DataFrame:
+    """D5 update-else-insert (db.py:166-201) without Delta: rows whose
+    key appears in ``updates`` are replaced (WHEN MATCHED UPDATE),
+    unmatched update rows are inserted (WHEN NOT MATCHED INSERT);
+    ``bump_col`` gets current_timestamp on every written row
+    (updated_at bump, db.py:182-191). Anti-join + union — one shuffle
+    each side on the key; with both sides bucketed by the key the
+    shuffles disappear."""
+    kept = target.join(updates.select(*key_cols).distinct(), on=key_cols, how="left_anti")
+    written = updates
+    if bump_col is not None:
+        written = written.withColumn(bump_col, F.current_timestamp())
+    return kept.unionByName(written)

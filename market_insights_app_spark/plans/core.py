@@ -492,3 +492,43 @@ def q_ict_analysis(spark: SparkSession, sf: str) -> DataFrame:
         F.round("ote_lo", 6).alias("ote_lo"),
         F.round("ote_hi", 6).alias("ote_hi"),
     )
+
+
+def q_rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark-native completeness beyond the reference (SURVEY §2.4
+    note): ROLLUP over the region→nation hierarchy with exact DECIMAL
+    revenue; grouping_id distinguishes subtotal levels."""
+    nation = F.broadcast(load_table(spark, sf, "nation"))
+    region = F.broadcast(load_table(spark, sf, "region"))
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    rev = F.col("o_totalprice").cast("decimal(12,2)")
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+    )
+    out = (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+    return out
+
+
+def q_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT / EXCEPT ALL surface (SURVEY §2.7 note — no reference
+    counterpart, Spark-native completeness): high-value event ids that
+    are clicks but not purchases, plus intersection counts."""
+    ev = _events(spark, sf)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    only_click_users = clicks.distinct().exceptAll(buys.distinct())
+    both = clicks.distinct().intersect(buys.distinct())
+    return (
+        only_click_users.withColumn("set_kind", F.lit("click_only"))
+        .unionByName(both.withColumn("set_kind", F.lit("both")))
+    )

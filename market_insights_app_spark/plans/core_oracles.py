@@ -375,3 +375,25 @@ CORE_ORACLES["ict_analysis"] = f"""
                  CASE WHEN hk_us >= lk_us THEN h1 ELSE l1 END AS leg_end
           FROM agg)
 """
+
+CORE_ORACLES["rollup_revenue"] = """
+    SELECT r_name, n_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders,
+           GROUPING(r_name, n_name) AS gid
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+"""
+
+CORE_ORACLES["set_ops"] = f"""
+    WITH clicks AS (SELECT DISTINCT user_id FROM {EV_SUB} events
+                    WHERE event_type = 'click'),
+         buys AS (SELECT DISTINCT user_id FROM {EV_SUB} events
+                  WHERE event_type = 'purchase')
+    SELECT user_id, 'click_only' AS set_kind FROM (SELECT user_id FROM clicks EXCEPT ALL SELECT user_id FROM buys)
+    UNION ALL
+    SELECT user_id, 'both' AS set_kind FROM (SELECT user_id FROM clicks INTERSECT SELECT user_id FROM buys)
+"""

@@ -181,3 +181,16 @@ def test_embedding_neardup_bucketed(spark):
     pairs = {(r["a"], r["b"]) for r in cosine_self_join_neardup(df, "label", 0.99).collect()}
     assert (0, 1) in pairs
     assert all(a_b not in pairs for a_b in [(0, 3), (1, 3)])  # cross-bucket excluded
+
+
+def test_merge_upsert(spark):
+    from market_insights_app_spark.operators.dedup import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "old1"), (2, "old2"), (3, "keep3")], "id long, v string"
+    )
+    updates = spark.createDataFrame(
+        [(1, "new1"), (4, "ins4")], "id long, v string"
+    )
+    out = {r["id"]: r["v"] for r in merge_upsert(target, updates, ["id"]).collect()}
+    assert out == {1: "new1", 2: "old2", 3: "keep3", 4: "ins4"}
