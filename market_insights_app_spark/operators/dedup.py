@@ -218,7 +218,12 @@ def minhash_near_dupes(
 def simhash(text_col: Column | str, bits: int = 64, shingle_n: int = 1) -> Column:
     """64-bit SimHash over token hashes: for each bit, sum(+1/-1) over
     tokens' bit values; sign → bit. Pure column expressions: per-bit
-    popcount via shiftright/bitwise-and aggregated with F.aggregate."""
+    popcount via shiftright/bitwise-and aggregated with F.aggregate.
+
+    NOTE: this per-row expression form re-tokenizes the text inside
+    each of the 64 bit votes — fine for a handful of rows, wrong for a
+    table scan. Use ``simhash_df`` (explode + groupBy votes) for any
+    at-scale path; ``simhash_near_dupes`` already does."""
     sh = word_shingles(text_col, shingle_n)
     hashes = F.transform(sh, lambda s: F.xxhash64(s, F.lit(1234567)))
 

@@ -1,0 +1,173 @@
+"""Property-based tests (hypothesis) — the testing dimension the
+reference lacks entirely (SURVEY §5 'Absent'). Each property drives a
+Spark plan against a pure-Python model on randomized inputs."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=12,  # Spark jobs are expensive; a dozen cases is plenty
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+finite = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+trade = st.tuples(
+    st.sampled_from(["Long", "Short"]),
+    finite,  # entry
+    st.one_of(st.none(), finite),  # stop
+    st.one_of(st.none(), finite),  # exit
+    st.floats(min_value=0, max_value=1e4, allow_nan=False),  # qty
+    st.floats(min_value=0, max_value=100, allow_nan=False),  # fees
+)
+
+
+def py_pnl(direction, entry, stop, exit, qty, fees):
+    e = entry or 0.0
+    x = exit or 0.0
+    per_unit = (x - e) if direction == "Long" else (e - x)
+    return per_unit * qty - fees
+
+
+def py_r(p, entry, stop, qty):
+    e = entry or 0.0
+    s = stop or 0.0
+    denom = abs(e - s) * abs(qty)
+    return p / denom if denom != 0 else 0.0
+
+
+@settings(**SETTINGS)
+@given(st.lists(trade, min_size=1, max_size=20))
+def test_pnl_r_match_python_model(spark, trades):
+    """F7/F8 column expressions == the main.js:901-916 model on
+    arbitrary inputs (incl. nulls and zero-risk guards)."""
+    from market_insights_app_spark.functions.scalars import pnl, r_multiple
+
+    rows = [(i, d, e, s, x, q, f) for i, (d, e, s, x, q, f) in enumerate(trades)]
+    df = spark.createDataFrame(
+        rows,
+        "id long, direction string, entry double, stop double, exit double, "
+        "qty double, fees double",
+    )
+    out = df.select(
+        "id",
+        pnl("direction", "entry", "exit", "qty", "fees").alias("p"),
+    )
+    out = out.join(df, "id").select(
+        "id", "p", r_multiple("p", "entry", "stop", "qty").alias("r")
+    )
+    got = {r["id"]: (r["p"], r["r"]) for r in out.collect()}
+    for i, (d, e, s, x, q, f) in enumerate(trades):
+        p = py_pnl(d, e, s, x, q, f)
+        assert got[i][0] == pytest.approx(p, rel=1e-9, abs=1e-9)
+        assert got[i][1] == pytest.approx(py_r(p, e, s, q), rel=1e-9, abs=1e-9)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 1000)), min_size=1, max_size=60
+    ),
+    st.integers(1, 7),
+)
+def test_keyset_pagination_covers_everything(spark, rows, limit):
+    """Walking keyset pages must enumerate every row exactly once, in
+    the same global order as one big sorted read."""
+    from market_insights_app_spark.operators.pagination import keyset_page
+
+    data = [(i, ts) for i, (ts, _) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, ts long")
+    want = [
+        (r["ts"], r["id"])
+        for r in df.orderBy(F.col("ts").desc(), F.col("id").desc()).collect()
+    ]
+    got, after = [], (None, None)
+    for _ in range(len(data) + 2):
+        page = keyset_page(df, "ts", "id", limit, after_ts=after[0], after_id=after[1]).collect()
+        if not page:
+            break
+        got.extend((r["ts"], r["id"]) for r in page)
+        after = (page[-1]["ts"], page[-1]["id"])
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.text(alphabet="ab cd\n\t", max_size=30), min_size=1, max_size=10))
+def test_token_count_matches_python(spark, texts):
+    from market_insights_app_spark.functions.text import token_count
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    got = {r["id"]: r["n"] for r in df.select("id", token_count("text").alias("n")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == len(t.split()), repr(t)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(finite, min_size=2, max_size=40),
+    st.integers(2, 8),
+)
+def test_sma_matches_python(spark, values, n):
+    """W1 trailing mean with warm-up == the main.js:217-227 loop."""
+    from market_insights_app_spark.operators.windows import series_window, sma
+
+    df = spark.createDataFrame(
+        [(i, 0, float(v)) for i, v in enumerate(values)], "id long, k int, v double"
+    )
+    w = series_window(["k"], "id")
+    out = {r["id"]: r["s"] for r in df.select("id", sma("v", w, n).alias("s")).collect()}
+    for i, v in enumerate(values):
+        if i < n - 1:
+            assert out[i] is None
+        else:
+            expect = sum(values[i - n + 1 : i + 1]) / n
+            assert out[i] == pytest.approx(expect, rel=1e-9, abs=1e-6)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 3), finite), min_size=1, max_size=40))
+def test_latest_per_key_matches_python(spark, rows):
+    from market_insights_app_spark.operators.windows import latest_per_key
+
+    data = [(i, k, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, k int, v double")
+    got = {r["k"]: r["id"] for r in latest_per_key(df, ["k"], "id").collect()}
+    expect = {}
+    for i, (k, _) in enumerate(rows):
+        expect[k] = i  # highest id wins
+    assert got == expect
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.tuples(st.sampled_from("abc"), st.integers(0, 50), finite), min_size=1, max_size=40))
+def test_asof_join_matches_python(spark, rows):
+    """For every left row, the as-of join must pick the newest right
+    row with ts <= left ts on the same key — vs a brute-force model."""
+    from market_insights_app_spark.operators.joins import asof_join
+
+    rights = [(k, t, v) for k, t, v in rows]
+    lefts = [(i, k, t + 1) for i, (k, t, _) in enumerate(rows[: len(rows) // 2 + 1])]
+    rdf = spark.createDataFrame(rights, "k string, t long, v double")
+    ldf = spark.createDataFrame(lefts, "id long, k string, t long")
+    # dedupe right on (k, t): keep max v to make the model deterministic
+    rdf = rdf.groupBy("k", "t").agg(F.max("v").alias("v"))
+    out = {r["id"]: r["v"] for r in asof_join(ldf, rdf, "k", "t", "t", ["v"]).collect()}
+    rmodel = {}
+    for k, t, v in rights:
+        rmodel[(k, t)] = max(v, rmodel.get((k, t), -math.inf))
+    for i, k, t in lefts:
+        cands = [(rt, rv) for (rk, rt), rv in rmodel.items() if rk == k and rt <= t]
+        expect = max(cands)[1] if cands else None
+        if expect is None:
+            assert out[i] is None
+        else:
+            assert out[i] == pytest.approx(expect, rel=1e-12)
