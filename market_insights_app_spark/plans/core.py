@@ -532,3 +532,22 @@ def q_set_ops(spark: SparkSession, sf: str) -> DataFrame:
         only_click_users.withColumn("set_kind", F.lit("click_only"))
         .unionByName(both.withColumn("set_kind", F.lit("both")))
     )
+
+
+def q_trailing_max_argmax(spark: SparkSession, sf: str) -> DataFrame:
+    """W4 (main.js:234-235): trailing-20 highest value + argmax id.
+    For the oracle, (value, id) is packed into one sortable integer
+    (values are 2-dp) so the argmax tiebreak is engine-independent;
+    the Spark-native API form is operators.windows.arg_extreme
+    (max_by over a struct), used by the ICT composite."""
+    ev = _events(spark, sf)
+    w = EVENTS_W()
+    key = F.round(F.col("value") * 100, 0).cast("long") * 10000000 + F.col("event_id")
+    staged = ev.select(
+        "event_id", F.max(key).over(W.trailing(w, 20)).alias("mx")
+    )
+    return staged.select(
+        "event_id",
+        F.pmod(F.col("mx"), F.lit(10000000)).alias("argmax_id"),
+        F.round(F.expr("mx div 10000000") / 100.0, 6).alias("rolling_max"),
+    )

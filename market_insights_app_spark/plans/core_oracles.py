@@ -397,3 +397,13 @@ CORE_ORACLES["set_ops"] = f"""
     UNION ALL
     SELECT user_id, 'both' AS set_kind FROM (SELECT user_id FROM clicks INTERSECT SELECT user_id FROM buys)
 """
+
+CORE_ORACLES["trailing_max_argmax"] = f"""
+    SELECT event_id,
+           mx % 10000000 AS argmax_id,
+           round((mx // 10000000) / 100.0, 6) AS rolling_max
+    FROM (SELECT event_id,
+                 max(CAST(round(value * 100, 0) AS BIGINT) * 10000000 + event_id)
+                   OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS mx
+          FROM {EV_SUB} events WINDOW w AS ({W_EVENTS}))
+"""
