@@ -188,3 +188,63 @@ def test_data_url_to_binary(spark):
     df = spark.createDataFrame([("data:image/png;base64,aGVsbG8=",)], ["u"])
     r = df.select(data_url_to_binary("u").alias("m")).select("m.*").collect()[0]
     assert r["mime"] == "image/png" and bytes(r["payload"]) == b"hello"
+
+
+def test_canon_email_and_symbol(spark):
+    """F4/F5 (main.py:436-438, main.js:634-635)."""
+    from market_insights_app_spark.functions.scalars import canon_email, canon_symbol
+
+    df = spark.createDataFrame(
+        [("  User@Example.COM  ", " eur/usd "), ("not-an-email", "aapl!")], ["e", "s"]
+    )
+    rows = df.select(canon_email("e").alias("e"), canon_symbol("s").alias("s")).collect()
+    assert rows[0]["e"] == "user@example.com" and rows[0]["s"] == "EURUSD"
+    assert rows[1]["e"] is None and rows[1]["s"] == "AAPL"  # invalid email → null
+
+
+def test_calendar_country_filter(spark):
+    """P4 (main.py:668-669): case-insensitive country equality."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("US", "NFP"), ("us", "CPI"), ("DE", "IFO")], ["country", "event"]
+    )
+    out = df.filter(F.lower(F.col("country")) == "us")
+    assert out.count() == 2
+
+
+def test_session_auth_lookup(spark):
+    """J4 (main.py:237-251, db.py:528-534): broadcast token lookup +
+    expiry predicate — expired and unknown tokens both reject."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    now = dt.datetime.now()
+    sessions = spark.createDataFrame(
+        [
+            ("tok-live", "a@x.com", now + dt.timedelta(days=1)),
+            ("tok-dead", "b@x.com", now - dt.timedelta(minutes=1)),
+        ],
+        "token string, email string, expires_at timestamp",
+    )
+    requests = spark.createDataFrame(
+        [("tok-live",), ("tok-dead",), ("tok-unknown",)], ["token"]
+    )
+    auth = requests.join(F.broadcast(sessions), "token", "left").withColumn(
+        "authed",
+        F.col("email").isNotNull() & (F.current_timestamp() < F.col("expires_at")),
+    )
+    got = {r["token"]: r["authed"] for r in auth.collect()}
+    assert got == {"tok-live": True, "tok-dead": False, "tok-unknown": False}
+
+
+def test_head_caps(spark):
+    """T8 (main.js:193,203; main.py:703): top-5 head caps via limit and
+    array slice."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(list(range(9)),)], "xs array<int>")
+    assert df.select(F.slice("xs", 1, 5).alias("h")).collect()[0]["h"] == [0, 1, 2, 3, 4]
+    long_df = spark.range(20)
+    assert long_df.orderBy("id").limit(5).count() == 5
