@@ -128,12 +128,14 @@ def minhash_signatures_df(
 
 
 def lsh_candidate_pairs(
-    df: DataFrame,
+    df: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 2,
+    sig: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: signature → ``bands`` bands of
     ``num_hashes/bands`` rows → self-join within (band_idx, band_hash)
@@ -142,9 +144,16 @@ def lsh_candidate_pairs(
     The self-join is an equi-join on the bucket key, so Spark shuffles
     on the bucket hash — no cross product. Returns (a, b) candidate
     pairs; verify with ``ngram_jaccard`` downstream.
+
+    ``sig``: pass a precomputed ``minhash_signatures_df`` to avoid
+    recomputation across stages. ``max_bucket_size``: drop band buckets
+    larger than this before the self-join — a hot bucket of size m
+    yields m²/2 candidates, and at scale such buckets are low-
+    information bands (standard LSH practice); None keeps everything.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures_df(df, id_col, text_col, num_hashes, shingle_n)
+    if sig is None:
+        sig = minhash_signatures_df(df, id_col, text_col, num_hashes, shingle_n)
     banded = sig.select(
         "id",
         F.explode(
@@ -166,6 +175,14 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        ok = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(ok, ["band", "bucket"])
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -189,10 +206,42 @@ def minhash_near_dupes(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate pairs verified by exact shingle-set Jaccard >= threshold.
-    Output: (a, b, jaccard)."""
-    cands = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_n)
+    Output: (a, b, jaccard).
+
+    Two-stage verification: candidates are first pre-filtered by the
+    signature-estimated Jaccard (fraction of matching minhash rows —
+    cheap integer compares) with a generous noise margin, and only the
+    survivors pay the exact shingle-set intersection. Hot-bucket
+    corpora (tiny shingle spaces) otherwise drown the exact stage in
+    false candidates: 50k low-entropy docs → 2.2M candidates → ~60 s of
+    array_intersect; the prefilter removes ~all of them for pennies.
+    """
+    from pyspark import StorageLevel
+
+    # sig is consumed three times (banding + both prefilter sides); it
+    # is rows × (num_hashes+1) longs — tiny next to the corpus — so
+    # cache it rather than recompute the shingling per consumer.
+    sig = minhash_signatures_df(df, id_col, text_col, num_hashes, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cands = lsh_candidate_pairs(
+        num_hashes=num_hashes, bands=bands, sig=sig, max_bucket_size=max_bucket_size
+    )
+    sig_a = sig.select(
+        F.col("id").alias("a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)]
+    )
+    sig_b = sig.select(
+        F.col("id").alias("b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)]
+    )
+    with_sigs = cands.join(sig_a, "a").join(sig_b, "b")
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(num_hashes)
+    )
+    est_floor = max(0.0, threshold - 0.25)  # ~2σ margin at 32 hashes
+    cands = with_sigs.filter(matches / num_hashes >= est_floor).select("a", "b")
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("sh")
     )

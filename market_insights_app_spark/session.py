@@ -21,9 +21,14 @@ def get_spark(
 ) -> SparkSession:
     cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle = str(shuffle_partitions or (int(cpus) if cpus.isdigit() else 32))
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
+        # local mode: driver heap IS the executor heap; the 1g default
+        # GC-thrashes 32 concurrent window tasks (only applies when this
+        # builder creates the JVM — a pre-existing session wins).
+        .config("spark.driver.memory", driver_mem)
         # AQE: coalesce tiny post-shuffle partitions, split skewed ones,
         # convert to broadcast joins at runtime when a side turns out small.
         .config("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,109 @@
+"""Scale probe: drive the hot operator families on synthetic data one
+to two orders of magnitude above the sf0.1 bench (generated with
+spark.range — no testdata duplication, nothing written to disk) and
+print per-operator wall-clock. Records go to SCALE_NOTES.md by hand.
+
+    python scripts/scale_probe.py [n_events] [n_docs]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+
+    sys.path.insert(0, ".")
+    from market_insights_app_spark.operators.dedup import minhash_near_dupes
+    from market_insights_app_spark.operators.joins import asof_join, latest_join
+    from market_insights_app_spark.operators.windows import (
+        latest_per_key,
+        series_window,
+        sma,
+    )
+    from market_insights_app_spark.session import get_spark
+
+    spark = get_spark(app_name="mias-scale-probe")
+
+    # --- synthetic events: n_events rows, 10k users, skewed types ----------
+    ev = (
+        spark.range(n_events)
+        .withColumn("user_id", F.pmod(F.xxhash64("id"), F.lit(10_000)))
+        .withColumn("ts", F.col("id") * 1000 + F.pmod(F.xxhash64("id", F.lit(1)), F.lit(997)))
+        .withColumn("value", (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(100_000)) / 100.0))
+        .withColumn(
+            "event_type",
+            F.element_at(
+                F.array(*[F.lit(t) for t in ["click", "view", "purchase", "signup", "error"]]),
+                (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(5)) + 1).cast("int"),
+            ),
+        )
+        .withColumnRenamed("id", "event_id")
+    )
+    ev.persist()
+    n = ev.count()
+
+    def t(label, df):
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        print(f"{label:35s} {time.perf_counter() - t0:7.2f} s")
+
+    print(f"events rows: {n:,}  (~{n // 100_000}x the sf0.1 bench table)")
+    w = series_window(["user_id"], "ts", "event_id")
+    t("groupBy conditional agg", ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)).alias("q"),
+        F.count(F.lit(1)).alias("n"),
+    ))
+    t("latest_per_key window", latest_per_key(ev, ["user_id"], "ts", "event_id"))
+    t("sma5 window", ev.select("event_id", sma("value", w, 5).alias("s")))
+    t("tumbling window agg", ev.groupBy(
+        F.window(F.timestamp_micros(F.col("ts")), "15 minutes"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n")))
+    dims = spark.range(10_000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 100).alias("segment")
+    )
+    t("broadcast latest join", latest_join(
+        dims, ev.select("user_id", "ts", "event_id", F.col("value").alias("last")),
+        "user_id", "ts", "event_id", ["last"],
+    ))
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", F.col("value").alias("vv"))
+    t("as-of join (union-merge)", asof_join(purchases, views, "user_id", "ts", "ts", ["vv"]))
+    ev.unpersist()
+
+    # --- synthetic docs: n_docs rows, zipf-ish repeated phrases ------------
+    words = "the spark engine shuffles data fast slow merge join sort hash table scan batch stream window filter group value".split()
+    word_arr = F.array(*[F.lit(w_) for w_ in words])
+    docs = (
+        spark.range(n_docs)
+        .withColumn(
+            "text",
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(80)),
+                    lambda i: F.element_at(
+                        word_arr,
+                        (F.pmod(F.xxhash64(F.col("id") * 100 + i), F.lit(len(words))) + 1).cast("int"),
+                    ),
+                ),
+            ),
+        )
+        .withColumnRenamed("id", "doc_id")
+    )
+    docs.persist()
+    print(f"docs rows: {docs.count():,}  (~{n_docs // 5000}x the sf0.1 documents table)")
+    t0 = time.perf_counter()
+    npairs = minhash_near_dupes(docs, threshold=0.8).count()
+    print(f"{'minhash near-dup (count)':35s} {time.perf_counter() - t0:7.2f} s   pairs={npairs}")
+    docs.unpersist()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
