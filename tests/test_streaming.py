@@ -228,3 +228,56 @@ def test_foreachbatch_ingest_pipeline(spark, tmp_path):
     )
     q.awaitTermination()
     assert spark.read.parquet(target).count() == 3
+
+
+def test_cross_batch_dedup_and_late_data(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1): a duplicate natural key
+    redelivered in batch 2 must be dropped by the cross-batch dedup
+    state; a late-but-within-watermark event must still be accepted
+    (the reference accepts late data unconditionally — ST3; our
+    documented deviation is the watermark horizon, which this stays
+    inside)."""
+    import datetime as dt
+    import os
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mk(rows, name):
+        df = spark.createDataFrame(
+            rows, "symbol string, as_of timestamp, source string, price double"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/{name}")
+
+    mk([("A", base, "s", 1.0), ("B", base, "s", 2.0)], "f1")
+    mk(
+        [
+            ("A", base, "s", 1.0),  # exact redelivery → dropped
+            ("A", base - dt.timedelta(minutes=30), "s", 0.9),  # late, new key → kept
+            ("C", base + dt.timedelta(minutes=1), "s", 3.0),
+        ],
+        "f2",
+    )
+
+    stream = (
+        spark.readStream.schema("symbol string, as_of timestamp, source string, price double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    deduped = stream.withWatermark("as_of", "2 hours").dropDuplicates(
+        ["symbol", "as_of", "source"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_xbatch")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT symbol, as_of, price FROM t_xbatch").collect()
+    got = {(r["symbol"], r["as_of"]): r["price"] for r in rows}
+    assert len(got) == 4  # A@noon, B@noon, A@11:30 (late), C@12:01
+    assert got[("A", base)] == 1.0
+    assert got[("A", base - dt.timedelta(minutes=30))] == 0.9
