@@ -464,3 +464,83 @@ def merge_upsert(
     if bump_col is not None:
         written = written.withColumn(bump_col, F.current_timestamp())
     return kept.unionByName(written)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering → deduplicated corpus
+# ---------------------------------------------------------------------------
+
+
+def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs (a, b) via iterative
+    min-label propagation — no graph library: each node starts with
+    label=itself; every round each node takes the min label in its
+    neighborhood; stop at fixpoint (checked per round) or the iteration
+    cap. Rounds needed ≈ graph diameter; near-dup clusters are dense,
+    so a handful suffices. Returns (id, cluster) with cluster = min
+    member id.
+
+    Each round is two shuffles (edge join + min agg) — the standard
+    large-scale formulation (cf. connected components over joins in
+    Pregel-style systems), fine for the dedup use where components are
+    small and shallow."""
+    edges = pairs.select(
+        F.col("a").alias("x"), F.col("b").alias("y")
+    ).unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("x").alias("id"))
+        .distinct()
+        .withColumn("cluster", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.y == labels.id)
+            .groupBy("x")
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.x, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    **minhash_kwargs,
+) -> DataFrame:
+    """End-to-end near-dup deduplication: MinHash-LSH pairs →
+    connected components → keep the minimum-id representative of every
+    cluster (plus all unpaired docs). Returns the deduplicated corpus
+    with the original schema."""
+    pairs = minhash_near_dupes(
+        df, id_col=id_col, text_col=text_col, threshold=threshold, **minhash_kwargs
+    )
+    clusters = duplicate_clusters(pairs)
+    losers = clusters.filter(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

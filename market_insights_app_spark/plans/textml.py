@@ -254,6 +254,17 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+def q_near_dedup_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end near-dup deduplication of the documents corpus:
+    MinHash-LSH pairs -> connected components -> keep the min-id
+    representative per cluster (rows-only; clustering verified against
+    known components in tests)."""
+    from market_insights_app_spark.operators.dedup import dedup_corpus
+
+    out = dedup_corpus(_docs(spark, sf), threshold=0.5)
+    return out.select("doc_id", "lang", "source", "n_chars")
+
 # ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------

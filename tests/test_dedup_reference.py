@@ -194,3 +194,27 @@ def test_merge_upsert(spark):
     )
     out = {r["id"]: r["v"] for r in merge_upsert(target, updates, ["id"]).collect()}
     assert out == {1: "new1", 2: "old2", 3: "keep3", 4: "ins4"}
+
+
+def test_duplicate_clusters_components(spark):
+    """Min-label propagation must find exact connected components,
+    including a 4-node chain (diameter > 1) and a separate pair."""
+    from market_insights_app_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "a long, b long",
+    )
+    got = {r["id"]: r["cluster"] for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_corpus_end_to_end(spark):
+    """docs 0/1/3 are mutual near-dups → one representative (min id)
+    survives; everything else is untouched."""
+    from market_insights_app_spark.operators.dedup import dedup_corpus
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    out = sorted(r["doc_id"] for r in dedup_corpus(docs, threshold=0.5).collect())
+    assert 0 in out and 1 not in out and 3 not in out  # cluster {0,1,3} → keep 0
+    assert set(out) >= {0, 2, 4, 5}
