@@ -212,3 +212,39 @@ def ivf_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def cosine_topk_many(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched brute-force top-k: for EVERY query vector, its k nearest
+    corpus vectors by cosine. The query set is broadcast (it is the
+    small side by construction); scoring is one scan of the corpus per
+    partition with JVM-side dot products; per-query top-k via a ranking
+    window on the query id. Output (query_id, vec_id, cosine, rank)."""
+    from pyspark.sql.window import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("qid"),
+            _as_double(F.col(query_vec_col)).alias("qv"),
+        )
+    )
+    corpus = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    scored = corpus.crossJoin(q).select(
+        "qid",
+        id_col,
+        F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumnRenamed("qid", query_id_col)
+    )

@@ -265,6 +265,30 @@ def q_near_dedup_corpus(spark: SparkSession, sf: str) -> DataFrame:
     out = dedup_corpus(_docs(spark, sf), threshold=0.5)
     return out.select("doc_id", "lang", "source", "n_chars")
 
+
+def q_training_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed training-data pipeline: quality gate + token floor ->
+    exact dedup (first-wins on content fingerprint) -> per-language
+    corpus stats. The shape every LLM-data pipeline runs; each stage is
+    an operator already oracle-checked in isolation."""
+    docs = _docs(spark, sf)
+    feats = TX.quality_features("text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        TX.md5_fingerprint("text").alias("fp"),
+        feats["n_tokens"].alias("n_tokens"),
+        TX.quality_score("text").alias("q"),
+    )
+    kept = scored.filter((F.col("q") >= 0.55) & (F.col("n_tokens") >= 20))
+    from market_insights_app_spark.operators.dedup import first_wins
+
+    deduped = first_wins(kept, ["fp"], "doc_id")
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.round(F.col("q"), 6).cast("decimal(18,6)")).cast("double").alias("sum_q"),
+    )
+
 # ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
@@ -489,4 +513,34 @@ TEXTML_ORACLES["timestamp_normalize"] = """
              ELSE strptime(strftime(ts, '%Y-%m-%d'), '%Y-%m-%d')
            END) AS ts_us
     FROM (SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events) e
+"""
+
+TEXTML_ORACLES["training_corpus"] = f"""
+    WITH f AS (
+      SELECT doc_id, lang,
+             md5({_NORM_SQL}) AS fp,
+             len({_TOKS_SQL}) AS n_tokens,
+             len(list_filter({_TOKS_SQL},
+               x -> lower(x) IN ('the','a','and','of','to','in','is','it','that','for')))
+               AS n_stop,
+             length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
+             length(text) AS n_chars
+      FROM documents),
+    scored AS (
+      SELECT doc_id, lang, fp, n_tokens,
+             least(1.0, n_tokens / 50.0) * 0.4
+             + least(1.0, (CASE WHEN n_tokens > 0
+                                THEN CAST(n_stop AS DOUBLE) / n_tokens
+                                ELSE 0.0 END) * 5.0) * 0.3
+             + greatest(0.0, 1.0 - (CASE WHEN n_chars > 0
+                                         THEN CAST(n_punct AS DOUBLE) / n_chars
+                                         ELSE 0.0 END) * 4.0) * 0.3 AS q
+      FROM f),
+    kept AS (SELECT * FROM scored WHERE q >= 0.55 AND n_tokens >= 20),
+    deduped AS (
+      SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                     FROM kept) WHERE rn = 1)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(round(q, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_q
+    FROM deduped GROUP BY lang
 """

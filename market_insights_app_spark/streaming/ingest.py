@@ -213,3 +213,24 @@ def ema_stateful(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def latest_wins_batch(batch: DataFrame, target_path: str, key_cols: list[str], version_col: str) -> None:
+    """foreachBatch sink body for D4/D5 upsert targets: merge the batch
+    into the parquet target keeping the newest version per key — the
+    streaming materialized 'latest state' view (session upsert
+    db.py:517-525 / journal upsert db.py:166-201 without Delta).
+
+    Rewrites the (small) latest-state table per batch; at scale the
+    target would be partitioned and only touched partitions rewritten."""
+    spark = batch.sparkSession
+    from market_insights_app_spark.operators.dedup import latest_wins
+
+    try:
+        existing = spark.read.parquet(target_path)
+        merged = existing.unionByName(batch)
+    except Exception:
+        merged = batch
+    out = latest_wins(merged, key_cols, version_col)
+    out.write.mode("overwrite").parquet(target_path + "_tmp")
+    spark.read.parquet(target_path + "_tmp").write.mode("overwrite").parquet(target_path)

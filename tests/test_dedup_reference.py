@@ -218,3 +218,22 @@ def test_dedup_corpus_end_to_end(spark):
     out = sorted(r["doc_id"] for r in dedup_corpus(docs, threshold=0.5).collect())
     assert 0 in out and 1 not in out and 3 not in out  # cluster {0,1,3} → keep 0
     assert set(out) >= {0, 2, 4, 5}
+
+
+def test_cosine_topk_many(spark):
+    from market_insights_app_spark.operators.similarity import cosine_topk_many
+
+    corpus = spark.createDataFrame(
+        [(i, [1.0 if j == i % 3 else 0.0 for j in range(3)]) for i in range(9)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0])],
+        "query_id long, embedding array<float>",
+    )
+    out = cosine_topk_many(corpus, queries, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cosine"]))
+    assert sorted(v for _, v, c in by_q[100] if c == 1.0) == [0, 3, 6]
+    assert sorted(v for _, v, c in by_q[200] if c == 1.0) == [1, 4, 7]

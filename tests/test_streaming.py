@@ -281,3 +281,16 @@ def test_cross_batch_dedup_and_late_data(spark, tmp_path):
     assert len(got) == 4  # A@noon, B@noon, A@11:30 (late), C@12:01
     assert got[("A", base)] == 1.0
     assert got[("A", base - dt.timedelta(minutes=30))] == 0.9
+
+
+def test_latest_wins_batch_sink(spark, tmp_path):
+    from market_insights_app_spark.streaming.ingest import latest_wins_batch
+
+    target = str(tmp_path / "state")
+    schema = "token string, email string, version long"
+    b1 = spark.createDataFrame([("t1", "a@x", 1), ("t2", "b@x", 1)], schema)
+    latest_wins_batch(b1, target, ["token"], "version")
+    b2 = spark.createDataFrame([("t1", "a2@x", 2), ("t3", "c@x", 1)], schema)
+    latest_wins_batch(b2, target, ["token"], "version")
+    got = {r["token"]: (r["email"], r["version"]) for r in spark.read.parquet(target).collect()}
+    assert got == {"t1": ("a2@x", 2), "t2": ("b@x", 1), "t3": ("c@x", 1)}
