@@ -129,3 +129,51 @@ def scoped(facts: DataFrame, scope_col: str, scope_id) -> DataFrame:
     """J2 (db.py:380-384): FK scoping is a partition-prunable filter,
     not a join, when the fact table is partitioned by the FK."""
     return facts.filter(F.col(scope_col) == F.lit(scope_id))
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval-containment join: left rows matched to right intervals
+    with ``start <= ts <= end`` on the same key — WITHOUT a theta
+    cross-product.
+
+    Bucketization: time is chunked into ``bucket_seconds`` cells; each
+    interval explodes into the cells it covers, each event maps to its
+    one cell, and the join becomes an equi-join on (key, cell) followed
+    by the exact range predicate. Work scales with
+    events + interval-cells, not events × intervals. Pick the bucket
+    near the median interval length; AQE absorbs cell skew.
+    """
+    cell = lambda c: F.floor(F.unix_micros(F.col(c)) / F.lit(bucket_seconds * 1_000_000))  # noqa: E731
+    l_cells = left.withColumn("__cell", cell(ts_col))
+    r_cells = right.withColumn(
+        "__cell",
+        F.explode(F.sequence(cell(start_col), cell(end_col))),
+    )
+    joined = l_cells.join(
+        r_cells,
+        on=[key, "__cell"],
+        how="inner",
+    ).filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+    ).drop("__cell")
+    if how == "inner":
+        return joined
+    if how == "left":
+        matched = joined
+        unmatched = l_cells.drop("__cell").join(
+            matched.select(key, ts_col).distinct(), on=[key, ts_col], how="left_anti"
+        )
+        for c in right.columns:
+            if c not in unmatched.columns:
+                unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+        return matched.unionByName(unmatched)
+    raise ValueError(f"unsupported how={how!r}")

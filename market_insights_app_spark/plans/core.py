@@ -551,3 +551,26 @@ def q_trailing_max_argmax(spark: SparkSession, sf: str) -> DataFrame:
         F.pmod(F.col("mx"), F.lit(10000000)).alias("argmax_id"),
         F.round(F.expr("mx div 10000000") / 100.0, 6).alias("rolling_max"),
     )
+
+
+def q_range_join_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Range (interval-containment) join: every event matched to the
+    session interval that contains it — the bucketized range_join
+    operator on the Spark side vs DuckDB's naive non-equi join. Proves
+    the no-cross-product formulation returns exactly the theta-join
+    result."""
+    from market_insights_app_spark.operators.joins import range_join
+
+    ev = _events(spark, sf).select("event_id", "user_id", "ts")
+    sessions = (
+        _events(spark, sf)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+        )
+    )
+    joined = range_join(ev, sessions, "user_id", "ts", "s_start", "s_end", bucket_seconds=900)
+    return joined.select("event_id", ts_us("s_start").alias("session_start_us"))

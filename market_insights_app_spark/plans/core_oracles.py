@@ -407,3 +407,25 @@ CORE_ORACLES["trailing_max_argmax"] = f"""
                    OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS mx
           FROM {EV_SUB} events WINDOW w AS ({W_EVENTS}))
 """
+
+CORE_ORACLES["range_join_sessions"] = f"""
+    WITH o AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM {EV_SUB} events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, event_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM o),
+    sess AS (
+      SELECT user_id, sid, min(ts) AS s_start,
+             max(ts) + INTERVAL '30 minutes' AS s_end
+      FROM s GROUP BY user_id, sid)
+    SELECT e.event_id, epoch_us(sess.s_start) AS session_start_us
+    FROM {EV_SUB} e
+    JOIN sess ON e.user_id = sess.user_id
+             AND e.ts >= sess.s_start AND e.ts <= sess.s_end
+"""

@@ -229,3 +229,40 @@ def test_salted_join_matches_plain(spark):
     assert sorted([(r["k"], r["fact"], r["d"]) for r in out]) == sorted(
         [(r["k"], r["fact"], r["d"]) for r in plain]
     )
+
+
+def test_range_join_matches_naive(spark):
+    """Bucketized range join == the naive theta join on random-ish
+    intervals, across bucket sizes (incl. intervals spanning many
+    buckets and events outside every interval)."""
+    import datetime as dt
+
+    from market_insights_app_spark.operators.joins import range_join
+
+    base = dt.datetime(2024, 1, 1)
+    events = spark.createDataFrame(
+        [(i, i % 3, base + dt.timedelta(minutes=7 * i)) for i in range(40)],
+        "event_id long, k long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (100, 0, base, base + dt.timedelta(minutes=30)),
+            (101, 0, base + dt.timedelta(minutes=200), base + dt.timedelta(minutes=300)),
+            (102, 1, base + dt.timedelta(minutes=10), base + dt.timedelta(minutes=11)),
+            (103, 2, base - dt.timedelta(hours=5), base + dt.timedelta(hours=10)),
+        ],
+        "iv_id long, k long, start timestamp, end timestamp",
+    )
+    naive = events.join(
+        intervals,
+        (events.k == intervals.k)
+        & (events.ts >= intervals.start)
+        & (events.ts <= intervals.end),
+    ).select("event_id", "iv_id")
+    want = sorted((r["event_id"], r["iv_id"]) for r in naive.collect())
+    for bucket in (60, 3600, 86400):
+        got = sorted(
+            (r["event_id"], r["iv_id"])
+            for r in range_join(events, intervals, "k", "ts", "start", "end", bucket).collect()
+        )
+        assert got == want, f"bucket={bucket}"
