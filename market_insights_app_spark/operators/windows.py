@@ -148,3 +148,51 @@ def minmax_normalize(value: Column | str, w: WindowSpec, eps: float = 1e-9) -> C
     frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     lo, hi = F.min(v).over(frame), F.max(v).over(frame)
     return (v - lo) / F.greatest(hi - lo, F.lit(eps))
+
+
+# --- hypertable-style continuous rollup -----------------------------------
+
+
+def hourly_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Materializable hourly pre-aggregate (TimescaleDB-style
+    continuous-aggregate shape): per (hour, keys) count / sum / min /
+    max. Mergeable partials only, so coarser windows re-aggregate from
+    this table without touching raw events."""
+    keys = key_cols or []
+    return (
+        df.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("bucket"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("sum_v"),
+            F.min(value_col).alias("min_v"),
+            F.max(value_col).alias("max_v"),
+        )
+    )
+
+
+def rollup_range_agg(
+    rollup: DataFrame,
+    start,
+    end,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Answer a [start, end) range aggregation FROM the rollup — scans
+    hours, not events. Exact for hour-aligned ranges (the mergeable-
+    partials contract); the caller owns edge-hour handling for
+    unaligned ranges (union the raw-event edges, standard continuous-
+    aggregate practice)."""
+    keys = key_cols or []
+    scoped = rollup.filter(
+        (F.col("bucket") >= F.lit(start)) & (F.col("bucket") < F.lit(end))
+    )
+    return scoped.groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_v").cast("double").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )

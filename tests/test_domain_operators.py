@@ -266,3 +266,34 @@ def test_range_join_matches_naive(spark):
             for r in range_join(events, intervals, "k", "ts", "start", "end", bucket).collect()
         )
         assert got == want, f"bucket={bucket}"
+
+
+def test_continuous_rollup_answers_match_direct(spark):
+    """Hourly rollup partials re-aggregated over an hour-aligned range
+    must equal the direct aggregation over raw events — the mergeable-
+    partials contract of the hypertable-rollup pattern."""
+    from market_insights_app_spark.operators.windows import hourly_rollup, rollup_range_agg
+    from market_insights_app_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    rollup = hourly_rollup(ev, "ts", ["event_type"], "value")
+    start, end = "2024-01-05 00:00:00", "2024-01-10 00:00:00"
+    got = {
+        r["event_type"]: (r["n"], round(r["sum_v"], 4), r["min_v"], r["max_v"])
+        for r in rollup_range_agg(rollup, start, end, ["event_type"]).collect()
+    }
+    direct = (
+        ev.filter((F.col("ts") >= start) & (F.col("ts") < end))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+    )
+    want = {
+        r["event_type"]: (r["n"], round(r["s"], 4), r["mn"], r["mx"])
+        for r in direct.collect()
+    }
+    assert got == want and got
