@@ -10,7 +10,7 @@ between O(n²) and O(n·bucket) at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from market_insights_app_spark.functions.text import (
@@ -34,13 +34,14 @@ def dedup_exact_keys(df: DataFrame, key_cols: list[str]) -> DataFrame:
 def first_wins(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
     """Deterministic D1: keep the row with the smallest ``order_col``
     per key — matches INSERT OR IGNORE arrival order when order_col is
-    the ingest sequence."""
-    from market_insights_app_spark.operators.windows import latest_per_key
-
-    # latest_per_key with inverted order = earliest wins
-    return latest_per_key(
-        df.withColumn("__neg", -F.col(order_col)), key_cols, "__neg"
-    ).drop("__neg")
+    the ingest sequence. Ascending ranking window, so order_col may be
+    any orderable type (string/timestamp), not just numeric."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def dedup_exact_content(df: DataFrame, text_col: str = "text") -> DataFrame:

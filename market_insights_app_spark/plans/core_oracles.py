@@ -179,7 +179,7 @@ CORE_ORACLES: dict[str, str] = {
     """,
     "journal_stats": """
         SELECT COUNT(*) AS trades,
-               SUM(CASE WHEN value - 50.0 > 0 THEN 1 ELSE 0 END) AS wins,
+               CAST(SUM(CASE WHEN value - 50.0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS wins,
                round(100.0 * SUM(CASE WHEN value - 50.0 > 0 THEN 1 ELSE 0 END) / COUNT(*), 0)
                  AS winrate,
                CAST(SUM(CAST(value - 50.0 AS DECIMAL(18,6))) AS DOUBLE) AS total_pnl,
@@ -295,8 +295,10 @@ CORE_ORACLES: dict[str, str] = {
     "session_window_agg": """
         WITH o AS (
           SELECT user_id, ts, value,
+                 -- >= matches Spark session_window: an event landing exactly at
+                 -- prev_ts + gap starts a NEW session (end-exclusive semantics)
                  CASE WHEN lag(ts) OVER w IS NULL
-                        OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                        OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
                       THEN 1 ELSE 0 END AS new_s
           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
              s AS (
@@ -411,8 +413,9 @@ CORE_ORACLES["trailing_max_argmax"] = f"""
 CORE_ORACLES["range_join_sessions"] = f"""
     WITH o AS (
       SELECT user_id, event_id, ts,
+             -- >= matches Spark session_window end-exclusive boundary semantics
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                    OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_s
       FROM {EV_SUB} events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     s AS (

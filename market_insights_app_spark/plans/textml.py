@@ -436,13 +436,19 @@ TEXTML_ORACLES: dict[str, str] = {
                'USD' AS currency, 'yahoo' AS source
     """,
     "media_decode": f"""
-        WITH c AS (SELECT doc_id, regexp_extract_all(text, '.') AS chars
+        -- Byte-based to match the Spark fake decoder (UTF-8 payload byte
+        -- stats), not codepoint-based: DuckDB can't index blob bytes, so
+        -- decode via hex() pairs. Holds for non-ASCII corpora too.
+        WITH c AS (SELECT doc_id,
+                          regexp_extract_all(hex(encode(text)), '..') AS hx
                    FROM documents)
         SELECT doc_id AS media_id, 'image' AS kind,
-               length(text) AS n_bytes,
-               round(CAST(list_sum(list_transform(chars, x -> ord(x))) AS DOUBLE)
-                     / len(chars), 4) AS feat_mean
-        FROM c JOIN documents USING (doc_id)
+               CAST(len(hx) AS INT) AS n_bytes,
+               round(COALESCE(CAST(list_sum(list_transform(hx, x ->
+                       (strpos('0123456789ABCDEF', x[1]) - 1) * 16
+                     + (strpos('0123456789ABCDEF', x[2]) - 1))) AS DOUBLE)
+                     / NULLIF(len(hx), 0), 0.0), 4) AS feat_mean
+        FROM c
     """,
 }
 

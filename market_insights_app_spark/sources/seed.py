@@ -91,5 +91,7 @@ def seed_journal(spark: SparkSession, n: int = 40, seed: int = 42) -> DataFrame:
 
 def clear_demo(prices: DataFrame) -> DataFrame:
     """S9 (clear_demo.py:14-19): DELETE WHERE source='demo' as the
-    batch filter-rewrite."""
-    return prices.filter(F.col("source") != "demo")
+    batch filter-rewrite. Null-safe: the reference's SQL DELETE keeps
+    NULL-source rows (NULL='demo' is not true), so the kept-set must
+    include them — a plain != would drop NULLs."""
+    return prices.filter(~F.col("source").eqNullSafe("demo"))

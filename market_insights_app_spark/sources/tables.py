@@ -18,6 +18,13 @@ from market_insights_app_spark.schemas import TESTDATA_TABLES
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+# Opt-in hot-table cache (SPARK_GRAFT_CACHE_TABLES=1): repeated reads of
+# the same table within one process return one shared, Spark-cached
+# DataFrame — the local-mode stand-in for a cluster's hot page cache /
+# cached view over a repeatedly-scanned table. Default OFF so
+# correctness runs measure the true cold path.
+_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
 
 def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", default)
@@ -37,6 +44,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TESTDATA_TABLES}")
+    caching = os.environ.get("SPARK_GRAFT_CACHE_TABLES") == "1"
+    key = (os.path.abspath(sf_dir), name)
+    if caching and key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -47,6 +58,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn("ts_ns", F.col("ts")).withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    if caching:
+        df = df.cache()
+        _TABLE_CACHE[key] = df
     return df
 
 

@@ -150,13 +150,19 @@ def idempotent_append_batch(batch: DataFrame, target_path: str, key_cols: list[s
     """foreachBatch sink body: drop in-batch dupes, anti-join against
     the target's existing natural keys, append the remainder — the
     plain-parquet MERGE WHEN NOT MATCHED INSERT (S4, db.py:253-261)."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     spark = batch.sparkSession
     fresh = batch.dropDuplicates(key_cols)
     try:
         existing = spark.read.parquet(target_path).select(*key_cols).distinct()
         fresh = fresh.join(existing, on=key_cols, how="left_anti")
-    except Exception:
-        pass  # first batch: target does not exist yet
+    except AnalysisException:
+        # first batch: target path does not exist yet. Any other failure
+        # (permissions, corrupt footers) must propagate — silently
+        # skipping the anti-join would append duplicates and break the
+        # INSERT OR IGNORE contract.
+        pass
     fresh.write.mode("append").parquet(target_path)
 
 

@@ -119,6 +119,20 @@ def test_exact_dedup_first_wins(spark):
     assert out == {"k": "first", "j": "only"}  # INSERT OR IGNORE arrival order
 
 
+def test_first_wins_string_order_col(spark):
+    """order_col need not be numeric — ascending ranking window works on
+    any orderable type (the old negation trick broke on strings)."""
+    from market_insights_app_spark.operators.dedup import first_wins
+
+    df = spark.createDataFrame(
+        [("2024-02-01T00:00:00", "k", "later"), ("2024-01-15T09:30:00", "k", "earlier"),
+         ("2024-03-01T00:00:00", "j", "only")],
+        "arrived string, key string, v string",
+    )
+    out = {r["key"]: r["v"] for r in first_wins(df, ["key"], "arrived").collect()}
+    assert out == {"k": "earlier", "j": "only"}
+
+
 def test_md5_fingerprint_matches_python(spark):
     from market_insights_app_spark.functions.text import md5_fingerprint
 

@@ -30,6 +30,62 @@ def canon(rows, cols):
     return sorted(tuple(cell(r[i]) for i in order) for r in rows)
 
 
+def test_fingerprint_non_ascii_parity(spark):
+    """Pin cross-engine fingerprint agreement on NON-ASCII text: Spark
+    ``ascii()`` and DuckDB ``ord()`` both return Unicode codepoints, and
+    md5 hashes UTF-8 bytes on both engines — verified here so a future
+    non-ASCII corpus (e.g. zh) can't silently break parity."""
+    import duckdb
+
+    from market_insights_app_spark.functions.text import md5_fingerprint, rolling_fingerprint
+    from market_insights_app_spark.plans.textml import TEXTML_ORACLES
+
+    data = [(1, "naïve €42 中文 Hello"), (2, "plain ascii"), (3, "żółć ÄŁ–—…")]
+    sdf = spark.createDataFrame(data, ["doc_id", "text"]).select(
+        "doc_id", md5_fingerprint("text").alias("fp"), rolling_fingerprint("text").alias("rh")
+    )
+    srows = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in data)
+        + ") d(doc_id, text)"
+    )
+    drows = sorted(con.sql(TEXTML_ORACLES["fingerprint_docs"]).fetchall())
+    assert srows == [tuple(r) for r in drows]
+
+
+def test_media_decode_non_ascii_parity(spark):
+    """Byte-based media oracle vs Spark fake decoder on non-ASCII text
+    (multi-byte UTF-8: chars != bytes)."""
+    import duckdb
+
+    from market_insights_app_spark.operators.multimodal import decode_media
+    from market_insights_app_spark.plans.textml import TEXTML_ORACLES
+    from pyspark.sql import functions as F
+
+    data = [(1, "naïve €42 中文"), (2, "ascii only"), (3, "żółć")]
+    media = spark.createDataFrame(data, ["doc_id", "text"]).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+    )
+    sdf = decode_media(media, fake=True).select(
+        "media_id", "kind", "n_bytes", F.round("feat_mean", 4).alias("feat_mean")
+    )
+    srows = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in data)
+        + ") d(doc_id, text)"
+    )
+    drows = sorted(con.sql(TEXTML_ORACLES["media_decode"]).fetchall())
+    assert srows == [tuple(r) for r in drows]
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_parity(name, spark, duck):
     sdf = QUERIES[name](spark, SF_ORACLE)

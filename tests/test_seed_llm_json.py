@@ -26,6 +26,20 @@ def test_seed_prices_shape_and_determinism(spark):
     assert clear_demo(p1).count() == 0
 
 
+def test_clear_demo_keeps_null_source(spark):
+    """S9 null-safety: the reference's DELETE WHERE source='demo' keeps
+    NULL-source rows (NULL='demo' is not true) — so must the filter
+    rewrite (a bare != would silently drop them)."""
+    from market_insights_app_spark.sources.seed import clear_demo, seed_prices
+
+    demo = seed_prices(spark, n_points=2, seed=1)
+    nulls = demo.limit(3).withColumn("source", F.lit(None).cast("string"))
+    live = demo.limit(2).withColumn("source", F.lit("yahoo"))
+    kept = clear_demo(demo.unionByName(nulls).unionByName(live))
+    assert kept.count() == 5
+    assert kept.filter(F.col("source").isNull()).count() == 3
+
+
 def test_seed_journal_round_robin(spark):
     from market_insights_app_spark.sources.seed import seed_journal
 

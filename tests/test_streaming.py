@@ -104,6 +104,25 @@ def test_idempotent_append_batch(spark, tmp_path):
     assert spark.read.parquet(target).count() == 3
 
 
+def test_idempotent_append_batch_corrupt_target_raises(spark, tmp_path):
+    """A corrupt (existing) target must RAISE, not silently skip the
+    anti-join and append duplicates — only missing-path errors mean
+    'first batch'."""
+    import pytest
+
+    from market_insights_app_spark.streaming.ingest import idempotent_append_batch
+
+    target = tmp_path / "prices"
+    target.mkdir()
+    (target / "part-00000.parquet").write_bytes(b"not a parquet file")
+    b = spark.createDataFrame(
+        [("A", 1, "s", 1.0)], "symbol string, as_of long, source string, price double"
+    )
+    with pytest.raises(Exception) as exc:
+        idempotent_append_batch(b, str(target), ["symbol", "as_of", "source"])
+    assert "AnalysisException" not in type(exc.value).__name__
+
+
 def test_media_decode_fake_and_stub(spark):
     from market_insights_app_spark.operators.multimodal import decode_media
 
