@@ -354,9 +354,14 @@ def simhash_near_dupes(
     64-bit hash into k+1 chunks — any pair within distance k agrees on
     at least one chunk (pigeonhole), so candidates form via equi-join on
     (chunk_idx, chunk_value). Output (a, b, hamming)."""
+    from pyspark import StorageLevel
+
     chunks = max_hamming + 1
     chunk_bits = bits // chunks
-    sh = simhash_df(df, id_col, text_col, bits)
+    # the signature is consumed twice (both sides of the bucket
+    # self-join): persist the tiny (id, h) table rather than paying the
+    # 64-vote aggregation twice.
+    sh = simhash_df(df, id_col, text_col, bits).persist(StorageLevel.MEMORY_AND_DISK)
     mask = (1 << chunk_bits) - 1
     exploded = sh.select(
         "id",
@@ -388,8 +393,10 @@ def simhash_near_dupes(
             F.col("r.id").alias("b"),
             hamming64(F.col("l.h"), F.col("r.h")).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE distinct: a pair matching in m chunks appears m
+        # times, but only survivors should pay the dedup shuffle.
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
     return pairs
 
@@ -470,6 +477,56 @@ def merge_upsert(
 # ---------------------------------------------------------------------------
 # Near-dup clustering → deduplicated corpus
 # ---------------------------------------------------------------------------
+
+
+def exact_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_n: int = 1,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """ALL-pairs exact shingle-set Jaccard >= threshold, token-join
+    formulation: explode (id, gram) → self equi-join on the gram →
+    count matches per (a, b) → |A∩B|; set sizes from per-doc counts.
+    No arrays cross the shuffle and there is no cross product — work is
+    Σ_g df(g)², i.e. driven by hot grams, not by n².
+
+    ``max_gram_df``: at scale, drop grams appearing in more than this
+    many documents before the self-join (stop-shingles contribute
+    df(g)² join work and almost no Jaccard discrimination). None keeps
+    everything — required when differential-testing against an exact
+    oracle. Returns (a, b, jaccard).
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("g"),
+    )
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    if max_gram_df is not None:
+        rare = (
+            grams.groupBy("g")
+            .agg(F.count_distinct("id").alias("df"))
+            .filter(F.col("df") <= max_gram_df)
+            .select("g")
+        )
+        grams = grams.join(rare, "g")
+    l, r = grams.alias("l"), grams.alias("r")
+    inter = (
+        l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l.id") < F.col("r.id")))
+        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("id").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("id").alias("b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("jaccard", F.col("i") / (F.col("sza") + F.col("szb") - F.col("i")))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("a", "b", "jaccard")
+    )
 
 
 def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:

@@ -266,6 +266,23 @@ def q_near_dedup_corpus(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def q_near_dedup_corpus_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-Jaccard near-dup CLUSTERING with a full differential
+    oracle: all-pairs exact unigram Jaccard >= 0.5 (token-join, no
+    cross product) -> connected components (iterative min-label
+    propagation) -> (doc_id, cluster=min member id). Gives the CC
+    machinery (operators/dedup.duplicate_clusters) a hash-match gate —
+    the MinHash variant is inherently rows-only."""
+    from market_insights_app_spark.operators.dedup import (
+        duplicate_clusters,
+        exact_jaccard_pairs,
+    )
+
+    pairs = exact_jaccard_pairs(_docs(spark, sf), threshold=0.5, shingle_n=1)
+    clusters = duplicate_clusters(pairs.select("a", "b"))
+    return clusters.select(F.col("id").alias("doc_id"), "cluster")
+
+
 def q_training_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """Composed training-data pipeline: quality gate + token floor ->
     exact dedup (first-wins on content fingerprint) -> per-language
@@ -507,6 +524,34 @@ TEXTML_ORACLES["ngram_jaccard_bigram"] = f"""
     SELECT s.doc_id,
            round(COALESCE(i, 0) / (sz + qn - COALESCE(i, 0)), 6) AS jaccard
     FROM sizes s LEFT JOIN inter USING (doc_id) CROSS JOIN qs
+"""
+
+TEXTML_ORACLES["near_dedup_corpus_exact"] = f"""
+    WITH RECURSIVE
+    norm AS (SELECT doc_id,
+           list_distinct(list_filter(
+             string_split_regex({_NORM_SQL}, '\\s+'), x -> x <> '')) AS grams
+         FROM documents),
+    d AS (SELECT doc_id, unnest(grams) AS g FROM norm),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY 1),
+    inter AS (SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS i
+              FROM d l JOIN d r ON l.g = r.g AND l.doc_id < r.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT a, b FROM inter
+              JOIN sizes sa ON inter.a = sa.doc_id
+              JOIN sizes sb ON inter.b = sb.doc_id
+              WHERE i / (sa.sz + sb.sz - i) >= 0.5),
+    edges AS (SELECT a AS x, b AS y FROM pairs
+              UNION ALL SELECT b AS x, a AS y FROM pairs),
+    nodes AS (SELECT DISTINCT x AS id FROM edges),
+    -- min reachable node id == connected-component representative ==
+    -- the min member id that duplicate_clusters converges to
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.x, re.r FROM edges e JOIN reach re ON e.y = re.id
+    )
+    SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id
 """
 
 TEXTML_ORACLES["timestamp_normalize"] = """

@@ -20,6 +20,7 @@ with ``trigger(availableNow=True)`` + memory sink.
 
 from __future__ import annotations
 
+from pyspark.errors.exceptions.captured import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -150,8 +151,6 @@ def idempotent_append_batch(batch: DataFrame, target_path: str, key_cols: list[s
     """foreachBatch sink body: drop in-batch dupes, anti-join against
     the target's existing natural keys, append the remainder — the
     plain-parquet MERGE WHEN NOT MATCHED INSERT (S4, db.py:253-261)."""
-    from pyspark.errors.exceptions.captured import AnalysisException
-
     spark = batch.sparkSession
     fresh = batch.dropDuplicates(key_cols)
     try:
@@ -221,6 +220,110 @@ def ema_stateful(
     )
 
 
+def session_builder_stateful(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_seconds: int = 1800,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Custom stateful SESSION-WINDOW builder via applyInPandasWithState
+    with emitted-on-timeout semantics (ST5 beyond the built-in
+    ``session_window`` batch twins).
+
+    A session closes — and is emitted exactly once — either when
+    (a) a later event for the key arrives >= ``gap_seconds`` after the
+        session's last event (event-time close; same end-exclusive
+        boundary as Spark's ``session_window``), or
+    (b) the key goes quiet for ``timeout_ms`` of processing time
+        (GroupStateTimeout.ProcessingTimeTimeout fires, the open
+        session is flushed with ``closed_by='timeout'`` and state is
+        cleared) — the piece the built-in operator cannot express in
+        append mode without waiting for the watermark.
+
+    ``timeout_ms=None`` disables (b) entirely (NoTimeout). NB: with a
+    processing-time timeout the query needs a LIVE trigger
+    (processingTime); under ``availableNow`` the multi-batch executor
+    keeps scheduling batches for pending timeouts and never drains.
+
+    State per key: (start_us, last_us, n, sum_value). Emits
+    (key, session_start_us, session_end_us, n, sum_value, closed_by)
+    where session_end_us = last event + gap (session_window's end).
+    """
+    import pandas as pd  # noqa: F811 (executor-side import)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("session_start_us", T.LongType()),
+            T.StructField("session_end_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+            T.StructField("closed_by", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+
+    def row(key, start, last, n, s, how):
+        return {
+            "key": key,
+            "session_start_us": start,
+            "session_end_us": last + gap_us,
+            "n": n,
+            "sum_value": s,
+            "closed_by": how,
+        }
+
+    def update(key, pdfs, state: GroupState):
+        k = key[0]
+        if timeout_ms is not None and state.hasTimedOut:
+            start, last, n, s = state.get
+            state.remove()
+            yield pd.DataFrame([row(k, start, last, n, s, "timeout")])
+            return
+        start, last, n, s = state.get if state.exists else (None, None, 0, 0.0)
+        closed: list[dict] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                us = ts.value // 1000  # pandas ns Timestamp → µs
+                if start is None:
+                    start, last, n, s = us, us, 1, float(v)
+                elif us - last >= gap_us:
+                    closed.append(row(k, start, last, n, s, "event"))
+                    start, last, n, s = us, us, 1, float(v)
+                else:
+                    last, n, s = max(last, us), n + 1, s + float(v)
+        state.update((start, last, n, s))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        if closed:
+            yield pd.DataFrame(closed, columns=[f.name for f in out_schema.fields])
+
+    conf = (
+        GroupStateTimeout.NoTimeout
+        if timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return stream.groupBy(F.col(key_col)).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=conf,
+    )
+
+
 def latest_wins_batch(batch: DataFrame, target_path: str, key_cols: list[str], version_col: str) -> None:
     """foreachBatch sink body for D4/D5 upsert targets: merge the batch
     into the parquet target keeping the newest version per key — the
@@ -235,7 +338,9 @@ def latest_wins_batch(batch: DataFrame, target_path: str, key_cols: list[str], v
     try:
         existing = spark.read.parquet(target_path)
         merged = existing.unionByName(batch)
-    except Exception:
+    except AnalysisException:
+        # first batch only — other read failures must propagate (see
+        # idempotent_append_batch)
         merged = batch
     out = latest_wins(merged, key_cols, version_col)
     out.write.mode("overwrite").parquet(target_path + "_tmp")

@@ -180,6 +180,110 @@ def test_ema_stateful(spark):
         assert last[k][0] == pytest.approx(ema, rel=1e-9)
 
 
+def _session_stream(spark, src_dir):
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    return spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src_dir)
+
+
+def _write_events(spark, src_dir, fname, rows):
+    """Write one FLAT parquet file into the stream source dir (the file
+    source does not recurse into write-produced subdirectories)."""
+    import datetime as dt
+    import glob
+    import pathlib
+    import shutil
+    import tempfile
+
+    data = [(k, dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=sec), v)
+            for k, sec, v in rows]
+    with tempfile.TemporaryDirectory() as tmp:
+        out = tmp + "/out"
+        spark.createDataFrame(data, "user_id long, ts timestamp, value double") \
+            .coalesce(1).write.mode("overwrite").parquet(out)
+        part = glob.glob(out + "/part-*.parquet")[0]
+        pathlib.Path(src_dir).mkdir(parents=True, exist_ok=True)
+        shutil.copy(part, str(pathlib.Path(src_dir) / fname))
+
+
+def test_session_builder_event_close(spark, tmp_path):
+    """Stateful session builder: sessions split at >= gap within and
+    ACROSS micro-batches (maxFilesPerTrigger=1 → one batch per file);
+    the open tail session stays in state, closed ones emit exactly once
+    with session_window-style end = last + gap."""
+    from market_insights_app_spark.streaming.ingest import (
+        run_available_now_to_memory,
+        session_builder_stateful,
+    )
+
+    src = tmp_path / "src"
+    gap = 600  # 10 min
+    # batch 1: key 1 → session A (0s, 10s), then >gap later session B (1000s)
+    _write_events(spark, str(src), "f1.parquet", [(1, 0, 1.0), (1, 10, 2.0), (1, 1000, 5.0)])
+    # batch 2: key 1 event >gap after 1000 → closes session B; key 2 opens
+    _write_events(spark, str(src), "f2.parquet", [(1, 2000, 7.0), (2, 0, 9.0)])
+    sessions = session_builder_stateful(
+        _session_stream(spark, str(src)), gap_seconds=gap, timeout_ms=None
+    )
+    run_available_now_to_memory(sessions, "t_sessions", "append")
+    got = sorted(
+        (r["key"], r["session_start_us"], r["session_end_us"], r["n"],
+         r["sum_value"], r["closed_by"])
+        for r in spark.sql("SELECT * FROM t_sessions").collect()
+    )
+    base = 1704067200_000000  # 2024-01-01T00:00:00Z µs
+    gap_us = gap * 1_000_000
+    assert got == [
+        (1, base, base + 10_000000 + gap_us, 2, 3.0, "event"),          # session A
+        (1, base + 1000_000000, base + 1000_000000 + gap_us, 1, 5.0, "event"),  # session B
+    ]
+
+
+def test_session_builder_timeout_close(spark, tmp_path):
+    """Quiet keys flush their open session via processing-time timeout
+    (closed_by='timeout') — emitted-on-timeout semantics the built-in
+    session_window cannot express without watermark advance."""
+    import time
+
+    from market_insights_app_spark.streaming.ingest import session_builder_stateful
+
+    src = tmp_path / "src"
+    _write_events(spark, str(src), "f1.parquet", [(1, 0, 1.0), (1, 5, 2.0)])
+    sessions = session_builder_stateful(
+        _session_stream(spark, str(src)), gap_seconds=600, timeout_ms=1000
+    )
+    q = (
+        sessions.writeStream.format("memory").queryName("t_sess_timeout")
+        .outputMode("append").trigger(processingTime="500 milliseconds").start()
+    )
+    # NB: do NOT processAllAvailable() here — under ProcessingTimeTimeout
+    # the periodic "no new data but cleaning up state" cycles keep it
+    # from ever settling. Poll the sink instead; the timeout fires on a
+    # later empty trigger once the key has been quiet for timeout_ms.
+    try:
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql(
+                "SELECT * FROM t_sess_timeout WHERE closed_by = 'timeout'"
+            ).collect()
+            if rows:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["key"], r["n"], r["sum_value"]) == (1, 2, 3.0)
+
+
 def test_foreachbatch_ingest_pipeline(spark, tmp_path):
     """S2+S4+ST2 end-to-end: a stream of raw FX payloads → from_json
     normalize → idempotent parquet sink via foreachBatch — the full
