@@ -421,7 +421,9 @@ def ngram_jaccard_vs_query(
     )
     d_grams = grams(df)
     q_grams = grams(query_doc).select("g").distinct()
-    q_size = q_grams.count()
+    # query size as a broadcast scalar subquery — no driver-side action;
+    # the whole operator stays one lazy plan.
+    q_size = q_grams.agg(F.count(F.lit(1)).alias("qn"))
     sizes = d_grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         d_grams.join(F.broadcast(q_grams), "g")
@@ -430,11 +432,12 @@ def ngram_jaccard_vs_query(
     )
     out = (
         sizes.join(inter, "id", "left")
+        .crossJoin(F.broadcast(q_size))
         .withColumn("inter", F.coalesce(F.col("inter"), F.lit(0)))
         .withColumn(
             "jaccard",
             F.round(
-                F.col("inter") / (F.col("sz") + F.lit(q_size) - F.col("inter")), 6
+                F.col("inter") / (F.col("sz") + F.col("qn") - F.col("inter")), 6
             ),
         )
     )

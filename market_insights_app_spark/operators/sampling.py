@@ -1,0 +1,83 @@
+"""Deterministic sampling / corpus splitting — training-data pipeline
+primitives the reference app has no analog for (SURVEY §2 extension
+mandate).
+
+Reproducibility contract: the split/sample decision for a row is a pure
+function of (salt, row id) — md5-based, so it is identical across
+engines (differentially tested against DuckDB), across runs, across
+cluster sizes, and stable under repartitioning. At 100 TB this matters
+twice over:
+
+- the decision is a scan-level column expression (no shuffle, no RNG
+  state, no ``sample()`` nondeterminism across retries — Spark task
+  retries re-draw ``rand()``, silently changing results);
+- a sample/split predicate composed into a query stays pushdown-eligible
+  and prunes work everywhere downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HASH_SPACE = float(1 << 32)  # first 8 md5 hex chars → uniform 32-bit int
+
+
+def hash_fraction(id_col: Column | str, salt: str) -> Column:
+    """Uniform [0, 1) fraction from md5(salt:id) — deterministic,
+    engine-portable (DuckDB twin: CAST('0x'||substr(md5(..),1,8) AS
+    BIGINT) / 2^32)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.md5(F.concat(F.lit(salt + ":"), c.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(_HASH_SPACE)
+
+
+def split_column(
+    id_col: Column | str,
+    weights: list[tuple[str, float]],
+    salt: str = "split-v1",
+) -> Column:
+    """Label column assigning each row to one split with the given
+    weights (ordered list, e.g. [("train", .9), ("val", .05),
+    ("test", .05)]); weights must sum to 1."""
+    total = sum(w for _, w in weights)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    frac = hash_fraction(id_col, salt)
+    expr = None
+    acc = 0.0
+    for label, w in weights[:-1]:
+        # round the cumulative threshold: 0.9 + 0.05 in IEEE is
+        # 0.9500000000000001, but an engine-portable contract (and the
+        # DuckDB oracle literal) needs the nearest double to 0.95
+        acc = round(acc + w, 12)
+        cond = frac < F.lit(acc)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    last_label = weights[-1][0]
+    return (F.lit(last_label) if expr is None else expr.otherwise(last_label)).alias(
+        "split"
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: list[tuple[str, float]] | None = None,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Reproducible train/val/test corpus split: adds a ``split``
+    column. Pure projection — zero shuffles."""
+    weights = weights or [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    return df.withColumn("split", split_column(id_col, weights, salt))
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Reproducible Bernoulli(fraction) sample as a pure filter
+    predicate — unlike ``DataFrame.sample`` it is stable under task
+    retries and identical on every engine/cluster."""
+    return df.filter(hash_fraction(id_col, salt) < F.lit(fraction))

@@ -67,6 +67,33 @@ def q_prices_page2(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("event_id", ts_us("ts").alias("ts_us"), F.round("value", 6).alias("value"))
 
 
+def q_prices_keyset_page(spark: SparkSession, sf: str) -> DataFrame:
+    """T1 at depth, 100 TB-safe: keyset (seek) pagination — WHERE
+    (ts, id) < cursor ORDER BY ts DESC, id DESC LIMIT n. The cursor
+    predicate pushes into the parquet scan at any page depth, unlike
+    OFFSET which reads and discards offset+limit rows."""
+    import datetime as dt
+
+    from market_insights_app_spark.operators.filters import events_ts_range
+    from market_insights_app_spark.operators.pagination import keyset_page
+
+    ev = _events(spark, sf).filter(F.col("event_type") == "click")
+    # coarse scan-space bound: (ts, id) < cursor implies ts <= cursor_ts;
+    # events_ts_range adds the raw-ns twin that reaches PushedFilters
+    ev = events_ts_range(ev, None, "2024-01-15")
+    out = keyset_page(
+        ev,
+        "ts",
+        "event_id",
+        limit=100,
+        after_ts=dt.datetime(2024, 1, 15, 0, 0, 0),
+        after_id=500_000,
+    )
+    return out.select(
+        "event_id", ts_us("ts").alias("ts_us"), F.round("value", 6).alias("value")
+    )
+
+
 def q_recent_n_tail(spark: SparkSession, sf: str) -> DataFrame:
     """T5 (db.py:264-268): ORDER BY id DESC LIMIT 50."""
     return recent_n(_events(spark, sf), "event_id", 50).select(
@@ -292,6 +319,21 @@ def q_journal_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.round(100.0 * F.sum((p > 0).cast("long")) / F.count(F.lit(1)), 0).alias("winrate"),
         F.sum(pd).cast("double").alias("total_pnl"),
         F.round(F.sum(pd).cast("double") / F.count(F.lit(1)) / 50.0, 6).alias("avg_r"),
+    )
+
+
+def q_value_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group exact quantiles (p50/p90/p99 of value per event_type):
+    linear-interpolation percentile, matching DuckDB quantile_cont to
+    6 dp. Exact percentile sorts within groups — at 100 TB switch the
+    call site to approx_percentile (t-digest sketch, map-side mergeable,
+    one shuffle of sketches not rows); it lives behind the same column
+    API."""
+    ev = _events(spark, sf)
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
     )
 
 

@@ -28,6 +28,15 @@ CORE_ORACLES: dict[str, str] = {
         ORDER BY ts DESC, event_id DESC
         LIMIT 100 OFFSET 100
     """,
+    "prices_keyset_page": """
+        SELECT event_id, epoch_us(ts) AS ts_us, round(value, 6) AS value
+        FROM events
+        WHERE event_type = 'click'
+          AND (ts < TIMESTAMP '2024-01-15'
+               OR (ts = TIMESTAMP '2024-01-15' AND event_id < 500000))
+        ORDER BY ts DESC, event_id DESC
+        LIMIT 100
+    """,
     "recent_n_tail": """
         SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type
         FROM events ORDER BY event_id DESC LIMIT 50
@@ -186,6 +195,13 @@ CORE_ORACLES: dict[str, str] = {
                round(CAST(SUM(CAST(value - 50.0 AS DECIMAL(18,6))) AS DOUBLE)
                      / COUNT(*) / 50.0, 6) AS avg_r
         FROM events
+    """,
+    "value_quantiles": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events GROUP BY event_type
     """,
     "histogram": """
         WITH s AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi

@@ -283,6 +283,21 @@ def q_near_dedup_corpus_exact(spark: SparkSession, sf: str) -> DataFrame:
     return clusters.select(F.col("id").alias("doc_id"), "cluster")
 
 
+def q_corpus_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test split (90/5/5) of the documents
+    corpus: md5-hash fraction of the doc id — reproducible across
+    engines/runs/cluster sizes, zero shuffles, scan-level predicate.
+    Returns per-split per-language counts (the stratification report a
+    training pipeline logs)."""
+    from market_insights_app_spark.operators.sampling import hash_split
+
+    docs = hash_split(_docs(spark, sf), id_col="doc_id", salt="corpus-v1")
+    return docs.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),  # integer sum: exact both engines
+    )
+
+
 def q_training_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """Composed training-data pipeline: quality gate + token floor ->
     exact dedup (first-wins on content fingerprint) -> per-language
@@ -524,6 +539,21 @@ TEXTML_ORACLES["ngram_jaccard_bigram"] = f"""
     SELECT s.doc_id,
            round(COALESCE(i, 0) / (sz + qn - COALESCE(i, 0)), 6) AS jaccard
     FROM sizes s LEFT JOIN inter USING (doc_id) CROSS JOIN qs
+"""
+
+TEXTML_ORACLES["corpus_split"] = """
+    WITH s AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(('0x' || substr(md5('corpus-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) / 4294967296.0 AS frac
+      FROM documents)
+    SELECT CASE WHEN frac < 0.9 THEN 'train'
+                WHEN frac < 0.95 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM s GROUP BY 1, 2
 """
 
 TEXTML_ORACLES["near_dedup_corpus_exact"] = f"""

@@ -192,6 +192,48 @@ def test_keyset_pagination_matches_offset(spark):
     assert len(ids) == len(set(ids)) == 10  # no overlap, no gaps at boundary
 
 
+def test_hash_split_deterministic_partition(spark):
+    """Every row gets exactly one split; re-running (and reordering)
+    gives identical assignments; proportions track the weights."""
+    from market_insights_app_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(2000)], "doc_id long, t string")
+    s1 = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
+    s2 = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df.repartition(7).sortWithinPartitions("t")).collect()
+    }
+    assert s1 == s2  # stable under repartitioning
+    from collections import Counter
+
+    c = Counter(s1.values())
+    assert set(c) == {"train", "val", "test"}
+    assert abs(c["train"] / 2000 - 0.9) < 0.03
+    assert abs(c["val"] / 2000 - 0.05) < 0.02
+    assert abs(c["test"] / 2000 - 0.05) < 0.02
+
+
+def test_deterministic_sample_is_subset_and_stable(spark):
+    from market_insights_app_spark.operators.sampling import deterministic_sample
+
+    df = spark.createDataFrame([(i,) for i in range(5000)], "doc_id long")
+    a = {r["doc_id"] for r in deterministic_sample(df, 0.2).collect()}
+    b = {r["doc_id"] for r in deterministic_sample(df, 0.2).collect()}
+    sup = {r["doc_id"] for r in deterministic_sample(df, 0.5).collect()}
+    assert a == b
+    assert a <= sup  # nested fractions nest (same salt → same fraction order)
+    assert abs(len(a) / 5000 - 0.2) < 0.03
+
+
+def test_split_weights_validation(spark):
+    import pytest
+
+    from market_insights_app_spark.operators.sampling import split_column
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_column("doc_id", [("a", 0.5), ("b", 0.4)])
+
+
 def test_salted_agg_matches_plain(spark):
     from market_insights_app_spark.operators.skew import key_histogram, salted_agg
 

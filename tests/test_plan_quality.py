@@ -33,6 +33,16 @@ def test_range_filter_pushed_to_scan(spark):
     assert "LessThan(ts," in p
 
 
+def test_keyset_cursor_pushed_to_scan(spark):
+    """The keyset-pagination coarse cursor bound must reach the scan in
+    raw-ns space (deep pages stay O(limit) only if the scan prunes)."""
+    from market_insights_app_spark.plans.registry import QUERIES
+
+    p = plan_of(QUERIES["prices_keyset_page"](spark, SF_ORACLE))
+    assert "LessThan(ts," in p
+    assert "TakeOrderedAndProject" in p
+
+
 def test_column_pruning(spark):
     """A narrow projection must produce a narrow ReadSchema."""
     from market_insights_app_spark.sources.tables import load_table
