@@ -1,0 +1,109 @@
+"""Repetition / diversity quality signals over a document corpus —
+Gopher-style filters (Rae et al. 2021, "Scaling Language Models",
+appendix A1.1) a training-data pipeline runs before anything else:
+heavily repetitive documents (boilerplate, keyword stuffing, scraper
+loops) are dropped by thresholding these ratios.
+
+Companion to ``functions.text.quality_features`` (pure per-row
+expressions); the signals here need token/bigram *frequency* within the
+document, so they are DataFrame operators: explode → two-level groupBy.
+Both levels are map-side combinable and keyed on the doc id, so at
+100 TB this is two linear shuffles — no window over the whole corpus,
+no driver involvement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from market_insights_app_spark.functions.text import tokens
+
+
+def _lower_tokens(text_col: str) -> Column:
+    # case-folded whitespace tokens: repetition is case-insensitive
+    return tokens(F.lower(F.col(text_col)))
+
+
+def _bigrams_multiset(text_col: str) -> Column:
+    """Word bigrams WITH multiplicity (``word_shingles`` dedups, which
+    is right for Jaccard but wrong for repetition counting). Same
+    shifted-slice zip as word_shingles — O(tokens) per doc."""
+    toks = _lower_tokens(text_col)
+    k = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, 1, k),
+        F.slice(toks, 2, k),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition/diversity ratios:
+
+    - ``n_tokens``          total (case-folded) tokens
+    - ``distinct_ratio``    distinct tokens / tokens  (low ⇒ repetitive)
+    - ``top_token_share``   most frequent token's share of all tokens
+    - ``top_bigram_share``  most frequent bigram's share of all bigrams
+                            (NULL for docs with < 2 tokens)
+
+    Ratios are emitted unrounded: they are IEEE divisions of exact
+    integer counts, bit-identical across engines (rounding could land on
+    a decimal half-way point and diverge). Documents with zero tokens
+    produce no output row (nothing to measure).
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+
+    tok = base.select("id", F.explode(_lower_tokens("__t")).alias("tok"))
+    tok_counts = tok.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    per_tok = tok_counts.groupBy("id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_tok"),
+    )
+
+    big = base.select("id", F.explode(_bigrams_multiset("__t")).alias("g"))
+    big_counts = big.groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
+    per_big = big_counts.groupBy("id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_big")
+    )
+
+    return (
+        per_tok.join(per_big, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_tokens"),
+            (F.col("n_distinct") / F.col("n_tokens")).alias("distinct_ratio"),
+            (F.col("top_tok") / F.col("n_tokens")).alias("top_token_share"),
+            (F.col("top_big") / F.col("n_bigrams")).alias("top_bigram_share"),
+        )
+    )
+
+
+def repetition_gate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_distinct_ratio: float = 0.2,
+    max_top_token_share: float = 0.2,
+    max_top_bigram_share: float = 0.18,
+) -> DataFrame:
+    """Filter a corpus to documents passing the repetition thresholds
+    (defaults in the ballpark of the published Gopher rules). Keeps the
+    original columns; drops zero-token docs (no signal ⇒ no keep)."""
+    feats = repetition_features(df, id_col, text_col).select(
+        id_col, "distinct_ratio", "top_token_share", "top_bigram_share"
+    )
+    keep = (
+        (F.col("distinct_ratio") >= F.lit(min_distinct_ratio))
+        & (F.col("top_token_share") <= F.lit(max_top_token_share))
+        & (
+            F.col("top_bigram_share").isNull()
+            | (F.col("top_bigram_share") <= F.lit(max_top_bigram_share))
+        )
+    )
+    return df.join(
+        feats.filter(keep).select(id_col), id_col, "left_semi"
+    )

@@ -81,3 +81,29 @@ def deterministic_sample(
     predicate — unlike ``DataFrame.sample`` it is stable under task
     retries and identical on every engine/cluster."""
     return df.filter(hash_fraction(id_col, salt) < F.lit(fraction))
+
+
+def stratified_cap(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    salt: str = "strat-v1",
+) -> DataFrame:
+    """Deterministically downsample over-represented groups to ≈``cap``
+    rows each (corpus language/source balancing): keep a row iff its
+    hash fraction < cap / |group|. Groups at or under the cap pass
+    through untouched.
+
+    Bernoulli with exact expectation rather than an exact count — the
+    keep decision stays a pure per-row predicate (no per-group sort or
+    rank window over 100 TB), and the group sizes arrive via one
+    broadcast-joined aggregate. The same (salt, id) always survives or
+    not for a given group size, so reruns and engines agree exactly.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__gn"))
+    out = df.join(F.broadcast(counts), group_col)
+    keep = hash_fraction(id_col, salt) < F.least(
+        F.lit(1.0), F.lit(float(cap)) / F.col("__gn")
+    )
+    return out.filter(keep).drop("__gn")

@@ -298,6 +298,35 @@ def q_corpus_split(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition/diversity signals per document
+    (distinct-token ratio, top token/bigram share) — the filters a
+    training-data pipeline thresholds on before dedup. Ratios emitted
+    unrounded (IEEE divisions of exact integer counts are bit-identical
+    across engines; rounding could land on decimal half-way points)."""
+    from market_insights_app_spark.operators.quality import repetition_features
+
+    return repetition_features(_docs(spark, sf))
+
+
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-language corpus balancing: downsample each
+    language to ≈60 docs via the md5-hash-fraction predicate (pure
+    per-row decision; group sizes broadcast). Returns the per-language
+    before/after report."""
+    from market_insights_app_spark.operators.sampling import stratified_cap
+
+    docs = _docs(spark, sf)
+    kept = stratified_cap(docs, "lang", cap=60, salt="strat-v1")
+    before = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    after = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+    return before.join(after, "lang", "left").select(
+        "lang",
+        "n_before",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+    )
+
+
 def q_training_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """Composed training-data pipeline: quality gate + token floor ->
     exact dedup (first-wins on content fingerprint) -> per-language
@@ -554,6 +583,42 @@ TEXTML_ORACLES["corpus_split"] = """
            COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM s GROUP BY 1, 2
+"""
+
+TEXTML_ORACLES["doc_repetition"] = """
+    WITH tk AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                       x -> x <> '') AS toks
+         FROM documents),
+    t AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+    tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+    pt AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                  COUNT(*) AS n_distinct, MAX(c) AS top_tok
+           FROM tc GROUP BY 1),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i+1])) AS g
+           FROM tk),
+    bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    pb AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                  MAX(c) AS top_big
+           FROM bc GROUP BY 1)
+    SELECT pt.doc_id, n_tokens,
+           n_distinct / CAST(n_tokens AS DOUBLE) AS distinct_ratio,
+           top_tok / CAST(n_tokens AS DOUBLE) AS top_token_share,
+           top_big / CAST(n_bigrams AS DOUBLE) AS top_bigram_share
+    FROM pt LEFT JOIN pb USING (doc_id)
+"""
+
+TEXTML_ORACLES["stratified_sample"] = """
+    WITH c AS (SELECT lang, COUNT(*) AS gn FROM documents GROUP BY 1),
+    k AS (SELECT d.lang FROM documents d JOIN c USING (lang)
+          WHERE CAST(('0x' || substr(md5('strat-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) / 4294967296.0
+                < least(1.0, 60.0 / gn)),
+    a AS (SELECT lang, COUNT(*) AS n_kept FROM k GROUP BY 1)
+    SELECT c.lang, gn AS n_before, COALESCE(n_kept, 0) AS n_kept
+    FROM c LEFT JOIN a USING (lang)
 """
 
 TEXTML_ORACLES["near_dedup_corpus_exact"] = f"""

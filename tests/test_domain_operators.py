@@ -234,6 +234,60 @@ def test_split_weights_validation(spark):
         split_column("doc_id", [("a", 0.5), ("b", 0.4)])
 
 
+def test_repetition_features_golden(spark):
+    """Hand-computed ratios on a tiny corpus, incl. the 1-token NULL
+    bigram edge and zero-token dropout."""
+    from market_insights_app_spark.operators.quality import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # 4 toks, 2 distinct, top 'a'=3; bigrams: "a a"x2,"a b" → top 2/3
+            (2, "Spam SPAM spam"),   # case-folded: 3 toks, 1 distinct
+            (3, "solo"),             # 1 token → bigram share NULL
+            (4, "   "),              # zero tokens → no row
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    assert set(out) == {1, 2, 3}
+    r1 = out[1]
+    assert r1["n_tokens"] == 4
+    assert r1["distinct_ratio"] == 2 / 4
+    assert r1["top_token_share"] == 3 / 4
+    assert r1["top_bigram_share"] == 2 / 3
+    r2 = out[2]
+    assert r2["distinct_ratio"] == 1 / 3 and r2["top_token_share"] == 1.0
+    assert out[3]["top_bigram_share"] is None
+
+
+def test_repetition_gate_drops_stuffed_docs(spark):
+    from market_insights_app_spark.operators.quality import repetition_gate
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now " * 40),  # top_bigram_share ~1 → dropped
+            (2, "a genuinely varied sentence with many different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = [r["doc_id"] for r in repetition_gate(df).collect()]
+    assert kept == [2]
+
+
+def test_stratified_cap_deterministic_and_capped(spark):
+    from market_insights_app_spark.operators.sampling import stratified_cap
+
+    rows = [(i, "big" if i < 950 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    a = sorted(r["doc_id"] for r in stratified_cap(df, "lang", 90).collect())
+    b = sorted(r["doc_id"] for r in stratified_cap(df, "lang", 90).collect())
+    assert a == b  # deterministic
+    kept = stratified_cap(df, "lang", 90).groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in kept}
+    assert by_lang["small"] == 50  # under-cap group untouched (50 ≤ 90)
+    assert abs(by_lang["big"] - 90) <= 30  # Bernoulli expectation ≈ cap
+
+
 def test_salted_agg_matches_plain(spark):
     from market_insights_app_spark.operators.skew import key_histogram, salted_agg
 
