@@ -71,6 +71,16 @@ def _base_hash(col: Column) -> Column:
     return F.pmod(F.xxhash64(col), F.lit(MERSENNE_P))
 
 
+def _base_hash_portable(col: Column) -> Column:
+    """Engine-portable 32-bit base hash: first 8 hex chars of md5, mod
+    p. ~2× the cost of xxhash64 (string md5 + hex decode) — used by the
+    differentially-tested portable MinHash variant, where any SQL engine
+    can reproduce the exact same signatures (DuckDB twin:
+    CAST('0x'||substr(md5(g),1,8) AS BIGINT) % p)."""
+    h = F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+    return F.pmod(h, F.lit(MERSENNE_P))
+
+
 def _hash_token(col: Column, seed: int) -> Column:
     """Deterministic token hash for the seed-th MinHash function:
     one xxhash64 base hash + an affine permutation (a*h+b) mod p —
@@ -107,6 +117,7 @@ def minhash_signatures_df(
     text_col: str = "text",
     num_hashes: int = 32,
     shingle_n: int = 2,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash signatures as a DataFrame (id, h0..h{n-1}).
 
@@ -115,11 +126,16 @@ def minhash_signatures_df(
     runs ONCE per document (the pure-expression ``minhash_signature``
     inlines the tokenizer into each of the 32 columns — 30×+ slower at
     5k docs, and worse at scale). Documents with zero shingles drop out
-    (they cannot near-dup)."""
+    (they cannot near-dup).
+
+    ``portable=True`` swaps the xxhash64 base hash for the md5-derived
+    one so any SQL engine can reproduce the signatures bit-for-bit
+    (differential oracle support); the engine default stays xxhash64."""
+    base = _base_hash_portable if portable else _base_hash
     grams = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(text_col, shingle_n)).alias("g"),
-    ).select("id", _base_hash(F.col("g")).alias("gh"))
+    ).select("id", base(F.col("g")).alias("gh"))
     hashed = grams.select(
         "id", *[_permute(F.col("gh"), i).alias(f"h{i}") for i in range(num_hashes)]
     )
@@ -137,10 +153,15 @@ def lsh_candidate_pairs(
     shingle_n: int = 2,
     sig: DataFrame | None = None,
     max_bucket_size: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: signature → ``bands`` bands of
     ``num_hashes/bands`` rows → self-join within (band_idx, band_hash)
     buckets → distinct (a < b) pairs.
+
+    ``portable=True``: bucket key is the comma-joined band values
+    (string) instead of their xxhash64 — identical bucketing semantics,
+    reproducible in any SQL engine for differential testing.
 
     The self-join is an equi-join on the bucket key, so Spark shuffles
     on the bucket hash — no cross product. Returns (a, b) candidate
@@ -154,23 +175,22 @@ def lsh_candidate_pairs(
     """
     rows_per_band = num_hashes // bands
     if sig is None:
-        sig = minhash_signatures_df(df, id_col, text_col, num_hashes, shingle_n)
+        sig = minhash_signatures_df(
+            df, id_col, text_col, num_hashes, shingle_n, portable=portable
+        )
+
+    def band_key(b: int) -> Column:
+        cols = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        if portable:
+            return F.concat_ws(",", *[c.cast("string") for c in cols])
+        return F.xxhash64(*cols)
+
     banded = sig.select(
         "id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"h{i}")
-                                for i in range(
-                                    b * rows_per_band, (b + 1) * rows_per_band
-                                )
-                            ]
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_key(b).alias("bucket"))
                     for b in range(bands)
                 ]
             )
@@ -208,6 +228,7 @@ def minhash_near_dupes(
     bands: int = 8,
     shingle_n: int = 2,
     max_bucket_size: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate pairs verified by exact shingle-set Jaccard >= threshold.
     Output: (a, b, jaccard).
@@ -225,11 +246,15 @@ def minhash_near_dupes(
     # sig is consumed three times (banding + both prefilter sides); it
     # is rows × (num_hashes+1) longs — tiny next to the corpus — so
     # cache it rather than recompute the shingling per consumer.
-    sig = minhash_signatures_df(df, id_col, text_col, num_hashes, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sig = minhash_signatures_df(
+        df, id_col, text_col, num_hashes, shingle_n, portable=portable
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidate_pairs(
-        num_hashes=num_hashes, bands=bands, sig=sig, max_bucket_size=max_bucket_size
+        num_hashes=num_hashes,
+        bands=bands,
+        sig=sig,
+        max_bucket_size=max_bucket_size,
+        portable=portable,
     )
     sig_a = sig.select(
         F.col("id").alias("a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)]
@@ -311,15 +336,26 @@ def simhash_df(
     text_col: str = "text",
     bits: int = 64,
     shingle_n: int = 1,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash as a DataFrame (id, h) via explode + groupBy bit votes —
     the scalable form (the pure-expression ``simhash`` inlines the
     tokenizer into each of the 64 bit votes; see minhash_signatures_df).
+
+    ``portable=True``: 32-bit md5-derived gram hash (requires
+    bits <= 32) so any SQL engine reproduces the fingerprints exactly —
+    the differential-oracle path; the engine default stays xxhash64/64.
     """
+    if portable:
+        if bits > 32:
+            raise ValueError("portable simhash is 32-bit: pass bits<=32")
+        gh = F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("long")
+    else:
+        gh = F.xxhash64(F.col("g"), F.lit(1234567))
     grams = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(text_col, shingle_n)).alias("g"),
-    ).select("id", F.xxhash64(F.col("g"), F.lit(1234567)).alias("gh"))
+    ).select("id", gh.alias("gh"))
     votes = grams.groupBy("id").agg(
         *[
             F.sum(
@@ -349,6 +385,7 @@ def simhash_near_dupes(
     text_col: str = "text",
     max_hamming: int = 3,
     bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance <= k. Bucketing: split the
     64-bit hash into k+1 chunks — any pair within distance k agrees on
@@ -361,7 +398,9 @@ def simhash_near_dupes(
     # the signature is consumed twice (both sides of the bucket
     # self-join): persist the tiny (id, h) table rather than paying the
     # 64-vote aggregation twice.
-    sh = simhash_df(df, id_col, text_col, bits).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = simhash_df(df, id_col, text_col, bits, portable=portable).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     mask = (1 << chunk_bits) - 1
     exploded = sh.select(
         "id",

@@ -76,6 +76,26 @@ def q_simhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     return simhash_near_dupes(_docs(spark, sf), max_hamming=3)
 
 
+def q_minhash_neardup_portable(spark: SparkSession, sf: str) -> DataFrame:
+    """The FULL MinHash-LSH pipeline (signatures → banding → candidate
+    pairs → estimate prefilter → exact-Jaccard verify) with the
+    md5-derived portable base hash and string band keys, so a DuckDB
+    oracle reproduces every stage bit-for-bit — a hard differential
+    gate on the whole LSH machinery, complementing the rows-only
+    xxhash64 engine path (``minhash_neardup``)."""
+    return minhash_near_dupes(_docs(spark, sf), threshold=0.5, portable=True)
+
+
+def q_simhash_neardup_portable(spark: SparkSession, sf: str) -> DataFrame:
+    """The FULL SimHash pipeline (32-bit md5-derived bit votes →
+    pigeonhole chunk bucketing → Hamming verify) in its engine-portable
+    form, hash-gated against a DuckDB oracle (complements the rows-only
+    64-bit xxhash64 engine path)."""
+    return simhash_near_dupes(
+        _docs(spark, sf), max_hamming=3, bits=32, portable=True
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis family
 # ---------------------------------------------------------------------------
@@ -583,6 +603,90 @@ TEXTML_ORACLES["corpus_split"] = """
            COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM s GROUP BY 1, 2
+"""
+
+# seed constants for the portable-MinHash oracle — the SAME splitmix
+# affine params the Spark side uses (dedup._affine_params), inlined as a
+# VALUES list so DuckDB reproduces the signatures bit-for-bit
+from market_insights_app_spark.operators.dedup import (  # noqa: E402
+    MERSENNE_P as _P,
+)
+from market_insights_app_spark.operators.dedup import (  # noqa: E402
+    _affine_params,
+)
+
+_SEEDS_SQL = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in ((i, _affine_params(i)) for i in range(32))
+)
+
+TEXTML_ORACLES["minhash_neardup_portable"] = f"""
+    WITH norm AS (SELECT doc_id,
+           list_filter(string_split_regex({_NORM_SQL}, '\\s+'), x -> x <> '') AS toks
+         FROM documents),
+    sets AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i+1])) AS sh
+         FROM norm),
+    g AS (SELECT doc_id, unnest(sh) AS g FROM sets),
+    gh AS (SELECT doc_id,
+           CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % {_P} AS h
+         FROM g),
+    seeds(seed, a, b) AS (VALUES {_SEEDS_SQL}),
+    mh AS (SELECT doc_id, seed, MIN((a * h + b) % {_P}) AS mh
+           FROM gh CROSS JOIN seeds GROUP BY 1, 2),
+    bandkey AS (SELECT doc_id, seed // 4 AS band,
+                       string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS key
+                FROM mh GROUP BY doc_id, seed // 4),
+    cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             FROM bandkey x JOIN bandkey y
+               ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+    est AS (SELECT c.a, c.b,
+                   SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS m
+            FROM cand c
+            JOIN mh ma ON ma.doc_id = c.a
+            JOIN mh mb ON mb.doc_id = c.b AND mb.seed = ma.seed
+            GROUP BY 1, 2),
+    keep AS (SELECT a, b FROM est WHERE m / 32.0 >= 0.25),
+    pairs AS (SELECT k.a, k.b,
+                     len(list_intersect(sa.sh, sb.sh)) AS i,
+                     len(sa.sh) AS na, len(sb.sh) AS nb
+              FROM keep k
+              JOIN sets sa ON sa.doc_id = k.a
+              JOIN sets sb ON sb.doc_id = k.b)
+    SELECT a, b,
+           round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
+    FROM pairs
+    WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5
+"""
+
+# 32-bit portable-SimHash oracle: bit votes and fingerprint assembly are
+# generated expressions (32 SUM(CASE)s / 32 CASE bit masks), mirroring
+# the Spark groupBy votes exactly
+_SIM_VOTES_SQL = ",\n           ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(32)
+)
+_SIM_FP_SQL = " + ".join(f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32))
+
+TEXTML_ORACLES["simhash_neardup_portable"] = f"""
+    WITH norm AS (SELECT doc_id,
+           list_filter(string_split_regex({_NORM_SQL}, '\\s+'), x -> x <> '') AS toks
+         FROM documents),
+    g AS (SELECT doc_id, unnest(list_distinct(toks)) AS g FROM norm),
+    gh AS (SELECT doc_id,
+           CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) AS h
+         FROM g),
+    votes AS (SELECT doc_id,
+           {_SIM_VOTES_SQL}
+         FROM gh GROUP BY 1),
+    fp AS (SELECT doc_id, CAST({_SIM_FP_SQL} AS BIGINT) AS h FROM votes),
+    ch AS (SELECT doc_id, h, ci, (h >> (ci * 8)) & 255 AS cv
+           FROM fp CROSS JOIN (VALUES (0), (1), (2), (3)) c(ci))
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+           CAST(bit_count(xor(x.h, y.h)) AS INTEGER) AS hamming
+    FROM ch x JOIN ch y
+      ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.h, y.h)) <= 3
 """
 
 TEXTML_ORACLES["doc_repetition"] = """
