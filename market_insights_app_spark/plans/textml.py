@@ -318,6 +318,35 @@ def q_corpus_split(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub pass: per-kind match counts + md5 of the redacted
+    text. The synthetic corpus contains no PII, so the query injects a
+    deterministic email/phone/IP per document (same expression in the
+    oracle) — the regex machinery is exercised on real positives, not
+    vacuously on zero matches."""
+    from market_insights_app_spark.functions.pii import pii_counts, redact_pii
+
+    docs = _docs(spark, sf)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call +1 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" from 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+    )
+    counts = pii_counts(aug)
+    return docs.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["ssn"].alias("n_ssn"),
+        counts["phone"].alias("n_phone"),
+        counts["ip"].alias("n_ip"),
+        F.md5(redact_pii(aug)).alias("redacted_md5"),
+    )
+
+
 def q_doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition/diversity signals per document
     (distinct-token ratio, top token/bigram share) — the filters a
@@ -657,6 +686,32 @@ TEXTML_ORACLES["minhash_neardup_portable"] = f"""
            round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
     FROM pairs
     WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5
+"""
+
+# PII-scrub oracle: the SAME patterns the Spark side uses (Java regex /
+# RE2 common subset), the same injected-PII augmentation, the same
+# redaction order
+from market_insights_app_spark.functions.pii import PII_RULES as _PII  # noqa: E402
+
+_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com or call +1 555-01'"
+    " || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+    " || ' from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)"
+)
+_PII_RED_SQL = "aug"
+for _kind, _pat, _tok in _PII:
+    _PII_RED_SQL = f"regexp_replace({_PII_RED_SQL}, '{_pat}', '{_tok}', 'g')"
+
+TEXTML_ORACLES["pii_scrub"] = f"""
+    WITH a AS (SELECT doc_id, {_AUG_SQL} AS aug FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(aug, '{_PII[0][1]}')) AS n_email,
+           len(regexp_extract_all(aug, '{_PII[1][1]}')) AS n_ssn,
+           len(regexp_extract_all(aug, '{_PII[2][1]}')) AS n_phone,
+           len(regexp_extract_all(aug, '{_PII[3][1]}')) AS n_ip,
+           md5({_PII_RED_SQL}) AS redacted_md5
+    FROM a
 """
 
 # 32-bit portable-SimHash oracle: bit votes and fingerprint assembly are

@@ -288,6 +288,43 @@ def test_stratified_cap_deterministic_and_capped(spark):
     assert abs(by_lang["big"] - 90) <= 30  # Bernoulli expectation ≈ cap
 
 
+def test_pii_redaction_golden(spark):
+    """Known PII strings → redacted tokens; counts match; clean text
+    untouched."""
+    from market_insights_app_spark.functions.pii import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.org now"),
+            (2, "ssn 123-45-6789 and phone +44 20 7946 0958 ok"),
+            (3, "server at 192.168.1.254 responded"),
+            (4, "nothing sensitive here at all"),
+        ],
+        "id long, t string",
+    )
+    c = pii_counts("t")
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            redact_pii("t").alias("red"),
+            c["email"].alias("ne"),
+            c["ssn"].alias("ns"),
+            c["phone"].alias("np"),
+            c["ip"].alias("ni"),
+        ).collect()
+    }
+    assert out[1]["red"] == "mail [EMAIL] now" and out[1]["ne"] == 1
+    assert out[2]["red"] == "ssn [SSN] and phone [PHONE] ok"
+    # counts run on the ORIGINAL text: the SSN span also matches the
+    # looser phone pattern (documented overlap); redaction order keeps
+    # the redacted text unambiguous
+    assert out[2]["ns"] == 1 and out[2]["np"] == 2
+    assert out[3]["red"] == "server at [IP] responded" and out[3]["ni"] == 1
+    assert out[4]["red"] == "nothing sensitive here at all"
+    assert out[4]["ne"] == out[4]["ns"] == out[4]["np"] == out[4]["ni"] == 0
+
+
 def test_salted_agg_matches_plain(spark):
     from market_insights_app_spark.operators.skew import key_histogram, salted_agg
 
