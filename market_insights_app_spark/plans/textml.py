@@ -318,6 +318,46 @@ def q_corpus_split(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_seq_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy sequence packing into 2048-token context windows over the
+    corpus in doc_id order, reported per bin. The prefix sum underneath
+    is the distributed range-partition + broadcast-offsets form, not a
+    single-partition window — the oracle's plain SUM() OVER proves the
+    distributed result identical."""
+    from market_insights_app_spark.functions.text import token_count
+    from market_insights_app_spark.operators.packing import pack_greedy
+
+    docs = _docs(spark, sf).select("doc_id", token_count("text").alias("n_tokens"))
+    packed = pack_greedy(docs, "doc_id", "n_tokens", target=2048)
+    return packed.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+def q_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by term frequency with
+    document frequency — the first artifact of tokenizer/vocab
+    construction. Exact COUNT(DISTINCT doc) per token here; at 100 TB
+    swap to approx_count_distinct (HLL sketch, map-side mergeable) —
+    same plan shape, one shuffle on the token."""
+    from market_insights_app_spark.functions.text import tokens as _tok
+
+    docs = _docs(spark, sf)
+    t = docs.select("doc_id", F.explode(_tok(F.lower(F.col("text")))).alias("tok"))
+    return (
+        t.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("tok"))
+        .limit(100)
+    )
+
+
 def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     """PII scrub pass: per-kind match counts + md5 of the redacted
     text. The synthetic corpus contains no PII, so the query injects a
@@ -686,6 +726,29 @@ TEXTML_ORACLES["minhash_neardup_portable"] = f"""
            round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
     FROM pairs
     WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5
+"""
+
+TEXTML_ORACLES["seq_pack"] = """
+    WITH s AS (SELECT doc_id,
+           len(list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '')) AS n
+         FROM documents),
+    c AS (SELECT doc_id, n, SUM(n) OVER (ORDER BY doc_id) AS cs FROM s)
+    SELECT CAST(floor((cs - n) / 2048.0) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS sum_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM c GROUP BY 1
+"""
+
+TEXTML_ORACLES["vocab_topk"] = """
+    WITH t AS (SELECT doc_id,
+           unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                              x -> x <> '')) AS tok
+         FROM documents)
+    SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+    FROM t GROUP BY 1
+    ORDER BY tf DESC, tok ASC
+    LIMIT 100
 """
 
 # PII-scrub oracle: the SAME patterns the Spark side uses (Java regex /

@@ -288,6 +288,47 @@ def test_stratified_cap_deterministic_and_capped(spark):
     assert abs(by_lang["big"] - 90) <= 30  # Bernoulli expectation ≈ cap
 
 
+def test_global_running_sum_matches_single_window(spark):
+    """Distributed prefix sum (range partitions + broadcast offsets)
+    must equal the naive single-partition window exactly, regardless of
+    input partitioning."""
+    import random
+
+    from pyspark.sql import Window
+
+    from market_insights_app_spark.operators.packing import global_running_sum
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 50)) for i in range(3000)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k long, v long").repartition(11)
+    got = {
+        r["k"]: r["cumsum"] for r in global_running_sum(df, "k", "v").collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        r["k"]: r["c"]
+        for r in df.withColumn("c", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_pack_greedy_bins_monotone(spark):
+    from market_insights_app_spark.operators.packing import pack_greedy
+
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(40)], "doc_id long, n long"
+    )
+    out = pack_greedy(df, "doc_id", "n", target=1000).orderBy("doc_id").collect()
+    bins = [r["bin"] for r in out]
+    assert bins == sorted(bins)  # monotone in doc order
+    assert bins[0] == 0 and bins[-1] == 3  # 40*100 / 1000 = 4 bins
+    # each bin holds exactly 10 docs of 100 tokens at target 1000
+    from collections import Counter
+
+    assert Counter(bins) == {0: 10, 1: 10, 2: 10, 3: 10}
+
+
 def test_pii_redaction_golden(spark):
     """Known PII strings → redacted tokens; counts match; clean text
     untouched."""
