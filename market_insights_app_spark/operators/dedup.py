@@ -130,7 +130,15 @@ def minhash_signatures_df(
 
     ``portable=True`` swaps the xxhash64 base hash for the md5-derived
     one so any SQL engine can reproduce the signatures bit-for-bit
-    (differential oracle support); the engine default stays xxhash64."""
+    (differential oracle support); the engine default stays xxhash64.
+
+    Output: (id, sig: array<long>[num_hashes]). The aggregation itself
+    stays the wide num_hashes-min form (one shuffle carrying
+    num_hashes longs per id, map-side combined — the cheapest exact
+    formulation), but the result packs into ONE array column so every
+    downstream plan (banding, prefilter joins) is 2 columns wide
+    instead of 2×num_hashes — narrower codegen, fewer analysis-time
+    expressions, smaller join projections."""
     base = _base_hash_portable if portable else _base_hash
     grams = df.select(
         F.col(id_col).alias("id"),
@@ -139,8 +147,11 @@ def minhash_signatures_df(
     hashed = grams.select(
         "id", *[_permute(F.col("gh"), i).alias(f"h{i}") for i in range(num_hashes)]
     )
-    return hashed.groupBy("id").agg(
+    agg = hashed.groupBy("id").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
     )
 
 
@@ -180,10 +191,10 @@ def lsh_candidate_pairs(
         )
 
     def band_key(b: int) -> Column:
-        cols = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        sl = F.slice("sig", b * rows_per_band + 1, rows_per_band)
         if portable:
-            return F.concat_ws(",", *[c.cast("string") for c in cols])
-        return F.xxhash64(*cols)
+            return F.array_join(F.transform(sl, lambda c: c.cast("string")), ",")
+        return F.xxhash64(sl)
 
     banded = sig.select(
         "id",
@@ -256,15 +267,13 @@ def minhash_near_dupes(
         max_bucket_size=max_bucket_size,
         portable=portable,
     )
-    sig_a = sig.select(
-        F.col("id").alias("a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)]
-    )
-    sig_b = sig.select(
-        F.col("id").alias("b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)]
-    )
+    sig_a = sig.select(F.col("id").alias("a"), F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col("id").alias("b"), F.col("sig").alias("sig_b"))
     with_sigs = cands.join(sig_a, "a").join(sig_b, "b")
-    matches = sum(
-        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(num_hashes)
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
     )
     est_floor = max(0.0, threshold - 0.25)  # ~2σ margin at 32 hashes
     cands = with_sigs.filter(matches / num_hashes >= est_floor).select("a", "b")

@@ -98,7 +98,7 @@ def test_minhash_signature_expression_form(spark):
     df = spark.createDataFrame([(7, "alpha beta gamma delta epsilon")], "doc_id long, text string")
     expr_sig = df.select(minhash_signature("text", 8).alias("s")).collect()[0]["s"]
     df_sig = minhash_signatures_df(df, num_hashes=8).collect()[0]
-    assert expr_sig == [df_sig[f"h{i}"] for i in range(8)]
+    assert expr_sig == list(df_sig["sig"])
 
 
 def test_simhash_expression_matches_df(spark):

@@ -60,7 +60,7 @@ def test_minhash_signature_is_real_minimum(spark, docs):
         minhash_signatures_df,
     )
 
-    sig = {r["id"]: [r[f"h{i}"] for i in range(32)] for r in minhash_signatures_df(docs).collect()}
+    sig = {r["id"]: list(r["sig"]) for r in minhash_signatures_df(docs).collect()}
     # signatures across hash indices must differ (not one function repeated)
     for v in sig.values():
         assert len(set(v)) > 1
