@@ -57,6 +57,52 @@ def global_running_sum(
     )
 
 
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into fixed token-count chunks with overlap —
+    the context-window chunking stage of a training/RAG pipeline.
+    Chunk k covers tokens [k*step, k*step + chunk_size) with
+    step = chunk_size - overlap; the final chunk may be short.
+
+    Pure expressions, zero shuffle: tokenize once, generate the start
+    offsets with ``sequence`` and ``posexplode`` them — the row
+    explosion happens map-side where the document already lives, so at
+    100 TB this is a scan + narrow transform whose output partitioning
+    follows the input. Output: (doc_id, chunk_idx, chunk_text,
+    chunk_tokens).
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    step = chunk_size - overlap
+    toks = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(step)
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            toks.alias("__toks"),
+            F.size(toks).alias("__n"),
+            F.posexplode(starts).alias("chunk_idx", "__start"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.array_join(
+                F.slice("__toks", F.col("__start") + 1, chunk_size), " "
+            ).alias("chunk_text"),
+            F.least(F.lit(chunk_size), F.col("__n") - F.col("__start")).alias(
+                "chunk_tokens"
+            ),
+        )
+    )
+
+
 def pack_greedy(
     df: DataFrame,
     order_col: str,

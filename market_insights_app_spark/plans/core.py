@@ -616,3 +616,83 @@ def q_range_join_sessions(spark: SparkSession, sf: str) -> DataFrame:
     )
     joined = range_join(ev, sessions, "user_id", "ts", "s_start", "s_end", bucket_seconds=900)
     return joined.select("event_id", ts_us("s_start").alias("session_start_us"))
+
+
+def q_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """First-touch ordered funnel over the event stream (Spark-native
+    behavioral-analytics surface; generalizes the reference's
+    client-side stat recomputation, static/main.js:935-988). One
+    map-side-combinable groupBy(user) + a global roll-up — no
+    self-joins, the shape that survives a 100 TB event log."""
+    from market_insights_app_spark.operators.funnel import funnel_first_touch
+
+    return funnel_first_touch(
+        _events(spark, sf), ["signup", "view", "click", "purchase"]
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention matrix: cohort = period of first event,
+    users counted per (cohort, week offset). Two user_id-co-partitioned
+    shuffles; see operators/funnel.py."""
+    from market_insights_app_spark.operators.funnel import cohort_retention
+
+    return cohort_retention(_events(spark, sf))
+
+
+def q_cube_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (event_type, iso day-of-week) with exact DECIMAL
+    totals — completes the multi-dim aggregate surface next to
+    rollup_revenue (SURVEY §2.4 note: no reference counterpart,
+    Spark-native completeness)."""
+    ev = _events(spark, sf).select(
+        "event_type",
+        (F.pmod(F.dayofweek("ts") + 5, F.lit(7)) + 1).cast("int").alias("dow"),
+        F.col("value").cast("decimal(18,2)").alias("vdec"),
+    )
+    return ev.cube("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vdec").cast("double").alias("total"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+def q_pivot_event_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT event_type → per-user count columns (wide-form export
+    shape). Values are enumerated explicitly so the plan is a single
+    groupBy — no extra distinct-values job at scale."""
+    ev = _events(spark, sf)
+    kinds = ["view", "click", "purchase", "signup", "error"]
+    p = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return p.select(
+        "user_id", *[F.col(k).alias(f"n_{k}") for k in kinds]
+    )
+
+
+def q_salted_hot_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage salted aggregation over a deliberately hot key space
+    (5 event types × millions of rows): stage 1 aggregates on
+    (key, salt) spreading each hot key over 16 tasks, stage 2 merges
+    exact partials. Result must equal the plain GROUP BY — the oracle
+    is exactly that."""
+    from market_insights_app_spark.operators.skew import salted_agg
+
+    ev = _events(spark, sf).withColumn(
+        "vdec", F.col("value").cast("decimal(18,2)")
+    )
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {"n": ("*", "count"), "total": ("vdec", "sum"), "vmax": ("value", "max")},
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.col("total").cast("double").alias("total"),
+        F.round("vmax", 6).alias("vmax"),
+    )

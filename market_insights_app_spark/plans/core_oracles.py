@@ -448,3 +448,68 @@ CORE_ORACLES["range_join_sessions"] = f"""
     JOIN sess ON e.user_id = sess.user_id
              AND e.ts >= sess.s_start AND e.ts <= sess.s_end
 """
+
+CORE_ORACLES["funnel_conversion"] = f"""
+    WITH mins AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'signup')   AS m0,
+             min(ts) FILTER (WHERE event_type = 'view')     AS m1,
+             min(ts) FILTER (WHERE event_type = 'click')    AS m2,
+             min(ts) FILTER (WHERE event_type = 'purchase') AS m3
+      FROM {EV_SUB} events GROUP BY user_id),
+    r AS (
+      SELECT (m0 IS NOT NULL) AS r0,
+             (m0 IS NOT NULL AND m1 IS NOT NULL AND m1 > m0) AS r1,
+             (m0 IS NOT NULL AND m1 IS NOT NULL AND m1 > m0
+              AND m2 IS NOT NULL AND m2 > m1) AS r2,
+             (m0 IS NOT NULL AND m1 IS NOT NULL AND m1 > m0
+              AND m2 IS NOT NULL AND m2 > m1
+              AND m3 IS NOT NULL AND m3 > m2) AS r3
+      FROM mins)
+    SELECT 0 AS step_idx, 'signup' AS step,
+           CAST(count(*) FILTER (WHERE r0) AS BIGINT) AS users FROM r
+    UNION ALL
+    SELECT 1, 'view',     CAST(count(*) FILTER (WHERE r1) AS BIGINT) FROM r
+    UNION ALL
+    SELECT 2, 'click',    CAST(count(*) FILTER (WHERE r2) AS BIGINT) FROM r
+    UNION ALL
+    SELECT 3, 'purchase', CAST(count(*) FILTER (WHERE r3) AS BIGINT) FROM r
+"""
+
+CORE_ORACLES["cohort_retention"] = """
+    WITH act AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(floor((CAST(ts AS DATE) - DATE '2024-01-01') / 7) AS BIGINT) AS p
+      FROM events),
+    fc AS (SELECT u, min(p) AS cohort FROM act GROUP BY u)
+    SELECT cohort, p - cohort AS week_offset,
+           CAST(count(DISTINCT act.u) AS BIGINT) AS users
+    FROM act JOIN fc USING (u)
+    GROUP BY cohort, p - cohort
+"""
+
+CORE_ORACLES["cube_agg"] = """
+    WITH e AS (SELECT event_type, CAST(isodow(ts) AS INT) AS dow, value
+               FROM events)
+    SELECT event_type, dow, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           GROUPING(event_type, dow) AS gid
+    FROM e GROUP BY CUBE (event_type, dow)
+"""
+
+CORE_ORACLES["pivot_event_counts"] = """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+           count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+           count(*) FILTER (WHERE event_type = 'error')    AS n_error
+    FROM events GROUP BY user_id
+"""
+
+CORE_ORACLES["salted_hot_agg"] = """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           round(MAX(value), 6) AS vmax
+    FROM events GROUP BY event_type
+"""

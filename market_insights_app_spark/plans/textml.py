@@ -912,3 +912,78 @@ TEXTML_ORACLES["training_corpus"] = f"""
            CAST(SUM(CAST(round(q, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_q
     FROM deduped GROUP BY lang
 """
+
+
+def q_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window chunking for a training/RAG pipeline: 64-token
+    chunks with 16-token overlap. Zero shuffle — tokenize + posexplode
+    happen map-side where the document lives (operators/packing.py:
+    chunk_tokens)."""
+    from market_insights_app_spark.operators.packing import chunk_tokens
+
+    out = chunk_tokens(_docs(spark, sf), chunk_size=64, overlap=16)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_text",
+        F.col("chunk_tokens").cast("long").alias("chunk_tokens"),
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. Term frequencies and document
+    frequencies are two groupBys (the df side reduces to |vocab| rows —
+    AQE broadcasts it back into the join); the per-doc rank orders by
+    the integer pair (tf desc, df asc) so cross-engine ordering never
+    depends on float math, with the float tfidf emitted alongside."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfq, "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+    )
+
+
+TEXTML_ORACLES["doc_chunks"] = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, toks, len(toks) AS n, gs.start AS start
+          FROM t, LATERAL (SELECT unnest(range(0, CAST(greatest(len(toks), 1) AS BIGINT), 48)) AS start) gs)
+    SELECT doc_id,
+           start // 48 AS chunk_idx,
+           array_to_string(list_slice(toks, start + 1, least(start + 64, n)), ' ') AS chunk_text,
+           CAST(least(64, n - start) AS BIGINT) AS chunk_tokens
+    FROM s
+"""
+
+TEXTML_ORACLES["tfidf_top_terms"] = """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                     ORDER BY tf DESC, df ASC, term ASC) AS INT) AS rk
+      FROM scored)
+    SELECT doc_id, term, tf, df, tfidf, rk FROM ranked WHERE rk <= 3
+"""

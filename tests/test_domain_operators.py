@@ -471,3 +471,79 @@ def test_continuous_rollup_answers_match_direct(spark):
         for r in direct.collect()
     }
     assert got == want and got
+
+
+# ---------------------------------------------------------------------------
+# funnel / cohort analytics (operators/funnel.py)
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_first_touch_golden(spark):
+    """u1 completes the full funnel in order; u2's click precedes its
+    view (breaks the chain at 'view'→'click'); u3 only signs up."""
+    from market_insights_app_spark.operators.funnel import funnel_first_touch
+
+    rows = [
+        (1, ts("2024-01-01T00:00:00"), "signup"),
+        (1, ts("2024-01-01T01:00:00"), "view"),
+        (1, ts("2024-01-01T02:00:00"), "click"),
+        (1, ts("2024-01-01T03:00:00"), "purchase"),
+        (2, ts("2024-01-01T00:00:00"), "signup"),
+        (2, ts("2024-01-01T02:00:00"), "view"),
+        (2, ts("2024-01-01T01:00:00"), "click"),  # click BEFORE view
+        (2, ts("2024-01-01T03:00:00"), "purchase"),
+        (3, ts("2024-01-01T00:00:00"), "signup"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        r["step"]: r["users"]
+        for r in funnel_first_touch(
+            df, ["signup", "view", "click", "purchase"]
+        ).collect()
+    }
+    assert out == {"signup": 3, "view": 2, "click": 1, "purchase": 1}
+
+
+def test_cohort_retention_golden(spark):
+    """u1 first active week 0, returns week 1; u2 first active week 1
+    only — matrix rows (cohort, offset, users)."""
+    from market_insights_app_spark.operators.funnel import cohort_retention
+
+    rows = [
+        (1, ts("2024-01-02T00:00:00")),  # week 0
+        (1, ts("2024-01-10T00:00:00")),  # week 1
+        (2, ts("2024-01-09T00:00:00")),  # week 1
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r["cohort"], r["week_offset"]): r["users"]
+        for r in cohort_retention(df).collect()
+    }
+    assert out == {(0, 0): 1, (0, 1): 1, (1, 0): 1}
+
+
+# ---------------------------------------------------------------------------
+# chunking (operators/packing.py chunk_tokens)
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_tokens_overlap_and_tail(spark):
+    from market_insights_app_spark.operators.packing import chunk_tokens
+
+    text = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = chunk_tokens(df, chunk_size=4, overlap=1).orderBy("chunk_idx").collect()
+    # step=3 → starts 0,3,6,9
+    assert [r["chunk_idx"] for r in out] == [0, 1, 2, 3]
+    assert out[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert out[1]["chunk_text"] == "t3 t4 t5 t6"  # 1-token overlap
+    assert out[3]["chunk_text"] == "t9"  # short tail
+    assert [r["chunk_tokens"] for r in out] == [4, 4, 4, 1]
+
+
+def test_chunk_tokens_rejects_bad_overlap(spark):
+    from market_insights_app_spark.operators.packing import chunk_tokens
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_tokens(df, chunk_size=4, overlap=4)
