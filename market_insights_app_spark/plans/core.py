@@ -696,3 +696,32 @@ def q_salted_hot_agg(spark: SparkSession, sf: str) -> DataFrame:
         F.col("total").cast("double").alias("total"),
         F.round("vmax", 6).alias("vmax"),
     )
+
+
+def q_click_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Purchase→click attribution: each purchase matched to every
+    click by the same user in the preceding 30 minutes. Point-to-point
+    interval join expressed through the bucketized range_join (clicks
+    become [ts, ts+30m] intervals) — an equi-join on (user, time cell)
+    plus the exact range predicate, never a theta cross-product. The
+    streaming twin is streaming.ingest.interval_join_stream."""
+    from market_insights_app_spark.operators.joins import range_join
+
+    ev = _events(spark, sf)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("cend"),
+    )
+    j = range_join(purchases, clicks, "user_id", "pts", "cts", "cend", bucket_seconds=900)
+    return j.select(
+        "purchase_id",
+        "click_id",
+        (F.unix_micros("pts") - F.unix_micros("cts")).alias("delta_us"),
+    )

@@ -513,3 +513,12 @@ CORE_ORACLES["salted_hot_agg"] = """
            round(MAX(value), 6) AS vmax
     FROM events GROUP BY event_type
 """
+
+CORE_ORACLES["click_attribution"] = f"""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS delta_us
+    FROM {EV_SUB} p JOIN {EV_SUB} c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""

@@ -345,3 +345,35 @@ def latest_wins_batch(batch: DataFrame, target_path: str, key_cols: list[str], v
     out = latest_wins(merged, key_cols, version_col)
     out.write.mode("overwrite").parquet(target_path + "_tmp")
     spark.read.parquet(target_path + "_tmp").write.mode("overwrite").parquet(target_path)
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join bounded by an event-time interval:
+    left rows matched to right rows with the same key and
+    right_ts <= left_ts <= right_ts + ``within`` (e.g. purchases
+    attributed to the clicks of the preceding 30 minutes — the
+    streaming twin of plans.core.q_click_attribution).
+
+    Both sides are watermarked; together with the two-sided time-range
+    predicate this lets Spark bound the join state (a buffered row can
+    be evicted once the other side's watermark passes ts + within —
+    without the range condition, stream-stream join state grows
+    forever). Column names must be disjoint across the two inputs so
+    the equi/range conditions are unambiguous."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(left_key) == F.col(right_key))
+        & (F.col(left_ts) >= F.col(right_ts))
+        & (F.col(left_ts) <= F.col(right_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond)

@@ -417,3 +417,41 @@ def test_latest_wins_batch_sink(spark, tmp_path):
     latest_wins_batch(b2, target, ["token"], "version")
     got = {r["token"]: (r["email"], r["version"]) for r in spark.read.parquet(target).collect()}
     assert got == {"t1": ("a2@x", 2), "t2": ("b@x", 1), "t3": ("c@x", 1)}
+
+
+def test_interval_join_stream_matches_batch(spark, stream):
+    """Stream-stream purchase→click attribution join == the batch
+    range_join twin (plans.core.q_click_attribution) on the same data."""
+    from market_insights_app_spark.plans.core import q_click_attribution
+    from market_insights_app_spark.streaming.ingest import (
+        interval_join_stream,
+        run_available_now_to_memory,
+    )
+
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    joined = interval_join_stream(
+        purchases, clicks, "p_user", "c_user", "pts", "cts",
+        within="30 minutes", watermark="10 minutes",
+    ).select("purchase_id", "click_id")
+    run_available_now_to_memory(joined, "t_interval_join", "append")
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM t_interval_join").collect()
+    }
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in q_click_attribution(spark, SF).collect()
+    }
+    # single availableNow pass: nothing is dropped by the watermark
+    # (state eviction only removes rows that can no longer match)
+    assert got == want
+    assert len(got) > 0
