@@ -653,3 +653,80 @@ def dedup_corpus(
         F.col("id").alias(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination & blocked fuzzy matching
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: drop every training document that
+    shares at least one word ``shingle_n``-gram with the evaluation
+    set (the standard n-gram-overlap rule used to keep test benchmarks
+    out of web-scale training corpora).
+
+    Scale shape: the eval side is tiny relative to training data, so
+    its distinct gram set is BROADCAST — the exploded training grams
+    are probed map-side and never shuffled for the join. Contaminated
+    ids then collapse via one groupBy shuffle and are removed with a
+    left-anti join. At 100 TB of training text the only wide exchange
+    is the distinct over contaminated ids (bounded by corpus
+    cardinality, not gram cardinality)."""
+    eval_grams = (
+        eval_set.select(F.explode(word_shingles(text_col, shingle_n)).alias("g"))
+        .distinct()
+    )
+    train_grams = train.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("g"),
+    )
+    contaminated = (
+        train_grams.join(F.broadcast(eval_grams), "g")
+        .select(F.col("__id").alias(id_col))
+        .distinct()
+    )
+    return train.join(contaminated, on=id_col, how="left_anti")
+
+
+def blocked_fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    max_distance: int = 2,
+) -> DataFrame:
+    """Entity-resolution candidate pairs: rows agreeing on every
+    blocking column whose ``text_col`` values are within Levenshtein
+    ``max_distance``. Output (a, b, distance) with a < b.
+
+    Blocking is what makes this scale: the self-join is an equi-join
+    on the block key, so the quadratic edit-distance work is confined
+    to each block instead of the full corpus (classic blocking from
+    the record-linkage literature). Degenerate hot blocks should be
+    capped or sub-blocked upstream (same policy as
+    ``lsh_candidate_pairs``'s max_bucket_size); the JVM-side
+    ``levenshtein`` expression keeps the verify step in codegen."""
+    sel = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("t"), *block_cols
+    )
+    l, r = sel.alias("l"), sel.alias("r")
+    block_cond = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in block_cols]
+    cond = block_cond[0]
+    for c in block_cond[1:]:
+        cond = cond & c
+    return (
+        l.join(r, cond & (F.col("l.id") < F.col("r.id")))
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.levenshtein(F.col("l.t"), F.col("r.t")).alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+    )

@@ -987,3 +987,88 @@ TEXTML_ORACLES["tfidf_top_terms"] = """
       FROM scored)
     SELECT doc_id, term, tf, df, tfidf, rk FROM ranked WHERE rk <= 3
 """
+
+
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 97 == 0 stand in
+    for an eval benchmark; every other doc sharing a word trigram with
+    that set is removed (operators/dedup.py: decontaminate — broadcast
+    eval-gram semi-join, one wide exchange on contaminated ids)."""
+    from market_insights_app_spark.operators.dedup import decontaminate
+
+    docs = _docs(spark, sf)
+    eval_set = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    kept = decontaminate(train, eval_set, shingle_n=3)
+    return kept.select("doc_id", "source", "n_chars")
+
+
+def q_fuzzy_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocked entity resolution on customer names: pairs agreeing on
+    (nation, mktsegment) within Levenshtein distance 2
+    (operators/dedup.py: blocked_fuzzy_pairs — the quadratic edit-
+    distance verify is confined to each block by the equi-join)."""
+    from market_insights_app_spark.operators.dedup import blocked_fuzzy_pairs
+
+    cust = load_table(spark, sf, "customer")
+    return blocked_fuzzy_pairs(
+        cust, "c_custkey", "c_name", ["c_nationkey", "c_mktsegment"], max_distance=2
+    )
+
+
+def q_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted index over the corpus: term → document frequency +
+    head of the sorted posting list. Distinct (doc, term) pairs from a
+    map-side explode, then a single groupBy(term); posting lists are
+    capped at 10 ids so the result stays bounded however large the
+    corpus (full lists would be written table-valued, not collected)."""
+    docs = _docs(spark, sf)
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.tokens(TX.normalize_text("text")))).alias(
+            "term"
+        ),
+    )
+    return terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10), ","
+        ).alias("postings_head"),
+    )
+
+
+TEXTML_ORACLES["decontaminate"] = f"""
+    WITH toks AS (SELECT doc_id, list_filter(string_split({_NORM_SQL}, ' '),
+                                             x -> x <> '') AS w
+                  FROM documents),
+    grams AS (SELECT doc_id,
+                     unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+                            i -> array_to_string(w[i:i+2], ' '))) AS g
+              FROM toks),
+    eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+    contaminated AS (SELECT DISTINCT t.doc_id
+                     FROM grams t JOIN eval_g e USING (g)
+                     WHERE t.doc_id % 97 <> 0)
+    SELECT d.doc_id, d.source, d.n_chars FROM documents d
+    WHERE d.doc_id % 97 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
+
+TEXTML_ORACLES["fuzzy_match"] = """
+    SELECT l.c_custkey AS a, r.c_custkey AS b,
+           CAST(levenshtein(l.c_name, r.c_name) AS INT) AS distance
+    FROM customer l JOIN customer r
+      ON l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment
+     AND l.c_custkey < r.c_custkey
+    WHERE levenshtein(l.c_name, r.c_name) <= 2
+"""
+
+TEXTML_ORACLES["inverted_index"] = f"""
+    WITH t AS (SELECT DISTINCT doc_id,
+                      unnest(list_filter(string_split({_NORM_SQL}, ' '),
+                                         x -> x <> '')) AS term
+               FROM documents)
+    SELECT term, COUNT(*) AS df,
+           array_to_string((list(doc_id ORDER BY doc_id))[1:10], ',') AS postings_head
+    FROM t GROUP BY term
+"""

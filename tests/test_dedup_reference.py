@@ -251,3 +251,42 @@ def test_cosine_topk_many(spark):
         by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cosine"]))
     assert sorted(v for _, v, c in by_q[100] if c == 1.0) == [0, 3, 6]
     assert sorted(v for _, v, c in by_q[200] if c == 1.0) == [1, 4, 7]
+
+
+def test_decontaminate_ngram_overlap(spark):
+    """Docs sharing a word trigram with the eval set are dropped;
+    shorter-than-n and disjoint docs survive."""
+    from market_insights_app_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),      # contains eval trigram
+            (2, "totally different words here"),   # clean
+            (3, "two words"),                      # < 3 tokens → no grams
+            (4, "QUICK   brown FOX and more"),     # normalized match
+        ],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, "a quick brown fox ran")], "doc_id long, text string"
+    )
+    kept = sorted(r["doc_id"] for r in decontaminate(train, eval_set).collect())
+    assert kept == [2, 3]
+
+
+def test_blocked_fuzzy_pairs(spark):
+    """Only same-block pairs are compared; distance filter and a<b
+    ordering hold."""
+    from market_insights_app_spark.operators.dedup import blocked_fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "jonathan", "us"),
+            (2, "jonathen", "us"),   # distance 1, same block
+            (3, "jonathan", "fr"),   # identical text, different block
+            (4, "zzzzzzzz", "us"),   # same block, far away
+        ],
+        "id long, name string, country string",
+    )
+    out = blocked_fuzzy_pairs(df, "id", "name", ["country"], max_distance=2).collect()
+    assert [(r["a"], r["b"], r["distance"]) for r in out] == [(1, 2, 1)]
