@@ -196,3 +196,43 @@ def rollup_range_agg(
         F.min("min_v").alias("min_v"),
         F.max("max_v").alias("max_v"),
     )
+
+
+# --- RSI (Cutler's simple-average form) ------------------------------------
+def rsi(value: Column | str, w: WindowSpec, n: int = 14) -> Column:
+    """Relative Strength Index over the trailing ``n`` deltas —
+    Cutler's simple-average variant (window-expressible; Wilder's
+    smoothed form is recursive and lives with the stateful streaming
+    EMA). RSI = 100·G/(G+L) where G/L are trailing sums of gains and
+    losses; gains/losses accumulate in DECIMAL so both engines sum
+    exactly, the final ratio is one double expression. Null during
+    warm-up (first n deltas) and on flat windows (G+L = 0)."""
+    v = (F.col(value) if isinstance(value, str) else value).cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    delta = v - F.lag(v, 1).over(w)
+    gain = F.when(delta > 0, delta).otherwise(zero)
+    loss = F.when(delta < 0, -delta).otherwise(zero)
+    g = F.sum(gain).over(trailing(w, n)).cast("double")
+    l = F.sum(loss).over(trailing(w, n)).cast("double")
+    warm = F.row_number().over(w) >= n + 1
+    return F.when(warm & ((g + l) > 0), (F.lit(100.0) * g) / (g + l))
+
+
+# --- Bollinger bands -------------------------------------------------------
+def bollinger(
+    value: Column | str, w: WindowSpec, n: int = 20, k: float = 2.0
+) -> tuple[Column, Column, Column]:
+    """(upper, lower, %B) bands: SMA(n) ± k·stddev_samp(n); %B is the
+    position of the price inside the band. Mid goes through the exact
+    DECIMAL sum; the stddev terms carry float noise so callers round
+    them (4 dp, same policy as rolling_stddev)."""
+    v = F.col(value) if isinstance(value, str) else value
+    mid = (
+        F.sum(v.cast("decimal(18,2)")).over(trailing(w, n)).cast("double") / n
+    )
+    sd = F.stddev_samp(v).over(trailing(w, n))
+    warm = F.row_number().over(w) >= n
+    upper = F.when(warm, mid + k * sd)
+    lower = F.when(warm, mid - k * sd)
+    pctb = F.when(warm & (sd > 0), (v - (mid - k * sd)) / ((2 * k) * sd))
+    return upper, lower, pctb

@@ -725,3 +725,62 @@ def q_click_attribution(spark: SparkSession, sf: str) -> DataFrame:
         "click_id",
         (F.unix_micros("pts") - F.unix_micros("cts")).alias("delta_us"),
     )
+
+
+def q_rsi14(spark: SparkSession, sf: str) -> DataFrame:
+    """Cutler RSI(14) per series (operators/windows.py: rsi) — the
+    indicator family's momentum member next to SMA/stddev/slope.
+    One window partition key throughout, so it pipelines with the
+    other per-series indicators without a second exchange."""
+    ev = _events(spark, sf)
+    return ev.select("event_id", W.rsi("value", EVENTS_W(), 14).alias("rsi14"))
+
+
+def q_bollinger(spark: SparkSession, sf: str) -> DataFrame:
+    """Bollinger(20, 2) bands + %B (operators/windows.py: bollinger).
+    Band mid uses the exact DECIMAL rolling sum; stddev-derived
+    outputs round at 4 dp (same policy as rolling_stddev10)."""
+    ev = _events(spark, sf)
+    upper, lower, pctb = W.bollinger("value", EVENTS_W(), 20, 2.0)
+    return ev.select(
+        "event_id",
+        F.round(upper, 4).alias("bb_upper"),
+        F.round(lower, 4).alias("bb_lower"),
+        F.round(pctb, 4).alias("pct_b"),
+    )
+
+
+def q_autocorr_lag1(spark: SparkSession, sf: str) -> DataFrame:
+    """Lag-1 autocorrelation of each series: Pearson corr of
+    (value, lag(value)) per user. All six sufficient statistics
+    (n, Σx, Σy, Σxy, Σx², Σy²) accumulate in DECIMAL — exact and
+    summation-order-free in both engines — and the correlation is one
+    double expression over them, so the result is bit-identical
+    cross-engine without rounding. One window pass + one groupBy."""
+    ev = _events(spark, sf)
+    w = EVENTS_W()
+    v = F.col("value").cast("decimal(18,2)")
+    pairs = ev.select(
+        "user_id",
+        v.alias("y"),
+        F.lag(v, 1).over(w).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    stats = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    num = nd * sxy - sx * sy
+    den = F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+    return stats.select(
+        "user_id",
+        "n_pairs",
+        F.when(den > 0, num / den).alias("corr_lag1"),
+    )

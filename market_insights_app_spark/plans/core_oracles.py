@@ -522,3 +522,63 @@ CORE_ORACLES["click_attribution"] = f"""
      AND p.event_type = 'purchase' AND c.event_type = 'click'
      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
 """
+
+CORE_ORACLES["rsi14"] = f"""
+    SELECT event_id,
+           CASE WHEN rn >= 15 AND g + l > 0 THEN (100.0 * g) / (g + l) END AS rsi14
+    FROM (
+      SELECT event_id, rn,
+             CAST(SUM(CASE WHEN delta > 0 THEN delta
+                           ELSE CAST(0 AS DECIMAL(18,2)) END)
+                  OVER (w2 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS DOUBLE) AS g,
+             CAST(SUM(CASE WHEN delta < 0 THEN -delta
+                           ELSE CAST(0 AS DECIMAL(18,2)) END)
+                  OVER (w2 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS DOUBLE) AS l
+      FROM (
+        SELECT event_id, user_id, ts, row_number() OVER w AS rn,
+               CAST(value AS DECIMAL(18,2))
+                 - lag(CAST(value AS DECIMAL(18,2))) OVER w AS delta
+        FROM events WINDOW w AS ({W_EVENTS}))
+      WINDOW w2 AS ({W_EVENTS}))
+"""
+
+CORE_ORACLES["bollinger"] = f"""
+    SELECT event_id,
+           round(CASE WHEN rn >= 20 THEN mid + 2.0 * sd END, 4) AS bb_upper,
+           round(CASE WHEN rn >= 20 THEN mid - 2.0 * sd END, 4) AS bb_lower,
+           round(CASE WHEN rn >= 20 AND sd > 0
+                 THEN (value - (mid - 2.0 * sd)) / (4.0 * sd) END, 4) AS pct_b
+    FROM (
+      SELECT event_id, value, row_number() OVER w AS rn,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                  OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS DOUBLE) / 20 AS mid,
+             stddev_samp(value)
+               OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sd
+      FROM events WINDOW w AS ({W_EVENTS}))
+"""
+
+CORE_ORACLES["autocorr_lag1"] = f"""
+    WITH pairs AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(18,2)) AS y,
+             lag(CAST(value AS DECIMAL(18,2))) OVER ({W_EVENTS}) AS x
+      FROM events),
+    stats AS (
+      SELECT user_id, COUNT(*) AS n_pairs,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+             SUM(x*x) AS sxx, SUM(y*y) AS syy
+      FROM pairs WHERE x IS NOT NULL GROUP BY user_id)
+    SELECT user_id, n_pairs,
+           CASE WHEN sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) > 0
+                THEN (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           END AS corr_lag1
+    FROM stats
+"""

@@ -547,3 +547,62 @@ def test_chunk_tokens_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         chunk_tokens(df, chunk_size=4, overlap=4)
+
+
+# ---------------------------------------------------------------------------
+# indicator family additions (operators/windows.py rsi / bollinger)
+# ---------------------------------------------------------------------------
+
+
+def test_rsi_golden(spark):
+    """RSI(2) on a hand-computed series: gains/losses over the trailing
+    2 deltas. Series 1,2,4,3,5 → deltas _,+1,+2,-1,+2."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from market_insights_app_spark.operators.windows import rsi
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([1, 2, 4, 3, 5])], "i long, value double"
+    )
+    w = Window.orderBy("i")
+    out = [r["rsi"] for r in df.select(rsi("value", w, 2).alias("rsi")).orderBy("i").collect()]
+    # warm-up: rows 0,1 (fewer than 2 deltas) → null
+    assert out[0] is None and out[1] is None
+    assert out[2] == 100.0            # G=3, L=0
+    assert abs(out[3] - 100 * 2 / 3) < 1e-12   # G=2, L=1
+    assert abs(out[4] - 100 * 2 / 3) < 1e-12   # G=2, L=1
+
+
+def test_rsi_flat_window_null(spark):
+    from pyspark.sql.window import Window
+
+    from market_insights_app_spark.operators.windows import rsi
+
+    df = spark.createDataFrame([(i, 5.0) for i in range(4)], "i long, value double")
+    out = df.select(rsi("value", Window.orderBy("i"), 2).alias("rsi")).collect()
+    assert all(r["rsi"] is None for r in out)  # G+L = 0 everywhere
+
+
+def test_bollinger_golden(spark):
+    """Bollinger(3, 1): mid=avg, sd=sample stddev of trailing 3."""
+    import statistics
+
+    from pyspark.sql.window import Window
+
+    from market_insights_app_spark.operators.windows import bollinger
+
+    vals = [1.0, 2.0, 3.0, 6.0]
+    df = spark.createDataFrame(list(enumerate(vals)), "i long, value double")
+    u, lo, pb = bollinger("value", Window.orderBy("i"), 3, 1.0)
+    rows = (
+        df.select("i", "value", u.alias("u"), lo.alias("lo"), pb.alias("pb"))
+        .orderBy("i")
+        .collect()
+    )
+    assert rows[0]["u"] is None and rows[1]["u"] is None  # warm-up
+    for r, window in [(rows[2], vals[0:3]), (rows[3], vals[1:4])]:
+        mid, sd = sum(window) / 3, statistics.stdev(window)
+        assert abs(r["u"] - (mid + sd)) < 1e-9
+        assert abs(r["lo"] - (mid - sd)) < 1e-9
+        assert abs(r["pb"] - (r["value"] - (mid - sd)) / (2 * sd)) < 1e-9
