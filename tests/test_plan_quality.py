@@ -132,3 +132,48 @@ def test_take_ordered_not_global_sort(spark):
 
     p = plan_of(QUERIES["recent_n_tail"](spark, SF_ORACLE))
     assert "TakeOrderedAndProject" in p
+
+
+def test_interval_join_no_cartesian(spark):
+    """The purchase→click attribution must stay an equi-join on
+    (user, time cell) with the range as residual — never a cartesian /
+    nested-loop product."""
+    from market_insights_app_spark.plans.registry import QUERIES
+
+    p = plan_of(QUERIES["click_attribution"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """Both the eval-gram probe and the contaminated-id anti join must
+    broadcast: the exploded training grams are never shuffled for a
+    join."""
+    from market_insights_app_spark.plans.registry import QUERIES
+
+    p = plan_of(QUERIES["decontaminate"](spark, SF_ORACLE))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_autocorr_single_exchange(spark):
+    """The groupBy(user_id) must reuse the lag window's hash
+    partitioning — one exchange total."""
+    from market_insights_app_spark.plans.registry import QUERIES
+
+    p = plan_of(QUERIES["autocorr_lag1"](spark, SF_ORACLE))
+    tree = p.split("\n\n")[0]  # the plan tree, before the node details
+    assert tree.count("Exchange") == 1
+
+
+def test_fuzzy_match_is_equi_join(spark):
+    """Blocking must surface as join keys (hash-partitioned equi-join
+    or broadcast), with the edit distance as a residual filter — the
+    plan must not degrade to a nested-loop over the full table."""
+    from market_insights_app_spark.plans.registry import QUERIES
+
+    p = plan_of(QUERIES["fuzzy_match"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "levenshtein" in p
