@@ -108,3 +108,178 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# real transform kernels over (fake-)decoded pixels / samples
+#
+# Only the CODEC is container-blocked. Everything after decode —
+# bilinear resize, per-channel statistics, RMS/zero-crossing audio
+# features — is real, pure-numpy math, Arrow-batched through
+# mapInPandas. Swapping the fake decoder for PIL/ffmpeg later changes
+# one function and nothing else in the plan.
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [T.StructField("media_id", T.LongType())]
+    + [
+        T.StructField(f"{stat}_{ch}", T.DoubleType())
+        for stat in ("mean", "std")
+        for ch in ("r", "g", "b")
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zcr", T.DoubleType()),
+    ]
+)
+
+
+def fake_decode_image(payload: bytes, width, height):
+    """Deterministic stand-in for an image codec: tile the payload
+    bytes into an (h, w, 3) uint8 array. Replace with PIL when the
+    container has it — everything downstream is codec-agnostic."""
+    import numpy as np
+
+    # nullable int columns surface as NaN in pandas batches
+    h = 8 if height is None or pd.isna(height) else int(height)
+    w = 8 if width is None or pd.isna(width) else int(width)
+    src = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+    return np.resize(src, (h, w, 3))
+
+
+def fake_decode_audio(payload: bytes):
+    """Deterministic stand-in for an audio codec: bytes → float
+    samples in [-1, 1]."""
+    import numpy as np
+
+    src = np.frombuffer(payload or b"", dtype=np.uint8)
+    return src.astype(np.float64) / 127.5 - 1.0
+
+
+def bilinear_resize(img, out_h: int, out_w: int):
+    """Half-pixel-center bilinear resample, vectorized numpy — the
+    same convention as PIL/OpenCV's default. Real math, not a stub."""
+    import numpy as np
+
+    h, w, _ = img.shape
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0f, x0f = np.floor(ys), np.floor(xs)
+    wy = (ys - y0f)[:, None, None]
+    wx = (xs - x0f)[None, :, None]
+    y0 = np.clip(y0f.astype(int), 0, h - 1)
+    y1 = np.clip(y0f.astype(int) + 1, 0, h - 1)
+    x0 = np.clip(x0f.astype(int), 0, w - 1)
+    x1 = np.clip(x0f.astype(int) + 1, 0, w - 1)
+    f = img.astype(np.float64)
+    top = f[y0][:, x0] * (1 - wx) + f[y0][:, x1] * wx
+    bot = f[y1][:, x0] * (1 - wx) + f[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _require_fake(fake: bool) -> None:
+    if not fake:
+        raise NotImplementedError(
+            "media decode requires PIL/ffmpeg (not in this container); "
+            "pass fake=True for the deterministic test decoder"
+        )
+
+
+def resize_media(df: DataFrame, out_w: int, out_h: int, fake: bool = False) -> DataFrame:
+    """Decode → bilinear-resize every image to (out_w, out_h); output
+    raw RGB bytes + the new dims. The resize itself is real numpy."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            _require_fake(fake)
+            rows = []
+            for _, row in pdf.iterrows():
+                img = fake_decode_image(row["payload"], row.get("width"), row.get("height"))
+                small = bilinear_resize(img, out_h, out_w)
+                rows.append(
+                    {
+                        "media_id": row["media_id"],
+                        "kind": row["kind"],
+                        "width": out_w,
+                        "height": out_h,
+                        "pixels": small.tobytes(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return df.mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+def image_channel_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode → per-channel mean/std feature vector (the classic
+    cheap image-quality signal for a training-data pipeline)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            _require_fake(fake)
+            rows = []
+            for _, row in pdf.iterrows():
+                img = fake_decode_image(
+                    row["payload"], row.get("width"), row.get("height")
+                ).astype("float64")
+                rows.append(
+                    {
+                        "media_id": row["media_id"],
+                        **{
+                            f"mean_{ch}": float(img[:, :, i].mean())
+                            for i, ch in enumerate("rgb")
+                        },
+                        **{
+                            f"std_{ch}": float(img[:, :, i].std())
+                            for i, ch in enumerate("rgb")
+                        },
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
+
+
+def audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode → RMS level + zero-crossing rate per clip — real DSP on
+    the decoded waveform."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            _require_fake(fake)
+            rows = []
+            for _, row in pdf.iterrows():
+                s = fake_decode_audio(row["payload"])
+                n = int(s.size)
+                rms = float(np.sqrt(np.mean(s * s))) if n else 0.0
+                zcr = (
+                    float(np.mean(np.sign(s[1:]) != np.sign(s[:-1]))) if n > 1 else 0.0
+                )
+                rows.append(
+                    {"media_id": row["media_id"], "n_samples": n, "rms": rms, "zcr": zcr}
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)

@@ -1072,3 +1072,37 @@ TEXTML_ORACLES["inverted_index"] = f"""
            array_to_string((list(doc_id ORDER BY doc_id))[1:10], ',') AS postings_head
     FROM t GROUP BY term
 """
+
+
+def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Image-feature pipeline over binary media columns: fake decode
+    (codec container-blocked) → REAL numpy bilinear resize to 8×8 →
+    per-channel mean/std (operators/multimodal.py). Rows-only for the
+    driver — the kernels have golden-value unit tests; the decode stub
+    is the only fake stage."""
+    from market_insights_app_spark.operators.multimodal import (
+        image_channel_features,
+        resize_media,
+    )
+
+    docs = _docs(spark, sf)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+    )
+    resized = resize_media(media, 8, 8, fake=True).select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        F.col("pixels").alias("payload"),
+        "width",
+        "height",
+    )
+    feats = image_channel_features(resized, fake=True)
+    return feats.select(
+        "media_id",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("std_r", 4).alias("std_r"),
+    )

@@ -455,3 +455,74 @@ def test_interval_join_stream_matches_batch(spark, stream):
     # (state eviction only removes rows that can no longer match)
     assert got == want
     assert len(got) > 0
+
+
+def test_bilinear_resize_golden():
+    """Identity, constant-fill, and a real interpolating downscale —
+    hand-checked half-pixel-center math (no Spark needed)."""
+    import numpy as np
+
+    from market_insights_app_spark.operators.multimodal import bilinear_resize
+
+    img = np.array([[[0], [100]], [[200], [40]]], dtype=np.uint8).repeat(3, axis=2)
+    assert (bilinear_resize(img, 2, 2) == img).all()  # identity
+
+    one = np.full((1, 1, 3), 77, dtype=np.uint8)
+    assert (bilinear_resize(one, 3, 3) == 77).all()  # constant fill
+
+    # 4x4 with per-row constant values 0,40,80,120 → 2x2 rows sample at
+    # y=0.5 and y=2.5: midpoints 20 and 100
+    grad = np.zeros((4, 4, 3), dtype=np.uint8)
+    for r in range(4):
+        grad[r, :, :] = r * 40
+    out = bilinear_resize(grad, 2, 2)
+    assert (out[0] == 20).all() and (out[1] == 100).all()
+
+
+def test_resize_media_and_channel_features(spark):
+    import numpy as np
+
+    from market_insights_app_spark.operators.multimodal import (
+        fake_decode_image,
+        image_channel_features,
+        resize_media,
+    )
+
+    payload = bytes(range(192))  # exactly fills 8x8x3
+    media = spark.createDataFrame(
+        [(1, "image", payload, None, None)],
+        "media_id long, kind string, payload binary, width int, height int",
+    )
+    r = resize_media(media, 4, 4, fake=True).collect()[0]
+    assert (r["width"], r["height"]) == (4, 4)
+    assert len(r["pixels"]) == 4 * 4 * 3
+    # the kernel output equals the reference composition run locally
+    want = fake_decode_image(payload, None, None)
+    from market_insights_app_spark.operators.multimodal import bilinear_resize
+
+    assert r["pixels"] == bilinear_resize(want, 4, 4).tobytes()
+
+    f = image_channel_features(media, fake=True).collect()[0]
+    tiled = np.arange(192, dtype=np.float64).reshape(8, 8, 3)
+    for i, ch in enumerate("rgb"):
+        assert abs(f[f"mean_{ch}"] - tiled[:, :, i].mean()) < 1e-9
+        assert abs(f[f"std_{ch}"] - tiled[:, :, i].std()) < 1e-9
+
+
+def test_audio_features_golden(spark):
+    from market_insights_app_spark.operators.multimodal import audio_features
+
+    media = spark.createDataFrame(
+        [(1, "audio", bytes([0, 255, 0, 255])), (2, "audio", bytes([128, 128]))],
+        "media_id long, kind string, payload binary",
+    )
+    out = {r["media_id"]: r for r in audio_features(media, fake=True).collect()}
+    assert out[1]["n_samples"] == 4
+    assert abs(out[1]["rms"] - 1.0) < 1e-9   # alternating full-scale
+    assert abs(out[1]["zcr"] - 1.0) < 1e-9   # sign flips every sample
+    assert out[2]["zcr"] == 0.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|PIL|ffmpeg"):
+        audio_features(media, fake=False).collect()
