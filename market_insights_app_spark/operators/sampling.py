@@ -107,3 +107,45 @@ def stratified_cap(
         F.lit(1.0), F.lit(float(cap)) / F.col("__gn")
     )
     return out.filter(keep).drop("__gn")
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Deterministic mixture resampling: downsample each group so the
+    surviving corpus matches the target proportions ``weights`` (the
+    training-data mixing step — e.g. web 0.5 / books 0.3 / code 0.2).
+
+    ``weights`` are RELATIVE proportions over the listed groups; groups
+    absent from ``weights`` are dropped (the mixture spec is the
+    allowlist). The binding group — smallest |group|/weight ratio — is
+    kept (almost) whole and every other group is thinned to match, so
+    the output is the LARGEST corpus achieving the target mixture.
+
+    Scale shape mirrors ``stratified_cap``: group sizes via one tiny
+    aggregate, the feasible total via a one-row global min, per-group
+    keep-rates broadcast back, and the keep decision itself a pure
+    (salt, id) hash predicate — no rank window, no per-group sort, no
+    RNG state; identical across engines, reruns, and repartitioning.
+    Bernoulli with exact expectation rather than exact counts (same
+    contract as ``stratified_cap``)."""
+    spark = df.sparkSession
+    w_df = spark.createDataFrame(
+        sorted((g, float(w)) for g, w in weights.items()),
+        f"{group_col} string, __w double",
+    )
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__gn"))
+    j = counts.join(F.broadcast(w_df), group_col)
+    n_cap = j.agg(F.min(F.floor(F.col("__gn") / F.col("__w"))).alias("__N"))
+    rates = j.crossJoin(F.broadcast(n_cap)).select(
+        group_col,
+        F.least(
+            F.lit(1.0), F.col("__N") * F.col("__w") / F.col("__gn")
+        ).alias("__rate"),
+    )
+    out = df.join(F.broadcast(rates), group_col)
+    return out.filter(hash_fraction(id_col, salt) < F.col("__rate")).drop("__rate")

@@ -1106,3 +1106,32 @@ def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
         F.round("mean_r", 4).alias("mean_r"),
         F.round("std_r", 4).alias("std_r"),
     )
+
+
+def q_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-data mixing: resample sources src1/src2/src3 to a
+    50/30/20 target mixture (operators/sampling.mixture_sample — pure
+    hash predicate selection, largest feasible corpus). Returns the
+    surviving (doc_id, source) rows so the differential check covers
+    the exact selection, not just the counts."""
+    from market_insights_app_spark.operators.sampling import mixture_sample
+
+    docs = _docs(spark, sf)
+    kept = mixture_sample(
+        docs, {"src1": 0.5, "src2": 0.3, "src3": 0.2}, group_col="source"
+    )
+    return kept.select("doc_id", "source")
+
+
+TEXTML_ORACLES["mixture_sample"] = """
+    WITH w(source, w) AS (VALUES ('src1', 0.5), ('src2', 0.3), ('src3', 0.2)),
+    c AS (SELECT source, COUNT(*) AS gn FROM documents GROUP BY 1),
+    j AS (SELECT c.source, c.gn, CAST(w.w AS DOUBLE) AS w
+          FROM c JOIN w USING (source)),
+    n AS (SELECT min(CAST(floor(gn / w) AS BIGINT)) AS N FROM j),
+    r AS (SELECT j.source, least(1.0, n.N * j.w / j.gn) AS rate FROM j, n)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r USING (source)
+    WHERE CAST(('0x' || substr(md5('mix-v1:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) / 4294967296.0 < r.rate
+"""

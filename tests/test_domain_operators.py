@@ -288,6 +288,34 @@ def test_stratified_cap_deterministic_and_capped(spark):
     assert abs(by_lang["big"] - 90) <= 30  # Bernoulli expectation ≈ cap
 
 
+def test_mixture_sample_proportions_and_allowlist(spark):
+    from market_insights_app_spark.operators.sampling import mixture_sample
+
+    # web is abundant, books is the binding group for a 50/30/20 target
+    # (600/0.3 = 2000 is the smallest avail/weight ratio), junk is unlisted
+    rows = (
+        [(i, "web") for i in range(4000)]
+        + [(10_000 + i, "books") for i in range(600)]
+        + [(20_000 + i, "code") for i in range(900)]
+        + [(30_000 + i, "junk") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = mixture_sample(df, {"web": 0.5, "books": 0.3, "code": 0.2})
+    by = {r["source"]: r["count"] for r in kept.groupBy("source").count().collect()}
+    assert "junk" not in by  # weights are the allowlist
+    assert by["books"] == 600  # binding group kept whole (rate = 1.0)
+    # N = 2000 → expectations web 1000, code 400 (Bernoulli, ±4σ)
+    assert abs(by["web"] - 1000) < 4 * (1000 * 0.75) ** 0.5
+    assert abs(by["code"] - 400) < 4 * (400 * (1 - 400 / 900)) ** 0.5
+    # deterministic: same (salt, id) decisions on rerun
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in mixture_sample(df, {"web": 0.5, "books": 0.3, "code": 0.2}).collect()
+    )
+    assert a == b
+
+
 def test_global_running_sum_matches_single_window(spark):
     """Distributed prefix sum (range partitions + broadcast offsets)
     must equal the naive single-partition window exactly, regardless of
