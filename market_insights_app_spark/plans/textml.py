@@ -1135,3 +1135,42 @@ TEXTML_ORACLES["mixture_sample"] = """
     WHERE CAST(('0x' || substr(md5('mix-v1:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
                AS BIGINT) / 4294967296.0 < r.rate
 """
+
+
+def q_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 embedding quantization (operators/similarity.quantize_int8):
+    per-vector symmetric scale + codes, folded to scalar outputs
+    (sum + head string) so the differential hash covers the exact code
+    values without array-representation skew between engines."""
+    from market_insights_app_spark.operators.similarity import quantize_int8
+
+    q = quantize_int8(_emb(spark, sf))
+    return q.select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("codes_sum"),
+        F.array_join(F.slice("codes", 1, 8), ",").alias("codes_head"),
+    )
+
+
+TEXTML_ORACLES["quantize_int8"] = """
+    WITH s AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+             embedding
+      FROM embeddings),
+    q AS (
+      SELECT vec_id, scale,
+             list_transform(embedding,
+               x -> CAST(greatest(-127.0, least(127.0,
+                         floor(CAST(x AS DOUBLE) / scale + 0.5))) AS BIGINT))
+               AS codes
+      FROM s WHERE scale > 0)
+    SELECT vec_id, scale,
+           CAST(list_sum(codes) AS BIGINT) AS codes_sum,
+           array_to_string(codes[1:8], ',') AS codes_head
+    FROM q
+"""

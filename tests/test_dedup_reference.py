@@ -290,3 +290,22 @@ def test_blocked_fuzzy_pairs(spark):
     )
     out = blocked_fuzzy_pairs(df, "id", "name", ["country"], max_distance=2).collect()
     assert [(r["a"], r["b"], r["distance"]) for r in out] == [(1, 2, 1)]
+
+
+def test_quantize_int8_golden(spark):
+    """Hand-checked codes: scale = max|x|/127; floor(x/scale + 0.5);
+    zero vectors dropped."""
+    from market_insights_app_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.27, -0.635, 0.0, 0.01]),   # scale 0.01 → 127, -63 (floor(-63.5+.5)), 0, 1
+            (2, [0.0, 0.0]),                   # all-zero → dropped
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    assert set(rows) == {1}
+    r = rows[1]
+    assert abs(r["scale"] - 0.01) < 1e-12
+    assert r["codes"] == [127, -63, 0, 1]
