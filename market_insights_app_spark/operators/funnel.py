@@ -48,9 +48,21 @@ def funnel_first_touch(
         reach = cond
         counters.append(F.sum(cond.cast("long")).alias(f"u{i}"))
     totals = mins.agg(*counters)
-    stack_args = ", ".join(f"{i}, '{s}', u{i}" for i, s in enumerate(steps))
-    return totals.select(
-        F.expr(f"stack({k}, {stack_args}) as (step_idx, step, users)")
+    # unpivot via explode(array(struct(...))) with lit() columns — step
+    # names are data-dependent config and must never be interpolated
+    # into an F.expr string (quote injection)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("step_idx"),
+                F.lit(s).alias("step"),
+                F.col(f"u{i}").alias("users"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return totals.select(F.explode(rows).alias("__r")).select(
+        "__r.step_idx", "__r.step", "__r.users"
     )
 
 

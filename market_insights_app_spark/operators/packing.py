@@ -75,13 +75,21 @@ def chunk_tokens(
     100 TB this is a scan + narrow transform whose output partitioning
     follows the input. Output: (doc_id, chunk_idx, chunk_text,
     chunk_tokens).
+
+    A start offset is emitted only while the PREVIOUS chunk has not
+    already reached the end of the document (upper bound
+    ``n - chunk_size + step - 1``): a tail shorter than the overlap is
+    fully contained in the previous chunk and emitting it would
+    duplicate content in a RAG index.
     """
     if overlap >= chunk_size:
         raise ValueError("overlap must be < chunk_size")
     step = chunk_size - overlap
     toks = F.split(F.col(text_col), " ")
     starts = F.sequence(
-        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(step)
+        F.lit(0),
+        F.greatest(F.size(toks) - chunk_size + step - 1, F.lit(0)),
+        F.lit(step),
     )
     return (
         df.select(

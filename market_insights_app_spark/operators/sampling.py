@@ -126,6 +126,11 @@ def mixture_sample(
     kept (almost) whole and every other group is thinned to match, so
     the output is the LARGEST corpus achieving the target mixture.
 
+    A group named in ``weights`` but EMPTY in the data makes the target
+    mixture unachievable (its ratio would bind at zero); that raises at
+    execution time rather than silently returning a corpus that
+    deviates from the requested proportions.
+
     Scale shape mirrors ``stratified_cap``: group sizes via one tiny
     aggregate, the feasible total via a one-row global min, per-group
     keep-rates broadcast back, and the keep decision itself a pure
@@ -139,13 +144,26 @@ def mixture_sample(
         f"{group_col} string, __w double",
     )
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__gn"))
-    j = counts.join(F.broadcast(w_df), group_col)
+    # left join FROM the weight spec so a weighted-but-empty group
+    # survives to the rates side with a null count, where it raises —
+    # an inner join would silently drop it from the binding-ratio min
+    j = w_df.join(F.broadcast(counts), group_col, "left")
     n_cap = j.agg(F.min(F.floor(F.col("__gn") / F.col("__w"))).alias("__N"))
     rates = j.crossJoin(F.broadcast(n_cap)).select(
         group_col,
-        F.least(
-            F.lit(1.0), F.col("__N") * F.col("__w") / F.col("__gn")
-        ).alias("__rate"),
+        F.when(
+            F.col("__gn").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("mixture_sample: group named in weights has no rows: "),
+                    F.col(group_col),
+                )
+            ),
+        )
+        .otherwise(
+            F.least(F.lit(1.0), F.col("__N") * F.col("__w") / F.col("__gn"))
+        )
+        .alias("__rate"),
     )
     out = df.join(F.broadcast(rates), group_col)
     return out.filter(hash_fraction(id_col, salt) < F.col("__rate")).drop("__rate")

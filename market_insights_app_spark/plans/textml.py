@@ -963,7 +963,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
 TEXTML_ORACLES["doc_chunks"] = """
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     s AS (SELECT doc_id, toks, len(toks) AS n, gs.start AS start
-          FROM t, LATERAL (SELECT unnest(range(0, CAST(greatest(len(toks), 1) AS BIGINT), 48)) AS start) gs)
+          FROM t, LATERAL (SELECT unnest(range(0, CAST(greatest(len(toks) - 17, 0) + 1 AS BIGINT), 48)) AS start) gs)
     SELECT doc_id,
            start // 48 AS chunk_idx,
            array_to_string(list_slice(toks, start + 1, least(start + 64, n)), ' ') AS chunk_text,
@@ -1018,10 +1018,17 @@ def q_fuzzy_match(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
     """Inverted index over the corpus: term → document frequency +
-    head of the sorted posting list. Distinct (doc, term) pairs from a
-    map-side explode, then a single groupBy(term); posting lists are
-    capped at 10 ids so the result stays bounded however large the
-    corpus (full lists would be written table-valued, not collected)."""
+    head of the sorted posting list (10 smallest doc_ids).
+
+    Aggregation state is bounded even for stop-word terms: the posting
+    head comes from a row_number ranking window (rank functions stream —
+    no per-group buffering) filtered to rn <= 10 BEFORE the
+    collect_list, so no aggregate ever holds more than 10 ids. Document
+    frequency is a separate map-side-combinable count whose exchange
+    carries one row per vocabulary term; the final join is between two
+    term-partitioned sides."""
+    from pyspark.sql.window import Window
+
     docs = _docs(spark, sf)
     terms = docs.select(
         "doc_id",
@@ -1029,12 +1036,19 @@ def q_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
             "term"
         ),
     )
-    return terms.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df"),
-        F.array_join(
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10), ","
-        ).alias("postings_head"),
+    dfs = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("term").orderBy("doc_id")
+    heads = (
+        terms.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .groupBy("term")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias(
+                "postings_head"
+            )
+        )
     )
+    return heads.join(dfs, "term").select("term", "df", "postings_head")
 
 
 TEXTML_ORACLES["decontaminate"] = f"""

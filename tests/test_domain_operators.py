@@ -316,6 +316,19 @@ def test_mixture_sample_proportions_and_allowlist(spark):
     assert a == b
 
 
+def test_mixture_sample_raises_on_empty_weighted_group(spark):
+    """A group named in weights but absent from the data makes the
+    target mixture unachievable — must raise, not silently deviate."""
+    from market_insights_app_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "web") for i in range(100)], "doc_id long, source string"
+    )
+    out = mixture_sample(df, {"web": 0.5, "books": 0.5})
+    with pytest.raises(Exception, match="has no rows: books"):
+        out.collect()
+
+
 def test_global_running_sum_matches_single_window(spark):
     """Distributed prefix sum (range partitions + broadcast offsets)
     must equal the naive single-partition window exactly, regardless of
@@ -532,6 +545,23 @@ def test_funnel_first_touch_golden(spark):
     assert out == {"signup": 3, "view": 2, "click": 1, "purchase": 1}
 
 
+def test_funnel_step_names_with_quotes(spark):
+    """Step names are data-dependent config — a single quote (or any
+    SQL metacharacter) must not break the unpivot expression."""
+    from market_insights_app_spark.operators.funnel import funnel_first_touch
+
+    rows = [
+        (1, ts("2024-01-01T00:00:00"), "sign'up"),
+        (1, ts("2024-01-01T01:00:00"), 'vi"ew'),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        r["step"]: r["users"]
+        for r in funnel_first_touch(df, ["sign'up", 'vi"ew']).collect()
+    }
+    assert out == {"sign'up": 1, 'vi"ew': 1}
+
+
 def test_cohort_retention_golden(spark):
     """u1 first active week 0, returns week 1; u2 first active week 1
     only — matrix rows (cohort, offset, users)."""
@@ -561,12 +591,21 @@ def test_chunk_tokens_overlap_and_tail(spark):
     text = " ".join(f"t{i}" for i in range(10))  # 10 tokens
     df = spark.createDataFrame([(1, text)], "doc_id long, text string")
     out = chunk_tokens(df, chunk_size=4, overlap=1).orderBy("chunk_idx").collect()
-    # step=3 → starts 0,3,6,9
-    assert [r["chunk_idx"] for r in out] == [0, 1, 2, 3]
+    # step=3 → starts 0,3,6; a start at 9 would yield "t9", fully
+    # contained in the previous chunk (tail ≤ overlap) — suppressed
+    assert [r["chunk_idx"] for r in out] == [0, 1, 2]
     assert out[0]["chunk_text"] == "t0 t1 t2 t3"
     assert out[1]["chunk_text"] == "t3 t4 t5 t6"  # 1-token overlap
-    assert out[3]["chunk_text"] == "t9"  # short tail
-    assert [r["chunk_tokens"] for r in out] == [4, 4, 4, 1]
+    assert out[2]["chunk_text"] == "t6 t7 t8 t9"  # covers through the end
+    assert [r["chunk_tokens"] for r in out] == [4, 4, 4]
+
+    # 11 tokens: the tail chunk carries genuinely new content (t10)
+    text11 = " ".join(f"t{i}" for i in range(11))
+    df11 = spark.createDataFrame([(1, text11)], "doc_id long, text string")
+    out11 = chunk_tokens(df11, chunk_size=4, overlap=1).orderBy("chunk_idx").collect()
+    assert [r["chunk_idx"] for r in out11] == [0, 1, 2, 3]
+    assert out11[3]["chunk_text"] == "t9 t10"  # short tail, new token kept
+    assert [r["chunk_tokens"] for r in out11] == [4, 4, 4, 2]
 
 
 def test_chunk_tokens_rejects_bad_overlap(spark):
