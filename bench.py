@@ -37,6 +37,12 @@ HEADLINE = [
     "rollup_revenue",
     "simhash_neardup",
     "sliding_window_agg",
+    # LLM-ops batch (round-3 additions, per r02 verdict #6)
+    "tfidf_top_terms",
+    "decontaminate",
+    "inverted_index",
+    "fuzzy_match",
+    "seq_pack",
 ]
 
 

@@ -701,6 +701,7 @@ def blocked_fuzzy_pairs(
     text_col: str,
     block_cols: list[str],
     max_distance: int = 2,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Entity-resolution candidate pairs: rows agreeing on every
     blocking column whose ``text_col`` values are within Levenshtein
@@ -709,24 +710,52 @@ def blocked_fuzzy_pairs(
     Blocking is what makes this scale: the self-join is an equi-join
     on the block key, so the quadratic edit-distance work is confined
     to each block instead of the full corpus (classic blocking from
-    the record-linkage literature). Degenerate hot blocks should be
-    capped or sub-blocked upstream (same policy as
-    ``lsh_candidate_pairs``'s max_bucket_size); the JVM-side
-    ``levenshtein`` expression keeps the verify step in codegen."""
+    the record-linkage literature). ``max_block_size`` drops degenerate
+    hot blocks (e.g. a null-heavy blocking column) before the self-join
+    — same policy and same tiny-aggregate-semi-join mechanics as
+    ``lsh_candidate_pairs``'s max_bucket_size — so one giant block can
+    never re-create the quadratic blow-up blocking exists to avoid; the
+    JVM-side ``levenshtein`` expression keeps the verify step in
+    codegen."""
     sel = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("t"), *block_cols
     )
-    l, r = sel.alias("l"), sel.alias("r")
+    if max_block_size is not None:
+        ok = (
+            sel.groupBy(*block_cols)
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_block_size)
+            .select(*block_cols)
+        )
+        sel = sel.join(ok, block_cols)
+    # pin the probe side's partition count EXPLICITLY: the verify stage
+    # does O(block²) edit-distance work per row of input, so its
+    # parallelism must follow the pair count, not the input byte size —
+    # AQE would coalesce a small-byte input to one partition and
+    # serialize the whole DP workload (measured 5× on the bench).
+    # Explicit N on the same keys still satisfies the join's
+    # distribution, so no extra exchange appears at SMJ scale.
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    probe = sel.repartition(n_part, *block_cols)
+    l, r = probe.alias("l"), sel.alias("r")
     block_cond = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in block_cols]
     cond = block_cond[0]
     for c in block_cond[1:]:
         cond = cond & c
+    # two verify-cost cuts, both exact: a length-difference residual
+    # (|len a − len b| > d implies distance > d) evaluated before any
+    # DP, and the THRESHOLDED levenshtein — banded O(d·n) DP instead of
+    # the full O(n²) table, returning -1 when the bound is exceeded
+    len_ok = (
+        F.abs(F.length(F.col("l.t")) - F.length(F.col("r.t"))) <= max_distance
+    )
+    dist = F.levenshtein(F.col("l.t"), F.col("r.t"), max_distance)
     return (
-        l.join(r, cond & (F.col("l.id") < F.col("r.id")))
+        l.join(r, cond & (F.col("l.id") < F.col("r.id")) & len_ok)
         .select(
             F.col("l.id").alias("a"),
             F.col("r.id").alias("b"),
-            F.levenshtein(F.col("l.t"), F.col("r.t")).alias("distance"),
+            dist.alias("distance"),
         )
-        .filter(F.col("distance") <= max_distance)
+        .filter(F.col("distance") >= 0)
     )

@@ -64,22 +64,23 @@ def decode_media(df: DataFrame, fake: bool = False, batch_size: int = 64) -> Dat
                     "media decode requires PIL/ffmpeg (not in this container); "
                     "pass fake=True for the deterministic test decoder"
                 )
-            out = []
-            for _, row in pdf.iterrows():
-                payload = row["payload"] or b""
-                arr = np.frombuffer(payload, dtype=np.uint8)
-                out.append(
-                    {
-                        "media_id": row["media_id"],
-                        "kind": row["kind"],
-                        "n_bytes": int(arr.size),
-                        "feat_mean": float(arr.mean()) if arr.size else 0.0,
-                        "feat_std": float(arr.std()) if arr.size else 0.0,
-                        "width": row.get("width"),
-                        "height": row.get("height"),
-                    }
-                )
-            yield pd.DataFrame(out, columns=[f.name for f in DECODED_SCHEMA.fields])
+            arrs = [
+                np.frombuffer(p or b"", dtype=np.uint8) for p in pdf["payload"]
+            ]
+            widths = pdf["width"] if "width" in pdf else None
+            heights = pdf["height"] if "height" in pdf else None
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "n_bytes": np.array([a.size for a in arrs], dtype="int32"),
+                    "feat_mean": [float(a.mean()) if a.size else 0.0 for a in arrs],
+                    "feat_std": [float(a.std()) if a.size else 0.0 for a in arrs],
+                    "width": widths if widths is not None else [None] * len(pdf),
+                    "height": heights if heights is not None else [None] * len(pdf),
+                },
+                columns=[f.name for f in DECODED_SCHEMA.fields],
+            )
 
     return df.mapInPandas(kernel, DECODED_SCHEMA)
 
@@ -208,20 +209,25 @@ def resize_media(df: DataFrame, out_w: int, out_h: int, fake: bool = False) -> D
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             _require_fake(fake)
-            rows = []
-            for _, row in pdf.iterrows():
-                img = fake_decode_image(row["payload"], row.get("width"), row.get("height"))
-                small = bilinear_resize(img, out_h, out_w)
-                rows.append(
-                    {
-                        "media_id": row["media_id"],
-                        "kind": row["kind"],
-                        "width": out_w,
-                        "height": out_h,
-                        "pixels": small.tobytes(),
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+            # decode is inherently per-row (ragged inputs); the resize
+            # itself is vectorized numpy per image, and the row walk is
+            # a plain column zip — no pandas iterrows overhead
+            widths = pdf["width"] if "width" in pdf else [None] * len(pdf)
+            heights = pdf["height"] if "height" in pdf else [None] * len(pdf)
+            pixels = [
+                bilinear_resize(fake_decode_image(p, w, h), out_h, out_w).tobytes()
+                for p, w, h in zip(pdf["payload"], widths, heights)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "width": out_w,
+                    "height": out_h,
+                    "pixels": pixels,
+                },
+                columns=[f.name for f in RESIZED_SCHEMA.fields],
+            )
 
     return df.mapInPandas(kernel, RESIZED_SCHEMA)
 
@@ -231,28 +237,34 @@ def image_channel_features(df: DataFrame, fake: bool = False) -> DataFrame:
     cheap image-quality signal for a training-data pipeline)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             _require_fake(fake)
-            rows = []
-            for _, row in pdf.iterrows():
-                img = fake_decode_image(
-                    row["payload"], row.get("width"), row.get("height")
-                ).astype("float64")
-                rows.append(
-                    {
-                        "media_id": row["media_id"],
-                        **{
-                            f"mean_{ch}": float(img[:, :, i].mean())
-                            for i, ch in enumerate("rgb")
-                        },
-                        **{
-                            f"std_{ch}": float(img[:, :, i].std())
-                            for i, ch in enumerate("rgb")
-                        },
-                    }
-                )
+            widths = pdf["width"] if "width" in pdf else [None] * len(pdf)
+            heights = pdf["height"] if "height" in pdf else [None] * len(pdf)
+            imgs = [
+                fake_decode_image(p, w, h)
+                for p, w, h in zip(pdf["payload"], widths, heights)
+            ]
+            if imgs and len({im.shape for im in imgs}) == 1:
+                # uniform shapes (the common case — e.g. post-resize):
+                # one stacked (n, h, w, 3) reduction across the whole
+                # Arrow batch, no per-row numpy dispatch
+                stack = np.stack(imgs).astype(np.float64)
+                means = stack.mean(axis=(1, 2))
+                stds = stack.std(axis=(1, 2))
+            else:
+                flat = [im.reshape(-1, 3).astype(np.float64) for im in imgs]
+                means = np.array([f.mean(axis=0) for f in flat]).reshape(-1, 3)
+                stds = np.array([f.std(axis=0) for f in flat]).reshape(-1, 3)
+            cols = {"media_id": pdf["media_id"].to_numpy()}
+            for i, ch in enumerate("rgb"):
+                cols[f"mean_{ch}"] = means[:, i] if len(imgs) else np.empty(0)
+            for i, ch in enumerate("rgb"):
+                cols[f"std_{ch}"] = stds[:, i] if len(imgs) else np.empty(0)
             yield pd.DataFrame(
-                rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields]
+                cols, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields]
             )
 
     return df.mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
@@ -267,19 +279,43 @@ def audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
 
         for pdf in batches:
             _require_fake(fake)
-            rows = []
-            for _, row in pdf.iterrows():
-                s = fake_decode_audio(row["payload"])
-                n = int(s.size)
-                rms = float(np.sqrt(np.mean(s * s))) if n else 0.0
-                zcr = (
-                    float(np.mean(np.sign(s[1:]) != np.sign(s[:-1]))) if n > 1 else 0.0
+            clips = [fake_decode_audio(p) for p in pdf["payload"]]
+            n = np.array([c.size for c in clips], dtype=np.int64)
+            rms = np.zeros(len(clips))
+            zcr = np.zeros(len(clips))
+            nz = n[n > 0]
+            if nz.size:
+                # batch-vectorized segment math over ONE concatenated
+                # array: per-clip sums via add.reduceat instead of a
+                # python loop per row
+                cat = np.concatenate([c for c in clips if c.size])
+                starts = np.concatenate(([0], np.cumsum(nz)[:-1]))
+                sumsq = (
+                    np.add.reduceat(cat * cat, starts)
+                    if nz.size > 1
+                    else np.array([np.sum(cat * cat)])
                 )
-                rows.append(
-                    {"media_id": row["media_id"], "n_samples": n, "rms": rms, "zcr": zcr}
+                # sign changes between neighbors; the last slot of each
+                # clip is zeroed so reduceat never counts a cross-clip
+                # boundary, and the pad keeps reduceat indices in range
+                sg = np.sign(cat)
+                ch = np.append((sg[1:] != sg[:-1]).astype(np.float64), 0.0)
+                ch[starts + nz - 1] = 0.0
+                cnt = (
+                    np.add.reduceat(ch, starts)
+                    if nz.size > 1
+                    else np.array([ch.sum()])
                 )
+                rms[n > 0] = np.sqrt(sumsq / nz)
+                zcr[n > 0] = np.where(nz > 1, cnt / np.maximum(nz - 1, 1), 0.0)
             yield pd.DataFrame(
-                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "n_samples": n.astype("int32"),
+                    "rms": rms,
+                    "zcr": zcr,
+                },
+                columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields],
             )
 
     return df.mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)

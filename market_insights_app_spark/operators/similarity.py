@@ -132,6 +132,89 @@ def ann_lsh_topk(
     )
 
 
+def materialize_signatures(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-time LSH index build: (vec_id, embedding, sig) where ``sig``
+    is the sign-bit signature against the fixed deterministic
+    hyperplanes. This is the scan ``ann_lsh_topk`` otherwise repeats on
+    EVERY query — materialize once, write partitioned by ``sig`` (see
+    ``write_signature_index``), and the per-query cost drops from a
+    full corpus scan to a partition-pruned probe."""
+    planes = _deterministic_hyperplanes(dim, n_planes)
+    sig = lsh_signature(_as_double(F.col(vec_col)), planes)
+    return df.select(F.col(id_col), F.col(vec_col), sig.alias("sig"))
+
+
+def write_signature_index(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the LSH index parquet partitioned by ``sig`` — one
+    directory per signature (≤ 2**n_planes of them), so a query's
+    Hamming ball maps to partition pruning at the file listing level."""
+    materialize_signatures(df, dim, n_planes, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("sig").parquet(path)
+
+
+def _hamming_ball(sig: int, n_planes: int, radius: int) -> list[int]:
+    """All signatures within ``radius`` bit flips of ``sig`` —
+    sum(C(n_planes, r) for r <= radius) values, e.g. 93 for (8, 3)."""
+    from itertools import combinations
+
+    out = []
+    for r in range(radius + 1):
+        for bits in combinations(range(n_planes), r):
+            s = sig
+            for b in bits:
+                s ^= 1 << b
+            out.append(s)
+    return out
+
+
+def ann_lsh_topk_indexed(
+    index: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    max_hamming: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a materialized signature index: enumerate the query's
+    Hamming ball as an explicit IN-list over the ``sig`` partition
+    column (partition pruning — only matching directories are listed,
+    let alone read), then exact cosine on the survivors. Identical
+    results to ``ann_lsh_topk`` with the same parameters; the
+    difference is a per-query full scan vs a pruned probe."""
+    dim = len(query_vec)
+    planes = _deterministic_hyperplanes(dim, n_planes)
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, p)) >= 0:
+            qsig |= 1 << i
+    allowed = _hamming_ball(qsig, n_planes, max_hamming)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = index.filter(F.col("sig").isin(allowed))
+    return (
+        cand.select(
+            F.col(id_col),
+            F.round(cosine(_as_double(F.col(vec_col)), q), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def cosine_self_join_neardup(
     df: DataFrame,
     bucket_col: str,
@@ -171,27 +254,50 @@ def ivf_topk(
     seed rows (ids 0..n_cells-1 by default); every vector is assigned to
     its nearest centroid (argmax cosine); the query probes the
     ``nprobe`` nearest cells and runs exact cosine inside them only."""
+    cents = _seed_centroids(df, n_cells, seed_ids, id_col, vec_col)
+    probe_ids = _probe_cells(query_vec, cents, nprobe)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    assigned = df.withColumn("__cell", _cell_expr(_as_double(F.col(vec_col)), cents))
+    cand = assigned.filter(F.col("__cell").isin(probe_ids))
+    return (
+        cand.select(F.col(id_col), F.round(cosine(_as_double(F.col(vec_col)), q), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _seed_centroids(
+    df: DataFrame,
+    n_cells: int,
+    seed_ids: list[int] | None,
+    id_col: str,
+    vec_col: str,
+) -> list[tuple[int, list[float]]]:
+    """Centroids = embeddings of the deterministic seed rows — a
+    bounded ≤ ``n_cells``-row collect (the one acceptable driver-side
+    materialization in this family)."""
     seed_ids = seed_ids if seed_ids is not None else list(range(n_cells))
-    cents = [
+    return [
         (i, [float(x) for x in row[0]])
         for i, row in enumerate(
             df.filter(F.col(id_col).isin(seed_ids)).orderBy(id_col).select(vec_col).collect()
         )
     ]
-    v = _as_double(F.col(vec_col))
 
-    def cell_of(vec_expr: Column) -> Column:
-        # argmax via an array of sims + array_position — NOT an
-        # iterated when-chain, whose expression tree doubles per
-        # centroid and OOMs the planner at 16 cells.
-        sims = F.array(
-            *[
-                cosine(vec_expr, F.array(*[F.lit(x) for x in cvec]))
-                for _, cvec in cents
-            ]
-        )
-        return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
 
+def _cell_expr(vec_expr: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """Nearest-centroid argmax via an array of sims + array_position —
+    NOT an iterated when-chain, whose expression tree doubles per
+    centroid and OOMs the planner at 16 cells."""
+    sims = F.array(
+        *[cosine(vec_expr, F.array(*[F.lit(x) for x in cvec])) for _, cvec in cents]
+    )
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+def _probe_cells(
+    query_vec: list[float], cents: list[tuple[int, list[float]]], nprobe: int
+) -> list[int]:
     probe = sorted(
         cents,
         key=lambda c: -(
@@ -203,10 +309,65 @@ def ivf_topk(
             )
         ),
     )[:nprobe]
-    probe_ids = [c[0] for c in probe]
+    return [c[0] for c in probe]
+
+
+def materialize_cells(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-time IVF index build: (vec_id, embedding, cell) with every
+    vector assigned to its nearest centroid. This is the corpus-wide
+    assignment ``ivf_topk`` otherwise recomputes per query."""
+    cell = _cell_expr(_as_double(F.col(vec_col)), cents)
+    return df.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
+
+
+def write_cell_index(
+    df: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    seed_ids: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF index: ``path``/vectors parquet partitioned by
+    ``cell`` (partition pruning serves the probe) and ``path``/centroids
+    (cell, centroid) so a query never touches the corpus to find its
+    probe cells."""
+    cents = _seed_centroids(df, n_cells, seed_ids, id_col, vec_col)
+    materialize_cells(df, cents, id_col, vec_col).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path + "/vectors")
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(i, cvec) for i, cvec in cents], "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a materialized IVF index: rank the persisted centroids
+    (≤ n_cells rows) against the query driver-side, then read ONLY the
+    ``nprobe`` matching cell partitions and run exact cosine there.
+    Identical results to ``ivf_topk`` with the same seeding; per-query
+    cost is a pruned probe instead of a corpus-wide cell assignment."""
+    cents = [
+        (int(r["cell"]), [float(x) for x in r["centroid"]])
+        for r in spark.read.parquet(path + "/centroids").collect()
+    ]
+    probe_ids = _probe_cells(query_vec, cents, nprobe)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    assigned = df.withColumn("__cell", cell_of(v))
-    cand = assigned.filter(F.col("__cell").isin(probe_ids))
+    cand = spark.read.parquet(path + "/vectors").filter(F.col("cell").isin(probe_ids))
     return (
         cand.select(F.col(id_col), F.round(cosine(_as_double(F.col(vec_col)), q), 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())

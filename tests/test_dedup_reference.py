@@ -180,6 +180,50 @@ def test_ann_and_ivf_recall(spark):
     assert ivf[0] == 0 and len(set(bf) & set(ivf)) >= 5
 
 
+def test_indexed_ann_matches_full_scan(spark, tmp_path):
+    """The materialized-index probes must return EXACTLY the full-scan
+    variants' results (same signature/centroid definitions → same
+    candidate set); only the physical access path differs."""
+    import math
+
+    from market_insights_app_spark.operators.similarity import (
+        ann_lsh_topk,
+        ann_lsh_topk_indexed,
+        ivf_topk,
+        ivf_topk_indexed,
+        write_cell_index,
+        write_signature_index,
+    )
+
+    rows = []
+    for i in range(120):
+        c = i % 3
+        base = [1.0 if d // 5 == c else 0.05 for d in range(16)]
+        vec = [b + 0.01 * math.sin(i * 7 + d) for d, b in enumerate(base)]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[0][1]
+
+    lsh_path = str(tmp_path / "lsh_index")
+    write_signature_index(df, lsh_path, dim=16)
+    idx = spark.read.parquet(lsh_path)
+    got = [(r["vec_id"], r["cosine"]) for r in ann_lsh_topk_indexed(idx, q, k=10).collect()]
+    want = [(r["vec_id"], r["cosine"]) for r in ann_lsh_topk(df, q, k=10).collect()]
+    assert got == want and got[0][0] == 0
+
+    ivf_path = str(tmp_path / "ivf_index")
+    write_cell_index(df, ivf_path, n_cells=6, seed_ids=[0, 1, 2, 3, 4, 5])
+    got_ivf = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_topk_indexed(spark, ivf_path, q, k=10, nprobe=3).collect()
+    ]
+    want_ivf = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_topk(df, q, k=10, n_cells=6, nprobe=3, seed_ids=[0, 1, 2, 3, 4, 5]).collect()
+    ]
+    assert got_ivf == want_ivf and got_ivf[0][0] == 0
+
+
 def test_embedding_neardup_bucketed(spark):
     from market_insights_app_spark.operators.similarity import cosine_self_join_neardup
 
@@ -290,6 +334,25 @@ def test_blocked_fuzzy_pairs(spark):
     )
     out = blocked_fuzzy_pairs(df, "id", "name", ["country"], max_distance=2).collect()
     assert [(r["a"], r["b"], r["distance"]) for r in out] == [(1, 2, 1)]
+
+
+def test_blocked_fuzzy_pairs_hot_block_cap(spark):
+    """A degenerate hot block (here: one shared blocking value over
+    most of the table) is dropped entirely by max_block_size, bounding
+    the pair count; normal-sized blocks are untouched."""
+    from market_insights_app_spark.operators.dedup import blocked_fuzzy_pairs
+
+    rows = [(i, "samename", "hot") for i in range(50)] + [
+        (100, "jonathan", "us"),
+        (101, "jonathen", "us"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, country string")
+    uncapped = blocked_fuzzy_pairs(df, "id", "name", ["country"], max_distance=2)
+    assert uncapped.count() == 50 * 49 // 2 + 1  # hot block explodes quadratically
+    capped = blocked_fuzzy_pairs(
+        df, "id", "name", ["country"], max_distance=2, max_block_size=10
+    ).collect()
+    assert [(r["a"], r["b"], r["distance"]) for r in capped] == [(100, 101, 1)]
 
 
 def test_quantize_int8_golden(spark):

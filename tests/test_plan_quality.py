@@ -167,6 +167,50 @@ def test_autocorr_single_exchange(spark):
     assert tree.count("Exchange") == 1
 
 
+def test_ann_index_probe_prunes_partitions(spark, tmp_path):
+    """The materialized ANN indexes must serve probes via PARTITION
+    pruning: the Hamming-ball / probe-cell IN-list has to land in the
+    scan's PartitionFilters (directory-level pruning), not as a post-
+    scan Filter over the whole corpus."""
+    import math
+
+    from market_insights_app_spark.operators.similarity import (
+        ann_lsh_topk_indexed,
+        ivf_topk_indexed,
+        write_cell_index,
+        write_signature_index,
+    )
+
+    rows = []
+    for i in range(60):
+        base = [1.0 if d // 5 == i % 3 else 0.05 for d in range(16)]
+        rows.append((i, [b + 0.01 * math.sin(i * 7 + d) for d, b in enumerate(base)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[0][1]
+
+    lsh_path = str(tmp_path / "lsh")
+    write_signature_index(df, lsh_path, dim=16)
+    probe = ann_lsh_topk_indexed(spark.read.parquet(lsh_path), q, k=5, max_hamming=1)
+    p = plan_of(probe)
+    scan = p[p.index("Scan parquet") :]
+    part_line = next(
+        ln for ln in scan.splitlines() if ln.strip().startswith("PartitionFilters")
+    )
+    assert "sig" in part_line and ("INSET" in part_line or " IN " in part_line)
+    # and NOT a row-level filter: no sig predicate in PushedFilters/DataFilters
+    assert "bit_count" not in p
+
+    ivf_path = str(tmp_path / "ivf")
+    write_cell_index(df, ivf_path, n_cells=6, seed_ids=[0, 1, 2, 3, 4, 5])
+    probe_ivf = ivf_topk_indexed(spark, ivf_path, q, k=5, nprobe=2)
+    p2 = plan_of(probe_ivf)
+    scan2 = p2[p2.index("Scan parquet") :]
+    part_line2 = next(
+        ln for ln in scan2.splitlines() if ln.strip().startswith("PartitionFilters")
+    )
+    assert "cell" in part_line2 and ("INSET" in part_line2 or " IN " in part_line2)
+
+
 def test_fuzzy_match_is_equi_join(spark):
     """Blocking must surface as join keys (hash-partitioned equi-join
     or broadcast), with the edit distance as a residual filter — the
