@@ -1,8 +1,11 @@
 """Text-analysis / dedup / similarity / connector query registry —
 the training-data-pipeline surface (SURVEY.md §7.2 step 9 + §2.1
 connectors) with DuckDB oracle twins where SQL can express the
-semantics; the LSH-family operators are rows-only here and verified
-against pure-Python reference implementations in tests/.
+semantics. Even the ANN approximate top-k queries are fully
+oracle-backed (deterministic hyperplanes/centroids replayed in SQL);
+only the engine-hash (xxhash64) MinHash/SimHash variants and the
+iterative connected-components dedup stay rows-only, each gated by a
+portable twin or a pure-Python reference in tests/.
 """
 
 from __future__ import annotations
@@ -197,13 +200,18 @@ def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """Approximate top-10 via random-hyperplane LSH (rows-only —
-    approximation quality asserted against brute force in tests)."""
+    """Approximate top-10 via random-hyperplane LSH. Fully
+    oracle-backed: the deterministic hyperplanes are embedded in the
+    DuckDB twin as double literals, so the signature filter and the
+    final cosines reproduce exactly (see the ANN-oracles section at the
+    bottom of this module)."""
     return ann_lsh_topk(_emb(spark, sf), _query_vec(spark, sf), k=10)
 
 
 def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """Approximate top-10 via IVF coarse quantization (rows-only)."""
+    """Approximate top-10 via IVF coarse quantization. Fully
+    oracle-backed — centroid seeding, nearest-cell assignment (first-max
+    tie-break) and the nprobe ranking are all replayed in SQL."""
     return ivf_topk(_emb(spark, sf), _query_vec(spark, sf), k=10)
 
 
@@ -1187,4 +1195,86 @@ TEXTML_ORACLES["quantize_int8"] = """
            CAST(list_sum(codes) AS BIGINT) AS codes_sum,
            array_to_string(codes[1:8], ',') AS codes_head
     FROM q
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANN oracles — full DuckDB twins for the LSH / IVF approximate top-k.
+#
+# The hyperplanes/centroid math is deterministic and engine-portable, so
+# the "approximate" queries are exactly reproducible in SQL: the planes
+# are embedded as double literals (same IEEE values Spark gets via
+# F.lit), and every dot product uses the index-ordered
+# list_zip/list_reduce pattern already proven bit-identical to Spark's
+# zip_with/aggregate by the embedding_topk oracle. Testdata embeddings
+# are dim-64 at every sf (asserted in tests).
+# ---------------------------------------------------------------------------
+
+
+def _dot_cols_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]), "
+        "(x, y) -> x + y)"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    na = f"sqrt(list_reduce(list_transform({a}, x -> x * x), (x, y) -> x + y))"
+    nb = f"sqrt(list_reduce(list_transform({b}, x -> x * x), (x, y) -> x + y))"
+    return f"({_dot_cols_sql(a, b)} / NULLIF({na} * {nb}, 0))"
+
+
+def _sig_sql(vec_expr: str) -> str:
+    from market_insights_app_spark.operators.similarity import (
+        _deterministic_hyperplanes,
+    )
+
+    terms = []
+    for i, plane in enumerate(_deterministic_hyperplanes(64, 8)):
+        arr = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        terms.append(
+            f"CASE WHEN {_dot_cols_sql(vec_expr, arr)} >= 0 "
+            f"THEN {1 << i} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+TEXTML_ORACLES["ann_lsh_topk"] = f"""
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+          FROM embeddings),
+    sigs AS (SELECT vec_id, ev, {_sig_sql('ev')} AS sig FROM e),
+    qs AS (SELECT {_sig_sql('qv')} AS qsig FROM q)
+    SELECT vec_id, round({_cos_sql('ev', 'qv')}, 6) AS cosine
+    FROM sigs CROSS JOIN q CROSS JOIN qs
+    WHERE bit_count(xor(CAST(sig AS BIGINT), CAST(qsig AS BIGINT))) <= 3
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+"""
+
+TEXTML_ORACLES["ivf_topk"] = f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+               FROM embeddings),
+    q AS (SELECT ev AS qv FROM e WHERE vec_id = 0),
+    cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+                     ev AS cv
+              FROM e WHERE vec_id BETWEEN 0 AND 15),
+    asgn AS (SELECT vec_id, cell FROM (
+               SELECT v.vec_id, c.cell,
+                      row_number() OVER (PARTITION BY v.vec_id
+                        ORDER BY {_cos_sql('v.ev', 'c.cv')} DESC, c.cell ASC) AS rn
+               FROM e v CROSS JOIN cents c) WHERE rn = 1),
+    probe AS (SELECT cell FROM (
+               SELECT c.cell,
+                      row_number() OVER (
+                        ORDER BY {_cos_sql('c.cv', 'qv')} DESC, c.cell ASC) AS rn
+               FROM cents c CROSS JOIN q) WHERE rn <= 4)
+    SELECT v.vec_id, round({_cos_sql('v.ev', 'qv')}, 6) AS cosine
+    FROM e v
+    JOIN asgn a USING (vec_id)
+    JOIN probe p ON a.cell = p.cell
+    CROSS JOIN q
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
 """

@@ -101,3 +101,19 @@ def test_parity(name, spark, duck):
     assert sc == dc, f"{name}: first mismatches at {mism}: " + "; ".join(
         f"spark={sc[i]} duck={dc[i]}" for i in mism
     )
+
+
+def test_ann_oracle_dim_assumption(spark):
+    """The generated ANN oracles embed dim-64 hyperplane literals; fail
+    loudly here if the testdata embedding dimension ever changes."""
+    from pyspark.sql import functions as F
+
+    from market_insights_app_spark.sources.tables import load_table
+
+    dims = (
+        load_table(spark, SF_ORACLE, "embeddings")
+        .select(F.size("embedding").alias("d"))
+        .distinct()
+        .collect()
+    )
+    assert [r["d"] for r in dims] == [64]
