@@ -107,3 +107,52 @@ def repetition_gate(
     return df.join(
         feats.filter(keep).select(id_col), id_col, "left_semi"
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    low_quality_below: float | None = None,
+) -> DataFrame:
+    """Unigram language-model quality score — the KenLM-perplexity-
+    filter shape (CCNet / Wenzek et al. 2020) with the LM trained on
+    the corpus itself: P(w) = count(w)/total over all tokens, and each
+    document scores avg ln P(w) over its own tokens (higher = more
+    typical; heavy rare-token documents score low).
+
+    Output: (id, n_tokens, avg_logprob[, low_quality]) — the flag is
+    emitted when ``low_quality_below`` is given.
+
+    Scale shape: explode → one vocabulary groupBy (vocabulary-sized,
+    tiny vs corpus), total via a broadcast 1-row aggregate, the score
+    join is token-stream × broadcast(vocab), and the per-doc reduce is
+    a map-side-combinable groupBy(id). Two linear shuffles, no window,
+    no driver state — the same LM trained once can be broadcast
+    against any future corpus for cross-corpus scoring.
+
+    Determinism: ln computed in doubles; avg rounded to 6 dp (the
+    DuckDB twin hash-matches; per-doc token counts are small enough
+    that summation-order ulps sit far below the rounding grain)."""
+    toks = df.select(
+        F.col(id_col), F.explode(_lower_tokens(text_col)).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    lp = (
+        toks.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.log(F.col("cnt").cast("double") / F.col("total")).alias("lp"),
+        )
+    )
+    out = lp.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+    if low_quality_below is not None:
+        out = out.withColumn(
+            "low_quality", F.col("avg_logprob") < F.lit(low_quality_below)
+        )
+    return out

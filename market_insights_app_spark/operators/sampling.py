@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 _HASH_SPACE = float(1 << 32)  # first 8 md5 hex chars → uniform 32-bit int
 
@@ -167,3 +168,40 @@ def mixture_sample(
     )
     out = df.join(F.broadcast(rates), group_col)
     return out.filter(hash_fraction(id_col, salt) < F.col("__rate")).drop("__rate")
+
+
+def shard_hash(id_col: Column | str, salt: str) -> Column:
+    """Uniform 32-bit shuffle key from md5(salt:id) — the same
+    engine-portable construction as ``hash_fraction``, kept as an
+    integer so it can double as a sort key."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.md5(F.concat(F.lit(salt + ":"), c.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    salt: str = "shuf-v1",
+) -> DataFrame:
+    """Deterministic global corpus shuffle for training-data writes:
+    every row gets a ``shard`` (hash mod n_shards) and a ``pos`` (its
+    rank within the shard, ordered by the hash).
+
+    This is how a 100 TB corpus gets a reproducible random order
+    WITHOUT a global sort: reading shards 0..n-1 each in ``pos`` order
+    IS the permutation, yet no operator ever sees more than one
+    shard's rows — the only exchange is the hash partition by shard,
+    and the per-shard sort is the write-side local sort every shuffle
+    output does anyway (`repartition(n, shard).sortWithinPartitions`).
+    The (salt, id) hash makes the permutation identical across
+    engines, reruns, retries, and cluster sizes."""
+    h = shard_hash(id_col, salt)
+    out = df.withColumn("__h", h).withColumn(
+        "shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
+    )
+    return out.withColumn("pos", F.row_number().over(w)).drop("__h")

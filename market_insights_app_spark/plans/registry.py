@@ -60,6 +60,13 @@ _PRIORITY: list[str] = [
     "fuzzy_match",
     "inverted_index",
     "quantize_int8",
+    # new in round 3 — no driver row yet by construction
+    "bm25_search",
+    "hybrid_search",
+    "corpus_shuffle",
+    "seq_len_histogram",
+    "lm_quality",
+    "kmeans_assign",
     # --- tier 2: green in r01, rotated out of the r02 sweep ------------
     "connector_fx_parse",
     "impact_classify",
@@ -84,12 +91,6 @@ _PRIORITY: list[str] = [
     "minhash_neardup_portable",
     "dedup_exact",
     "ngram_jaccard",
-    "latest_per_key",
-    "equity_cumsum",
-    "histogram",
-    "click_attribution",
-    "session_window_agg",
-    "sma5",
 ]
 
 _unknown = set(_PRIORITY) - set(_COLLECTED)

@@ -1278,3 +1278,248 @@ TEXTML_ORACLES["ivf_topk"] = f"""
     ORDER BY cosine DESC, vec_id ASC
     LIMIT 10
 """
+
+
+# ---------------------------------------------------------------------------
+# round-3 batch: retrieval (BM25 + hybrid RRF), corpus shuffle,
+# sequence-length histogram, unigram-LM quality, k-means clustering
+# ---------------------------------------------------------------------------
+
+from market_insights_app_spark.operators.clustering import kmeans_assign  # noqa: E402
+from market_insights_app_spark.operators.quality import unigram_logprob  # noqa: E402
+from market_insights_app_spark.operators.retrieval import (  # noqa: E402
+    bm25_topk,
+    rrf_fuse,
+)
+from market_insights_app_spark.operators.sampling import shard_assign  # noqa: E402
+
+# 'dup' is the one rare term in the synthetic vocabulary (~29 hits vs
+# ~900+ for everything else) — the query mixes one discriminative and
+# two common terms so BM25's idf weighting is actually exercised.
+_BM25_QUERY = "spark dup merge"
+
+
+def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-20 lexical retrieval (k1=1.2, b=0.75, Lucene idf) —
+    content retrieval the reference approximates with recency top-N
+    only (main.js:193-203)."""
+    return bm25_topk(_docs(spark, sf), _BM25_QUERY, k=20)
+
+
+def q_hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid RAG retrieval: reciprocal-rank fusion (k=60) of the BM25
+    top-50 and the embedding-cosine top-50 (doc_id ≡ vec_id in the
+    synthetic corpus)."""
+    docs = _docs(spark, sf)
+    lex = bm25_topk(docs, _BM25_QUERY, k=50)
+    sem = cosine_topk(_emb(spark, sf), _query_vec(spark, sf), k=50)
+    return rrf_fuse(lex, sem, k=20)
+
+
+def q_corpus_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic training-corpus shuffle: md5-hash shard (8-way) +
+    in-shard position — a reproducible global permutation with no
+    global sort (operators/sampling.py shard_assign)."""
+    return shard_assign(_docs(spark, sf), n_shards=8).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+# log2 bucket ladder shared verbatim by the Spark expression and the
+# SQL CASE — bucket = largest power of two <= n_tokens (0 for empty)
+_LEN_BUCKETS = [1 << p for p in range(11)]  # 1 .. 1024
+
+
+def q_seq_len_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-length distribution in log2 buckets — the
+    sequence-length diagnostic a packing/truncation config is tuned
+    against (complements seq_pack)."""
+    docs = _docs(spark, sf)
+    n = TX.token_count("text")
+    bucket = F.when(n < 1, F.lit(0))
+    for lo in _LEN_BUCKETS:
+        bucket = bucket.when(n < lo * 2, F.lit(lo))
+    bucket = bucket.otherwise(F.lit(2 * _LEN_BUCKETS[-1]))
+    return (
+        docs.select(bucket.alias("bucket"), n.alias("n"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n").alias("min_tokens"),
+            F.max("n").alias("max_tokens"),
+            F.sum("n").alias("sum_tokens"),
+        )
+    )
+
+
+def q_lm_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM quality score (CCNet-style perplexity filter shape):
+    corpus-trained P(w), per-doc avg ln P(w), low-quality flag below
+    -3.45 (rare-token-heavy docs)."""
+    return unigram_logprob(
+        _docs(spark, sf), low_quality_below=-3.45
+    )
+
+
+def q_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Two Lloyd iterations of k-means (k=8, deterministic smallest-id
+    init) over the embeddings — the IVF centroid trainer — with the
+    FULL iterative pipeline replayed hash-exactly by the DuckDB twin."""
+    return kmeans_assign(_emb(spark, sf), k=8, iters=2)
+
+
+TEXTML_ORACLES["corpus_shuffle"] = """
+    WITH s AS (SELECT doc_id,
+           CAST(('0x' || substr(md5('shuf-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) AS h
+         FROM documents)
+    SELECT doc_id,
+           CAST(h % 8 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY h % 8
+                                   ORDER BY h ASC, doc_id ASC) AS INT) AS pos
+    FROM s
+"""
+
+_LEN_CASE_SQL = (
+    "CASE WHEN n < 1 THEN 0 "
+    + " ".join(f"WHEN n < {lo * 2} THEN {lo}" for lo in _LEN_BUCKETS)
+    + f" ELSE {2 * _LEN_BUCKETS[-1]} END"
+)
+
+TEXTML_ORACLES["seq_len_histogram"] = f"""
+    WITH l AS (SELECT CAST(len({_TOKS_SQL}) AS INT) AS n FROM documents)
+    SELECT CAST({_LEN_CASE_SQL} AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(n) AS min_tokens,
+           MAX(n) AS max_tokens,
+           CAST(SUM(n) AS BIGINT) AS sum_tokens
+    FROM l GROUP BY 1
+"""
+
+_LTOKS_SQL = (
+    "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')"
+)
+
+TEXTML_ORACLES["lm_quality"] = f"""
+    WITH toks AS (SELECT doc_id, unnest({_LTOKS_SQL}) AS term FROM documents),
+    vocab AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+    lp AS (SELECT doc_id, ln(CAST(cnt AS DOUBLE) / total) AS lp
+           FROM toks JOIN vocab USING (term) CROSS JOIN tot)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(AVG(lp), 6) AS avg_logprob,
+           round(AVG(lp), 6) < -3.45 AS low_quality
+    FROM lp GROUP BY doc_id
+"""
+
+# BM25 oracle: shared CTE body so the top-20 query and the hybrid
+# fusion reuse the identical scoring pipeline
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_QUERY.split())
+_BM25_CTES_SQL = f"""
+    toks AS (SELECT doc_id, unnest({_LTOKS_SQL}) AS term FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+           WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY 1, 2),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    idf AS (SELECT term,
+                   ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) AS idf
+            FROM dfq CROSS JOIN stats),
+    sc AS (SELECT t.doc_id,
+                  idf * t.tf * 2.2
+                    / (t.tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+                    AS contrib
+           FROM tf t JOIN dl USING (doc_id) JOIN idf USING (term)
+           CROSS JOIN stats),
+    bm25 AS (SELECT doc_id, round(SUM(contrib), 6) AS bm25
+             FROM sc GROUP BY doc_id)
+"""
+
+TEXTML_ORACLES["bm25_search"] = f"""
+    WITH {_BM25_CTES_SQL}
+    SELECT doc_id, bm25 FROM bm25
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+"""
+
+TEXTML_ORACLES["hybrid_search"] = f"""
+    WITH {_BM25_CTES_SQL},
+    lex50 AS (SELECT doc_id, bm25 FROM bm25
+              ORDER BY bm25 DESC, doc_id ASC LIMIT 50),
+    lexr AS (SELECT doc_id,
+                    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+                         AS INT) AS r_lex
+             FROM lex50),
+    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+          FROM embeddings),
+    q AS (SELECT ev AS qv FROM e WHERE vec_id = 0),
+    sem50 AS (SELECT vec_id, round({_cos_sql('ev', 'qv')}, 6) AS cosine
+              FROM e CROSS JOIN q
+              ORDER BY cosine DESC, vec_id ASC LIMIT 50),
+    semr AS (SELECT vec_id,
+                    CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC)
+                         AS INT) AS r_sem
+             FROM sem50)
+    SELECT COALESCE(l.doc_id, s.vec_id) AS doc_id,
+           r_lex, r_sem,
+           round(COALESCE(1.0 / (60 + r_lex), 0.0)
+                 + COALESCE(1.0 / (60 + r_sem), 0.0), 6) AS rrf
+    FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.vec_id
+    ORDER BY rrf DESC, doc_id ASC LIMIT 20
+"""
+
+
+def _kmeans_d2_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
+    )
+
+
+TEXTML_ORACLES["kmeans_assign"] = f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl,
+                  v AS cv
+           FROM e ORDER BY vec_id LIMIT 8),
+    a1 AS (SELECT vec_id, v, cl FROM (
+             SELECT e.vec_id, e.v, c0.cl,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY round({_kmeans_d2_sql('e.v', 'c0.cv')}, 9) ASC,
+                               c0.cl ASC) AS rn
+             FROM e CROSS JOIN c0) WHERE rn = 1),
+    c1m AS (SELECT cl, list(val ORDER BY dim) AS cv FROM (
+              SELECT cl, dim, round(AVG(x), 6) AS val FROM (
+                SELECT cl, unnest(v) AS x,
+                       unnest(generate_series(1, 64)) AS dim
+                FROM a1)
+              GROUP BY cl, dim)
+            GROUP BY cl),
+    c1 AS (SELECT c0.cl, COALESCE(c1m.cv, c0.cv) AS cv
+           FROM c0 LEFT JOIN c1m USING (cl)),
+    a2 AS (SELECT vec_id, v, cl FROM (
+             SELECT e.vec_id, e.v, c1.cl,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY round({_kmeans_d2_sql('e.v', 'c1.cv')}, 9) ASC,
+                               c1.cl ASC) AS rn
+             FROM e CROSS JOIN c1) WHERE rn = 1),
+    c2m AS (SELECT cl, list(val ORDER BY dim) AS cv FROM (
+              SELECT cl, dim, round(AVG(x), 6) AS val FROM (
+                SELECT cl, unnest(v) AS x,
+                       unnest(generate_series(1, 64)) AS dim
+                FROM a2)
+              GROUP BY cl, dim)
+            GROUP BY cl),
+    c2 AS (SELECT c1.cl, COALESCE(c2m.cv, c1.cv) AS cv
+           FROM c1 LEFT JOIN c2m USING (cl)),
+    a3 AS (SELECT vec_id, cl, d FROM (
+             SELECT e.vec_id, c2.cl,
+                    round({_kmeans_d2_sql('e.v', 'c2.cv')}, 9) AS d,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY round({_kmeans_d2_sql('e.v', 'c2.cv')}, 9) ASC,
+                               c2.cl ASC) AS rn
+             FROM e CROSS JOIN c2) WHERE rn = 1)
+    SELECT vec_id, CAST(cl AS INT) AS cluster, round(d, 6) AS dist2
+    FROM a3
+"""

@@ -1,0 +1,186 @@
+"""Unit tests for the round-3 operators: BM25 / RRF retrieval,
+deterministic corpus shuffle, unigram-LM quality, k-means clustering.
+(The DuckDB differential gate runs separately in test_oracle_parity.)
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_insights_app_spark.operators.clustering import (
+    assign_clusters,
+    kmeans_assign,
+    kmeans_fit,
+)
+from market_insights_app_spark.operators.quality import unigram_logprob
+from market_insights_app_spark.operators.retrieval import (
+    bm25_scores,
+    bm25_topk,
+    rrf_fuse,
+)
+from market_insights_app_spark.operators.sampling import shard_assign
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    rows = [
+        (0, "apple banana apple"),
+        (1, "apple banana banana cherry"),
+        (2, "cherry cherry cherry durian"),
+        (3, "banana banana banana banana"),
+        (4, "durian"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _bm25_ref(corpus, terms, k1=1.2, b=0.75):
+    """Independent plain-Python BM25 for the tiny corpus."""
+    toks = {d: t.split() for d, t in corpus}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for t in terms:
+        df = sum(1 for v in toks.values() if t in v)
+        if df == 0:
+            continue
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for d, v in toks.items():
+            tf = v.count(t)
+            if not tf:
+                continue
+            dl = len(v)
+            out[d] = out.get(d, 0.0) + idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * dl / avgdl)
+            )
+    return {d: round(s, 6) for d, s in out.items()}
+
+
+def test_bm25_matches_python_reference(tiny_docs):
+    corpus = [(r["doc_id"], r["text"]) for r in tiny_docs.collect()]
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(tiny_docs, ["apple", "durian"]).collect()
+    }
+    assert got == _bm25_ref(corpus, ["apple", "durian"])
+
+
+def test_bm25_rare_term_outranks_common(tiny_docs):
+    # 'durian' appears in 2 docs, 'banana' in 3 — a pure-durian doc
+    # must outrank a pure-banana doc for the query containing both
+    top = bm25_topk(tiny_docs, "durian banana", k=5).collect()
+    score = {r["doc_id"]: r["bm25"] for r in top}
+    assert score[4] > score[3]  # doc 4 is only 'durian'
+
+
+def test_bm25_no_hit_docs_absent(tiny_docs):
+    got = bm25_scores(tiny_docs, ["apple"]).collect()
+    assert {r["doc_id"] for r in got} == {0, 1}
+
+
+def test_rrf_fusion_known_case(spark):
+    lex = spark.createDataFrame(
+        [(10, 5.0), (11, 4.0), (12, 3.0)], ["doc_id", "bm25"]
+    )
+    sem = spark.createDataFrame(
+        [(11, 0.9), (13, 0.8)], ["vec_id", "cosine"]
+    )
+    got = {r["doc_id"]: r for r in rrf_fuse(lex, sem, k=10).collect()}
+    # doc 11: rank 2 lexical, rank 1 semantic
+    assert got[11]["r_lex"] == 2 and got[11]["r_sem"] == 1
+    assert got[11]["rrf"] == round(1 / 62 + 1 / 61, 6)
+    # doc 10: lexical only; doc 13: semantic only
+    assert got[10]["r_sem"] is None
+    assert got[10]["rrf"] == round(1 / 61, 6)
+    assert got[13]["r_lex"] is None
+    # fused order: 11 first (two contributions)
+    ordered = sorted(got.values(), key=lambda r: -r["rrf"])
+    assert ordered[0]["doc_id"] == 11
+
+
+def test_shard_assign_permutation_properties(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    out = shard_assign(df, n_shards=8).collect()
+    assert len(out) == 1000
+    shards = {}
+    for r in out:
+        assert 0 <= r["shard"] < 8
+        shards.setdefault(r["shard"], []).append(r["pos"])
+    # every shard's positions are exactly 1..len (contiguous rank)
+    for positions in shards.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # roughly uniform occupancy (1000/8 = 125 expected)
+    sizes = [len(v) for v in shards.values()]
+    assert len(sizes) == 8 and min(sizes) > 80 and max(sizes) < 170
+
+
+def test_shard_assign_deterministic_and_partition_stable(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = {(r["doc_id"]): (r["shard"], r["pos"]) for r in shard_assign(df).collect()}
+    b = {
+        (r["doc_id"]): (r["shard"], r["pos"])
+        for r in shard_assign(df.repartition(13)).collect()
+    }
+    assert a == b
+
+
+def test_unigram_logprob_rare_tokens_score_low(spark):
+    # 9 docs of common filler + 1 doc of singleton rare tokens
+    rows = [(i, "common words repeat here always") for i in range(9)]
+    rows.append((9, "zygote quixotic ephemera"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in unigram_logprob(df, low_quality_below=-3.0).collect()}
+    common_scores = [got[i]["avg_logprob"] for i in range(9)]
+    assert got[9]["avg_logprob"] < min(common_scores)
+    assert got[9]["low_quality"] is True
+    assert all(not got[i]["low_quality"] for i in range(9))
+    # exact value: rare doc = avg ln(1/48) over 3 tokens (45 + 3 total)
+    assert got[9]["avg_logprob"] == round(math.log(1 / 48), 6)
+
+
+def test_kmeans_separates_blobs(spark):
+    # two tight blobs far apart -> 2-means must recover them exactly
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        center = 0.0 if i % 2 == 0 else 100.0
+        rows.append(
+            (i, [center + rng.uniform(-1, 1) for _ in range(4)])
+        )
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = kmeans_assign(df, k=2, iters=3).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], set()).add(r["vec_id"])
+    assert len(by_cluster) == 2
+    evens = {i for i in range(40) if i % 2 == 0}
+    odds = set(range(40)) - evens
+    assert by_cluster[0] in (evens, odds) and by_cluster[1] in (evens, odds)
+    assert by_cluster[0] != by_cluster[1]
+    # within-blob distances are small after convergence
+    assert all(r["dist2"] < 16.0 for r in out)
+
+
+def test_kmeans_fit_deterministic(spark):
+    rows = [(i, [float(i % 5), float((i * 7) % 11)]) for i in range(30)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    c1 = kmeans_fit(df, k=3, iters=2)
+    c2 = kmeans_fit(df.repartition(9), k=3, iters=2)
+    assert c1 == c2
+
+
+def test_kmeans_ties_break_to_lower_cluster(spark):
+    # a point equidistant from two centroids joins the lower cluster id
+    df = spark.createDataFrame([(0, [5.0, 0.0])], ["vec_id", "embedding"])
+    got = assign_clusters(df, [[0.0, 0.0], [10.0, 0.0]]).collect()[0]
+    assert got["cluster"] == 0 and got["dist2"] == 25.0
+
+
+def test_kmeans_requires_enough_vectors(spark):
+    df = spark.createDataFrame([(0, [1.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="need >= 2"):
+        kmeans_fit(df, k=2)
