@@ -217,5 +217,14 @@ def r6(c: Column) -> Column:
 
 def ts_us(col: Column | str) -> Column:
     """Epoch microseconds — timezone-free canonical timestamp output for
-    oracle comparison (DuckDB twin: epoch_us(ts))."""
-    return F.unix_micros(F.col(col) if isinstance(col, str) else col)
+    oracle comparison (DuckDB twin: epoch_us(ts)).
+
+    Parquet written with isAdjustedToUTC=false is read by Spark as
+    TIMESTAMP_NTZ (inferTimestampNTZ defaults on in Spark 3.4+), and
+    ``unix_micros`` rejects NTZ. The cast to TIMESTAMP is a no-op for
+    LTZ inputs and re-interprets NTZ wall-clock in the session zone —
+    value-preserving because every session here pins UTC, matching
+    DuckDB's naive-as-UTC epoch_us.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))

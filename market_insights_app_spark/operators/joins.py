@@ -152,7 +152,7 @@ def range_join(
     events + interval-cells, not events × intervals. Pick the bucket
     near the median interval length; AQE absorbs cell skew.
     """
-    cell = lambda c: F.floor(F.unix_micros(F.col(c)) / F.lit(bucket_seconds * 1_000_000))  # noqa: E731
+    cell = lambda c: F.floor(F.unix_micros(F.col(c).cast("timestamp")) / F.lit(bucket_seconds * 1_000_000))  # noqa: E731
     l_cells = left.withColumn("__cell", cell(ts_col))
     r_cells = right.withColumn(
         "__cell",

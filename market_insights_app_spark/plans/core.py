@@ -723,7 +723,7 @@ def q_click_attribution(spark: SparkSession, sf: str) -> DataFrame:
     return j.select(
         "purchase_id",
         "click_id",
-        (F.unix_micros("pts") - F.unix_micros("cts")).alias("delta_us"),
+        (ts_us("pts") - ts_us("cts")).alias("delta_us"),
     )
 
 

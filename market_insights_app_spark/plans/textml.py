@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
 from market_insights_app_spark.functions import text as TX
+from market_insights_app_spark.functions.scalars import ts_us
 from market_insights_app_spark.operators.dedup import (
     minhash_near_dupes,
     ngram_jaccard_vs_query,
@@ -240,7 +241,7 @@ def q_connector_fx_parse(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "symbol",
         F.round("price", 6).alias("price"),
-        F.unix_micros("as_of").alias("ts_us"),
+        ts_us("as_of").alias("ts_us"),
         "currency",
         "source",
     )
@@ -253,7 +254,7 @@ def q_connector_yahoo_parse(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "symbol",
         F.round("price", 6).alias("price"),
-        F.unix_micros("as_of").alias("ts_us"),
+        ts_us("as_of").alias("ts_us"),
         "currency",
         "source",
     )
@@ -645,7 +646,7 @@ def q_timestamp_normalize(spark: SparkSession, sf: str) -> DataFrame:
         .alias("raw"),
     )
     return shaped.select(
-        "event_id", F.unix_micros(normalize_timestamp("raw")).alias("ts_us")
+        "event_id", ts_us(normalize_timestamp("raw")).alias("ts_us")
     )
 
 

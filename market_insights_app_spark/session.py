@@ -36,10 +36,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", shuffle)
         # Deterministic timestamp behavior for the differential oracle.
+        # No legacy nanosAsLong: Spark 4 reads parquet TIMESTAMP(NANOS)
+        # natively as TIMESTAMP_NTZ truncated to micros — identical to
+        # the driver's default session and to DuckDB's epoch_us.
         .config("spark.sql.session.timeZone", "UTC")
-        # testdata events.ts is parquet TIMESTAMP(NANOS) — Spark has no
-        # nanosecond timestamps, so read as long and convert (tables.py).
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Arrow-accelerated pandas exchange for the Pandas-UDF operators.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
@@ -53,5 +53,4 @@ def tune_for_oracle(spark: SparkSession) -> SparkSession:
     """Apply the session settings the differential-oracle contract needs
     on a session we did not build (the driver passes its own)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark

@@ -35,12 +35,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (already the exact types in schemas.TESTDATA); passing no explicit
     schema keeps vectorized reader + pushdown defaults intact.
 
-    events.ts is parquet TIMESTAMP(NANOS), which Spark cannot represent:
-    with ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as
-    a long of nanoseconds and is canonicalized here to a microsecond
-    TimestampType by integer truncation — the DuckDB oracles apply the
-    identical truncation (``make_timestamp(epoch_ns(ts) // 1000)``), so
-    both engines see the same instants.
+    events.ts is parquet TIMESTAMP(NANOS): Spark 4 reads it natively as
+    TIMESTAMP_NTZ truncated to microseconds — bit-identical to DuckDB's
+    ``epoch_us(ts)`` truncation, so both engines see the same instants
+    and NTZ predicates push down to the scan (row-group pruning). If an
+    enclosing session was built with the legacy ``nanosAsLong`` conf the
+    column arrives as a long of nanoseconds instead; the branch below
+    canonicalizes that shape to the same microsecond timestamps.
     """
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TESTDATA_TABLES}")
@@ -48,7 +49,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (os.path.abspath(sf_dir), name)
     if caching and key in _TABLE_CACHE:
         return _TABLE_CACHE[key]
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # Keep the raw nanos column: predicates on the converted ts

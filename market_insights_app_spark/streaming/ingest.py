@@ -34,13 +34,12 @@ def events_file_stream(
     """Replay the events parquet as a micro-batched stream (ST1).
 
     The file source needs a directory, so the sf_dir is the basePath
-    with a glob for the events file. ts arrives as long nanoseconds
-    (TIMESTAMP(NANOS) + nanosAsLong, see sources/tables.py) and is
-    canonicalized to a microsecond timestamp here."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    with a glob for the events file. ts is parquet TIMESTAMP(NANOS),
+    which Spark 4 reads natively as TIMESTAMP_NTZ truncated to micros —
+    same canonical instants as the batch loader (sources/tables.py)."""
     schema = T.StructType(
         [
-            f if f.name != "ts" else T.StructField("ts", T.LongType())
+            f if f.name != "ts" else T.StructField("ts", T.TimestampNTZType())
             for f in TESTDATA["events"].fields
         ]
     )
@@ -50,7 +49,10 @@ def events_file_stream(
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Watermarks demand TIMESTAMP (LTZ); the cast re-interprets NTZ
+    # wall-clock in the session zone — value-preserving under the
+    # pinned-UTC session contract (session.py).
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def with_dedup(

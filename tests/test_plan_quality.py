@@ -23,14 +23,14 @@ def plan_of(df) -> str:
 
 def test_range_filter_pushed_to_scan(spark):
     """Time-range + equality predicates must appear in PushedFilters —
-    including the range, which pushes in raw-ns space past the µs
-    conversion (operators/filters.events_ts_range)."""
+    NTZ timestamp bounds push natively into the parquet scan
+    (operators/filters.events_ts_range)."""
     from market_insights_app_spark.plans.registry import QUERIES
 
     p = plan_of(QUERIES["prices_filter_range_limit"](spark, SF_ORACLE))
     assert "EqualTo(event_type,click)" in p
-    assert "GreaterThanOrEqual(ts," in p  # raw-ns pushdown
-    assert "LessThan(ts," in p
+    assert "GreaterThanOrEqual(ts," in p
+    assert "LessThanOrEqual(ts," in p or "LessThan(ts," in p
 
 
 def test_keyset_cursor_pushed_to_scan(spark):
