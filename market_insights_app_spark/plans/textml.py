@@ -287,11 +287,13 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
 def q_near_dedup_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end near-dup deduplication of the documents corpus:
     MinHash-LSH pairs -> connected components -> keep the min-id
-    representative per cluster (rows-only; clustering verified against
-    known components in tests)."""
+    representative per cluster. Runs the md5-derived portable hash so
+    the ENTIRE pipeline (signatures -> banding -> verify -> clustering
+    -> anti-join removal) is hash-gated by a DuckDB oracle; the
+    xxhash64 engine path is the same machinery (``minhash_neardup``)."""
     from market_insights_app_spark.operators.dedup import dedup_corpus
 
-    out = dedup_corpus(_docs(spark, sf), threshold=0.5)
+    out = dedup_corpus(_docs(spark, sf), threshold=0.5, portable=True)
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
@@ -609,6 +611,33 @@ TEXTML_ORACLES: dict[str, str] = {
                      / NULLIF(len(hx), 0), 0.0), 4) AS feat_mean
         FROM c
     """,
+    "media_features": """
+        -- Full differential twin of the decode→resize→features chain:
+        -- the fake decoder tiles payload bytes cyclically into an
+        -- (8,8,3) frame and the 8×8 bilinear resize is the identity, so
+        -- channel c of flat pixel k is payload byte (3k + c) mod n.
+        -- numpy's mean/std over 64 samples are exact-sum/64 ⇒ stddev_pop
+        -- matches bit-for-bit at 4 dp.
+        WITH c AS (SELECT doc_id,
+                          regexp_extract_all(hex(encode(text)), '..') AS hx
+                   FROM documents),
+        px AS (SELECT doc_id, ks.k AS k, ch.c AS ch,
+                      CASE WHEN len(hx) = 0 THEN 0.0 ELSE CAST(
+                          (strpos('0123456789ABCDEF', hx[((3 * ks.k + ch.c) % len(hx)) + 1][1]) - 1) * 16
+                        + (strpos('0123456789ABCDEF', hx[((3 * ks.k + ch.c) % len(hx)) + 1][2]) - 1)
+                      AS DOUBLE) END AS v
+               FROM c,
+                    (SELECT unnest(range(0, 64)) AS k) ks,
+                    (SELECT unnest(range(0, 3)) AS c) ch)
+        SELECT doc_id AS media_id,
+               round(avg(v) FILTER (ch = 0), 4) AS mean_r,
+               round(stddev_pop(v) FILTER (ch = 0), 4) AS std_r,
+               round(avg(v) FILTER (ch = 1), 4) AS mean_g,
+               round(stddev_pop(v) FILTER (ch = 1), 4) AS std_g,
+               round(avg(v) FILTER (ch = 2), 4) AS mean_b,
+               round(stddev_pop(v) FILTER (ch = 2), 4) AS std_b
+        FROM px GROUP BY doc_id
+    """,
 }
 
 
@@ -697,8 +726,11 @@ _SEEDS_SQL = ", ".join(
     f"({i}, {a}, {b})" for i, (a, b) in ((i, _affine_params(i)) for i in range(32))
 )
 
-TEXTML_ORACLES["minhash_neardup_portable"] = f"""
-    WITH norm AS (SELECT doc_id,
+# The portable MinHash-LSH pipeline as a reusable CTE chain (through
+# exact-Jaccard verified `pairs`) — shared by the pair-level oracle and
+# the end-to-end corpus-dedup oracle so both gate the identical stages.
+_PORTABLE_PAIR_CTES = f"""
+    norm AS (SELECT doc_id,
            list_filter(string_split_regex({_NORM_SQL}, '\\s+'), x -> x <> '') AS toks
          FROM documents),
     sets AS (SELECT doc_id,
@@ -730,11 +762,31 @@ TEXTML_ORACLES["minhash_neardup_portable"] = f"""
                      len(sa.sh) AS na, len(sb.sh) AS nb
               FROM keep k
               JOIN sets sa ON sa.doc_id = k.a
-              JOIN sets sb ON sb.doc_id = k.b)
+              JOIN sets sb ON sb.doc_id = k.b)"""
+
+TEXTML_ORACLES["minhash_neardup_portable"] = f"""
+    WITH {_PORTABLE_PAIR_CTES}
     SELECT a, b,
            round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
     FROM pairs
     WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5
+"""
+
+TEXTML_ORACLES["near_dedup_corpus"] = f"""
+    WITH RECURSIVE {_PORTABLE_PAIR_CTES},
+    hits AS (SELECT a, b FROM pairs
+             WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5),
+    edges AS (SELECT a AS x, b AS y FROM hits
+              UNION ALL SELECT b AS x, a AS y FROM hits),
+    vtx AS (SELECT DISTINCT x AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM vtx
+      UNION
+      SELECT e.x, re.r FROM edges e JOIN reach re ON e.y = re.id
+    ),
+    losers AS (SELECT id FROM reach GROUP BY id HAVING id <> min(r))
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM losers)
 """
 
 TEXTML_ORACLES["seq_pack"] = """
@@ -1100,9 +1152,10 @@ TEXTML_ORACLES["inverted_index"] = f"""
 def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
     """Image-feature pipeline over binary media columns: fake decode
     (codec container-blocked) → REAL numpy bilinear resize to 8×8 →
-    per-channel mean/std (operators/multimodal.py). Rows-only for the
-    driver — the kernels have golden-value unit tests; the decode stub
-    is the only fake stage."""
+    per-channel mean/std (operators/multimodal.py). Fully
+    oracle-checked: the fake decode tiles payload bytes into the
+    (8,8,3) frame deterministically, so the whole pipeline is
+    re-expressible as byte arithmetic over hex pairs in DuckDB."""
     from market_insights_app_spark.operators.multimodal import (
         image_channel_features,
         resize_media,
@@ -1126,8 +1179,8 @@ def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
     feats = image_channel_features(resized, fake=True)
     return feats.select(
         "media_id",
-        F.round("mean_r", 4).alias("mean_r"),
-        F.round("std_r", 4).alias("std_r"),
+        *[F.round(f"{m}_{ch}", 4).alias(f"{m}_{ch}")
+          for ch in "rgb" for m in ("mean", "std")],
     )
 
 
