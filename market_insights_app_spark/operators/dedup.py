@@ -759,3 +759,70 @@ def blocked_fuzzy_pairs(
         )
         .filter(F.col("distance") >= 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# passage-level corpus dedup (C4/CCNet line-dedup analog)
+# ---------------------------------------------------------------------------
+
+
+def passage_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passage_tokens: int = 3,
+) -> DataFrame:
+    """Sub-document exact dedup: split every document into
+    non-overlapping passages of ``passage_tokens`` tokens, keep only
+    the globally FIRST occurrence of each distinct passage (ordered by
+    (doc_id, passage index) — the deterministic analog of C4's
+    line-level and CCNet's paragraph-level dedup), and reassemble each
+    document from its surviving passages.
+
+    Scale shape: two shuffles, both on bounded keys — a ranking window
+    partitioned by the passage text (first-occurrence selection; hot
+    passages are exactly the ones being deduped away, and AQE splits
+    any skewed rank partition), then a groupBy(doc_id) reassembly whose
+    per-group state is the document itself. No self-joins, no
+    quadratic stage; at 100 TB swap the raw passage string for its
+    xxhash64 in the window key to shrink the exchange.
+
+    Output: (doc_id, n_passages, n_kept, text_dedup).
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_pass = F.ceil(F.size(toks) / F.lit(passage_tokens)).cast("int")
+    passages = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("__toks"),
+        F.posexplode(F.sequence(F.lit(0), n_pass - 1)).alias("idx", "__k"),
+    ).select(
+        "doc_id",
+        "idx",
+        F.array_join(
+            F.slice("__toks", F.col("__k") * passage_tokens + 1, passage_tokens),
+            " ",
+        ).alias("passage"),
+    )
+    first_w = Window.partitionBy("passage").orderBy("doc_id", "idx")
+    ranked = passages.withColumn("__rn", F.row_number().over(first_w))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_passages"),
+            F.count(F.when(F.col("__rn") == 1, 1)).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__rn") == 1,
+                                F.struct("idx", "passage"),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("passage"),
+                ),
+                " ",
+            ).alias("text_dedup"),
+        )
+    )

@@ -1,0 +1,71 @@
+"""Dataset profiling operators — the first thing a 100 TB ingest runs.
+
+The reference has no profiling surface (its closest analog is the
+overview stat endpoint, app/main.py:418-447); a training-data pipeline
+needs schema-wide health stats before any downstream stage: null rates,
+cardinalities, ranges, and distribution quantiles per column.
+
+Scale shape: ``profile_table`` is ONE full-scan aggregate — every
+per-column statistic is an expression inside a single HashAggregate, so
+the pass over 100 TB happens once (map-side partials, one tiny final
+exchange, output rows = number of profiled columns). Exact
+``count_distinct`` adds one expand-shuffle per column; the
+``approximate=True`` path swaps in HyperLogLog++ sketches
+(``approx_count_distinct``) that stay inside the single aggregate —
+that is the default at scale.
+
+(Distribution quantiles live with the query layer: plans/core.
+q_value_quantiles — exact percentile locally, percentile_approx
+t-digest at scale.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    approximate: bool = False,
+) -> DataFrame:
+    """Per-column profile: one row per column with row/null/distinct
+    counts and min/max rendered as strings (schema-stable across
+    column types). One aggregate pass; column order of the input is
+    preserved in the output via an explicit ordinal."""
+    cols = columns or df.columns
+    distinct = (
+        (lambda c: F.approx_count_distinct(c))
+        if approximate
+        else (lambda c: F.count_distinct(F.col(c)))
+    )
+    aggs: list[Column] = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.count(F.col(c)).alias(f"{c}__nn"),
+            distinct(c).alias(f"{c}__nd"),
+            # native-type min/max, rendered to string AFTER the agg —
+            # lexicographic min/max of the rendering would be wrong for
+            # numerics ('99' > '149')
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(i).alias("ordinal"),
+            F.lit(c).alias("column"),
+            F.col(f"{c}__n").alias("n_rows"),
+            (F.col(f"{c}__n") - F.col(f"{c}__nn")).alias("n_null"),
+            F.col(f"{c}__nd").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_str"),
+            F.col(f"{c}__max").alias("max_str"),
+        )
+        for i, c in enumerate(cols)
+    ]
+    return (
+        wide.select(F.explode(F.array(*rows)).alias("p"))
+        .select("p.*")
+    )

@@ -444,3 +444,52 @@ def quantize_int8(
         ).cast("long"),
     )
     return out.select(id_col, "scale", codes.alias("codes"))
+
+
+def semdedup(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the
+    embedding space with k-means, then WITHIN each cluster drop every
+    vector that is near-identical (cosine ≥ ``threshold``) to a
+    lower-id member; the minimum id of each near-duplicate
+    neighborhood survives.
+
+    Scale shape: the O(n²) cosine work is confined to each cluster by
+    an equi-join on the cluster id — the standard SemDeDup trick that
+    makes web-scale semantic dedup tractable (k ≈ √n keeps expected
+    cluster sizes, and therefore the per-cluster quadratic term,
+    bounded). One shuffle for the self-join; the drop rule is a
+    left-semi EXISTS, so no pair set is ever materialized to the
+    driver. Deterministic: k-means init is the k smallest ids
+    (operators/clustering.py), and the keep rule is pure min-id.
+
+    Returns the SURVIVING (id, cluster) rows.
+    """
+    from market_insights_app_spark.operators.clustering import kmeans_assign
+
+    assigned = kmeans_assign(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+    a = assigned.join(vecs, id_col).select(
+        F.col(id_col).alias("id"), "cluster", F.col("__v").alias("v")
+    )
+    l, r = a.alias("l"), a.alias("r")
+    dupes = (
+        l.join(
+            r,
+            (F.col("l.cluster") == F.col("r.cluster"))
+            & (F.col("r.id") < F.col("l.id"))
+            & (F.round(cosine(F.col("l.v"), F.col("r.v")), 6) >= threshold),
+            "left_semi",
+        )
+        .select(F.col("id"))
+    )
+    return (
+        a.join(dupes, "id", "left_anti")
+        .select(F.col("id").alias(id_col), "cluster")
+    )

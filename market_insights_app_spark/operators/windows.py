@@ -236,3 +236,57 @@ def bollinger(
     lower = F.when(warm, mid - k * sd)
     pctb = F.when(warm & (sd > 0), (v - (mid - k * sd)) / ((2 * k) * sd))
     return upper, lower, pctb
+
+
+# --- EWMA / MACD (bounded-horizon, engine-exact) ---------------------------
+def ewma_weights(span: int, horizon: int | None = None) -> list[float]:
+    """Truncated exponential weights w_k = (1-α)^k, α = 2/(span+1) —
+    the pandas ``ewm(span=..., adjust=True)`` convention cut at
+    ``horizon`` terms. Computed ONCE driver-side and embedded as
+    literal doubles in BOTH engines' plans, so the window math is pure
+    IEEE multiply/add on identical constants — bit-reproducible across
+    Spark and any oracle engine, no libm ``pow`` divergence."""
+    h = horizon or span
+    decay = 1.0 - 2.0 / (span + 1.0)
+    w, out = 1.0, []
+    for _ in range(h):
+        out.append(w)
+        w *= decay
+    return out
+
+
+def ewma(value: Column | str, w: WindowSpec, span: int) -> Column:
+    """Exponentially-weighted moving average over the trailing ``span``
+    rows: Σ w_k·x_{t-k} / Σ w_k with truncated adjust=True weights.
+
+    Window-expressible (no recursion): the trailing values are staged
+    through a bounded ``collect_list`` (≤ span elements, rows-frame
+    order is the window order) and folded against the literal weight
+    array — O(span) per row, shuffle-free beyond the window's own
+    partitioning. The infinite-memory recursive EMA lives with the
+    stateful streaming operators (streaming/ingest.py); this is the
+    batch/backfill form."""
+    v = F.col(value) if isinstance(value, str) else value
+    wts = ewma_weights(span)
+    lits = F.array(*[F.lit(x) for x in wts])
+    # denominators for partial (warm-up) windows: den[m] = Σ_{k<m} w_k,
+    # same fold-left order as the oracle twin
+    dens, acc = [], 0.0
+    for x in wts:
+        acc += x
+        dens.append(acc)
+    den_lits = F.array(*[F.lit(x) for x in dens])
+    arr = F.collect_list(v).over(trailing(w, span))
+    rev = F.reverse(arr)
+    m = F.size(rev)
+    num = F.aggregate(
+        F.zip_with(rev, F.slice(lits, 1, m), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc_, x: acc_ + x,
+    )
+    return num / F.element_at(den_lits, m)
+
+
+def macd(value: Column | str, w: WindowSpec, fast: int = 12, slow: int = 26) -> Column:
+    """MACD line = EWMA(fast) − EWMA(slow) (bounded-horizon form)."""
+    return ewma(value, w, fast) - ewma(value, w, slow)

@@ -784,3 +784,72 @@ def q_autocorr_lag1(spark: SparkSession, sf: str) -> DataFrame:
         "n_pairs",
         F.when(den > 0, num / den).alias("corr_lag1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dataset profiling + distribution analytics (round 4)
+# ---------------------------------------------------------------------------
+
+
+def q_table_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-wide profile of the events table in ONE aggregate pass
+    (operators/profiling.py): per-column row/null/distinct counts and
+    min/max. Exact count_distinct here (driver-gate determinism); the
+    100 TB default is approximate=True (HLL++ sketches keep the whole
+    profile inside a single map-side-partial aggregate). ts and value
+    are profiled through the typed queries instead — double/timestamp
+    → string rendering is engine-specific, and the profile's generic
+    min/max contract is string-rendered."""
+    from market_insights_app_spark.operators.profiling import profile_table
+
+    ev = _events(spark, sf)
+    return profile_table(ev, ["event_id", "user_id", "event_type", "props"])
+
+
+def q_grouping_sets_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPING SETS completeness alongside ROLLUP/CUBE (§2.4 family):
+    revenue by (region, nation), by nation alone, and the grand total
+    in one pass — exact DECIMAL sums, grouping_id distinguishes the
+    levels. Same broadcast-dimension join tree as rollup_revenue."""
+    nation = F.broadcast(load_table(spark, sf, "nation"))
+    region = F.broadcast(load_table(spark, sf, "region"))
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    rev = F.col("o_totalprice").cast("decimal(12,2)")
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+    )
+    out = (
+        joined.groupingSets(
+            [["r_name", "n_name"], ["n_name"], []],
+            "r_name",
+            "n_name",
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+    return out.select("r_name", "n_name", "gid", "revenue", "n_orders")
+
+
+def q_ewma_macd(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded-horizon EWMA(12)/EWMA(26) and the MACD line per series
+    (operators/windows.ewma) — truncated adjust=True weights embedded
+    as literal doubles in BOTH engines, so the fold is bit-identical
+    IEEE arithmetic (no libm pow in either plan)."""
+    ev = _events(spark, sf)
+    w = EVENTS_W()
+    e12 = W.ewma("value", w, 12)
+    e26 = W.ewma("value", w, 26)
+    return ev.select(
+        "user_id",
+        "event_id",
+        ts_us("ts").alias("ts_us"),
+        F.round(e12, 6).alias("ewma12"),
+        F.round(e26, 6).alias("ewma26"),
+        F.round(e12 - e26, 6).alias("macd"),
+    )

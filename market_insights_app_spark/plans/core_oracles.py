@@ -582,3 +582,75 @@ CORE_ORACLES["autocorr_lag1"] = f"""
            END AS corr_lag1
     FROM stats
 """
+
+
+def _profile_col_sql(ordinal: int, col: str) -> str:
+    return f"""
+      SELECT {ordinal} AS ordinal, '{col}' AS "column",
+             COUNT(*) AS n_rows,
+             COUNT(*) - COUNT({col}) AS n_null,
+             COUNT(DISTINCT {col}) AS n_distinct,
+             CAST(MIN({col}) AS VARCHAR) AS min_str,
+             CAST(MAX({col}) AS VARCHAR) AS max_str
+      FROM {EV_SUB} events"""
+
+
+CORE_ORACLES["table_profile"] = " UNION ALL ".join(
+    _profile_col_sql(i, c)
+    for i, c in enumerate(["event_id", "user_id", "event_type", "props"])
+)
+
+CORE_ORACLES["grouping_sets_revenue"] = """
+    SELECT r_name, n_name,
+           CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name, n_name), (n_name), ())
+"""
+
+
+def _ewma_term_sql(span: int) -> tuple[str, str]:
+    """(numerator, denominator) SQL for the bounded EWMA fold — the
+    SAME literal doubles the Spark plan embeds (operators/windows.
+    ewma_weights), folded left exactly like F.aggregate."""
+    from market_insights_app_spark.operators.windows import ewma_weights
+
+    wts = ewma_weights(span)
+    dens, acc = [], 0.0
+    for x in wts:
+        acc += x
+        dens.append(acc)
+    wl = "[" + ", ".join(repr(x) for x in wts) + "]"
+    dl = "[" + ", ".join(repr(x) for x in dens) + "]"
+    num = (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, len(rev{span}) + 1), "
+        f"i -> rev{span}[i] * ({wl})[i])), (a, b) -> a + b)"
+    )
+    den = f"({dl})[len(rev{span})]"
+    return num, den
+
+
+_N12, _D12 = _ewma_term_sql(12)
+_N26, _D26 = _ewma_term_sql(26)
+
+CORE_ORACLES["ewma_macd"] = f"""
+    WITH a AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             list_reverse(list(value) OVER (w ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)) AS rev12,
+             list_reverse(list(value) OVER (w ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)) AS rev26
+      FROM {EV_SUB} events WINDOW w AS ({W_EVENTS})),
+    e AS (
+      SELECT user_id, event_id, ts_us,
+             {_N12} / {_D12} AS e12,
+             {_N26} / {_D26} AS e26
+      FROM a)
+    SELECT user_id, event_id, ts_us,
+           round(e12, 6) AS ewma12,
+           round(e26, 6) AS ewma26,
+           round(e12 - e26, 6) AS macd
+    FROM e
+"""

@@ -31,66 +31,64 @@ def _collect(module) -> dict[str, QueryFn]:
 _COLLECTED: dict[str, QueryFn] = {**_collect(core), **_collect(textml)}
 
 # Driver-sweep priority. The per-round CORRECTNESS sweep checks the FIRST
-# 50 names in ``QUERIES`` (dict insertion order), so names that have never
-# received a driver row must enumerate first.  Tiers:
-#   1. never driver-swept as of r02 (22 names) + new round-3 queries
-#   2. green in r01 only, rotated out of the r02 sweep (12 names)
-#   3. green in r02 — re-swept only with leftover slots
+# 50 names in ``QUERIES`` (dict insertion order). Round-4 tiers:
+#   1. red or oracle-less in CORRECTNESS_r03 (all four now fixed/oracled)
+#      + queries new this round — these MUST get a fresh driver row
+#   2. not in the r03 sweep (last green r01/r02) — stalest evidence next
+#   3. green in r03 — re-swept only with leftover slots (via dict merge)
 _PRIORITY: list[str] = [
-    # --- tier 1: no driver CORRECTNESS row yet -------------------------
-    "timestamp_normalize",
-    "connector_yahoo_parse",
-    "simhash_neardup_portable",
-    "media_decode",
-    "media_features",
-    "near_dedup_corpus",
-    "near_dedup_corpus_exact",
-    "ngram_jaccard_bigram",
-    "training_corpus",
-    "corpus_split",
-    "stratified_sample",
-    "mixture_sample",
-    "doc_chunks",
-    "doc_repetition",
-    "seq_pack",
-    "vocab_topk",
-    "pii_scrub",
-    "tfidf_top_terms",
-    "decontaminate",
-    "fuzzy_match",
-    "inverted_index",
-    "quantize_int8",
-    # new in round 3 — no driver row yet by construction
-    "bm25_search",
-    "hybrid_search",
-    "corpus_shuffle",
-    "seq_len_histogram",
-    "lm_quality",
-    "kmeans_assign",
-    # --- tier 2: green in r01, rotated out of the r02 sweep ------------
-    "connector_fx_parse",
-    "impact_classify",
-    "tag_split",
-    "level_extract",
-    "fingerprint_docs",
-    "embedding_topk",
-    "embedding_neardup",
-    "tokens_count",
-    "text_quality",
-    "lang_id",
-    "ann_lsh_topk",
-    "ivf_topk",
-    # --- tier 3: green in r02 (fill the remaining sweep slots) ---------
-    "prices_filter_range_limit",
-    "positions_agg",
-    "tpch_q1_style",
-    "journal_stats",
-    "asof_join",
-    "multi_join_revenue",
-    "ict_analysis",
-    "minhash_neardup_portable",
-    "dedup_exact",
-    "ngram_jaccard",
+    # --- tier 1: fixed this round + new this round ---------------------
+    "prices_filter_range_limit",  # r03 red: NTZ unix_micros — fixed
+    "ict_analysis",               # r03 red: same root cause — fixed
+    "media_features",             # r03 no_oracle — full oracle added
+    "near_dedup_corpus",          # r03 no_oracle — portable hash + oracle
+    "table_profile",
+    "grouping_sets_revenue",
+    "ewma_macd",
+    "semdedup",
+    "passage_dedup",
+    "zipf_slope",
+    # --- tier 2: rotated out of the r03 sweep (stalest driver rows) ----
+    "autocorr_lag1",
+    "bollinger",
+    "click_attribution",
+    "cohort_retention",
+    "cube_agg",
+    "dedup_latest_wins",
+    "equity_cumsum",
+    "funnel_conversion",
+    "group_topk",
+    "histogram",
+    "json_extract_props",
+    "lag_delta",
+    "latest_join_enrich",
+    "latest_per_key",
+    "local_extrema",
+    "ma_slope_trend",
+    "minhash_neardup",
+    "minmax_mid_premium",
+    "minmax_normalize",
+    "pivot_event_counts",
+    "pnl_r_scalars",
+    "prices_keyset_page",
+    "prices_page2",
+    "range_join_sessions",
+    "recent_n_tail",
+    "rolling_min_volatility",
+    "rolling_stddev10",
+    "rollup_revenue",
+    "rsi14",
+    "salted_hot_agg",
+    "session_window_agg",
+    "set_ops",
+    "simhash_neardup",
+    "sliding_window_agg",
+    "sma5",
+    "trailing_max_argmax",
+    "tumbling_window_agg",
+    "union_merge_dedup",
+    "value_quantiles",
+    "window_delta_stats",
 ]
 
 _unknown = set(_PRIORITY) - set(_COLLECTED)

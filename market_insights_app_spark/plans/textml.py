@@ -1530,8 +1530,11 @@ def _kmeans_d2_sql(a: str, b: str) -> str:
     )
 
 
-TEXTML_ORACLES["kmeans_assign"] = f"""
-    WITH e AS (SELECT vec_id,
+# k-means (k=8, 2 Lloyd iterations, smallest-id init) as a reusable CTE
+# chain ending at a3(vec_id, cl, d) — shared by the assignment oracle
+# and the SemDeDup oracle.
+_KMEANS_CTES = f"""
+    e AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
     c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl,
@@ -1573,7 +1576,139 @@ TEXTML_ORACLES["kmeans_assign"] = f"""
                     row_number() OVER (PARTITION BY e.vec_id
                       ORDER BY round({_kmeans_d2_sql('e.v', 'c2.cv')}, 9) ASC,
                                c2.cl ASC) AS rn
-             FROM e CROSS JOIN c2) WHERE rn = 1)
+             FROM e CROSS JOIN c2) WHERE rn = 1)"""
+
+TEXTML_ORACLES["kmeans_assign"] = f"""
+    WITH {_KMEANS_CTES}
     SELECT vec_id, CAST(cl AS INT) AS cluster, round(d, 6) AS dist2
     FROM a3
+"""
+
+TEXTML_ORACLES["semdedup"] = f"""
+    WITH {_KMEANS_CTES},
+    a AS (SELECT a3.vec_id AS id, CAST(a3.cl AS INT) AS cluster, e.v
+          FROM a3 JOIN e ON e.vec_id = a3.vec_id),
+    drops AS (SELECT DISTINCT l.id
+              FROM a l JOIN a r ON l.cluster = r.cluster AND r.id < l.id
+              WHERE round({_cos_sql('l.v', 'r.v')}, 6) >= 0.4)
+    SELECT id AS vec_id, cluster FROM a
+    WHERE id NOT IN (SELECT id FROM drops)
+"""
+
+
+# ---------------------------------------------------------------------------
+# round 4: semantic dedup, passage dedup, Zipf fit
+# ---------------------------------------------------------------------------
+
+
+def q_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup over the embeddings: k-means (k=8, 2 iterations,
+    deterministic init) confines the quadratic cosine check to each
+    cluster; near-identical lower-id neighbors win
+    (operators/similarity.semdedup). Threshold 0.4 fits the synthetic
+    embedding spread (max pairwise cosine ≈ 0.51) so the drop rule is
+    actually exercised; production embedding spaces use ≈ 0.95."""
+    from market_insights_app_spark.operators.similarity import semdedup
+
+    return semdedup(_emb(spark, sf), k=8, iters=2, threshold=0.4)
+
+
+def q_passage_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide passage-level exact dedup (C4 line-dedup / CCNet
+    paragraph-dedup analog, operators/dedup.passage_dedup): 3-token
+    passages, global first-occurrence-wins, documents reassembled from
+    their surviving passages."""
+    from market_insights_app_spark.operators.dedup import passage_dedup
+
+    return passage_dedup(_docs(spark, sf), passage_tokens=3)
+
+
+def q_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    log(tf) on log(rank) for the top-100 terms — the standard
+    distribution-health check for a training corpus (natural text
+    ≈ −1; the synthetic word-soup is much flatter). The regression
+    sums fold over rank-ordered lists in BOTH engines, so the double
+    arithmetic is order-identical (no unordered SUM noise)."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf)
+    tf = (
+        docs.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    ranked = (
+        tf.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("tf").desc(), F.col("tok").asc())
+            ),
+        )
+        .filter(F.col("rank") <= 100)
+        .select(F.log(F.col("rank").cast("double")).alias("lx"),
+                F.log(F.col("tf").cast("double")).alias("ly"),
+                "rank")
+    )
+    arr = ranked.agg(
+        F.array_sort(F.collect_list(F.struct("rank", "lx", "ly"))).alias("pts")
+    )
+    def fold(expr):
+        return F.aggregate(expr, F.lit(0.0), lambda a, b: a + b)
+    pts = F.col("pts")
+    xs = F.transform(pts, lambda s: s.getField("lx"))
+    ys = F.transform(pts, lambda s: s.getField("ly"))
+    n = F.size(pts).cast("double")
+    sx, sy = fold(xs), fold(ys)
+    sxy = fold(F.zip_with(xs, ys, lambda a, b: a * b))
+    sxx = fold(F.zip_with(xs, xs, lambda a, b: a * b))
+    return arr.select(
+        F.size(pts).alias("n_terms"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("slope"),
+    )
+
+
+TEXTML_ORACLES["passage_dedup"] = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    ex AS (SELECT doc_id, toks,
+                  unnest(range(0, CAST(ceil(len(toks) / 3.0) AS BIGINT))) AS k
+           FROM t),
+    p AS (SELECT doc_id, k AS idx,
+                 array_to_string(toks[3*k + 1 : 3*k + 3], ' ') AS passage
+          FROM ex),
+    r AS (SELECT doc_id, idx, passage,
+                 row_number() OVER (PARTITION BY passage ORDER BY doc_id, idx) AS rn
+          FROM p)
+    SELECT doc_id,
+           COUNT(*) AS n_passages,
+           COUNT(*) FILTER (rn = 1) AS n_kept,
+           COALESCE(string_agg(passage, ' ' ORDER BY idx) FILTER (rn = 1), '')
+             AS text_dedup
+    FROM r GROUP BY doc_id
+"""
+
+TEXTML_ORACLES["zipf_slope"] = """
+    WITH tok AS (SELECT unnest(list_filter(
+                   string_split_regex(trim(lower(text)), '\\s+'), x -> x <> ''))
+                   AS tok
+                 FROM documents),
+    tf AS (SELECT tok, COUNT(*) AS tf FROM tok GROUP BY tok),
+    ranked AS (SELECT ln(CAST(row_number() OVER (ORDER BY tf DESC, tok ASC) AS DOUBLE)) AS lx,
+                      ln(CAST(tf AS DOUBLE)) AS ly,
+                      row_number() OVER (ORDER BY tf DESC, tok ASC) AS rank
+               FROM tf QUALIFY rank <= 100),
+    l AS (SELECT list(lx ORDER BY rank) AS xs, list(ly ORDER BY rank) AS ys
+          FROM ranked),
+    s AS (SELECT CAST(len(xs) AS DOUBLE) AS n,
+                 list_reduce(list_prepend(0.0, xs), (a, b) -> a + b) AS sx,
+                 list_reduce(list_prepend(0.0, ys), (a, b) -> a + b) AS sy,
+                 list_reduce(list_prepend(0.0,
+                   list_transform(list_zip(xs, ys), p -> p[1] * p[2])), (a, b) -> a + b) AS sxy,
+                 list_reduce(list_prepend(0.0,
+                   list_transform(list_zip(xs, xs), p -> p[1] * p[2])), (a, b) -> a + b) AS sxx,
+                 len(xs) AS n_terms
+          FROM l)
+    SELECT n_terms, round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
+    FROM s
 """

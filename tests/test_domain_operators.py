@@ -673,3 +673,79 @@ def test_bollinger_golden(spark):
         assert abs(r["u"] - (mid + sd)) < 1e-9
         assert abs(r["lo"] - (mid - sd)) < 1e-9
         assert abs(r["pb"] - (r["value"] - (mid - sd)) / (2 * sd)) < 1e-9
+
+
+def test_ewma_golden(spark):
+    """Truncated adjust=True EWMA: hand-rolled reference with the same
+    weights, including warm-up partial windows."""
+    from pyspark.sql.window import Window
+
+    from market_insights_app_spark.operators.windows import ewma, ewma_weights
+
+    vals = [10.0, 12.0, 11.0, 15.0, 14.0, 13.0]
+    span = 3
+    df = spark.createDataFrame(list(enumerate(vals)), "i long, value double")
+    out = [
+        r["e"]
+        for r in df.select(ewma("value", Window.orderBy("i"), span).alias("e"))
+        .orderBy("i")
+        .collect()
+    ]
+    w = ewma_weights(span)
+    for i, got in enumerate(out):
+        window = vals[max(0, i - span + 1) : i + 1][::-1]  # newest first
+        num = sum(v * w[k] for k, v in enumerate(window))
+        den = sum(w[: len(window)])
+        assert abs(got - num / den) < 1e-12, (i, got, num / den)
+
+
+def test_passage_dedup_first_occurrence(spark):
+    """A passage shared across docs survives only at its first
+    (doc_id, idx) occurrence; reassembly preserves passage order."""
+    from market_insights_app_spark.operators.dedup import passage_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x y z"),          # passages: 'a b c', 'x y z'
+            (2, "a b c q r s"),          # 'a b c' duplicates doc 1
+            (3, "q r s a b c x y z"),    # everything already seen
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in passage_dedup(docs, passage_tokens=3).collect()}
+    assert rows[1]["n_kept"] == 2 and rows[1]["text_dedup"] == "a b c x y z"
+    assert rows[2]["n_kept"] == 1 and rows[2]["text_dedup"] == "q r s"
+    assert rows[3]["n_kept"] == 0 and rows[3]["text_dedup"] == ""
+    assert rows[3]["n_passages"] == 3
+
+
+def test_semdedup_drops_near_identical_in_cluster(spark):
+    """Two near-identical vectors land in one cluster; only the lower
+    id survives. A distant vector is untouched."""
+    from market_insights_app_spark.operators.similarity import semdedup
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    near = [0.999, 0.01, 0.0, 0.0]
+    far = [0.0, 1.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"] for r in semdedup(df, k=2, iters=1, threshold=0.95).collect()}
+    assert out == {1, 3}
+
+
+def test_profile_table_counts(spark):
+    from market_insights_app_spark.operators.profiling import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "b")], "id long, s string"
+    )
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["id"]["n_rows"] == 4 and prof["id"]["n_null"] == 0
+    assert prof["id"]["n_distinct"] == 4
+    assert prof["id"]["min_str"] == "1" and prof["id"]["max_str"] == "4"
+    assert prof["s"]["n_null"] == 1 and prof["s"]["n_distinct"] == 2
+    # approximate path keeps the same schema
+    approx = {r["column"]: r for r in profile_table(df, approximate=True).collect()}
+    assert set(approx) == {"id", "s"}
