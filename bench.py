@@ -43,6 +43,11 @@ HEADLINE = [
     "inverted_index",
     "fuzzy_match",
     "seq_pack",
+    # round-4 additions
+    "table_profile",
+    "ewma_macd",
+    "passage_dedup",
+    "semdedup",
 ]
 
 

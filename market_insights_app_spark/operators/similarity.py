@@ -478,6 +478,11 @@ def semdedup(
     a = assigned.join(vecs, id_col).select(
         F.col(id_col).alias("id"), "cluster", F.col("__v").alias("v")
     )
+    # the assignment feeds BOTH sides of the self-join and the final
+    # anti-join — materialize it once instead of re-running the k-means
+    # chain three times (at scale: write (id, cluster, v) bucketed by
+    # cluster and the self-join needs no exchange at all)
+    a = a.persist()
     l, r = a.alias("l"), a.alias("r")
     dupes = (
         l.join(
