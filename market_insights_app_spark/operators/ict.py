@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from market_insights_app_spark.functions.scalars import ts_us
 from pyspark.sql.window import Window
 
 from market_insights_app_spark.operators import windows as W
@@ -94,8 +96,8 @@ def analyze_ict(
         F.max(F.when(F.col("is_local_high") & (F.col("__hi_rank") == F.col("nh") - 1), v)).alias("h2"),
         F.max(F.when(F.col("is_local_low") & (F.col("__lo_rank") == F.col("nl")), v)).alias("l1"),
         F.max(F.when(F.col("is_local_low") & (F.col("__lo_rank") == F.col("nl") - 1), v)).alias("l2"),
-        F.max(F.when(F.col("is_local_high") & (F.col("__hi_rank") == F.col("nh")), F.unix_micros(F.col(ts_col).cast("timestamp")))).alias("hk_us"),
-        F.max(F.when(F.col("is_local_low") & (F.col("__lo_rank") == F.col("nl")), F.unix_micros(F.col(ts_col).cast("timestamp")))).alias("lk_us"),
+        F.max(F.when(F.col("is_local_high") & (F.col("__hi_rank") == F.col("nh")), ts_us(ts_col))).alias("hk_us"),
+        F.max(F.when(F.col("is_local_low") & (F.col("__lo_rank") == F.col("nl")), ts_us(ts_col))).alias("lk_us"),
     )
 
     last_v = F.col("__last").getField(value_col)

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from market_insights_app_spark.functions.scalars import ts_us
 from pyspark.sql.window import Window
 
 from market_insights_app_spark.operators.windows import latest_per_key
@@ -152,7 +154,7 @@ def range_join(
     events + interval-cells, not events × intervals. Pick the bucket
     near the median interval length; AQE absorbs cell skew.
     """
-    cell = lambda c: F.floor(F.unix_micros(F.col(c).cast("timestamp")) / F.lit(bucket_seconds * 1_000_000))  # noqa: E731
+    cell = lambda c: F.floor(ts_us(c) / F.lit(bucket_seconds * 1_000_000))  # noqa: E731
     l_cells = left.withColumn("__cell", cell(ts_col))
     r_cells = right.withColumn(
         "__cell",

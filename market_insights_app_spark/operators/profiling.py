@@ -38,30 +38,34 @@ def profile_table(
     distinct = (
         (lambda c: F.approx_count_distinct(c))
         if approximate
-        else (lambda c: F.count_distinct(F.col(c)))
+        else (lambda c: F.count_distinct(c))
     )
+    # aliases are ORDINAL-derived (__p0_n, __p1_n, …), never built from
+    # the profiled column's name — a frame containing both 'x' and a
+    # column literally named 'x__n' (or names with dots/backticks) would
+    # otherwise collide or break resolution
     aggs: list[Column] = []
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs += [
-            F.count(F.lit(1)).alias(f"{c}__n"),
-            F.count(F.col(c)).alias(f"{c}__nn"),
-            distinct(c).alias(f"{c}__nd"),
+            F.count(F.lit(1)).alias(f"__p{i}_n"),
+            F.count(df[c]).alias(f"__p{i}_nn"),          # df[c]: exact-name
+            distinct(df[c]).alias(f"__p{i}_nd"),         # resolution (dots ok)
             # native-type min/max, rendered to string AFTER the agg —
             # lexicographic min/max of the rendering would be wrong for
             # numerics ('99' > '149')
-            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
-            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+            F.min(df[c]).cast("string").alias(f"__p{i}_min"),
+            F.max(df[c]).cast("string").alias(f"__p{i}_max"),
         ]
     wide = df.agg(*aggs)
     rows = [
         F.struct(
             F.lit(i).alias("ordinal"),
             F.lit(c).alias("column"),
-            F.col(f"{c}__n").alias("n_rows"),
-            (F.col(f"{c}__n") - F.col(f"{c}__nn")).alias("n_null"),
-            F.col(f"{c}__nd").alias("n_distinct"),
-            F.col(f"{c}__min").alias("min_str"),
-            F.col(f"{c}__max").alias("max_str"),
+            F.col(f"__p{i}_n").alias("n_rows"),
+            (F.col(f"__p{i}_n") - F.col(f"__p{i}_nn")).alias("n_null"),
+            F.col(f"__p{i}_nd").alias("n_distinct"),
+            F.col(f"__p{i}_min").alias("min_str"),
+            F.col(f"__p{i}_max").alias("max_str"),
         )
         for i, c in enumerate(cols)
     ]

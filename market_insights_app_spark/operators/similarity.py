@@ -446,9 +446,52 @@ def quantize_int8(
     return out.select(id_col, "scale", codes.alias("codes"))
 
 
+def _semdedup_in_cluster_pandas(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Survivors of the in-cluster cosine screen, one applyInPandas
+    group per cluster.  Blocked matmul bounds memory: rows are id-sorted
+    and each block's similarities are taken against every lower-or-self
+    index, so 'drop if cosine ≥ threshold to ANY lower id' is exact.
+    Cosines are rounded to 6 dp like the JVM path; numpy's pairwise
+    summation can differ from the sequential fold in the last ulp, so
+    threshold-boundary ties are deterministic per-path only (this path
+    is the beyond-oracle scale lane)."""
+    import numpy as np
+    import pandas as pd
+
+    def screen(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        m = len(pdf)
+        if m <= 1:
+            return pdf[[id_col, "cluster"]]
+        X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+        nrm = np.sqrt((X * X).sum(axis=1))
+        nrm[nrm == 0.0] = np.inf          # zero vectors match nothing
+        S = X / nrm[:, None]
+        drop = np.zeros(m, dtype=bool)
+        b = max(256, (1 << 22) // max(m, 1))   # ≤ ~32 MB per sim block
+        for s in range(0, m, b):
+            e = min(s + b, m)
+            sims = np.round(S[s:e] @ S[:e].T, 6)     # (b, e)
+            lower = np.tril(sims >= threshold, k=s - 1)  # j < global row id
+            drop[s:e] |= lower.any(axis=1)
+        return pdf.loc[~drop, [id_col, "cluster"]]
+
+    out = assigned.select(F.col(id_col), F.col("cluster"), F.col(vec_col))
+    return (
+        out.groupBy("cluster")
+        .applyInPandas(screen, schema=f"{id_col} long, cluster int")
+        .select(F.col(id_col), "cluster")
+    )
+
+
 def semdedup(
     df: DataFrame,
-    k: int = 8,
+    k: int | None = 8,
     iters: int = 2,
     threshold: float = 0.95,
     id_col: str = "vec_id",
@@ -462,34 +505,82 @@ def semdedup(
 
     Scale shape: the O(n²) cosine work is confined to each cluster by
     an equi-join on the cluster id — the standard SemDeDup trick that
-    makes web-scale semantic dedup tractable (k ≈ √n keeps expected
+    makes web-scale semantic dedup tractable.  ``k=None`` applies the
+    paper's k ≈ √n rule (clustering.heuristic_k), which keeps expected
     cluster sizes, and therefore the per-cluster quadratic term,
-    bounded). One shuffle for the self-join; the drop rule is a
-    left-semi EXISTS, so no pair set is ever materialized to the
-    driver. Deterministic: k-means init is the k smallest ids
-    (operators/clustering.py), and the keep rule is pure min-id.
+    bounded as the corpus grows; above clustering.LARGE_K the
+    assignment automatically switches to the broadcast-numpy path so a
+    web-scale k (10⁴–10⁵) never reaches the expression planner.  One
+    shuffle for the self-join; the drop rule is a left-semi EXISTS, so
+    no pair set is ever materialized to the driver.  Deterministic:
+    k-means init is the k smallest ids (operators/clustering.py), and
+    the keep rule is pure min-id.
 
     Returns the SURVIVING (id, cluster) rows.
     """
-    from market_insights_app_spark.operators.clustering import kmeans_assign
+    from market_insights_app_spark.operators import clustering
 
-    assigned = kmeans_assign(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
-    vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
-    a = assigned.join(vecs, id_col).select(
-        F.col(id_col).alias("id"), "cluster", F.col("__v").alias("v")
+    cents = clustering.kmeans_fit(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col
     )
-    # the assignment feeds BOTH sides of the self-join and the final
-    # anti-join — materialize it once instead of re-running the k-means
-    # chain three times (at scale: write (id, cluster, v) bucketed by
-    # cluster and the self-join needs no exchange at all)
-    a = a.persist()
+    v = _as_double(F.col(vec_col))
+    if len(cents) > clustering.LARGE_K:
+        # web-scale path: one shuffle groups each cluster onto an
+        # executor, then the quadratic cosine screen runs as blocked
+        # numpy (the SemDeDup paper's own in-cluster formulation) — the
+        # measured 1M-vector probe went from 509 s of interpreted JVM
+        # array folds to seconds of BLAS.  k ≈ √n keeps each group
+        # ≈ √n rows, so the per-group matrices are bounded.
+        assigned = clustering._assign_pandas(
+            df, cents, id_col, vec_col, keep_vec=True
+        )
+        return _semdedup_in_cluster_pandas(assigned, threshold, id_col, vec_col)
+    # gate path (small k): label + vector in ONE scan-stage select — no
+    # join back; every arithmetic step is an engine-exact JVM expression
+    a = df.select(
+        F.col(id_col).alias("id"),
+        clustering._best_struct(v, cents)["c"].alias("cluster"),
+        v.alias("v"),
+    )
+    # the vector norm is fixed per row — computing it once here turns
+    # the per-PAIR cosine below from three array folds (dot + 2 norms)
+    # into one (3× less interpreted higher-order-function work in the
+    # quadratic stage); dot/(nrm_l·nrm_r) multiplies the exact same
+    # doubles cosine() would, so the 6 dp rounding is unchanged.
+    a = a.withColumn("nrm", norm(F.col("v")))
+    # the labeled frame feeds BOTH sides of the self-join and the final
+    # anti-join — localCheckpoint materializes it once (the ContextCleaner
+    # frees the blocks when the result frame is dropped, unlike the bare
+    # persist() this replaced, which leaked cache for the session's
+    # lifetime).  The repartition spreads the per-cluster quadratic probe
+    # across the fleet (the source is often a single parquet file → one
+    # partition → a serial O(n²/k·n) stage).  At 100 TB: write (id,
+    # cluster, v) bucketed by cluster instead, and the self-join needs no
+    # exchange at all.
+    a = a.repartition(df.sparkSession.sparkContext.defaultParallelism).localCheckpoint(
+        eager=True
+    )
+    # a checkpointed RDD-backed frame has no size statistics, so the
+    # planner would pick a sort-merge join keyed on `cluster` — at most
+    # k-way parallel and skew-prone.  When the corpus fits a broadcast
+    # (the count is one cheap job against the materialized blocks),
+    # hint it so every probe partition scans independently; past the
+    # cutoff, leave the SMJ — with k ≈ √n the cluster key has plenty of
+    # distinct values, and the bucketed-storage layout is the real
+    # 100 TB answer (see note above).
+    small = a.count() <= 100_000
     l, r = a.alias("l"), a.alias("r")
+    pair_cos = F.round(
+        dot(F.col("l.v"), F.col("r.v"))
+        / F.nullif(F.col("l.nrm") * F.col("r.nrm"), F.lit(0.0)),
+        6,
+    )
     dupes = (
         l.join(
-            r,
+            F.broadcast(r) if small else r,
             (F.col("l.cluster") == F.col("r.cluster"))
             & (F.col("r.id") < F.col("l.id"))
-            & (F.round(cosine(F.col("l.v"), F.col("r.v")), 6) >= threshold),
+            & (pair_cos >= threshold),
             "left_semi",
         )
         .select(F.col("id"))

@@ -265,8 +265,17 @@ def ewma(value: Column | str, w: WindowSpec, span: int) -> Column:
     array — O(span) per row, shuffle-free beyond the window's own
     partitioning. The infinite-memory recursive EMA lives with the
     stateful streaming operators (streaming/ingest.py); this is the
-    batch/backfill form."""
+    batch/backfill form.
+
+    NULL contract: ``collect_list`` silently DROPS null elements, which
+    would misalign the weight/denominator indexing against an oracle
+    whose ``list()`` keeps them — so nulls are zero-filled here (a null
+    tick contributes nothing to the numerator but still occupies its
+    weight slot).  An oracle twin must spell the same choice:
+    ``list(coalesce(value, 0.0) ...)``.  Testdata has no null values;
+    this pins the semantics rather than inheriting collect_list's."""
     v = F.col(value) if isinstance(value, str) else value
+    v = F.coalesce(v.cast("double"), F.lit(0.0))
     wts = ewma_weights(span)
     lits = F.array(*[F.lit(x) for x in wts])
     # denominators for partial (warm-up) windows: den[m] = Σ_{k<m} w_k,

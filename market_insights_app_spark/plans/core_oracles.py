@@ -640,8 +640,8 @@ _N26, _D26 = _ewma_term_sql(26)
 CORE_ORACLES["ewma_macd"] = f"""
     WITH a AS (
       SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-             list_reverse(list(value) OVER (w ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)) AS rev12,
-             list_reverse(list(value) OVER (w ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)) AS rev26
+             list_reverse(list(coalesce(value, 0.0)) OVER (w ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)) AS rev12,
+             list_reverse(list(coalesce(value, 0.0)) OVER (w ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)) AS rev26
       FROM {EV_SUB} events WINDOW w AS ({W_EVENTS})),
     e AS (
       SELECT user_id, event_id, ts_us,

@@ -29,6 +29,7 @@ from market_insights_app_spark.operators.similarity import (
 )
 from market_insights_app_spark.sources.http_quotes import (
     parse_alpha_vantage_fx,
+    parse_alpha_vantage_quote,
     parse_yahoo_chart,
 )
 from market_insights_app_spark.sources.tables import load_table
@@ -257,6 +258,48 @@ def q_connector_yahoo_parse(spark: SparkSession, sf: str) -> DataFrame:
         ts_us("as_of").alias("ts_us"),
         "currency",
         "source",
+    )
+
+
+# S1 payload matrix: dotted-key variant, underscored-key variant (the
+# reference falls back between them, alpha_vantage.py:33-36), a throttle
+# Note (alpha_vantage.py:29-31), and an empty body (alpha_vantage.py:37-38).
+_AV_QUOTE_PAYLOADS = [
+    (
+        0,
+        '{"Global Quote": {"01. symbol": "ibm", "05. price": "239.5000", '
+        '"07. latest trading day": "2024-03-01"}}',
+    ),
+    (
+        1,
+        '{"Global Quote": {"01_symbol": "msft", "05_price": "411.2500", '
+        '"07_latest_trading_day": "2024-02-29"}}',
+    ),
+    (2, '{"Note": "API call frequency exceeded, please slow down"}'),
+    (3, "{}"),
+]
+
+
+def q_connector_av_quote_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """S1 (alpha_vantage.py:15-48): GLOBAL_QUOTE JSON → normalized row.
+    Covers the "05. price"/"05_price" key-variant coalesce fallback,
+    date-only timestamp normalization to midnight, and throttle-Note /
+    empty-body surfacing as the ``error`` column (the reference raises;
+    here errors are data).  ``ts_us`` is gated on error IS NULL because
+    the unparseable-day fallback is current_timestamp (alpha_vantage_
+    fx.py:59-61) — nondeterministic by design, so excluded from the
+    differential surface."""
+    raw = spark.createDataFrame(_AV_QUOTE_PAYLOADS, ["qid", "payload"])
+    # rows are distinguished by parsed content (the compare is an
+    # order-insensitive multiset), so qid never needs to survive the parse
+    parsed = parse_alpha_vantage_quote(raw.select("payload"))
+    return parsed.select(
+        "symbol",
+        F.round("price", 6).alias("price"),
+        F.when(F.col("error").isNull(), ts_us("as_of")).alias("ts_us"),
+        "currency",
+        "source",
+        "error",
     )
 
 
@@ -595,6 +638,19 @@ TEXTML_ORACLES: dict[str, str] = {
         SELECT 'AAPL' AS symbol, 190.25 AS price,
                epoch_us(to_timestamp(1709290120)) AS ts_us,
                'USD' AS currency, 'yahoo' AS source
+    """,
+    "connector_av_quote_parse": """
+        SELECT * FROM (VALUES
+          ('IBM',  239.5,  epoch_us(TIMESTAMP '2024-03-01 00:00:00'),
+           CAST(NULL AS VARCHAR), 'alpha_vantage', CAST(NULL AS VARCHAR)),
+          ('MSFT', 411.25, epoch_us(TIMESTAMP '2024-02-29 00:00:00'),
+           CAST(NULL AS VARCHAR), 'alpha_vantage', CAST(NULL AS VARCHAR)),
+          (CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), 'alpha_vantage',
+           'API call frequency exceeded, please slow down'),
+          (CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), 'alpha_vantage', 'empty or malformed quote')
+        ) t(symbol, price, ts_us, currency, source, error)
     """,
     "media_decode": f"""
         -- Byte-based to match the Spark fake decoder (UTF-8 payload byte

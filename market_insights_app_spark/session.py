@@ -46,7 +46,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # getOrCreate() silently ignores builder configs when it returns a
+    # pre-existing session — but the NTZ→LTZ casts at the ts_us() choke
+    # point (functions/scalars.py) are only value-preserving under UTC,
+    # so pin the runtime-settable conf unconditionally.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
 
 
 def tune_for_oracle(spark: SparkSession) -> SparkSession:

@@ -102,6 +102,37 @@ def main() -> None:
     npairs = minhash_near_dupes(docs, threshold=0.8).count()
     print(f"{'minhash near-dup (count)':35s} {time.perf_counter() - t0:7.2f} s   pairs={npairs}")
     docs.unpersist()
+
+    # --- synthetic embeddings: n_vecs × dim 64, web-scale k ----------------
+    # Exercises the LARGE_K broadcast-numpy assignment path (the literal-
+    # expression path is planner-bound past k ≈ a few hundred) and the
+    # SemDeDup end-to-end pipeline at k ≈ √n-and-beyond.
+    n_vecs = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000_000
+    from market_insights_app_spark.operators.clustering import kmeans_assign
+    from market_insights_app_spark.operators.similarity import semdedup
+
+    vecs = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: (
+                F.pmod(F.xxhash64(F.col("id") * 100 + i), F.lit(2001)) - 1000
+            )
+            / 1000.0,
+        ).alias("embedding"),
+    )
+    vecs.persist()
+    print(f"vecs rows: {vecs.count():,}  dim=64")
+    t0 = time.perf_counter()
+    kmeans_assign(vecs, k=1000, iters=2).write.mode("overwrite").format("noop").save()
+    print(f"{'kmeans k=1000 iters=2 (1M vecs)':35s} {time.perf_counter() - t0:7.2f} s")
+    t0 = time.perf_counter()
+    nsurv = semdedup(vecs, k=10_000, iters=1, threshold=0.999).count()
+    print(
+        f"{'semdedup k=10000 (1M vecs)':35s} {time.perf_counter() - t0:7.2f} s"
+        f"   survivors={nsurv}"
+    )
+    vecs.unpersist()
     spark.stop()
 
 

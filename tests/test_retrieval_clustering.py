@@ -184,3 +184,63 @@ def test_kmeans_requires_enough_vectors(spark):
     df = spark.createDataFrame([(0, [1.0])], ["vec_id", "embedding"])
     with pytest.raises(ValueError, match="need >= 2"):
         kmeans_fit(df, k=2)
+
+
+def test_assign_large_k_pandas_path_matches_expression_path(spark):
+    """The broadcast-numpy assignment (k > LARGE_K) and the literal-
+    expression assignment must agree off fp near-ties — same data, same
+    centroids, both paths."""
+    from market_insights_app_spark.operators import clustering
+
+    rows = [
+        (i, [float((i * 13 + j * 7) % 29) / 29.0 for j in range(8)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [r[1] for r in rows[:150]]
+    pa = {
+        r["vec_id"]: r["cluster"]
+        for r in clustering._assign_pandas(df, cents, "vec_id", "embedding").collect()
+    }
+    from pyspark.sql import functions as F
+
+    ex = {
+        r["vec_id"]: r["cluster"]
+        for r in df.select(
+            "vec_id",
+            clustering._best_struct(
+                clustering._as_double(F.col("embedding")), cents
+            )["c"].alias("cluster"),
+        ).collect()
+    }
+    assert pa == ex
+
+
+def test_semdedup_large_k_pandas_screen_matches_jvm(spark):
+    """semdedup's applyInPandas in-cluster screen (k > LARGE_K) drops
+    exactly the rows the JVM self-join path drops."""
+    from market_insights_app_spark.operators import clustering
+    from market_insights_app_spark.operators.similarity import semdedup
+
+    # 60 base vectors + 60 exact duplicates with higher ids → every
+    # duplicate must drop regardless of path
+    base = [
+        (i, [float((i * 11 + j * 3) % 17) / 17.0 + 1.0 for j in range(6)])
+        for i in range(60)
+    ]
+    dups = [(i + 1000, v) for i, v in base]
+    df = spark.createDataFrame(base + dups, ["vec_id", "embedding"])
+    small = semdedup(df, k=8, iters=1, threshold=0.999999)
+    old = clustering.LARGE_K
+    try:
+        clustering.LARGE_K = 4  # force the pandas screen at the same k
+        large = semdedup(df, k=8, iters=1, threshold=0.999999)
+    finally:
+        clustering.LARGE_K = old
+    s = {tuple(r) for r in small.collect()}
+    l = {tuple(r) for r in large.collect()}
+    assert s == l
+    survivors = {r[0] for r in s}
+    assert survivors  # something survives
+    # every exact duplicate (higher id, identical vector) must drop
+    assert not (survivors & {i + 1000 for i, _ in base})
