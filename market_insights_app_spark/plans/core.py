@@ -513,6 +513,40 @@ def q_session_window_agg(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+def q_ema_stateful_replay(spark: SparkSession, sf: str) -> DataFrame:
+    """ST1/ST4 driver evidence for the CUSTOM STATEFUL operator: runs
+    the real applyInPandasWithState EMA (streaming/ingest.ema_stateful,
+    alpha=0.2) over the events parquet replayed as an availableNow file
+    stream into a memory sink, then returns the final per-key state.
+    The DuckDB twin replays the identical fold as a list_reduce over
+    the (ts, event_id)-ordered series — first value seeds, then
+    ema = 0.2·x + 0.8·ema, the exact arithmetic the operator applies —
+    so the streaming runtime itself is hash-gated, not a batch
+    re-implementation of it.  (Per-user event times are tie-free in
+    the testdata, so the fold order is total.)"""
+    import uuid
+
+    from market_insights_app_spark.streaming.ingest import (
+        ema_stateful,
+        events_file_stream,
+        run_available_now_to_memory,
+    )
+
+    # unique sink name: the driver may invoke this more than once per
+    # session and memory-sink tables are session-global
+    name = f"ema_replay_{uuid.uuid4().hex[:8]}"
+    stream = events_file_stream(spark, sf, max_files_per_trigger=10_000)
+    run_available_now_to_memory(ema_stateful(stream), name, "append")
+    out = spark.table(name)
+    # one emission per key per micro-batch → keep the final state row
+    w = Window.partitionBy("key").orderBy(F.col("n_seen").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("key").alias("user_id"), "ema", "n_seen")
+    )
+
+
 def q_ict_analysis(spark: SparkSession, sf: str) -> DataFrame:
     """U1 (main.js:336-383): the full analyzeICT composite — hi/lo/mid,
     premium-discount, MA-slope bias, equal-highs/lows, OTE retracement

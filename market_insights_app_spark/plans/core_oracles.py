@@ -333,6 +333,16 @@ CORE_ORACLES = {
     k: v.replace("FROM events", f"FROM {EV_SUB} events") for k, v in CORE_ORACLES.items()
 }
 
+CORE_ORACLES["ema_stateful_replay"] = f"""
+    WITH s AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+      FROM {EV_SUB} events GROUP BY user_id)
+    SELECT user_id,
+           list_reduce(vs, (acc, x) -> 0.2 * x + 0.8 * acc) AS ema,
+           CAST(len(vs) AS BIGINT) AS n_seen
+    FROM s
+"""
+
 CORE_ORACLES["ict_analysis"] = f"""
     WITH s1 AS (
       SELECT user_id, ts, event_id, value,

@@ -31,64 +31,69 @@ def _collect(module) -> dict[str, QueryFn]:
 _COLLECTED: dict[str, QueryFn] = {**_collect(core), **_collect(textml)}
 
 # Driver-sweep priority. The per-round CORRECTNESS sweep checks the FIRST
-# 50 names in ``QUERIES`` (dict insertion order). Round-4 tiers:
-#   1. red or oracle-less in CORRECTNESS_r03 (all four now fixed/oracled)
-#      + queries new this round — these MUST get a fresh driver row
-#   2. not in the r03 sweep (last green r01/r02) — stalest evidence next
-#   3. green in r03 — re-swept only with leftover slots (via dict merge)
+# 50 names in ``QUERIES`` (dict insertion order). Round-5 tiers — the
+# rotation invariant is that no query's latest driver row ages past two
+# rounds:
+#   1. new this round (no driver row yet) — MUST get a fresh row
+#   2. last swept in r03 (rotated out of r04 — two rounds stale by now)
+#   3. green in r04 — re-swept only with leftover slots (via dict merge)
 _PRIORITY: list[str] = [
-    # --- tier 1: fixed this round + new this round ---------------------
-    "prices_filter_range_limit",  # r03 red: NTZ unix_micros — fixed
-    "ict_analysis",               # r03 red: same root cause — fixed
-    "media_features",             # r03 no_oracle — full oracle added
-    "near_dedup_corpus",          # r03 no_oracle — portable hash + oracle
-    "table_profile",
-    "grouping_sets_revenue",
-    "ewma_macd",
+    # --- tier 1: new this round ----------------------------------------
+    "connector_av_quote_parse",   # S1 — last §2 component without a row
+    "ema_stateful_replay",        # stateful streaming runtime, hash-gated
+    # --- tier 2: last swept in r03 (stalest driver rows) ---------------
+    "ann_lsh_topk",
+    "asof_join",
+    "bm25_search",
+    "connector_fx_parse",
+    "connector_yahoo_parse",
+    "corpus_shuffle",
+    "corpus_split",
+    "decontaminate",
+    "dedup_exact",
+    "doc_chunks",
+    "doc_repetition",
+    "embedding_neardup",
+    "embedding_topk",
+    "fingerprint_docs",
+    "fuzzy_match",
+    "hybrid_search",
+    "impact_classify",
+    "inverted_index",
+    "ivf_topk",
+    "journal_stats",
+    "kmeans_assign",
+    "lang_id",
+    "level_extract",
+    "lm_quality",
+    "media_decode",
+    "minhash_neardup_portable",
+    "mixture_sample",
+    "multi_join_revenue",
+    "near_dedup_corpus_exact",
+    "ngram_jaccard",
+    "ngram_jaccard_bigram",
+    "pii_scrub",
+    "positions_agg",
+    "quantize_int8",
+    "seq_len_histogram",
+    "seq_pack",
+    "simhash_neardup_portable",
+    "stratified_sample",
+    "tag_split",
+    "text_quality",
+    "tfidf_top_terms",
+    "timestamp_normalize",
+    "tokens_count",
+    "tpch_q1_style",
+    "training_corpus",
+    "vocab_topk",
+    # --- tier 3 head: r04-green queries whose operators changed this
+    # round (semdedup/k-means numpy lanes, CC contraction) — re-gate ---
     "semdedup",
-    "passage_dedup",
-    "zipf_slope",
-    # --- tier 2: rotated out of the r03 sweep (stalest driver rows) ----
-    "autocorr_lag1",
-    "bollinger",
-    "click_attribution",
-    "cohort_retention",
-    "cube_agg",
-    "dedup_latest_wins",
-    "equity_cumsum",
-    "funnel_conversion",
-    "group_topk",
-    "histogram",
-    "json_extract_props",
-    "lag_delta",
-    "latest_join_enrich",
-    "latest_per_key",
-    "local_extrema",
-    "ma_slope_trend",
-    "minhash_neardup",
-    "minmax_mid_premium",
-    "minmax_normalize",
-    "pivot_event_counts",
-    "pnl_r_scalars",
-    "prices_keyset_page",
-    "prices_page2",
-    "range_join_sessions",
-    "recent_n_tail",
-    "rolling_min_volatility",
-    "rolling_stddev10",
-    "rollup_revenue",
-    "rsi14",
-    "salted_hot_agg",
-    "session_window_agg",
-    "set_ops",
-    "simhash_neardup",
-    "sliding_window_agg",
-    "sma5",
-    "trailing_max_argmax",
-    "tumbling_window_agg",
-    "union_merge_dedup",
-    "value_quantiles",
-    "window_delta_stats",
+    "near_dedup_corpus",
+    "ewma_macd",
+    "table_profile",
 ]
 
 _unknown = set(_PRIORITY) - set(_COLLECTED)

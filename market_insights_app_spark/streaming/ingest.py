@@ -20,6 +20,12 @@ with ``trigger(availableNow=True)`` + memory sink.
 
 from __future__ import annotations
 
+import os
+import shutil
+import time
+import uuid
+from contextlib import contextmanager
+
 from pyspark.errors.exceptions.captured import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -149,22 +155,65 @@ def run_available_now_to_memory(stream_df: DataFrame, name: str, output_mode: st
     return q
 
 
+@contextmanager
+def _path_lock(target_path: str, timeout_s: float = 120.0):
+    """Inter-process mutual exclusion for the read-modify-write merge
+    surrogates below: an O_CREAT|O_EXCL sentinel file next to the
+    target (atomic on POSIX filesystems).  Without it two concurrent
+    ``foreachBatch`` callers can interleave read→anti-join→append and
+    both insert the same key — the race a real MERGE forbids.
+
+    Scope honestly documented: this serializes LOCAL-filesystem writers
+    only.  Non-local URIs (s3://, hdfs://) skip the lock — multi-writer
+    correctness on object stores is exactly what a transactional table
+    layer (Delta/Iceberg) provides, and that deviation is recorded in
+    the README."""
+    if "://" in target_path:
+        yield
+        return
+    lock = target_path.rstrip("/") + ".__lock__"
+    os.makedirs(os.path.dirname(os.path.abspath(lock)), exist_ok=True)
+    deadline = time.monotonic() + timeout_s
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"gave up waiting for merge lock {lock!r} after "
+                    f"{timeout_s}s — stale lock from a crashed writer? "
+                    "remove it manually if no writer is alive"
+                )
+            time.sleep(0.05)
+    try:
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        yield
+    finally:
+        os.unlink(lock)
+
+
 def idempotent_append_batch(batch: DataFrame, target_path: str, key_cols: list[str]) -> None:
     """foreachBatch sink body: drop in-batch dupes, anti-join against
     the target's existing natural keys, append the remainder — the
-    plain-parquet MERGE WHEN NOT MATCHED INSERT (S4, db.py:253-261)."""
+    plain-parquet MERGE WHEN NOT MATCHED INSERT (S4, db.py:253-261).
+    The whole read-modify-append is serialized per target via
+    ``_path_lock`` so concurrent callers cannot both pass the anti-join
+    with the same key."""
     spark = batch.sparkSession
-    fresh = batch.dropDuplicates(key_cols)
-    try:
-        existing = spark.read.parquet(target_path).select(*key_cols).distinct()
-        fresh = fresh.join(existing, on=key_cols, how="left_anti")
-    except AnalysisException:
-        # first batch: target path does not exist yet. Any other failure
-        # (permissions, corrupt footers) must propagate — silently
-        # skipping the anti-join would append duplicates and break the
-        # INSERT OR IGNORE contract.
-        pass
-    fresh.write.mode("append").parquet(target_path)
+    with _path_lock(target_path):
+        fresh = batch.dropDuplicates(key_cols)
+        try:
+            existing = spark.read.parquet(target_path).select(*key_cols).distinct()
+            fresh = fresh.join(existing, on=key_cols, how="left_anti")
+        except AnalysisException:
+            # first batch: target path does not exist yet. Any other failure
+            # (permissions, corrupt footers) must propagate — silently
+            # skipping the anti-join would append duplicates and break the
+            # INSERT OR IGNORE contract.
+            pass
+        fresh.write.mode("append").parquet(target_path)
 
 
 def ema_stateful(
@@ -333,20 +382,27 @@ def latest_wins_batch(batch: DataFrame, target_path: str, key_cols: list[str], v
     db.py:517-525 / journal upsert db.py:166-201 without Delta).
 
     Rewrites the (small) latest-state table per batch; at scale the
-    target would be partitioned and only touched partitions rewritten."""
+    target would be partitioned and only touched partitions rewritten.
+    Serialized per target via ``_path_lock`` (concurrent read-merge-
+    overwrite callers would otherwise lose one writer's keys), with a
+    caller-unique staging directory so a parallel writer on ANOTHER
+    target can never collide on the temp path."""
     spark = batch.sparkSession
     from market_insights_app_spark.operators.dedup import latest_wins
 
-    try:
-        existing = spark.read.parquet(target_path)
-        merged = existing.unionByName(batch)
-    except AnalysisException:
-        # first batch only — other read failures must propagate (see
-        # idempotent_append_batch)
-        merged = batch
-    out = latest_wins(merged, key_cols, version_col)
-    out.write.mode("overwrite").parquet(target_path + "_tmp")
-    spark.read.parquet(target_path + "_tmp").write.mode("overwrite").parquet(target_path)
+    with _path_lock(target_path):
+        tmp = f"{target_path}__stage_{uuid.uuid4().hex[:8]}"
+        try:
+            existing = spark.read.parquet(target_path)
+            merged = existing.unionByName(batch)
+        except AnalysisException:
+            # first batch only — other read failures must propagate (see
+            # idempotent_append_batch)
+            merged = batch
+        out = latest_wins(merged, key_cols, version_col)
+        out.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def interval_join_stream(

@@ -526,3 +526,59 @@ def test_audio_features_golden(spark):
 
     with _pytest.raises(Exception, match="NotImplementedError|PIL|ffmpeg"):
         audio_features(media, fake=False).collect()
+
+
+def test_idempotent_append_concurrent_writers(spark, tmp_path):
+    """Two writers applying the SAME batch concurrently must not insert
+    duplicate keys: the per-target lock serializes the read-anti-join-
+    append critical section (the plain-parquet MERGE surrogate's race)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from market_insights_app_spark.streaming.ingest import idempotent_append_batch
+
+    target = str(tmp_path / "merge_target")
+    batch = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], ["k", "v"]
+    )
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        futs = [
+            ex.submit(idempotent_append_batch, batch, target, ["k"])
+            for _ in range(2)
+        ]
+        for f in futs:
+            f.result()
+
+    got = spark.read.parquet(target)
+    assert got.count() == 50
+    assert got.select("k").distinct().count() == 50
+
+
+def test_latest_wins_batch_concurrent_writers(spark, tmp_path):
+    """Two latest-wins writers of the same keyed batch: the target must
+    end with exactly one (newest) row per key and no leftover staging
+    directories."""
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from market_insights_app_spark.streaming.ingest import latest_wins_batch
+
+    target = str(tmp_path / "state_target")
+    b1 = spark.createDataFrame([(i, 1, f"a{i}") for i in range(20)], ["k", "ver", "v"])
+    b2 = spark.createDataFrame([(i, 2, f"b{i}") for i in range(20)], ["k", "ver", "v"])
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        futs = [
+            ex.submit(latest_wins_batch, b, target, ["k"], "ver")
+            for b in (b1, b2)
+        ]
+        for f in futs:
+            f.result()
+
+    got = spark.read.parquet(target)
+    assert got.count() == 20
+    # every key carries the highest version seen (2), regardless of
+    # which writer won the lock first
+    assert got.filter("ver <> 2").count() == 0
+    leftovers = [d for d in _os.listdir(tmp_path) if "__stage_" in d or "__lock__" in d]
+    assert leftovers == []
