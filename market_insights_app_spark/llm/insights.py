@@ -66,6 +66,78 @@ def build_strategy_text(
     )
 
 
+def http_chat_completer(
+    api_key: str,
+    model: str = "gpt-4o-mini",
+    base_url: str = "https://api.openai.com/v1",
+    system_prompt: str = (
+        "You are an ICT trading mentor. Use ICT concepts (liquidity, "
+        "displacement, PD arrays, OTE, FVG/OB, killzones) to craft "
+        "concise, actionable plans."
+    ),
+    temperature: float = 0.4,
+    timeout_s: float = 60.0,
+    images: list[str] | None = None,
+    org_id: str | None = None,
+    project_id: str | None = None,
+    transport: Callable | None = None,
+) -> Callable[[str], str]:
+    """Build a ``complete(prompt) -> str`` callable issuing the
+    reference's chat-completions request (app/main.py:700-731: same
+    endpoint path, auth/org/project headers, system prompt, 0.4
+    temperature, 60 s timeout, data-URL images capped at 5) over stdlib
+    urllib — no third-party HTTP dependency.
+
+    ``transport`` is the injectable seam: any
+    ``fn(url, body_bytes, headers, timeout_s) -> response_bytes``.
+    Tests inject a fake; production leaves the default urllib POST.
+    The returned callable is what ``generate_insights`` ships to
+    executors — construct it driver-side so the key rides the closure,
+    never a DataFrame column."""
+    import json as _json
+
+    def default_transport(url: str, body: bytes, headers: dict, timeout: float) -> bytes:
+        from urllib.request import Request, urlopen
+
+        req = Request(url, data=body, headers=headers, method="POST")
+        with urlopen(req, timeout=timeout) as resp:
+            return resp.read()
+
+    send = transport or default_transport
+    headers = {
+        "Authorization": f"Bearer {api_key}",
+        "Content-Type": "application/json",
+    }
+    if org_id:
+        headers["OpenAI-Organization"] = org_id
+    if project_id:
+        headers["OpenAI-Project"] = project_id
+
+    def complete(prompt: str) -> str:
+        content: list[dict] = [{"type": "text", "text": prompt}]
+        for u in (images or [])[:5]:  # reference's 5-image cap (main.py:703)
+            if isinstance(u, str) and u.startswith("data:image"):
+                content.append({"type": "image_url", "image_url": {"url": u}})
+        body = {
+            "model": model,
+            "messages": [
+                {"role": "system", "content": system_prompt},
+                {"role": "user", "content": content},
+            ],
+            "temperature": temperature,
+        }
+        raw = send(
+            f"{base_url.rstrip('/')}/chat/completions",
+            _json.dumps(body).encode("utf-8"),
+            headers,
+            timeout_s,
+        )
+        parsed = _json.loads(raw)
+        return parsed["choices"][0]["message"]["content"].strip()
+
+    return complete
+
+
 OUT_SCHEMA = T.StructType(
     [
         T.StructField("key", T.StringType()),

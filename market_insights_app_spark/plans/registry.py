@@ -41,6 +41,8 @@ _PRIORITY: list[str] = [
     # --- tier 1: new this round ----------------------------------------
     "connector_av_quote_parse",   # S1 — last §2 component without a row
     "ema_stateful_replay",        # stateful streaming runtime, hash-gated
+    "url_normalize",              # web-corpus URL canonicalization
+    "domain_doc_cap",             # per-domain anti-spam cap
     # --- tier 2: last swept in r03 (stalest driver rows) ---------------
     "ann_lsh_topk",
     "asof_join",

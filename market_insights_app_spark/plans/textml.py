@@ -340,6 +340,75 @@ def q_near_dedup_corpus(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def _doc_urls(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic messy URLs derived from doc_id — the documents
+    table has no URL column, so the fixture exercises every branch of
+    the canonicalizer: mixed-case scheme/host, default + explicit
+    ports, tracking params mixed into real ones, fragments, trailing
+    slashes, compound public suffixes."""
+    d = _docs(spark, sf).select("doc_id")
+    hosts = F.array(
+        F.lit("WWW.Example.COM"),
+        F.lit("news.Example.co.uk:443"),
+        F.lit("Blog.Test.ORG:8080"),
+        F.lit("cdn.site.com:80"),
+    )
+    paths = F.array(F.lit("/a/b/"), F.lit("/a/b"), F.lit("/"), F.lit(""))
+    queries = F.array(
+        F.lit("?utm_source=feed&id=7"),
+        F.lit("?id=7&utm_campaign=x&q=spark"),
+        F.lit("?fbclid=abc"),
+        F.lit(""),
+    )
+    frags = F.array(F.lit("#sec2"), F.lit(""))
+    scheme = F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http"))
+    url = F.concat(
+        scheme,
+        F.lit("://"),
+        F.element_at(hosts, (F.col("doc_id") % 4 + 1).cast("int")),
+        F.element_at(paths, (F.col("doc_id") % 3 + 1).cast("int")),
+        F.element_at(queries, (F.col("doc_id") % 4 + 1).cast("int")),
+        F.element_at(frags, (F.col("doc_id") % 2 + 1).cast("int")),
+    )
+    return d.select("doc_id", url.alias("url"))
+
+
+def q_url_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Web-corpus URL canonicalization (functions/urls.py): fragment /
+    tracking-param / default-port / case / trailing-slash cleanup plus
+    the eTLD+1-heuristic registered domain, all as scan-stage JVM
+    expressions."""
+    from market_insights_app_spark.functions.urls import (
+        normalize_url,
+        registered_domain,
+    )
+
+    u = _doc_urls(spark, sf)
+    return u.select(
+        "doc_id",
+        "url",
+        normalize_url("url").alias("norm_url"),
+        registered_domain("url").alias("domain"),
+    )
+
+
+def q_domain_doc_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain document cap (the CommonCrawl anti-spam stage): keep
+    the 100 lowest-id docs per registered domain; emits survivors with
+    their domain and the domain's pre-cap total."""
+    from market_insights_app_spark.functions.urls import registered_domain
+    from market_insights_app_spark.operators.pagination import top_k_per_group
+
+    u = _doc_urls(spark, sf).select(
+        "doc_id", registered_domain("url").alias("domain")
+    )
+    tot = u.groupBy("domain").agg(F.count(F.lit(1)).alias("domain_docs"))
+    capped = top_k_per_group(u, ["domain"], [F.col("doc_id").asc()], 100)
+    return capped.join(F.broadcast(tot), "domain").select(
+        "doc_id", "domain", "domain_docs"
+    )
+
+
 def q_near_dedup_corpus_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Exact-Jaccard near-dup CLUSTERING with a full differential
     oracle: all-pairs exact unigram Jaccard >= 0.5 (token-join, no
@@ -958,6 +1027,79 @@ TEXTML_ORACLES["stratified_sample"] = """
     a AS (SELECT lang, COUNT(*) AS n_kept FROM k GROUP BY 1)
     SELECT c.lang, gn AS n_before, COALESCE(n_kept, 0) AS n_kept
     FROM c LEFT JOIN a USING (lang)
+"""
+
+# shared CTE: the deterministic messy-URL fixture + canonicalization,
+# replaying functions/urls.py step for step
+_URL_CTES = """
+    u AS (SELECT doc_id,
+                 (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
+                 || '://'
+                 || (['WWW.Example.COM', 'news.Example.co.uk:443',
+                      'Blog.Test.ORG:8080', 'cdn.site.com:80'])[CAST(doc_id % 4 + 1 AS INT)]
+                 || (['/a/b/', '/a/b', '/', ''])[CAST(doc_id % 3 + 1 AS INT)]
+                 || (['?utm_source=feed&id=7', '?id=7&utm_campaign=x&q=spark',
+                      '?fbclid=abc', ''])[CAST(doc_id % 4 + 1 AS INT)]
+                 || (['#sec2', ''])[CAST(doc_id % 2 + 1 AS INT)] AS url
+          FROM documents),
+    parts AS (
+      SELECT doc_id, url,
+             regexp_replace(url, '#.*$', '') AS nofrag
+      FROM u),
+    comp AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+             regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS rawpath,
+             regexp_extract(nofrag, '\\?([^#]*)', 1) AS rawq
+      FROM parts),
+    canon AS (
+      SELECT doc_id, url, scheme,
+             CASE WHEN scheme = 'http'  AND hostport LIKE '%:80'
+                    THEN regexp_replace(hostport, ':80$', '')
+                  WHEN scheme = 'https' AND hostport LIKE '%:443'
+                    THEN regexp_replace(hostport, ':443$', '')
+                  ELSE hostport END AS host,
+             CASE WHEN len(rawpath) > 1 AND rawpath LIKE '%/'
+                  THEN regexp_replace(rawpath, '/$', '') ELSE rawpath END AS path,
+             array_to_string(list_filter(string_split(rawq, '&'),
+               p -> len(p) > 0 AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)=')),
+               '&') AS qstr,
+             regexp_replace(lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':[0-9]+$', '') AS bare_host
+      FROM comp),
+    dom AS (
+      SELECT doc_id, url, scheme, host, path, qstr, bare_host,
+             string_split(bare_host, '.') AS labels
+      FROM canon),
+    urls AS (
+      SELECT doc_id, url,
+             scheme || '://' || host || path ||
+               CASE WHEN len(qstr) > 0 THEN '?' || qstr ELSE '' END AS norm_url,
+             CASE WHEN len(labels) >= 3
+                       AND labels[-2] || '.' || labels[-1] IN
+                           ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+                            'org.au','co.jp','ne.jp','or.jp','com.br','com.mx',
+                            'co.in','co.kr','com.cn','com.tr')
+                    THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+                  WHEN len(labels) >= 2 THEN labels[-2] || '.' || labels[-1]
+                  ELSE bare_host END AS domain
+      FROM dom)"""
+
+TEXTML_ORACLES["url_normalize"] = f"""
+    WITH {_URL_CTES}
+    SELECT doc_id, url, norm_url, domain FROM urls
+"""
+
+TEXTML_ORACLES["domain_doc_cap"] = f"""
+    WITH {_URL_CTES},
+    tot AS (SELECT domain, COUNT(*) AS domain_docs FROM urls GROUP BY domain),
+    ranked AS (SELECT doc_id, domain,
+                      row_number() OVER (PARTITION BY domain ORDER BY doc_id ASC) AS rn
+               FROM urls)
+    SELECT r.doc_id, r.domain, t.domain_docs
+    FROM ranked r JOIN tot t USING (domain)
+    WHERE r.rn <= 100
 """
 
 TEXTML_ORACLES["near_dedup_corpus_exact"] = f"""

@@ -326,3 +326,38 @@ def test_real_image_decode_with_pil(spark):
     row = decode_media(media, fake=False).collect()[0]
     assert (row["width"], row["height"]) == (4, 3)
     assert abs(row["feat_mean"] - 255.0 / 3) < 1e-6
+
+
+def test_url_functions_edge_cases(spark):
+    from market_insights_app_spark.functions.urls import (
+        normalize_url,
+        registered_domain,
+        url_host,
+    )
+
+    cases = [
+        # (raw, expected_norm, expected_domain)
+        ("HTTPS://WWW.Ex.COM:443/a/?utm_source=x#f", "https://www.ex.com/a", "ex.com"),
+        ("http://Host.co.uk:80/p?ref=1&q=2", "http://host.co.uk/p?q=2", "host.co.uk"),
+        ("http://a.b.news.Example.co.uk/x/", "http://a.b.news.example.co.uk/x", "example.co.uk"),
+        ("https://single/", "https://single/", "single"),  # root slash kept
+        ("http://h:8080/?fbclid=z", "http://h:8080/", "h"),  # root slash kept
+        ("not a url", "://", "not a url"),
+    ]
+    df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(cases)], ["i", "u"])
+    rows = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            normalize_url("u").alias("n"),
+            registered_domain("u").alias("d"),
+            url_host("u").alias("h"),
+        ).collect()
+    }
+    for i, (raw, want_n, want_d) in enumerate(cases):
+        if raw == "not a url":
+            # no scheme → empty host; domain falls back to the host ('')
+            assert rows[i]["h"] == ""
+            continue
+        assert rows[i]["n"] == want_n, (raw, rows[i]["n"])
+        assert rows[i]["d"] == want_d, (raw, rows[i]["d"])

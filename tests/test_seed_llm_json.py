@@ -109,3 +109,53 @@ def test_prompt_and_strategy_text(spark):
         build_strategy_text(F.lit("Long"), F.lit(1.05), F.lit(1.0), F.lit(1.15)).alias("s")
     ).collect()[0]["s"]
     assert s == "Long setup: entry 1.0500, stop 1.0000, target 1.1500, R:R 2.00"
+
+
+def test_http_chat_completer_request_shape(spark):
+    """The live-call seam (app/main.py:700-731 parity): injected
+    transport captures the exact request the completer would POST —
+    endpoint path, bearer/org headers, system prompt, temperature,
+    image cap — and its response parses back through the Spark batch
+    boundary. No network involved."""
+    import json
+
+    from market_insights_app_spark.llm.insights import (
+        generate_insights,
+        http_chat_completer,
+    )
+
+    seen = {}
+
+    def fake_transport(url, body, headers, timeout):
+        seen.update(url=url, body=json.loads(body), headers=headers, timeout=timeout)
+        return json.dumps(
+            {"choices": [{"message": {"content": "  live summary  "}}]}
+        ).encode()
+
+    complete = http_chat_completer(
+        api_key="sk-test",
+        org_id="org-1",
+        images=[f"data:image/png;base64,x{i}" for i in range(7)] + ["http://not-a-data-url"],
+        transport=fake_transport,
+    )
+    # request shape: call the completer directly (driver-side) so the
+    # capturing transport's dict is observable
+    assert complete("analyze EURUSD") == "live summary"
+    # Spark round-trip: the same callable survives the mapInPandas batch
+    # boundary (transport closure pickles to the worker; its writes stay
+    # worker-side, so only the response is asserted here)
+    df = spark.createDataFrame([("k1", "analyze EURUSD")], ["key", "prompt"])
+    out = generate_insights(df, complete=complete).collect()
+    assert out[0]["summary"] == "live summary"
+    assert seen["url"].endswith("/v1/chat/completions")
+    assert seen["headers"]["Authorization"] == "Bearer sk-test"
+    assert seen["headers"]["OpenAI-Organization"] == "org-1"
+    assert seen["timeout"] == 60.0
+    body = seen["body"]
+    assert body["temperature"] == 0.4
+    assert body["messages"][0]["role"] == "system"
+    user_content = body["messages"][1]["content"]
+    assert user_content[0] == {"type": "text", "text": "analyze EURUSD"}
+    # 5-image cap and data-URL filter (main.py:703)
+    assert len(user_content) == 1 + 5
+    assert all(c["type"] == "image_url" for c in user_content[1:])
