@@ -205,3 +205,94 @@ def shard_assign(
         F.col("__h").asc(), F.col(id_col).asc()
     )
     return out.withColumn("pos", F.row_number().over(w)).drop("__h")
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling") — select raw-corpus
+# documents whose hashed-n-gram distribution looks like a target
+# corpus.  No reference analog; core LLM-data-pipeline op.
+# ---------------------------------------------------------------------------
+
+
+def hashed_ngram_buckets(
+    text_col: Column | str, n_buckets: int = 1024
+) -> Column:
+    """Unigram+bigram stream of the normalized text, each gram hashed
+    into one of ``n_buckets`` buckets — WITH multiplicity (DSIR models
+    gram counts, so this is deliberately not the distinct-shingle set
+    the dedup family uses).  The md5-derived hash is engine-portable
+    (same arithmetic as dedup._base_hash_portable), so a DuckDB oracle
+    replays the bucketing exactly."""
+    from market_insights_app_spark.functions.text import normalize_text, tokens
+
+    toks = tokens(normalize_text(text_col))
+    k = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, k),
+        F.slice(toks, 2, k),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    grams = F.concat(toks, bigrams)
+    return F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+        % n_buckets,
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Per-document importance weight: Σ_gram log p̂_target(bucket) −
+    log p̂_raw(bucket), Laplace-smoothed over the hashed-n-gram bucket
+    vocabulary.  High weight ⇒ the doc's gram distribution resembles
+    the target corpus.
+
+    Scale shape: two bucket-count aggregates (≤ n_buckets rows each —
+    broadcastable), one explode + groupBy over the raw corpus; the two
+    corpus-total scalars are a bounded 2-row collect (same two-pass
+    pattern as the histogram bounds).  Returns (id, weight)."""
+    rb = raw.select(
+        F.col(id_col), F.explode(hashed_ngram_buckets(text_col, n_buckets)).alias("b")
+    )
+    tb = target.select(F.explode(hashed_ngram_buckets(text_col, n_buckets)).alias("b"))
+    t_counts = tb.groupBy("b").agg(F.count(F.lit(1)).alias("tc"))
+    r_counts = rb.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    t_total = tb.count()
+    r_total = rb.count()
+    lr = (
+        r_counts.join(t_counts, "b", "left")
+        .select(
+            "b",
+            (
+                F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1.0) / float(t_total + n_buckets))
+                - F.log((F.col("rc") + 1.0) / float(r_total + n_buckets))
+            ).alias("lr"),
+        )
+    )
+    doc_b = rb.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        doc_b.join(F.broadcast(lr), "b")
+        .groupBy(id_col)
+        .agg(F.round(F.sum(F.col("n") * F.col("lr")), 6).alias("weight"))
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Top-k raw docs by DSIR weight (deterministic id tie-break) — the
+    selection step after weighting; TakeOrderedAndProject, no global
+    sort."""
+    w = dsir_weights(raw, target, id_col, text_col, n_buckets)
+    return w.orderBy(F.col("weight").desc(), F.col(id_col).asc()).limit(k)

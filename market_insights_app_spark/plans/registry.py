@@ -43,6 +43,7 @@ _PRIORITY: list[str] = [
     "ema_stateful_replay",        # stateful streaming runtime, hash-gated
     "url_normalize",              # web-corpus URL canonicalization
     "domain_doc_cap",             # per-domain anti-spam cap
+    "dsir_select",                # DSIR importance resampling
     # --- tier 2: last swept in r03 (stalest driver rows) ---------------
     "ann_lsh_topk",
     "asof_join",

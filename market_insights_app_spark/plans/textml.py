@@ -373,6 +373,18 @@ def _doc_urls(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", url.alias("url"))
 
 
+def q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance selection (operators/sampling.dsir_select): rank
+    the whole corpus by hashed-n-gram likelihood ratio against the
+    English subset as the target distribution; top-100 by weight.
+    Portable md5 bucketing makes the entire pipeline — tokenize,
+    bigram, hash, smooth, log-ratio, per-doc sum — DuckDB-replayable."""
+    from market_insights_app_spark.operators.sampling import dsir_select
+
+    docs = _docs(spark, sf)
+    return dsir_select(docs, docs.filter(F.col("lang") == "en"), k=100)
+
+
 def q_url_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """Web-corpus URL canonicalization (functions/urls.py): fragment /
     tracking-param / default-port / case / trailing-slash cleanup plus
@@ -1085,6 +1097,34 @@ _URL_CTES = """
                   WHEN len(labels) >= 2 THEN labels[-2] || '.' || labels[-1]
                   ELSE bare_host END AS domain
       FROM dom)"""
+
+TEXTML_ORACLES["dsir_select"] = f"""
+    WITH dt AS (SELECT doc_id, lang,
+                       list_filter(string_split_regex({_NORM_SQL}, '\\s+'),
+                                   x -> x <> '') AS tk
+                FROM documents),
+    grams AS (SELECT doc_id, lang,
+                     unnest(list_concat(tk,
+                       list_transform(range(1, len(tk)),
+                                      i -> tk[i] || ' ' || tk[i + 1]))) AS g
+              FROM dt),
+    bk AS (SELECT doc_id, lang,
+                  CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 1024 AS b
+           FROM grams),
+    tc AS (SELECT b, COUNT(*) AS tc FROM bk WHERE lang = 'en' GROUP BY 1),
+    rc AS (SELECT b, COUNT(*) AS rc FROM bk GROUP BY 1),
+    lr AS (SELECT rc.b,
+                  ln((COALESCE(tc.tc, 0) + 1.0)
+                     / CAST((SELECT COUNT(*) FROM bk WHERE lang = 'en') + 1024 AS DOUBLE))
+                - ln((rc.rc + 1.0)
+                     / CAST((SELECT COUNT(*) FROM bk) + 1024 AS DOUBLE)) AS lr
+           FROM rc LEFT JOIN tc USING (b)),
+    db AS (SELECT doc_id, b, COUNT(*) AS n FROM bk GROUP BY 1, 2),
+    w AS (SELECT doc_id, round(SUM(n * lr), 6) AS weight
+          FROM db JOIN lr USING (b) GROUP BY 1)
+    SELECT doc_id, weight FROM w
+    ORDER BY weight DESC, doc_id ASC LIMIT 100
+"""
 
 TEXTML_ORACLES["url_normalize"] = f"""
     WITH {_URL_CTES}

@@ -244,3 +244,24 @@ def test_semdedup_large_k_pandas_screen_matches_jvm(spark):
     assert survivors  # something survives
     # every exact duplicate (higher id, identical vector) must drop
     assert not (survivors & {i + 1000 for i, _ in base})
+
+
+def test_dsir_ranks_target_like_docs_higher(spark):
+    """DSIR semantics: raw docs wording-identical to the target corpus
+    must outweigh ones with disjoint vocabulary."""
+    from market_insights_app_spark.operators.sampling import dsir_weights
+
+    target = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps over the lazy dog") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps again"),
+            (2, "zzz qqq völlig anderes vokabular hier"),
+            (3, "lazy dog and quick fox"),
+        ],
+        ["doc_id", "text"],
+    )
+    w = {r["doc_id"]: r["weight"] for r in dsir_weights(raw, target).collect()}
+    assert w[1] > w[2] and w[3] > w[2]
