@@ -58,6 +58,12 @@ HEADLINE = [
     "ewma_macd",
     "passage_dedup",
     "semdedup",
+    # round-5 additions
+    "near_dedup_corpus_exact",
+    "url_normalize",
+    "domain_doc_cap",
+    "dsir_select",
+    "ema_stateful_replay",
 ]
 
 

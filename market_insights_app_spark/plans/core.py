@@ -547,6 +547,37 @@ def q_ema_stateful_replay(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_session_stateful_replay(spark: SparkSession, sf: str) -> DataFrame:
+    """ST5 driver evidence for the SECOND custom stateful operator:
+    the applyInPandasWithState session builder (streaming/ingest.
+    session_builder_stateful, 30-minute gap, NoTimeout) replayed over
+    the events parquet as an availableNow stream.  Emitted rows are
+    exactly the sessions CLOSED BY A LATER EVENT — each key's final
+    session stays open in state, so the DuckDB twin sessionizes and
+    drops every key's last session.  sum_value is the operator's
+    sequential event-time Python fold; the twin replays it with
+    list_reduce in the same order, so the doubles match bit-for-bit."""
+    import uuid
+
+    from market_insights_app_spark.streaming.ingest import (
+        events_file_stream,
+        run_available_now_to_memory,
+        session_builder_stateful,
+    )
+
+    name = f"sess_replay_{uuid.uuid4().hex[:8]}"
+    stream = events_file_stream(spark, sf, max_files_per_trigger=10_000)
+    run_available_now_to_memory(session_builder_stateful(stream), name, "append")
+    return spark.table(name).select(
+        F.col("key").alias("user_id"),
+        "session_start_us",
+        "session_end_us",
+        "n",
+        F.round("sum_value", 6).alias("sum_value"),
+        "closed_by",
+    )
+
+
 def q_ict_analysis(spark: SparkSession, sf: str) -> DataFrame:
     """U1 (main.js:336-383): the full analyzeICT composite — hi/lo/mid,
     premium-discount, MA-slope bias, equal-highs/lows, OTE retracement

@@ -333,6 +333,32 @@ CORE_ORACLES = {
     k: v.replace("FROM events", f"FROM {EV_SUB} events") for k, v in CORE_ORACLES.items()
 }
 
+CORE_ORACLES["session_stateful_replay"] = f"""
+    WITH o AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM {EV_SUB} events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts, value, event_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM o),
+    agg AS (
+      SELECT user_id, sid,
+             epoch_us(min(ts)) AS session_start_us,
+             epoch_us(max(ts)) + 1800 * 1000000 AS session_end_us,
+             COUNT(*) AS n,
+             round(list_reduce(list(value ORDER BY ts, event_id),
+                               (a, x) -> a + x), 6) AS sum_value
+      FROM s GROUP BY 1, 2),
+    last AS (SELECT user_id, max(sid) AS maxsid FROM s GROUP BY 1)
+    SELECT a.user_id, session_start_us, session_end_us, n, sum_value,
+           'event' AS closed_by
+    FROM agg a JOIN last l ON a.user_id = l.user_id AND a.sid < l.maxsid
+"""
+
 CORE_ORACLES["ema_stateful_replay"] = f"""
     WITH s AS (
       SELECT user_id, list(value ORDER BY ts, event_id) AS vs

@@ -41,6 +41,7 @@ _PRIORITY: list[str] = [
     # --- tier 1: new this round ----------------------------------------
     "connector_av_quote_parse",   # S1 — last §2 component without a row
     "ema_stateful_replay",        # stateful streaming runtime, hash-gated
+    "session_stateful_replay",    # stateful session builder, hash-gated
     "url_normalize",              # web-corpus URL canonicalization
     "domain_doc_cap",             # per-domain anti-spam cap
     "dsir_select",                # DSIR importance resampling
