@@ -579,6 +579,93 @@ def _dense_jaccard_pairs(
     )
 
 
+def jaccard_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_n: int = 1,
+    max_gram_df: int | None = None,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(id, cluster) — connected components of the exact-Jaccard ≥
+    threshold graph, for every doc with at least one partner; cluster =
+    min member id.  Equals ``duplicate_clusters(exact_jaccard_pairs)``
+    but on the dense small-vocabulary path the components are computed
+    on the DISTINCT-BITMASK graph (≤ distinct shingle-sets nodes) and
+    docs join in once at the end — the doc-level pair set, which is
+    Ω(n²) rows on a dup-heavy corpus regardless of how cheaply each
+    pair is screened, is never materialized.  (Measured: 14 s → ~4 s at
+    sf0.1 where the doc graph has 8.9 M edges but only 3 935 masks.)"""
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("g"),
+    )
+    if max_gram_df is not None:
+        rare = (
+            grams.groupBy("g")
+            .agg(F.count_distinct("id").alias("df"))
+            .filter(F.col("df") <= max_gram_df)
+            .select("g")
+        )
+        grams = grams.join(rare, "g")
+    vocab = grams.select("g").distinct()
+    if vocab.count() <= 64:
+        out = _dense_mask_clusters(grams, vocab, threshold, max_iterations)
+        if out is not None:
+            return out
+    pairs = exact_jaccard_pairs(
+        df, id_col, text_col, threshold, shingle_n, max_gram_df
+    )
+    return duplicate_clusters(pairs.select("a", "b"), max_iterations)
+
+
+def _dense_mask_clusters(
+    grams: DataFrame,
+    vocab: DataFrame,
+    threshold: float,
+    max_iterations: int,
+) -> DataFrame | None:
+    """Dense-path component labels: CC over the mask-pair graph (tiny),
+    then one join assigning each doc its component's min doc id.  A doc
+    participates iff its mask has a cross-mask neighbor OR at least two
+    docs share the mask (identical sets ⇒ Jaccard 1 ⇒ always paired)."""
+    w = Window.orderBy("g")
+    idx = vocab.select("g", (F.row_number().over(w) - 1).alias("idx"))
+    dm = (
+        grams.join(F.broadcast(idx), "g")
+        .groupBy("id")
+        .agg(F.expr("bit_or(shiftleft(1L, idx))").alias("mask"))
+        # feeds the mask census, the doc census, and the final label
+        # join — materialize once, cut lineage (GC-cleaned blocks)
+        .localCheckpoint(eager=True)
+    )
+    masks = dm.select("mask").distinct()
+    if masks.count() > 16384:
+        return None
+    x, y = masks.alias("x"), masks.alias("y")
+    inter = F.bit_count(F.col("x.mask").bitwiseAND(F.col("y.mask")))
+    union = F.bit_count(F.col("x.mask").bitwiseOR(F.col("y.mask")))
+    cross = (
+        x.crossJoin(F.broadcast(y))
+        .filter(F.col("x.mask") != F.col("y.mask"))
+        .filter((inter.cast("double") / union) >= F.lit(threshold))
+        .select(F.col("x.mask").alias("a"), F.col("y.mask").alias("b"))
+    )
+    mlab = duplicate_clusters(cross, max_iterations).select(
+        F.col("id").alias("mask"), F.col("cluster").alias("mcomp")
+    )
+    cnt = dm.groupBy("mask").agg(F.count(F.lit(1)).alias("n_docs"))
+    labeled = (
+        dm.join(F.broadcast(mlab), "mask", "left")
+        .join(F.broadcast(cnt), "mask")
+        .filter(F.col("mcomp").isNotNull() | (F.col("n_docs") >= 2))
+        .select("id", F.coalesce(F.col("mcomp"), F.col("mask")).alias("comp"))
+    )
+    rep = labeled.groupBy("comp").agg(F.min("id").alias("cluster"))
+    return labeled.join(F.broadcast(rep), "comp").select("id", "cluster")
+
+
 def exact_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -427,14 +427,13 @@ def q_near_dedup_corpus_exact(spark: SparkSession, sf: str) -> DataFrame:
     cross product) -> connected components (iterative min-label
     propagation) -> (doc_id, cluster=min member id). Gives the CC
     machinery (operators/dedup.duplicate_clusters) a hash-match gate —
-    the MinHash variant is inherently rows-only."""
-    from market_insights_app_spark.operators.dedup import (
-        duplicate_clusters,
-        exact_jaccard_pairs,
-    )
+    the MinHash variant is inherently rows-only.  Uses the fused
+    jaccard_clusters operator: on this corpus's dense small-vocabulary
+    path the components come from the distinct-bitmask graph, so the
+    8.9M-edge doc-pair set never materializes."""
+    from market_insights_app_spark.operators.dedup import jaccard_clusters
 
-    pairs = exact_jaccard_pairs(_docs(spark, sf), threshold=0.5, shingle_n=1)
-    clusters = duplicate_clusters(pairs.select("a", "b"))
+    clusters = jaccard_clusters(_docs(spark, sf), threshold=0.5, shingle_n=1)
     return clusters.select(F.col("id").alias("doc_id"), "cluster")
 
 
