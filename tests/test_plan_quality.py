@@ -221,3 +221,24 @@ def test_fuzzy_match_is_equi_join(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "levenshtein" in p
+
+
+def test_url_normalize_is_single_scan_stage(spark):
+    """URL canonicalization must be pure scan-stage expression work:
+    no Exchange in the plan, and only doc_id read from parquet."""
+    from market_insights_app_spark.plans.registry import QUERIES
+
+    p = plan_of(QUERIES["url_normalize"](spark, SF_ORACLE))
+    assert "Exchange" not in p
+    assert "ReadSchema: struct<doc_id:bigint>" in p
+
+
+def test_dsir_broadcasts_logratio_and_takeordered(spark):
+    """DSIR's per-bucket log-ratio table (≤1024 rows) must ride a
+    broadcast into the per-doc join, and the top-k must compile to
+    TakeOrderedAndProject (no global sort)."""
+    from market_insights_app_spark.plans.registry import QUERIES
+
+    p = plan_of(QUERIES["dsir_select"](spark, SF_ORACLE))
+    assert "BroadcastExchange" in p
+    assert "TakeOrderedAndProject" in p

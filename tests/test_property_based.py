@@ -171,3 +171,41 @@ def test_asof_join_matches_python(spark, rows):
             assert out[i] is None
         else:
             assert out[i] == pytest.approx(expect, rel=1e-12)
+
+
+_url_part = st.text(
+    alphabet="abcdefgXYZ0129-._", min_size=0, max_size=8
+)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["http", "HTTPS", "ftp"]),
+            st.sampled_from(
+                ["WWW.Ex.COM", "a.b.co.uk", "Host", "x.y.z.com:8080", "h:443", "h:80"]
+            ),
+            st.sampled_from(["", "/", "/p", "/p/", "/a/b/"]),
+            st.sampled_from(
+                ["", "?utm_source=1", "?a=1&utm_x=2&b=3", "?fbclid=9", "?a=1"]
+            ),
+            st.sampled_from(["", "#frag"]),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_normalize_url_idempotent(spark, parts):
+    """Canonicalization must be a projection: applying it twice equals
+    applying it once, for any combination of the messy features."""
+    from market_insights_app_spark.functions.urls import normalize_url
+
+    urls = [(f"{s}://{h}{p}{q}{f}",) for s, h, p, q, f in parts]
+    df = spark.createDataFrame(urls, ["u"])
+    rows = df.select(
+        normalize_url("u").alias("once"),
+        normalize_url(normalize_url("u")).alias("twice"),
+    ).collect()
+    for r in rows:
+        assert r["once"] == r["twice"], r
