@@ -45,7 +45,9 @@ _PRIORITY: list[str] = [
     "url_normalize",              # web-corpus URL canonicalization
     "domain_doc_cap",             # per-domain anti-spam cap
     "dsir_select",                # DSIR importance resampling
-    # --- tier 2: last swept in r03 (stalest driver rows) ---------------
+    # --- tier 2: last swept in r03 (stalest driver rows). tag_split and
+    # impact_classify (pure string scalars, unit-covered, green r3) are
+    # the two bumped to fit the 50-slot window; they rotate into r06 ---
     "ann_lsh_topk",
     "asof_join",
     "bm25_search",
@@ -62,7 +64,6 @@ _PRIORITY: list[str] = [
     "fingerprint_docs",
     "fuzzy_match",
     "hybrid_search",
-    "impact_classify",
     "inverted_index",
     "ivf_topk",
     "journal_stats",
@@ -84,7 +85,6 @@ _PRIORITY: list[str] = [
     "seq_pack",
     "simhash_neardup_portable",
     "stratified_sample",
-    "tag_split",
     "text_quality",
     "tfidf_top_terms",
     "timestamp_normalize",
