@@ -553,7 +553,11 @@ def _dense_jaccard_pairs(
         .agg(F.expr("bit_or(shiftleft(1L, idx))").alias("mask"))
     )
     masks = dm.select("mask").distinct()
-    if masks.count() > 16384:  # m² screen past ~2.7e8 cheap ops: fall back
+    # m² popcount screen at ~2 ns/op: 65536² ≈ 4.3e9 streamed ops is
+    # seconds across a fleet, while the token-join fallback on a
+    # small-vocabulary corpus is strictly worse (every gram hot, Σ df²
+    # ≈ n²·vocab) — so the cap errs high before giving up
+    if masks.count() > 65536:
         return None
     x, y = masks.alias("x"), masks.alias("y")
     inter = F.bit_count(F.col("x.mask").bitwiseAND(F.col("y.mask")))
@@ -641,7 +645,7 @@ def _dense_mask_clusters(
         .localCheckpoint(eager=True)
     )
     masks = dm.select("mask").distinct()
-    if masks.count() > 16384:
+    if masks.count() > 65536:  # see _dense_jaccard_pairs on the cap
         return None
     x, y = masks.alias("x"), masks.alias("y")
     inter = F.bit_count(F.col("x.mask").bitwiseAND(F.col("y.mask")))

@@ -397,3 +397,31 @@ def test_quantized_topk_recall(spark):
     )
     approx = {r["vec_id"] for r in cosine_topk(deq, qvec, k=10).collect()}
     assert len(exact & approx) >= 9
+
+
+def test_jaccard_dense_and_token_paths_agree(spark, monkeypatch):
+    """jaccard_clusters' dense bitmask path and the token-join +
+    doc-level CC fallback must produce identical components on a
+    small-vocabulary corpus that qualifies for both."""
+    from market_insights_app_spark.operators import dedup as D
+
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    rows = [
+        (i, " ".join(words[j] for j in range(5) if (i >> j) & 1 or j == i % 5))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    dense = {
+        (r["id"], r["cluster"])
+        for r in D.jaccard_clusters(df, threshold=0.6).collect()
+    }
+    # force the token-join fallback for both the pair and cluster paths
+    monkeypatch.setattr(D, "_dense_jaccard_pairs", lambda *a, **k: None)
+    monkeypatch.setattr(D, "_dense_mask_clusters", lambda *a, **k: None)
+    token = {
+        (r["id"], r["cluster"])
+        for r in D.jaccard_clusters(df, threshold=0.6).collect()
+    }
+    assert dense == token
+    assert dense  # corpus built to contain duplicates
