@@ -45,9 +45,10 @@ _PRIORITY: list[str] = [
     "url_normalize",              # web-corpus URL canonicalization
     "domain_doc_cap",             # per-domain anti-spam cap
     "dsir_select",                # DSIR importance resampling
-    # --- tier 2: last swept in r03 (stalest driver rows). tag_split and
-    # impact_classify (pure string scalars, unit-covered, green r3) are
-    # the two bumped to fit the 50-slot window; they rotate into r06 ---
+    "domain_split",               # leakage-safe domain-keyed split
+    # --- tier 2: last swept in r03 (stalest driver rows). tag_split,
+    # impact_classify and tokens_count (pure scalar plans, unit-covered,
+    # green r3) are bumped to fit the 50-slot window; rotate into r06 ---
     "ann_lsh_topk",
     "asof_join",
     "bm25_search",
@@ -88,7 +89,6 @@ _PRIORITY: list[str] = [
     "text_quality",
     "tfidf_top_terms",
     "timestamp_normalize",
-    "tokens_count",
     "tpch_q1_style",
     "training_corpus",
     "vocab_topk",

@@ -373,6 +373,31 @@ def _doc_urls(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", url.alias("url"))
 
 
+def q_domain_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the hash fraction is keyed on
+    the REGISTERED DOMAIN, not the doc id, so every page of a site
+    lands in the same split (near-duplicate pages from one domain can
+    never straddle train and eval — the contamination mode a per-doc
+    split invites).  Same engine-portable md5 contract as corpus_split;
+    still zero shuffles — the domain and its split label are scan-stage
+    expressions."""
+    from market_insights_app_spark.functions.urls import registered_domain
+    from market_insights_app_spark.operators.sampling import split_column
+
+    u = _doc_urls(spark, sf).select(
+        "doc_id", registered_domain("url").alias("domain")
+    )
+    return u.select(
+        "doc_id",
+        "domain",
+        split_column(
+            F.col("domain"),
+            [("train", 0.9), ("val", 0.05), ("test", 0.05)],
+            salt="domain-v1",
+        ),
+    )
+
+
 def q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR importance selection (operators/sampling.dsir_select): rank
     the whole corpus by hashed-n-gram likelihood ratio against the
@@ -1096,6 +1121,18 @@ _URL_CTES = """
                   WHEN len(labels) >= 2 THEN labels[-2] || '.' || labels[-1]
                   ELSE bare_host END AS domain
       FROM dom)"""
+
+TEXTML_ORACLES["domain_split"] = f"""
+    WITH {_URL_CTES}
+    SELECT doc_id, domain,
+           CASE WHEN frac < 0.9 THEN 'train'
+                WHEN frac < 0.95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, domain,
+                 CAST(('0x' || substr(md5('domain-v1:' || domain), 1, 8))
+                      AS BIGINT) / 4294967296.0 AS frac
+          FROM urls)
+"""
 
 TEXTML_ORACLES["dsir_select"] = f"""
     WITH dt AS (SELECT doc_id, lang,
