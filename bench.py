@@ -64,6 +64,10 @@ HEADLINE = [
     "domain_doc_cap",
     "dsir_select",
     "ema_stateful_replay",
+    # round-5 market-analytics batch
+    "ohlc_resample",
+    "pairwise_corr",
+    "series_moments",
 ]
 
 

@@ -1,0 +1,281 @@
+"""Market-analytics extensions over tick-shaped series — the classic
+chart/statistics operators a user of the reference app (price series,
+main.js chart panels) reaches for next: candle resampling, VWAP,
+drawdown, cross-series correlation, and distribution moments.
+
+Cross-engine determinism contract (shared with plans/core.py): every
+aggregate accumulates in DECIMAL (exact, summation-order-free), the
+final statistic is ONE double expression over the decimal sums, and
+per-row doubles round to 6 dp.
+
+Scale shapes (100 TB tick store):
+- ``ohlc_bars`` / ``vwap`` — single window + groupBy sharing the
+  (key, bucket) partitioning: one shuffle, map-side partial aggs.
+- ``max_drawdown`` — one running-max window pass + one groupBy on the
+  same key: one shuffle.
+- ``pairwise_corr`` — aligns on coarse time buckets FIRST (the
+  per-key reduce shrinks n ticks to n_buckets rows per key), so the
+  quadratic pair join runs over the aligned table, not the ticks; the
+  bucket-equi self-join co-partitions on the bucket.
+- ``moments`` — pure map-side-combinable aggregate, one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DEC = "decimal(18,2)"
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    bucket: str = "day",
+    volume: Column | None = None,
+) -> DataFrame:
+    """Downsample ticks to OHLC(+V) candles per (key, bucket) — the
+    bar-chart resample behind every candlestick panel (reference
+    renders raw ticks client-side, main.js chart; this is the server
+    form that survives 100 TB).
+
+    open/close are row_number-selected on the total order (ts, id) —
+    portable to any engine (DuckDB arg_min/arg_max cannot take a
+    composite ordering key), and the two row_numbers share ONE window
+    partitioning with the groupBy, so the whole resample is a single
+    shuffle.
+    """
+    # project the bucket BEFORE the window so the window partitioning
+    # and the bar groupBy hash the same attribute — Catalyst then elides
+    # the second Exchange (partitioning on the raw date_trunc expression
+    # instead leaves a redundant shuffle after the partial aggregate)
+    base = df.select(
+        F.col(key_col),
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        F.col(value_col).alias("v"),
+        *([volume.alias("vol")] if volume is not None else []),
+    )
+    w = Window.partitionBy(F.col(key_col), F.col("bucket_ts"))
+    asc = w.orderBy(F.col("__ts").asc(), F.col("__id").asc())
+    desc = w.orderBy(F.col("__ts").desc(), F.col("__id").desc())
+    ticks = base.select(
+        F.col(key_col),
+        "bucket_ts",
+        "v",
+        *(["vol"] if volume is not None else []),
+        F.row_number().over(asc).alias("rn_a"),
+        F.row_number().over(desc).alias("rn_d"),
+    )
+    aggs = [
+        F.max(F.when(F.col("rn_a") == 1, F.col("v"))).alias("open"),
+        F.max("v").alias("high"),
+        F.min("v").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("v"))).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    ]
+    if volume is not None:
+        aggs.append(F.sum(F.col("vol").cast("long")).alias("volume"))
+    return ticks.groupBy(key_col, "bucket_ts").agg(*aggs)
+
+
+def vwap(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    volume: Column | None = None,
+    bucket: str = "day",
+) -> DataFrame:
+    """Volume-weighted average price per (key, bucket). Price×volume
+    and volume both sum in DECIMAL (exact); the VWAP is one double
+    division over the two sums. Zero-volume buckets yield NULL (guard,
+    not NaN). Single map-side-combinable aggregate — one shuffle."""
+    vol = volume if volume is not None else F.lit(1)
+    pv = F.col(value_col).cast(DEC) * vol.cast("decimal(9,0)")
+    out = (
+        df.select(
+            F.col(key_col),
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+            pv.alias("pv"),
+            vol.cast("decimal(9,0)").alias("vol"),
+        )
+        .groupBy(key_col, "bucket_ts")
+        .agg(
+            F.sum("pv").alias("spv"),
+            F.sum("vol").cast("long").alias("volume"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
+    return out.select(
+        key_col,
+        "bucket_ts",
+        F.round(
+            F.when(
+                F.col("volume") > 0,
+                F.col("spv").cast("double") / F.col("volume").cast("double"),
+            ),
+            6,
+        ).alias("vwap"),
+        "volume",
+        "n_ticks",
+    )
+
+
+def max_drawdown(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Maximum peak-to-trough drawdown per series — the equity-curve
+    risk number next to the reference's win-rate/PnL stats
+    (main.js:990-1000 renders the curve; this is its summary).
+
+    drawdown(t) = (peak(≤t) − v(t)) / peak(≤t), peak as a running max
+    (exact on DECIMAL), the ratio one double division, max-reduced per
+    key. Non-positive peaks (a series that starts ≤ 0) yield NULL
+    rather than a sign-flipped ratio. One window pass + one groupBy on
+    the same key: one shuffle."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.col(value_col).cast(DEC)
+    peak = F.max(v).over(w)
+    ticks = df.select(
+        F.col(key_col),
+        v.alias("v"),
+        peak.alias("peak"),
+    )
+    dd = F.when(
+        F.col("peak") > 0,
+        (F.col("peak") - F.col("v")).cast("double") / F.col("peak").cast("double"),
+    )
+    return (
+        ticks.select(key_col, dd.alias("dd"))
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.round(F.max("dd"), 6).alias("max_drawdown"),
+        )
+    )
+
+
+def pairwise_corr(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "hour",
+    min_buckets: int = 2,
+) -> DataFrame:
+    """Pearson correlation between every pair of series, aligned on
+    coarse time buckets — the cross-symbol correlation matrix.
+
+    Alignment value is the per-bucket DECIMAL SUM (exact; an average
+    would reintroduce engine-specific division per bucket). Pairs form
+    by an equi self-join on the bucket (co-partitioned shuffle), keyed
+    a < b to emit each unordered pair once, and the six sufficient
+    statistics (n, Σx, Σy, Σxy, Σx², Σy²) accumulate in DECIMAL so the
+    final correlation is one bit-identical double expression (same
+    contract as plans/core.q_autocorr_lag1).
+
+    Scale: the tick table reduces to (keys × buckets) rows BEFORE the
+    quadratic join, and per-bucket pair fan-out is k² for k active
+    keys — fine for symbol universes (k ≤ 10⁴); beyond that, block
+    the key space and run the join per block pair."""
+    b = df.select(
+        F.col(key_col).alias("k"),
+        F.date_trunc(bucket, F.col(ts_col)).alias("b"),
+        F.col(value_col).cast(DEC).alias("v"),
+    ).groupBy("k", "b").agg(
+        # Spark widens SUM(DECIMAL(18,2)) to (28,2) whose pairwise
+        # product would exceed precision 38 and silently round; the
+        # cast back to (18,2) is exact (bucket sums ≪ 10^16) and keeps
+        # Σxy / Σx² / Σy² inside exact-decimal range in BOTH engines.
+        F.sum("v").cast(DEC).alias("s")
+    )
+    left = b.select(F.col("k").alias("ka"), "b", F.col("s").alias("x"))
+    right = b.select(F.col("k").alias("kb"), "b", F.col("s").alias("y"))
+    pairs = left.join(right, "b").filter(F.col("ka") < F.col("kb"))
+    stats = pairs.groupBy("ka", "kb").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n_buckets").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    num = nd * sxy - sx * sy
+    den = F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+    return stats.filter(F.col("n_buckets") >= min_buckets).select(
+        "ka",
+        "kb",
+        "n_buckets",
+        F.when(den > 0, num / den).alias("corr"),
+    )
+
+
+def moments(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-series distribution moments: mean, sample stddev, skewness,
+    excess kurtosis — return-distribution shape for a price panel,
+    column-distribution shape for a dataset profile.
+
+    The four power sums Σv..Σv⁴ accumulate in DECIMAL sized to stay
+    inside precision 38 in BOTH engines (v as DECIMAL(7,2) ⇒ v⁴ is
+    DECIMAL(31,8); the sum widens without truncation), so the moment
+    formulas are single double expressions over exact sums — no
+    engine-specific skewness()/kurtosis() sample-vs-population
+    ambiguity. One map-side-combinable aggregate, one shuffle."""
+    v = F.col(value_col).cast("decimal(7,2)")
+    stats = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    s3 = F.col("s3").cast("double")
+    s4 = F.col("s4").cast("double")
+    mean = s1 / n
+    # central moments from raw power sums
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - 3 * mean * (s2 / n) + 2 * mean * mean * mean
+    m4 = (
+        s4 / n
+        - 4 * mean * (s3 / n)
+        + 6 * mean * mean * (s2 / n)
+        - 3 * mean * mean * mean * mean
+    )
+    var_samp = F.when(n > 1, (s2 - s1 * s1 / n) / (n - 1))
+    return stats.select(
+        key_col,
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(F.sqrt(var_samp), 6).alias("stddev"),
+        F.round(
+            F.when((n > 2) & (m2 > 0), m3 / (m2 * F.sqrt(m2))), 6
+        ).alias("skewness"),
+        F.round(
+            F.when((n > 3) & (m2 > 0), m4 / (m2 * m2) - 3.0), 6
+        ).alias("kurtosis"),
+    )

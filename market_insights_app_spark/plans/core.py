@@ -918,3 +918,79 @@ def q_ewma_macd(spark: SparkSession, sf: str) -> DataFrame:
         F.round(e26, 6).alias("ewma26"),
         F.round(e12 - e26, 6).alias("macd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# market analytics extensions (round 5): candles, VWAP, drawdown,
+# cross-series correlation, distribution moments (operators/market.py)
+# ---------------------------------------------------------------------------
+
+
+def q_ohlc_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """Tick→daily OHLCV candle resample per series (operators/market.
+    ohlc_bars) — the server-side form of the reference's client-side
+    candlestick panel (main.js chart), with volume parsed out of the
+    semi-structured props JSON. Single shuffle: the open/close
+    row_numbers and the bar groupBy share the (key, day) partitioning."""
+    from market_insights_app_spark.operators.market import ohlc_bars
+
+    ev = _events(spark, sf)
+    vol = F.get_json_object("props", "$.k").cast("int")
+    bars = ohlc_bars(ev, volume=vol)
+    return bars.select(
+        "user_id",
+        ts_us("bucket_ts").alias("bucket_us"),
+        F.round("open", 6).alias("open"),
+        F.round("high", 6).alias("high"),
+        F.round("low", 6).alias("low"),
+        F.round("close", 6).alias("close"),
+        "n_ticks",
+        "volume",
+    )
+
+
+def q_vwap_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily VWAP per series (operators/market.vwap): Σ(price·vol) and
+    Σvol as exact DECIMAL partial aggregates, one double division at
+    the end, NULL (not NaN) on zero-volume days."""
+    from market_insights_app_spark.operators.market import vwap
+
+    ev = _events(spark, sf)
+    vol = F.get_json_object("props", "$.k").cast("int")
+    out = vwap(ev, volume=vol)
+    return out.select(
+        "user_id",
+        ts_us("bucket_ts").alias("bucket_us"),
+        "vwap",
+        "volume",
+        "n_ticks",
+    )
+
+
+def q_max_drawdown(spark: SparkSession, sf: str) -> DataFrame:
+    """Max peak-to-trough drawdown per series (operators/market.
+    max_drawdown) — running DECIMAL peak + one double ratio, reduced
+    per key; the risk summary beside the equity curve (main.js:990)."""
+    from market_insights_app_spark.operators.market import max_drawdown
+
+    return max_drawdown(_events(spark, sf))
+
+
+def q_pairwise_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-series correlation matrix (operators/market.pairwise_corr):
+    hourly exact-DECIMAL sums align the series, an equi self-join on
+    the bucket forms each unordered pair once, and the correlation is
+    one double expression over six exact sufficient statistics."""
+    from market_insights_app_spark.operators.market import pairwise_corr
+
+    return pairwise_corr(_events(spark, sf))
+
+
+def q_series_moments(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution shape per series (operators/market.moments): mean,
+    sample stddev, skewness, excess kurtosis from four exact DECIMAL
+    power sums — no engine-specific skewness()/kurtosis() ambiguity,
+    one map-side-combinable aggregate."""
+    from market_insights_app_spark.operators.market import moments
+
+    return moments(_events(spark, sf))

@@ -690,3 +690,135 @@ CORE_ORACLES["ewma_macd"] = f"""
            round(e12 - e26, 6) AS macd
     FROM e
 """
+
+
+# --- market analytics extensions (round 5) ---------------------------------
+
+CORE_ORACLES["ohlc_resample"] = """
+    WITH t AS (
+      SELECT user_id, date_trunc('day', ts) AS b, value,
+             CAST(json_extract_string(props, '$.k') AS INT) AS vol,
+             row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events)
+    SELECT user_id, epoch_us(b) AS bucket_us,
+           round(MAX(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+           round(MAX(value), 6) AS high,
+           round(MIN(value), 6) AS low,
+           round(MAX(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+           COUNT(*) AS n_ticks,
+           CAST(SUM(CAST(vol AS BIGINT)) AS BIGINT) AS volume
+    FROM t GROUP BY user_id, b
+"""
+
+CORE_ORACLES["vwap_daily"] = """
+    WITH t AS (
+      SELECT user_id, date_trunc('day', ts) AS b,
+             CAST(value AS DECIMAL(18,2)) AS v,
+             CAST(CAST(json_extract_string(props, '$.k') AS INT)
+                  AS DECIMAL(9,0)) AS vol
+      FROM events),
+    g AS (
+      SELECT user_id, b,
+             SUM(v * vol) AS spv,
+             CAST(SUM(vol) AS BIGINT) AS volume,
+             COUNT(*) AS n_ticks
+      FROM t GROUP BY user_id, b)
+    SELECT user_id, epoch_us(b) AS bucket_us,
+           round(CASE WHEN volume > 0
+                 THEN CAST(spv AS DOUBLE) / CAST(volume AS DOUBLE) END, 6)
+             AS vwap,
+           volume, n_ticks
+    FROM g
+"""
+
+CORE_ORACLES["max_drawdown"] = f"""
+    WITH t AS (
+      SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v,
+             MAX(CAST(value AS DECIMAL(18,2)))
+               OVER ({W_EVENTS} ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS peak
+      FROM events)
+    SELECT user_id, COUNT(*) AS n_ticks,
+           round(MAX(CASE WHEN peak > 0
+                 THEN CAST(peak - v AS DOUBLE) / CAST(peak AS DOUBLE) END), 6)
+             AS max_drawdown
+    FROM t GROUP BY user_id
+"""
+
+CORE_ORACLES["pairwise_corr"] = """
+    WITH b AS (
+      SELECT user_id AS k, date_trunc('hour', ts) AS b,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s
+      FROM events GROUP BY 1, 2),
+    p AS (
+      SELECT a.k AS ka, c.k AS kb, a.s AS x, c.s AS y
+      FROM b a JOIN b c ON a.b = c.b AND a.k < c.k),
+    st AS (
+      SELECT ka, kb, COUNT(*) AS n_buckets,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM p GROUP BY 1, 2)
+    SELECT ka, kb, n_buckets,
+           CASE WHEN sqrt((CAST(n_buckets AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * (CAST(n_buckets AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) > 0
+                THEN (CAST(n_buckets AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n_buckets AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n_buckets AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           END AS corr
+    FROM st WHERE n_buckets >= 2
+"""
+
+CORE_ORACLES["series_moments"] = """
+    WITH t AS (SELECT user_id, CAST(value AS DECIMAL(7,2)) AS v FROM events),
+    -- staged power columns: each multiply is widened past DECIMAL(18)
+    -- so DuckDB picks its HUGEINT physical type (a (15,4)x(7,2)
+    -- product overflows the int64 lane), then cast back down exactly
+    -- (v <= ~10^3 here, so v^k fits the declared widths). The Spark
+    -- twin's (7,2)->(31,8) product chain is exact too, so both
+    -- engines sum identical rationals.
+    t4 AS (
+      SELECT user_id, v,
+             CAST(CAST(v AS DECIMAL(19,2)) * v AS DECIMAL(19,4)) AS p2,
+             CAST(CAST(CAST(v AS DECIMAL(19,2)) * v AS DECIMAL(19,4)) * v
+                  AS DECIMAL(19,6)) AS p3,
+             CAST(CAST(CAST(v AS DECIMAL(19,2)) * v AS DECIMAL(19,4)) * v
+                  AS DECIMAL(19,6)) * v AS p4
+      FROM t),
+    st AS (
+      SELECT user_id, COUNT(*) AS n,
+             SUM(v) AS s1, SUM(p2) AS s2, SUM(p3) AS s3, SUM(p4) AS s4
+      FROM t4 GROUP BY user_id),
+    d AS (
+      SELECT user_id, n,
+             CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1,
+             CAST(s2 AS DOUBLE) AS s2, CAST(s3 AS DOUBLE) AS s3,
+             CAST(s4 AS DOUBLE) AS s4
+      FROM st),
+    m AS (
+      SELECT user_id, n, nd, s1, s2, s3, s4,
+             s1 / nd AS mean,
+             s2 / nd - (s1 / nd) * (s1 / nd) AS m2
+      FROM d)
+    SELECT user_id, n,
+           round(mean, 6) AS mean,
+           round(CASE WHEN nd > 1
+                 THEN sqrt((s2 - s1 * s1 / nd) / (nd - 1)) END, 6) AS stddev,
+           round(CASE WHEN nd > 2 AND m2 > 0
+                 THEN (s3 / nd - 3 * mean * (s2 / nd)
+                       + 2 * mean * mean * mean) / (m2 * sqrt(m2)) END, 6)
+             AS skewness,
+           round(CASE WHEN nd > 3 AND m2 > 0
+                 THEN (s4 / nd - 4 * mean * (s3 / nd)
+                       + 6 * mean * mean * (s2 / nd)
+                       - 3 * mean * mean * mean * mean) / (m2 * m2) - 3.0
+                 END, 6) AS kurtosis
+    FROM m
+"""

@@ -46,31 +46,37 @@ _PRIORITY: list[str] = [
     "domain_doc_cap",             # per-domain anti-spam cap
     "dsir_select",                # DSIR importance resampling
     "domain_split",               # leakage-safe domain-keyed split
-    # --- tier 2: last swept in r03 (stalest driver rows). tag_split,
-    # impact_classify and tokens_count (pure scalar plans, unit-covered,
-    # green r3) are bumped to fit the 50-slot window; rotate into r06 ---
+    "ohlc_resample",              # tick→daily OHLCV candles
+    "vwap_daily",                 # volume-weighted average price
+    "max_drawdown",               # peak-to-trough risk summary
+    "pairwise_corr",              # cross-series correlation matrix
+    "series_moments",             # mean/stddev/skew/kurtosis per series
+    # --- tier 2: last swept in r03 (stalest driver rows). Bumped to fit
+    # the 50-slot window (pure-scalar / unit-covered plans whose
+    # operators are untouched since their green r03 row): tag_split,
+    # impact_classify, tokens_count, and — for the five new market
+    # queries above — corpus_shuffle, journal_stats, timestamp_normalize,
+    # level_extract, fingerprint_docs, plus four whose semantics are
+    # pinned by an in-window sibling: ngram_jaccard_bigram (sibling
+    # ngram_jaccard), hybrid_search (bm25_search + embedding_topk),
+    # seq_len_histogram, corpus_split (domain_split / unit splits).
+    # All rotate to the FRONT of r06. ---
     "ann_lsh_topk",
     "asof_join",
     "bm25_search",
     "connector_fx_parse",
     "connector_yahoo_parse",
-    "corpus_shuffle",
-    "corpus_split",
     "decontaminate",
     "dedup_exact",
     "doc_chunks",
     "doc_repetition",
     "embedding_neardup",
     "embedding_topk",
-    "fingerprint_docs",
     "fuzzy_match",
-    "hybrid_search",
     "inverted_index",
     "ivf_topk",
-    "journal_stats",
     "kmeans_assign",
     "lang_id",
-    "level_extract",
     "lm_quality",
     "media_decode",
     "minhash_neardup_portable",
@@ -78,17 +84,14 @@ _PRIORITY: list[str] = [
     "multi_join_revenue",
     "near_dedup_corpus_exact",
     "ngram_jaccard",
-    "ngram_jaccard_bigram",
     "pii_scrub",
     "positions_agg",
     "quantize_int8",
-    "seq_len_histogram",
     "seq_pack",
     "simhash_neardup_portable",
     "stratified_sample",
     "text_quality",
     "tfidf_top_terms",
-    "timestamp_normalize",
     "tpch_q1_style",
     "training_corpus",
     "vocab_topk",

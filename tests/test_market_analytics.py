@@ -1,0 +1,131 @@
+"""Golden-value unit tests for operators/market.py — candle resample,
+VWAP, drawdown, pairwise correlation, distribution moments. The
+driver-gate parity at sf0.01 checks cross-engine agreement; these pin
+the SEMANTICS on hand-computed fixtures (tiebreaks, guards, NULLs)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_insights_app_spark.operators.market import (
+    max_drawdown,
+    moments,
+    ohlc_bars,
+    pairwise_corr,
+    vwap,
+)
+
+
+def _ts(day, h=0, m=0):
+    return dt.datetime(2024, 1, day, h, m)
+
+
+COLS = ["user_id", "ts", "event_id", "value", "vol"]
+
+
+@pytest.fixture()
+def ticks(spark):
+    rows = [
+        # day 1, user 1: open=10 (earliest), close=30 (latest), high=40, low=5
+        (1, _ts(1, 9), 1, 10.0, 2),
+        (1, _ts(1, 10), 2, 40.0, 1),
+        (1, _ts(1, 11), 3, 5.0, 3),
+        (1, _ts(1, 12), 4, 30.0, 4),
+        # day 1, user 2: SAME ts for both rows — event_id breaks the tie:
+        # open is id 5 (=7.0), close is id 6 (=9.0)
+        (2, _ts(1, 9), 5, 7.0, 0),
+        (2, _ts(1, 9), 6, 9.0, 0),
+        # day 2, user 1: single tick
+        (1, _ts(2, 9), 7, 20.0, 5),
+    ]
+    return spark.createDataFrame(rows, COLS)
+
+
+def test_ohlc_golden(ticks):
+    bars = ohlc_bars(ticks, volume=F.col("vol"))
+    got = {
+        (r.user_id, r.bucket_ts.day): (r.open, r.high, r.low, r.close, r.n_ticks, r.volume)
+        for r in bars.collect()
+    }
+    assert got[(1, 1)] == (10.0, 40.0, 5.0, 30.0, 4, 10)
+    assert got[(2, 1)] == (7.0, 9.0, 7.0, 9.0, 2, 0)
+    assert got[(1, 2)] == (20.0, 20.0, 20.0, 20.0, 1, 5)
+
+
+def test_vwap_golden_and_zero_volume_guard(ticks):
+    out = vwap(ticks, volume=F.col("vol"))
+    got = {(r.user_id, r.bucket_ts.day): (r.vwap, r.volume) for r in out.collect()}
+    # user 1 day 1: (10*2 + 40*1 + 5*3 + 30*4) / 10 = 195/10
+    assert got[(1, 1)] == (19.5, 10)
+    # user 2 day 1: total volume 0 -> NULL, not NaN/div-by-zero
+    assert got[(2, 1)] == (None, 0)
+    assert got[(1, 2)] == (20.0, 5)
+
+
+def test_max_drawdown_golden(spark):
+    rows = [
+        # peak 100 -> trough 60: dd = 0.4; later peak 120 -> 90: dd = 0.25
+        (1, _ts(1, 9), 1, 100.0, 0),
+        (1, _ts(1, 10), 2, 60.0, 0),
+        (1, _ts(1, 11), 3, 120.0, 0),
+        (1, _ts(1, 12), 4, 90.0, 0),
+        # monotone series: max drawdown 0
+        (2, _ts(1, 9), 5, 1.0, 0),
+        (2, _ts(1, 10), 6, 2.0, 0),
+    ]
+    df = spark.createDataFrame(rows, COLS)
+    got = {r.user_id: (r.n_ticks, r.max_drawdown) for r in max_drawdown(df).collect()}
+    assert got[1] == (4, 0.4)
+    assert got[2] == (2, 0.0)
+
+
+def test_max_drawdown_nonpositive_peak_is_null(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(1, 9), 1, 0.0, 0), (1, _ts(1, 10), 2, -1.0, 0)], COLS
+    )
+    [r] = max_drawdown(df).collect()
+    assert r.max_drawdown is None
+
+
+def test_pairwise_corr_golden(spark):
+    rows = []
+    # user 1 and 2 perfectly correlated, user 3 perfectly anti-correlated,
+    # one tick per hour so bucket sums == tick values
+    for h, v in [(9, 1.0), (10, 2.0), (11, 3.0)]:
+        rows.append((1, _ts(1, h), h, v, 0))
+        rows.append((2, _ts(1, h), 100 + h, 10 * v, 0))
+        rows.append((3, _ts(1, h), 200 + h, -v, 0))
+    df = spark.createDataFrame(rows, COLS)
+    got = {(r.ka, r.kb): (r.n_buckets, r.corr) for r in pairwise_corr(df).collect()}
+    assert got[(1, 2)][0] == 3
+    assert got[(1, 2)][1] == pytest.approx(1.0)
+    assert got[(1, 3)][1] == pytest.approx(-1.0)
+    assert got[(2, 3)][1] == pytest.approx(-1.0)
+    # unordered pairs emitted once: no (2,1) key
+    assert (2, 1) not in got
+
+
+def test_pairwise_corr_requires_shared_buckets(spark):
+    # users never active in the same hour -> no pair row
+    rows = [(1, _ts(1, 9), 1, 1.0, 0), (2, _ts(1, 10), 2, 2.0, 0)]
+    df = spark.createDataFrame(rows, COLS)
+    assert pairwise_corr(df).count() == 0
+
+
+def test_moments_golden(spark):
+    # symmetric values: skewness exactly 0; uniform{1..5} kurtosis -1.3
+    rows = [(1, _ts(1, 9 + i % 12), i, float(v), 0) for i, v in enumerate([1, 2, 3, 4, 5])]
+    # constant series: stddev 0, skew/kurt NULL (m2 = 0 guard)
+    rows += [(2, _ts(1, 9 + i), 100 + i, 7.0, 0) for i in range(4)]
+    df = spark.createDataFrame(rows, COLS)
+    got = {r.user_id: r for r in moments(df).collect()}
+    m1 = got[1]
+    assert m1.mean == pytest.approx(3.0)
+    assert m1.stddev == pytest.approx(1.581139, abs=1e-6)
+    assert m1.skewness == pytest.approx(0.0)
+    assert m1.kurtosis == pytest.approx(-1.3)
+    m2 = got[2]
+    assert m2.stddev == 0.0 and m2.skewness is None and m2.kurtosis is None
