@@ -156,3 +156,105 @@ def unigram_logprob(
             "low_quality", F.col("avg_logprob") < F.lit(low_quality_below)
         )
     return out
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram language-model score with Laplace smoothing — one LM
+    order up from ``unigram_logprob``, the closest SQL-expressible
+    shape to the KenLM 5-gram filter CCNet (Wenzek et al. 2020) runs:
+
+        P(w2 | w1) = (c(w1 w2) + 1) / (c1(w1) + V)
+
+    with c(w1 w2) the corpus bigram count, c1(w1) the count of bigrams
+    whose context is w1 (Σ_w2 c(w1 w2)), and V the unigram vocabulary
+    size. Each document scores the average ln P over its own bigrams,
+    plus ``ppl = exp(-avg)`` — CCNet's reported number. Documents with
+    fewer than two tokens have no bigrams and drop out (the caller can
+    left-join them back as unscored).
+
+    Scale shape: the doc→bigram stream joins the bigram-count table
+    co-partitioned on the bigram (sort-merge; at open-web scale that
+    table is corpus-sized and must NOT be broadcast), the context
+    counts derive FROM the bigram table (vocabulary-sized groupBy,
+    broadcast back), and V is a broadcast scalar. The per-doc reduce is
+    a map-side-combinable groupBy(id). Three linear shuffles total.
+
+    Determinism: counts are exact integers; the probability is one
+    double division, ln in doubles, avg rounded to 6 dp; ppl rounds
+    exp(-avg) to 4 dp (relative ulp noise ≪ both grains)."""
+    toks = _lower_tokens(text_col)
+    pairs = df.select(
+        F.col(id_col), F.explode(_bigrams_multiset(text_col)).alias("bg")
+    )
+    bgc = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    w1c = (
+        bgc.select(F.split("bg", " ", 2).getItem(0).alias("w1"), "c12")
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+    )
+    vocab_n = df.select(F.explode(toks).alias("t")).agg(
+        F.count_distinct("t").alias("v")
+    )
+    lp = (
+        pairs.join(bgc, "bg")
+        .withColumn("w1", F.split("bg", " ", 2).getItem(0))
+        .join(F.broadcast(w1c), "w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.col("c12") + F.lit(1)).cast("double")
+                / (F.col("c1") + F.col("v")).cast("double")
+            ).alias("lp"),
+        )
+    )
+    return lp.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        F.round(F.exp(-F.avg("lp")), 4).alias("ppl"),
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing: score every
+    document with the corpus-trained unigram LM, then split each
+    language into three equal-count tiers — head = most typical
+    (highest avg log-prob = lowest perplexity), the tier CCNet keeps
+    preferentially for LM training.
+
+    The gate path assigns tiers with ``ntile(3)`` over the per-lang
+    total order (score DESC, id ASC) — pure integer rank arithmetic,
+    bit-identical across engines, no interpolated-threshold edge cases.
+    The per-lang sort is one skewed-window shuffle; at 100 TB swap to
+    the documented scale path: approx_percentile tertile thresholds per
+    lang (one aggregate) broadcast back as a comparison map — same
+    tiers up to sketch error, no global sort."""
+    from pyspark.sql.window import Window
+
+    scores = unigram_logprob(df, id_col=id_col, text_col=text_col)
+    scored = scores.join(
+        df.select(F.col(id_col), F.col(lang_col)), id_col
+    )
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("avg_logprob").desc(), F.col(id_col).asc()
+    )
+    tier = F.ntile(3).over(w)
+    return scored.select(
+        F.col(id_col),
+        F.col(lang_col),
+        "n_tokens",
+        "avg_logprob",
+        F.when(tier == 1, F.lit("head"))
+        .when(tier == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

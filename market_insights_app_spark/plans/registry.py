@@ -51,6 +51,8 @@ _PRIORITY: list[str] = [
     "max_drawdown",               # peak-to-trough risk summary
     "pairwise_corr",              # cross-series correlation matrix
     "series_moments",             # mean/stddev/skew/kurtosis per series
+    "bigram_lm",                  # Laplace bigram LM + CCNet perplexity
+    "perplexity_buckets",         # head/middle/tail tiers per lang
     # --- tier 2: last swept in r03 (stalest driver rows). Bumped to fit
     # the 50-slot window (pure-scalar / unit-covered plans whose
     # operators are untouched since their green r03 row): tag_split,
@@ -59,16 +61,17 @@ _PRIORITY: list[str] = [
     # level_extract, fingerprint_docs, plus four whose semantics are
     # pinned by an in-window sibling: ngram_jaccard_bigram (sibling
     # ngram_jaccard), hybrid_search (bm25_search + embedding_topk),
-    # seq_len_histogram, corpus_split (domain_split / unit splits).
+    # seq_len_histogram, corpus_split (domain_split / unit splits),
+    # ann_lsh_topk (rows-only row; recall pinned in unit tests, ivf_topk
+    # stays in-window), doc_chunks (overlap/tail unit tests; packing
+    # family exercised by in-window seq_pack).
     # All rotate to the FRONT of r06. ---
-    "ann_lsh_topk",
     "asof_join",
     "bm25_search",
     "connector_fx_parse",
     "connector_yahoo_parse",
     "decontaminate",
     "dedup_exact",
-    "doc_chunks",
     "doc_repetition",
     "embedding_neardup",
     "embedding_topk",

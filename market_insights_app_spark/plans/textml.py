@@ -1986,3 +1986,72 @@ TEXTML_ORACLES["zipf_slope"] = """
     SELECT n_terms, round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
     FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# bigram LM + CCNet perplexity tiers (round 5)
+# ---------------------------------------------------------------------------
+
+
+def q_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram-LM quality score with Laplace smoothing (operators/
+    quality.bigram_logprob) — one order above ★lm_quality's unigram LM,
+    the SQL-expressible stand-in for CCNet's KenLM filter, reporting
+    CCNet's perplexity number per document."""
+    from market_insights_app_spark.operators.quality import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf))
+
+
+def q_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet head/middle/tail tiers per language (operators/quality.
+    perplexity_buckets): corpus-trained unigram LM score, ntile(3) over
+    the per-lang (score DESC, id) order — integer rank arithmetic, no
+    interpolated-threshold cross-engine edge; approx_percentile
+    thresholds are the documented 100 TB path."""
+    from market_insights_app_spark.operators.quality import perplexity_buckets
+
+    return perplexity_buckets(_docs(spark, sf))
+
+
+TEXTML_ORACLES["bigram_lm"] = f"""
+    WITH toks AS (SELECT doc_id, {_LTOKS_SQL} AS t FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(t)),
+                         i -> t[i] || ' ' || t[i + 1])) AS bg
+           FROM toks),
+    bgc AS (SELECT bg, COUNT(*) AS c12 FROM bg GROUP BY 1),
+    w1c AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c12) AS c1
+            FROM bgc GROUP BY 1),
+    voc AS (SELECT COUNT(DISTINCT tok) AS v
+            FROM (SELECT unnest(t) AS tok FROM toks)),
+    lp AS (SELECT doc_id,
+                  ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)) AS lp
+           FROM bg JOIN bgc USING (bg)
+           JOIN w1c ON split_part(bg, ' ', 1) = w1
+           CROSS JOIN voc)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           round(AVG(lp), 6) AS avg_logprob,
+           round(exp(-AVG(lp)), 4) AS ppl
+    FROM lp GROUP BY doc_id
+"""
+
+TEXTML_ORACLES["perplexity_buckets"] = f"""
+    WITH toks AS (SELECT doc_id, unnest({_LTOKS_SQL}) AS term FROM documents),
+    vocab AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+    lp AS (SELECT doc_id, ln(CAST(cnt AS DOUBLE) / total) AS lp
+           FROM toks JOIN vocab USING (term) CROSS JOIN tot),
+    sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                  round(AVG(lp), 6) AS avg_logprob
+           FROM lp GROUP BY doc_id),
+    tiers AS (SELECT sc.doc_id, d.lang, sc.n_tokens, sc.avg_logprob,
+                     ntile(3) OVER (PARTITION BY d.lang
+                                    ORDER BY sc.avg_logprob DESC,
+                                             sc.doc_id ASC) AS tier
+              FROM sc JOIN documents d ON sc.doc_id = d.doc_id)
+    SELECT doc_id, lang, n_tokens, avg_logprob,
+           CASE tier WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM tiers
+"""
