@@ -200,7 +200,10 @@ def bigram_logprob(
         F.count_distinct("t").alias("v")
     )
     lp = (
-        pairs.join(bgc, "bg")
+        # merge hint: the bigram-count table is corpus-sized at open-web
+        # scale — pin the co-partitioned shuffle join so a small-corpus
+        # size estimate can't bake a broadcast into the shape
+        pairs.join(bgc.hint("merge"), "bg")
         .withColumn("w1", F.split("bg", " ", 2).getItem(0))
         .join(F.broadcast(w1c), "w1")
         .crossJoin(F.broadcast(vocab_n))

@@ -91,6 +91,35 @@ COMMENTARY = {
         "numpy assignment + per-cluster blocked BLAS (not shown: "
         "mapInPandas/applyInPandas plans are opaque to EXPLAIN)."
     ),
+    "ohlc_resample": (
+        "Tick→daily OHLCV candles in ONE Exchange: the bucket is "
+        "projected before the window, so the two row_number windows "
+        "(open/close selection) and the bar groupBy all hash the same "
+        "(user_id, bucket_ts) attributes — the partial aggregate "
+        "feeds the final HashAggregate with no second shuffle. At "
+        "100 TB the shuffle carries ticks once; bars are tiny."
+    ),
+    "pairwise_corr": (
+        "Cross-series correlation: the tick table first reduces to "
+        "(key × hour-bucket) exact-DECIMAL sums — the quadratic pair "
+        "join runs over that aligned table, never the raw ticks. At "
+        "test scale the right side broadcasts; at 10⁴ symbols the "
+        "same equi-join on the bucket becomes a co-partitioned SMJ. "
+        "The six sufficient statistics reduce map-side per (ka,kb)."
+    ),
+    "series_moments": (
+        "Four exact DECIMAL power sums in one map-side-combinable "
+        "HashAggregate → single Exchange on the key → final moment "
+        "expressions. The whole skew/kurtosis computation ships one "
+        "row of partials per (key × partition), nothing else."
+    ),
+    "bigram_lm": (
+        "Bigram LM: doc-bigram stream joins the corpus bigram-count "
+        "table co-partitioned on the bigram (the count side is "
+        "corpus-sized at web scale — deliberately NOT broadcast); "
+        "context counts and the vocab scalar are vocabulary-sized "
+        "BroadcastExchanges; the per-doc reduce is map-side partial."
+    ),
 }
 
 

@@ -74,6 +74,27 @@ def main() -> None:
     purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
     views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", F.col("value").alias("vv"))
     t("as-of join (union-merge)", asof_join(purchases, views, "user_id", "ts", "ts", ["vv"]))
+
+    # --- round-5 market ops over the same ticks ----------------------------
+    from market_insights_app_spark.operators.market import (
+        max_drawdown,
+        moments,
+        ohlc_bars,
+        pairwise_corr,
+    )
+
+    evt = ev.withColumn(
+        # one tick / 0.25 s from 2024-01-01 → ~29 days of daily/hourly buckets
+        "tts",
+        F.timestamp_micros(F.lit(1_704_067_200_000_000) + F.col("event_id") * 250_000),
+    )
+    t("ohlc daily bars", ohlc_bars(evt, ts_col="tts", volume=F.lit(1)))
+    t("max drawdown", max_drawdown(evt, ts_col="tts"))
+    t("series moments", moments(evt))
+    # 500 keys × ~700 hourly buckets → ~125k pairs, ~87M joined pair rows:
+    # the quadratic term runs over the ALIGNED table, never the raw ticks
+    corr_in = evt.withColumn("user_id", F.pmod(F.col("user_id"), F.lit(500)))
+    t("pairwise corr (500 keys)", pairwise_corr(corr_in, ts_col="tts"))
     ev.unpersist()
 
     # --- synthetic docs: n_docs rows, zipf-ish repeated phrases ------------
@@ -101,6 +122,10 @@ def main() -> None:
     t0 = time.perf_counter()
     npairs = minhash_near_dupes(docs, threshold=0.8).count()
     print(f"{'minhash near-dup (count)':35s} {time.perf_counter() - t0:7.2f} s   pairs={npairs}")
+
+    from market_insights_app_spark.operators.quality import bigram_logprob
+
+    t("bigram LM score", bigram_logprob(docs))
     docs.unpersist()
 
     # --- synthetic embeddings: n_vecs × dim 64, web-scale k ----------------

@@ -242,3 +242,60 @@ def test_dsir_broadcasts_logratio_and_takeordered(spark):
     p = plan_of(QUERIES["dsir_select"](spark, SF_ORACLE))
     assert "BroadcastExchange" in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_ohlc_single_exchange(spark):
+    """The OHLC resample must hash ONE partitioning: the row_number
+    windows and the bar groupBy share (user_id, bucket_ts), so exactly
+    one Exchange appears (projecting the bucket before the window is
+    what makes Catalyst elide the post-aggregate shuffle)."""
+    from market_insights_app_spark.plans.registry import QUERIES
+
+    p = plan_of(QUERIES["ohlc_resample"](spark, SF_ORACLE))
+    assert p.count(") Exchange") == 1, p
+
+
+def test_moments_single_aggregate_pass(spark):
+    """series_moments is one map-side-combinable aggregate: partial
+    HashAggregate → single Exchange on the key → final — no window, no
+    join, no second shuffle."""
+    from market_insights_app_spark.plans.registry import QUERIES
+
+    p = plan_of(QUERIES["series_moments"](spark, SF_ORACLE))
+    assert p.count(") Exchange") == 1, p
+    assert "Window" not in p and "Join" not in p
+
+
+def test_pairwise_corr_joins_aligned_table_not_ticks(spark):
+    """The quadratic pair join must consume the (key × bucket)
+    aggregate, never raw ticks: both join children are HashAggregates
+    (bucket sums), and the sufficient-statistics reduce follows."""
+    from market_insights_app_spark.plans.registry import QUERIES
+
+    p = plan_of(QUERIES["pairwise_corr"](spark, SF_ORACLE))
+    import re
+
+    m = re.search(r"Join Inner", p) or re.search(r"BroadcastHashJoin", p)
+    assert m is not None
+    # the scan feeds an aggregate BEFORE any join: the first join-side
+    # operators in the formatted tree are HashAggregate nodes
+    tree = p.split("== Physical Plan ==")[1]
+    first_join_line = next(
+        i for i, ln in enumerate(tree.splitlines()) if "Join" in ln
+    )
+    above = "\n".join(tree.splitlines()[first_join_line:])
+    assert "HashAggregate" in above
+
+
+def test_bigram_lm_no_bigram_broadcast(spark):
+    """The corpus bigram-count side must NOT broadcast (corpus-sized at
+    web scale); context counts and the vocab scalar MUST broadcast."""
+    from market_insights_app_spark.operators.quality import bigram_logprob
+    from market_insights_app_spark.sources.tables import load_table
+
+    df = load_table(spark, SF_ORACLE, "documents")
+    p = plan_of(bigram_logprob(df))
+    assert "BroadcastExchange" in p  # w1c + vocab scalar
+    # the bg-keyed join is a shuffle join: at least one SortMergeJoin
+    # or ShuffledHashJoin remains
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p), p
