@@ -998,3 +998,98 @@ def passage_dedup(
             ).alias("text_dedup"),
         )
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+) -> DataFrame:
+    """Exact substring-span dedup — the fixed-length form of Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better", ExactSubstr): every rolling ``span_tokens``-gram that
+    already occurred earlier in the corpus (global first occurrence
+    ordered by (doc_id, position) wins) marks its token span as
+    duplicated, overlapping spans merge, and covered tokens are
+    removed from the document.
+
+    The interval union needs NO self-join: because all spans share one
+    length L, token i is covered iff the latest duplicate-span start
+    s ≤ i satisfies s + L > i — a running max over a union-merge of
+    token events and span-start events per document (the same ordered-
+    union trick as operators/joins.asof_join), one window pass.
+
+    Scale shape: three linear shuffles — the gram first-occurrence
+    ranking window (partitioned by the gram; swap the gram string for
+    xxhash64(gram) at 100 TB to shrink the exchange, as with
+    passage_dedup), the per-document coverage window (bounded by doc
+    length), and the groupBy(doc) reassembly. Duplicate-start events
+    are a tiny fraction of the token stream, so the union adds ~0 to
+    the coverage shuffle. No quadratic stage anywhere.
+
+    Output: (doc_id, n_tokens, n_removed, text_dedup).
+    """
+    L = span_tokens
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+    tok = base.select("doc_id", F.posexplode("__toks").alias("pos", "tok"))
+
+    n_grams = F.size("__toks") - F.lit(L) + 1
+    grams = base.filter(F.size("__toks") >= L).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_grams - 1)).alias("p"),
+        "__toks",
+    ).select(
+        "doc_id",
+        "p",
+        F.array_join(F.slice("__toks", F.col("p") + 1, L), " ").alias("gram"),
+    )
+    first_w = Window.partitionBy("gram").orderBy("doc_id", "p")
+    dup = (
+        grams.withColumn("__rn", F.row_number().over(first_w))
+        .filter(F.col("__rn") > 1)
+        .select("doc_id", "p")
+    )
+
+    ev = tok.select(
+        "doc_id", "pos", F.lit(1).alias("is_tok"), "tok"
+    ).unionByName(
+        dup.select(
+            "doc_id",
+            F.col("p").alias("pos"),
+            F.lit(0).alias("is_tok"),
+            F.lit(None).cast("string").alias("tok"),
+        )
+    )
+    # span-start events sort BEFORE the token at the same position
+    # (is_tok 0 < 1): a duplicate span starting at i covers token i
+    cover_w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos", "is_tok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    smax = F.max(F.when(F.col("is_tok") == 0, F.col("pos"))).over(cover_w)
+    kept = (
+        ev.withColumn("__smax", smax)
+        .filter(F.col("is_tok") == 1)
+        .withColumn(
+            "keep",
+            F.col("__smax").isNull() | (F.col("__smax") + L <= F.col("pos")),
+        )
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("pos", "tok"))
+                    )
+                ),
+                lambda s: s.getField("tok"),
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )

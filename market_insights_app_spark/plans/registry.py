@@ -53,6 +53,7 @@ _PRIORITY: list[str] = [
     "series_moments",             # mean/stddev/skew/kurtosis per series
     "bigram_lm",                  # Laplace bigram LM + CCNet perplexity
     "perplexity_buckets",         # head/middle/tail tiers per lang
+    "span_dedup",                 # Lee et al. exact substring-span dedup
     # --- tier 2: last swept in r03 (stalest driver rows). Bumped to fit
     # the 50-slot window (pure-scalar / unit-covered plans whose
     # operators are untouched since their green r03 row): tag_split,
@@ -64,7 +65,8 @@ _PRIORITY: list[str] = [
     # seq_len_histogram, corpus_split (domain_split / unit splits),
     # ann_lsh_topk (rows-only row; recall pinned in unit tests, ivf_topk
     # stays in-window), doc_chunks (overlap/tail unit tests; packing
-    # family exercised by in-window seq_pack).
+    # family exercised by in-window seq_pack), kmeans_assign (tier-3
+    # semdedup re-gates both k-means assignment lanes end-to-end).
     # All rotate to the FRONT of r06. ---
     "asof_join",
     "bm25_search",
@@ -78,7 +80,6 @@ _PRIORITY: list[str] = [
     "fuzzy_match",
     "inverted_index",
     "ivf_topk",
-    "kmeans_assign",
     "lang_id",
     "lm_quality",
     "media_decode",

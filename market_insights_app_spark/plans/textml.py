@@ -2055,3 +2055,46 @@ TEXTML_ORACLES["perplexity_buckets"] = f"""
                 ELSE 'tail' END AS bucket
     FROM tiers
 """
+
+
+def q_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact substring-span dedup (operators/dedup.span_dedup) — the
+    fixed-length Lee et al. 2022 ExactSubstr form: global
+    first-occurrence 8-gram spans, overlap-merged by a single
+    union-merge coverage window, covered tokens removed."""
+    from market_insights_app_spark.operators.dedup import span_dedup
+
+    return span_dedup(_docs(spark, sf), span_tokens=8)
+
+
+TEXTML_ORACLES["span_dedup"] = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    tok0 AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos, toks FROM t),
+    tok AS (SELECT doc_id, pos, toks[pos + 1] AS tok FROM tok0),
+    g0 AS (SELECT doc_id, unnest(range(0, len(toks) - 7)) AS p, toks
+           FROM t WHERE len(toks) >= 8),
+    g AS (SELECT doc_id, p, array_to_string(toks[p + 1 : p + 8], ' ') AS gram
+          FROM g0),
+    r AS (SELECT doc_id, p,
+                 row_number() OVER (PARTITION BY gram ORDER BY doc_id, p) AS rn
+          FROM g),
+    dup AS (SELECT doc_id, p FROM r WHERE rn > 1),
+    ev AS (SELECT doc_id, pos, 1 AS is_tok, tok FROM tok
+           UNION ALL
+           SELECT doc_id, p AS pos, 0 AS is_tok, NULL AS tok FROM dup),
+    m AS (SELECT doc_id, pos, is_tok, tok,
+                 MAX(CASE WHEN is_tok = 0 THEN pos END)
+                   OVER (PARTITION BY doc_id ORDER BY pos, is_tok
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS smax
+          FROM ev),
+    k AS (SELECT doc_id, pos, tok,
+                 (smax IS NULL OR smax + 8 <= pos) AS keep
+          FROM m WHERE is_tok = 1)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (NOT keep) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(tok, ' ' ORDER BY pos) FILTER (keep), '')
+             AS text_dedup
+    FROM k GROUP BY doc_id
+"""

@@ -425,3 +425,47 @@ def test_jaccard_dense_and_token_paths_agree(spark, monkeypatch):
     }
     assert dense == token
     assert dense  # corpus built to contain duplicates
+
+
+# --- exact substring-span dedup (Lee et al. 2022 ExactSubstr form) ---------
+
+
+def _span_rows(spark, texts, L=3):
+    from market_insights_app_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame(list(enumerate(texts, 1)), ["doc_id", "text"])
+    return {r.doc_id: r for r in span_dedup(df, span_tokens=L).collect()}
+
+
+def test_span_dedup_removes_repeated_span(spark):
+    # doc 2 repeats doc 1's "a b c" 3-gram: its covered tokens vanish
+    got = _span_rows(spark, ["a b c x", "y a b c z"], L=3)
+    assert got[1].n_removed == 0 and got[1].text_dedup == "a b c x"
+    assert got[2].n_removed == 3
+    assert got[2].text_dedup == "y z"
+
+
+def test_span_dedup_merges_overlapping_spans(spark):
+    # doc 2 contains "a b c d": grams "a b c" and "b c d" are both dups
+    # (doc 1 has them), overlapping spans merge → 4 tokens removed
+    got = _span_rows(spark, ["a b c d", "q a b c d r"], L=3)
+    assert got[2].n_removed == 4
+    assert got[2].text_dedup == "q r"
+
+
+def test_span_dedup_first_occurrence_wins(spark):
+    # within ONE doc the second occurrence of the gram is removed
+    got = _span_rows(spark, ["a b c x a b c"], L=3)
+    assert got[1].n_removed == 3
+    assert got[1].text_dedup == "a b c x"
+
+
+def test_span_dedup_short_docs_untouched(spark):
+    got = _span_rows(spark, ["a b", "a b"], L=3)
+    assert got[1].n_removed == 0 and got[2].n_removed == 0
+
+
+def test_span_dedup_fully_covered_doc_empties(spark):
+    got = _span_rows(spark, ["a b c", "a b c"], L=3)
+    assert got[2].n_removed == 3 and got[2].text_dedup == ""
+    assert got[2].n_tokens == 3
