@@ -68,6 +68,9 @@ HEADLINE = [
     "ohlc_resample",
     "pairwise_corr",
     "series_moments",
+    # round-5 LM-pipeline batch
+    "bigram_lm",
+    "span_dedup",
 ]
 
 

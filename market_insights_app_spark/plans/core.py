@@ -994,3 +994,14 @@ def q_series_moments(spark: SparkSession, sf: str) -> DataFrame:
     from market_insights_app_spark.operators.market import moments
 
     return moments(_events(spark, sf))
+
+
+def q_pairwise_corr_dense(spark: SparkSession, sf: str) -> DataFrame:
+    """Dense BLAS lane of the correlation matrix (operators/market.
+    pairwise_corr_dense): block-pair applyInPandas Gram matmuls over
+    integer-cent matrices — exact integer-valued float64 arithmetic,
+    descaled like the DECIMAL casts, so it shares ★pairwise_corr's
+    oracle verbatim. The scale path for dense symbol universes."""
+    from market_insights_app_spark.operators.market import pairwise_corr_dense
+
+    return pairwise_corr_dense(_events(spark, sf))

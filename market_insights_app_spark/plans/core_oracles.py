@@ -822,3 +822,6 @@ CORE_ORACLES["series_moments"] = """
                  END, 6) AS kurtosis
     FROM m
 """
+
+# the dense BLAS lane reproduces the join lane bit-for-bit — one oracle text
+CORE_ORACLES["pairwise_corr_dense"] = CORE_ORACLES["pairwise_corr"]

@@ -54,6 +54,7 @@ _PRIORITY: list[str] = [
     "bigram_lm",                  # Laplace bigram LM + CCNet perplexity
     "perplexity_buckets",         # head/middle/tail tiers per lang
     "span_dedup",                 # Lee et al. exact substring-span dedup
+    "pairwise_corr_dense",        # BLAS Gram lane, shares ★pairwise_corr oracle
     # --- tier 2: last swept in r03 (stalest driver rows). Bumped to fit
     # the 50-slot window (pure-scalar / unit-covered plans whose
     # operators are untouched since their green r03 row): tag_split,
@@ -66,7 +67,9 @@ _PRIORITY: list[str] = [
     # ann_lsh_topk (rows-only row; recall pinned in unit tests, ivf_topk
     # stays in-window), doc_chunks (overlap/tail unit tests; packing
     # family exercised by in-window seq_pack), kmeans_assign (tier-3
-    # semdedup re-gates both k-means assignment lanes end-to-end).
+    # semdedup re-gates both k-means assignment lanes end-to-end),
+    # mixture_sample (proportion/allowlist unit tests; hash-predicate
+    # family gated by in-window stratified_sample/corpus pieces).
     # All rotate to the FRONT of r06. ---
     "asof_join",
     "bm25_search",
@@ -84,7 +87,6 @@ _PRIORITY: list[str] = [
     "lm_quality",
     "media_decode",
     "minhash_neardup_portable",
-    "mixture_sample",
     "multi_join_revenue",
     "near_dedup_corpus_exact",
     "ngram_jaccard",

@@ -95,6 +95,12 @@ def main() -> None:
     # the quadratic term runs over the ALIGNED table, never the raw ticks
     corr_in = evt.withColumn("user_id", F.pmod(F.col("user_id"), F.lit(500)))
     t("pairwise corr (500 keys)", pairwise_corr(corr_in, ts_col="tts"))
+    from market_insights_app_spark.operators.market import pairwise_corr_dense
+
+    t(
+        "pairwise corr dense (500 keys)",
+        pairwise_corr_dense(corr_in, ts_col="tts", n_blocks=4),
+    )
     ev.unpersist()
 
     # --- synthetic docs: n_docs rows, zipf-ish repeated phrases ------------

@@ -129,3 +129,28 @@ def test_moments_golden(spark):
     assert m1.kurtosis == pytest.approx(-1.3)
     m2 = got[2]
     assert m2.stddev == 0.0 and m2.skewness is None and m2.kurtosis is None
+
+
+def test_pairwise_corr_dense_matches_join_lane(spark):
+    """The BLAS Gram lane must reproduce the decimal join lane
+    bit-for-bit (integer-valued float64 matmuls + identical descaling
+    + identical final expression)."""
+    from market_insights_app_spark.operators.market import pairwise_corr_dense
+    from market_insights_app_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    a = {tuple(r) for r in pairwise_corr(ev).collect()}
+    b = {tuple(r) for r in pairwise_corr_dense(ev, n_blocks=4).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_pairwise_corr_dense_overflow_guard(spark):
+    import pytest as _pt
+
+    from market_insights_app_spark.operators.market import pairwise_corr_dense
+
+    rows = [(1, _ts(1, 9), 1, 9e13, 0), (2, _ts(1, 9), 2, 9e13, 0),
+            (1, _ts(1, 10), 3, 9e13, 0), (2, _ts(1, 10), 4, 9e13, 0)]
+    df = spark.createDataFrame(rows, COLS)
+    with _pt.raises(Exception, match="exceeds exact float64|exceeded|Overflow|cannot be represented"):
+        pairwise_corr_dense(df, n_blocks=2).collect()
