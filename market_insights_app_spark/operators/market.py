@@ -95,7 +95,10 @@ def vwap(
     """Volume-weighted average price per (key, bucket). Price×volume
     and volume both sum in DECIMAL (exact); the VWAP is one double
     division over the two sums. Zero-volume buckets yield NULL (guard,
-    not NaN). Single map-side-combinable aggregate — one shuffle."""
+    not NaN). Single map-side-combinable aggregate — one shuffle.
+    Domain contract: per-tick volume < 10⁹ (DECIMAL(9,0)); outside it
+    Spark nulls the cast while DuckDB errors — widen both twins
+    together."""
     vol = volume if volume is not None else F.lit(1)
     pv = F.col(value_col).cast(DEC) * vol.cast("decimal(9,0)")
     out = (
@@ -252,7 +255,12 @@ def moments(
     DECIMAL(31,8); the sum widens without truncation), so the moment
     formulas are single double expressions over exact sums — no
     engine-specific skewness()/kurtosis() sample-vs-population
-    ambiguity. One map-side-combinable aggregate, one shuffle."""
+    ambiguity. One map-side-combinable aggregate, one shuffle.
+
+    Domain contract: |value| < 10⁵ (the DECIMAL(7,2) cast). Outside
+    it the engines DIVERGE in failure mode — Spark (non-ANSI) nulls
+    the cast, DuckDB errors — so widen the cast (and re-derive the
+    power widths) before pointing this at a larger-magnitude column."""
     v = F.col(value_col).cast("decimal(7,2)")
     stats = df.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("n"),

@@ -2098,3 +2098,60 @@ TEXTML_ORACLES["span_dedup"] = """
              AS text_dedup
     FROM k GROUP BY doc_id
 """
+
+
+def q_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset-datasheet rollup per (source, lang) — the corpus-level
+    report a training-data pipeline publishes next to the data: doc
+    and token volumes, length profile, short-doc fraction, and the
+    exact-duplicate rate from content fingerprints. One aggregate pass
+    (count_distinct is the only expand; HLL++ `approx_count_distinct`
+    is the 100 TB swap, as in ★table_profile)."""
+    from market_insights_app_spark.functions.text import token_count
+
+    d = _docs(spark, sf)
+    toks = token_count(F.col("text"))
+    out = (
+        d.select(
+            "source",
+            "lang",
+            toks.alias("nt"),
+            F.md5(F.col("text")).alias("fp"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("total_tokens"),
+            F.round(F.sum("nt") / F.count(F.lit(1)), 4).alias("avg_tokens"),
+            F.sum(F.when(F.col("nt") < 20, 1).otherwise(0)).alias("n_short"),
+            F.count_distinct(F.col("fp")).alias("n_unique"),
+        )
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "total_tokens",
+            "avg_tokens",
+            "n_short",
+            F.round(
+                F.lit(1.0) - F.col("n_unique") / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+        )
+    )
+    return out
+
+
+TEXTML_ORACLES["corpus_report"] = f"""
+    WITH d AS (SELECT source, lang,
+                      len({_LTOKS_SQL}) AS nt,
+                      md5(text) AS fp
+               FROM documents)
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens,
+           round(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 4) AS avg_tokens,
+           CAST(SUM(CASE WHEN nt < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+           round(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 6)
+             AS dup_rate
+    FROM d GROUP BY source, lang
+"""
