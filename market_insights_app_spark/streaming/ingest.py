@@ -435,3 +435,44 @@ def interval_join_stream(
         & (F.col(left_ts) <= F.col(right_ts) + F.expr(f"INTERVAL {within}"))
     )
     return l.join(r, cond)
+
+
+def ohlc_agg(
+    stream: DataFrame,
+    duration: str = "1 day",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming OHLC candles per (window, key) — the incremental form
+    of operators/market.ohlc_bars. The batch operator selects open/
+    close with row_number windows (not streamable); here open/close
+    come from ``min_by``/``max_by`` over the (ts, id) total-order
+    struct, which IS an incremental aggregate — same result on the
+    same total order, so the batch twin pins parity in tests. State
+    per open window is one candle row per key; the watermark bounds
+    how long a window stays open."""
+    order = F.struct(F.col(ts_col), F.col(id_col))
+    v = F.col(value_col)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), duration), F.col(key_col))
+        .agg(
+            F.min_by(v, order).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, order).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            F.col("window.start").alias("bucket_ts"),
+            key_col,
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_ticks",
+        )
+    )

@@ -113,6 +113,14 @@ COMMENTARY = {
         "expressions. The whole skew/kurtosis computation ships one "
         "row of partials per (key × partition), nothing else."
     ),
+    "span_dedup": (
+        "Exact substring-span dedup: three linear shuffles — the gram "
+        "first-occurrence ranking window (partitioned by the gram), "
+        "the per-document coverage window over the token∪span-start "
+        "union (equal-length spans make interval union a running max, "
+        "no self-join), and the groupBy(doc) reassembly. The Window "
+        "operators sit directly on their Exchanges; nothing quadratic."
+    ),
     "bigram_lm": (
         "Bigram LM: doc-bigram stream joins the corpus bigram-count "
         "table co-partitioned on the bigram (the count side is "

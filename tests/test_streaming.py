@@ -582,3 +582,34 @@ def test_latest_wins_batch_concurrent_writers(spark, tmp_path):
     assert got.filter("ver <> 2").count() == 0
     leftovers = [d for d in _os.listdir(tmp_path) if "__stage_" in d or "__lock__" in d]
     assert leftovers == []
+
+
+def test_streaming_ohlc_matches_batch_operator(spark, stream):
+    """Streaming OHLC (min_by/max_by incremental aggregate) must equal
+    the batch ohlc_bars operator (row_number selection) on the same
+    replayed data — the two formulations agree on the (ts, id) total
+    order."""
+    from market_insights_app_spark.operators.market import ohlc_bars
+    from market_insights_app_spark.streaming.ingest import (
+        ohlc_agg,
+        run_available_now_to_memory,
+    )
+
+    run_available_now_to_memory(ohlc_agg(stream), "t_ohlc", "append")
+    got = {
+        (r["bucket_ts"], r["user_id"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_ticks"]
+        )
+        for r in spark.sql("SELECT * FROM t_ohlc").collect()
+    }
+    batch = ohlc_bars(_batch_events(spark))
+    want = {
+        (r["bucket_ts"], r["user_id"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_ticks"]
+        )
+        for r in batch.collect()
+    }
+    assert got
+    for k, v in got.items():
+        assert want[k] == v
+    assert len(got) >= len(want) * 0.9
