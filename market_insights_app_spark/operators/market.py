@@ -377,8 +377,11 @@ def pairwise_corr_dense(
             key_ix = {kk: n for n, kk in enumerate(keys)}
             X = np.zeros((len(keys), len(cols)))
             P = np.zeros_like(X)
-            r = piv["k"].map(key_ix).to_numpy()
-            c = piv["bidx"].map(col_ix).to_numpy()
+            # force integer dtype: an EMPTY side maps to a float64
+            # series whose use as an index raises (caught by the
+            # randomized lane-agreement property test)
+            r = piv["k"].map(key_ix).to_numpy(dtype=np.int64, na_value=-1)
+            c = piv["bidx"].map(col_ix).to_numpy(dtype=np.int64, na_value=-1)
             X[r, c] = piv["cents"].to_numpy().astype(np.float64)
             P[r, c] = 1.0
             mats.append((keys, X, P))

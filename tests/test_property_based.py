@@ -209,3 +209,83 @@ def test_normalize_url_idempotent(spark, parts):
     ).collect()
     for r in rows:
         assert r["once"] == r["twice"], r
+
+
+# --- span_dedup vs a transparent Python model ------------------------------
+
+
+def py_span_dedup(texts, L):
+    """Brute-force reference: global first-occurrence L-grams, interval
+    union per doc, covered tokens removed."""
+    seen = {}
+    dup_starts = {i: [] for i in range(len(texts))}
+    for i, text in enumerate(texts):
+        toks = text.split(" ")
+        for p in range(max(len(toks) - L + 1, 0)):
+            g = tuple(toks[p : p + L])
+            if g in seen:
+                dup_starts[i].append(p)
+            else:
+                seen[g] = (i, p)
+    out = {}
+    for i, text in enumerate(texts):
+        toks = text.split(" ")
+        covered = [False] * len(toks)
+        for s in dup_starts[i]:
+            for j in range(s, min(s + L, len(toks))):
+                covered[j] = True
+        kept = [t for t, c in zip(toks, covered) if not c]
+        out[i + 1] = (len(toks), sum(covered), " ".join(kept))
+    return out
+
+
+doc_text = st.lists(
+    st.sampled_from(list("abc")), min_size=1, max_size=12
+).map(" ".join)
+
+
+@settings(**SETTINGS)
+@given(st.lists(doc_text, min_size=1, max_size=8), st.integers(2, 4))
+def test_span_dedup_matches_python_model(spark, texts, L):
+    from market_insights_app_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame(list(enumerate(texts, 1)), ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_dedup)
+        for r in span_dedup(df, span_tokens=L).collect()
+    }
+    assert got == py_span_dedup(texts, L)
+
+
+tick = st.tuples(
+    st.integers(1, 6),                     # key
+    st.integers(0, 5),                     # hour offset
+    st.floats(min_value=-1000, max_value=1000, allow_nan=False).map(
+        lambda v: round(v, 2)
+    ),
+)
+
+
+@settings(**SETTINGS)
+@given(st.lists(tick, min_size=2, max_size=40))
+def test_pairwise_corr_lanes_agree(spark, ticks):
+    """The decimal join lane and the BLAS Gram lane must be
+    bit-identical on arbitrary tick sets (blocks, swaps, shared-bucket
+    masks, descaling)."""
+    import datetime as dt
+
+    from market_insights_app_spark.operators.market import (
+        pairwise_corr,
+        pairwise_corr_dense,
+    )
+
+    rows = [
+        (k, dt.datetime(2024, 1, 1, 6 + h), i, v, 0)
+        for i, (k, h, v) in enumerate(ticks)
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "ts", "event_id", "value", "vol"]
+    )
+    a = {tuple(r) for r in pairwise_corr(df).collect()}
+    b = {tuple(r) for r in pairwise_corr_dense(df, n_blocks=3).collect()}
+    assert a == b
