@@ -433,3 +433,62 @@ def pairwise_corr_dense(
         "n_buckets",
         F.when(den > 0, num / den).alias("corr"),
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    bucket: str = "hour",
+    step: str = "interval 1 hour",
+) -> DataFrame:
+    """Resample each series onto a regular time grid with forward fill
+    (last observation carried forward) — the gap-free chart series /
+    feature-matrix input every downstream consumer of an irregular
+    tick store asks for first.
+
+    Per key: the last tick of each occupied bucket (ranking window),
+    the per-key [min, max] bucket span exploded into a regular grid
+    (``sequence`` with an interval step — grid cells per key are
+    bounded by the data span, not the tick count), a left join of grid
+    onto closes co-partitioned on (key, bucket), and ONE ordered
+    window carrying ``last(value, ignorenulls=True)`` forward. Gaps
+    are flagged. Rows ~ keys × span-buckets; every stage is a linear
+    shuffle on the key (or key+bucket)."""
+    h = F.date_trunc(bucket, F.col(ts_col))
+    ticks = df.select(
+        F.col(key_col).alias("k"),
+        h.alias("h"),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        F.col(value_col).alias("v"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("k", "h").orderBy(
+            F.col("__ts").desc(), F.col("__id").desc()
+        )
+    )
+    closes = ticks.withColumn("__rn", rn).filter(F.col("__rn") == 1).select(
+        "k", "h", "v"
+    )
+    bounds = ticks.groupBy("k").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    grid = bounds.select(
+        "k",
+        F.explode(F.expr(f"sequence(lo, hi, {step})")).alias("h"),
+    )
+    joined = grid.join(closes, ["k", "h"], "left")
+    w = (
+        Window.partitionBy("k")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col("k").alias(key_col),
+        F.col("h").alias("bucket_ts"),
+        F.round(F.last("v", ignorenulls=True).over(w), 6).alias("close_ffill"),
+        F.col("v").isNull().alias("is_gap"),
+    )

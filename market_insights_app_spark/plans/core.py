@@ -1005,3 +1005,19 @@ def q_pairwise_corr_dense(spark: SparkSession, sf: str) -> DataFrame:
     from market_insights_app_spark.operators.market import pairwise_corr_dense
 
     return pairwise_corr_dense(_events(spark, sf))
+
+
+def q_resample_ffill(spark: SparkSession, sf: str) -> DataFrame:
+    """Regular hourly grid per series with forward fill (operators/
+    market.resample_ffill): last tick per occupied bucket, per-key
+    span exploded to the grid, one ordered last(ignorenulls) window.
+    Gap cells flagged."""
+    from market_insights_app_spark.operators.market import resample_ffill
+
+    out = resample_ffill(_events(spark, sf))
+    return out.select(
+        "user_id",
+        ts_us("bucket_ts").alias("hour_us"),
+        "close_ffill",
+        "is_gap",
+    )

@@ -825,3 +825,27 @@ CORE_ORACLES["series_moments"] = """
 
 # the dense BLAS lane reproduces the join lane bit-for-bit — one oracle text
 CORE_ORACLES["pairwise_corr_dense"] = CORE_ORACLES["pairwise_corr"]
+
+CORE_ORACLES["resample_ffill"] = """
+    WITH hb AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, value,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events),
+    closes AS (SELECT user_id, h, value FROM hb WHERE rn = 1),
+    bounds AS (SELECT user_id, min(h) AS lo, max(h) AS hi
+               FROM hb GROUP BY user_id),
+    grid AS (SELECT user_id,
+                    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+             FROM bounds),
+    j AS (SELECT g.user_id, g.h, c.value
+          FROM grid g LEFT JOIN closes c
+            ON g.user_id = c.user_id AND g.h = c.h)
+    SELECT user_id, epoch_us(h) AS hour_us,
+           round(last_value(value IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY h
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 6) AS close_ffill,
+           (value IS NULL) AS is_gap
+    FROM j
+"""

@@ -70,9 +70,9 @@ _PRIORITY: list[str] = [
     # semdedup re-gates both k-means assignment lanes end-to-end),
     # mixture_sample (proportion/allowlist unit tests; hash-predicate
     # family gated by in-window stratified_sample/corpus pieces).
-    # corpus_report (new this round, composition of gated primitives —
-    # tokens_count/fingerprint_docs/groupBy; locally parity-checked at
-    # sf0.001+sf0.01) also waits for the FRONT of r06.
+    # corpus_report and resample_ffill (new this round, compositions of
+    # gated primitives; locally parity-checked at sf0.001+sf0.01) also
+    # wait for the FRONT of r06.
     # All rotate to the FRONT of r06. ---
     "asof_join",
     "bm25_search",

@@ -154,3 +154,26 @@ def test_pairwise_corr_dense_overflow_guard(spark):
     df = spark.createDataFrame(rows, COLS)
     with _pt.raises(Exception, match="exceeds exact float64|exceeded|Overflow|cannot be represented"):
         pairwise_corr_dense(df, n_blocks=2).collect()
+
+
+def test_resample_ffill_golden(spark):
+    from market_insights_app_spark.operators.market import resample_ffill
+
+    rows = [
+        # user 1: ticks at 09 and 12 -> grid 09,10,11,12; 10/11 gaps
+        # carry 5.0 forward; within-hour last (ts,id) wins at 09
+        (1, _ts(1, 9, 0), 1, 4.0, 0),
+        (1, _ts(1, 9, 30), 2, 5.0, 0),
+        (1, _ts(1, 12, 0), 3, 9.0, 0),
+    ]
+    df = spark.createDataFrame(rows, COLS)
+    got = {
+        r.bucket_ts.hour: (r.close_ffill, r.is_gap)
+        for r in resample_ffill(df).collect()
+    }
+    assert got == {
+        9: (5.0, False),
+        10: (5.0, True),
+        11: (5.0, True),
+        12: (9.0, False),
+    }
