@@ -26,6 +26,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from market_insights_app_spark.functions.scalars import ts_us
+
 DEC = "decimal(18,2)"
 
 
@@ -491,4 +493,62 @@ def resample_ffill(
         F.col("h").alias("bucket_ts"),
         F.round(F.last("v", ignorenulls=True).over(w), 6).alias("close_ffill"),
         F.col("v").isNull().alias("is_gap"),
+    )
+
+
+def ols_trend(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    origin: str = "2024-01-01 00:00:00",
+) -> DataFrame:
+    """Per-series least-squares trend line: slope (units/second),
+    intercept (value at ``origin``), and R² of value against event
+    time — the "is this metric drifting and how fast" primitive.
+
+    Exactness contract (same discipline as :func:`pairwise_corr` /
+    plans/core.q_autocorr_lag1): x = whole seconds since ``origin``
+    (integer), y = value in DECIMAL(8,2); the five sufficient
+    statistics n, Σx, Σy, Σxy, Σx² accumulate in DECIMAL — exact and
+    summation-order-free — and slope/intercept/R² are single double
+    expressions over them, bit-identical cross-engine.
+
+    Domain contract (sizes every cast so the n·Σ cross terms stay
+    inside precision 38 in BOTH engines — DuckDB hard-errors above
+    38, Spark silently rounds): span from ``origin`` < 10⁸ s (~3 yr),
+    |value| < 10⁶, rows per key < 10⁹.
+
+    Scale shape: ONE map-side-combining aggregate — the shuffle
+    carries k × 5 decimal partials, never rows.  Degenerate series
+    (n < 2 or zero time variance) yield NULL slope/R²."""
+    x = (ts_us(ts_col) - ts_us(F.lit(origin).cast("timestamp_ntz"))) / F.lit(
+        1_000_000
+    )
+    x = F.floor(x).cast("decimal(9,0)")
+    y = F.col(value_col).cast("decimal(8,2)")
+    stats = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).cast("decimal(9,0)").alias("n"),
+        F.sum(x).cast("decimal(17,0)").alias("sx"),
+        F.sum(y).cast("decimal(16,2)").alias("sy"),
+        F.sum(x * y).cast("decimal(24,2)").alias("sxy"),
+        F.sum(x * x).cast("decimal(26,0)").alias("sxx"),
+        F.sum(y * y).cast("decimal(22,4)").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = F.when(den != 0.0, num / den)
+    intercept = F.when(
+        den != 0.0,
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("n").cast("double"),
+    )
+    r2 = F.when((den != 0.0) & (den_y != 0.0), num * num / (den * den_y))
+    return stats.select(
+        F.col("k").alias(key_col),
+        F.col("n").cast("long").alias("n_obs"),
+        F.round(slope, 12).alias("slope_per_s"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 9).alias("r2"),
     )

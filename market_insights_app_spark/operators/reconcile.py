@@ -1,0 +1,98 @@
+"""Snapshot reconciliation (table diff / CDC derivation).
+
+A 100 TB pipeline republishes tables every run; the operational
+question is always "what changed since yesterday?" — for incremental
+downstream refresh, for data-quality sign-off, and for deriving a
+change feed from full snapshots when the upstream has no CDC.  The
+reference app has no analogue (its SQLite tables mutate in place);
+this is one of the build-mandate extensions, not a ported behavior.
+
+Semantics: given an OLD and a NEW snapshot sharing a key, classify
+every key as
+
+- ``added``     — present only in NEW;
+- ``removed``   — present only in OLD;
+- ``changed``   — present in both, at least one compared column
+                  differs (NULL-safe: NULL→value and value→NULL are
+                  changes, NULL→NULL is not);
+- ``unchanged`` — present in both, all compared columns NULL-safe
+                  equal (excluded from the output by default — at
+                  snapshot cadence the overwhelming majority of rows
+                  are unchanged, and emitting them would make the
+                  diff as big as the table).
+
+Scale shape: ONE full-outer sort-merge join co-partitioned on the
+key — both sides shuffle once on the same key, so the diff of two
+100 TB snapshots moves each side exactly once.  If the snapshots are
+bucketed on the key at write time (sources/tables.py notes), even
+that exchange disappears.  The change predicate is a pure JVM
+expression (``eqNullSafe`` conjunction) inside the join's project —
+no second pass, no per-row Python.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Diff two snapshots of the same logical table.
+
+    Output: ``key_cols…, status, old_<c>/new_<c>`` for every compared
+    column.  ``status`` ∈ added | removed | changed (| unchanged when
+    ``include_unchanged``)."""
+    o = old.select(
+        *[F.col(k) for k in key_cols],
+        F.lit(True).alias("__in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k) for k in key_cols],
+        F.lit(True).alias("__in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    # join on the key columns by NAME (USING-style) so the key comes
+    # out coalesced and non-ambiguous even for full-outer
+    joined = o.join(n, on=key_cols, how="full_outer")
+
+    same: Column = reduce(
+        lambda a, c: a & c,
+        [
+            F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+            for c in compare_cols
+        ],
+    )
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    out = joined.select(
+        *key_cols,
+        status.alias("status"),
+        *[F.col(f"old_{c}") for c in compare_cols],
+        *[F.col(f"new_{c}") for c in compare_cols],
+    )
+    if not include_unchanged:
+        out = out.filter(F.col("status") != "unchanged")
+    return out
+
+
+def diff_summary(diff: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Roll a snapshot diff up to per-status counts — the sign-off
+    number ("today's run changed 0.3 % of rows") without shipping the
+    row-level diff anywhere.  One k-row aggregate over the diff."""
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(*[F.col(k) for k in key_cols]).alias("n_keys"),
+    )

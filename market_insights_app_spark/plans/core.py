@@ -1021,3 +1021,47 @@ def q_resample_ffill(spark: SparkSession, sf: str) -> DataFrame:
         "close_ffill",
         "is_gap",
     )
+
+
+def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot reconciliation / CDC derivation (operators/reconcile.
+    snapshot_diff): two deterministic snapshots of ``orders`` — OLD
+    drops keys ≡0 (mod 89), NEW drops keys ≡0 (mod 97) and reprices
+    1-URGENT orders by +10.00 — diffed into added / removed / changed
+    rows via ONE key-co-partitioned full-outer join with a NULL-safe
+    JVM change predicate. Unchanged rows are suppressed (the 100 TB
+    default: the diff is CDC-sized, not table-sized)."""
+    from market_insights_app_spark.operators.reconcile import snapshot_diff
+
+    orders = load_table(spark, sf, "orders")
+    old = orders.filter(F.col("o_orderkey") % 89 != 0)
+    new = orders.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderpriority") == "1-URGENT",
+            F.col("o_totalprice") + F.lit(10.0),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    out = snapshot_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+    return out.select(
+        "o_orderkey",
+        "status",
+        F.round("old_o_totalprice", 2).alias("old_totalprice"),
+        F.round("new_o_totalprice", 2).alias("new_totalprice"),
+        F.col("old_o_orderstatus").alias("old_status"),
+        F.col("new_o_orderstatus").alias("new_status"),
+    )
+
+
+def q_trend_ols(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type least-squares drift line (operators/market.
+    ols_trend): slope, intercept at the 2024-01-01 origin, and R² of
+    value vs event time from exact DECIMAL sufficient statistics —
+    one map-side-combining aggregate, k×6 decimal partials in the
+    shuffle, final statistics a single bit-identical double
+    expression per series."""
+    from market_insights_app_spark.operators.market import ols_trend
+
+    return ols_trend(_events(spark, sf), key_col="event_type")

@@ -849,3 +849,67 @@ CORE_ORACLES["resample_ffill"] = """
            (value IS NULL) AS is_gap
     FROM j
 """
+
+CORE_ORACLES["snapshot_diff"] = """
+    WITH old_s AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 89 <> 0
+    ),
+    new_s AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    diff AS (
+        SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                     AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                    THEN 'unchanged' ELSE 'changed' END AS status,
+               round(o.o_totalprice, 2) AS old_totalprice,
+               round(n.o_totalprice, 2) AS new_totalprice,
+               o.o_orderstatus AS old_status,
+               n.o_orderstatus AS new_status
+        FROM old_s o FULL OUTER JOIN new_s n USING (o_orderkey)
+    )
+    SELECT * FROM diff WHERE status <> 'unchanged'
+"""
+
+CORE_ORACLES["trend_ols"] = """
+    WITH xy AS (
+        SELECT event_type AS k,
+               CAST((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                    // 1000000 AS DECIMAL(9,0)) AS x,
+               CAST(value AS DECIMAL(8,2)) AS y
+        FROM events
+    ),
+    stats AS (
+        SELECT k,
+               CAST(count(*) AS DECIMAL(9,0))  AS n,
+               CAST(sum(x) AS DECIMAL(19,0))   AS sx,  -- width>=19 forces DuckDB's int128 lane for sx*sx
+               CAST(sum(y) AS DECIMAL(19,2))   AS sy,
+               CAST(sum(x*y) AS DECIMAL(24,2)) AS sxy,
+               CAST(sum(x*x) AS DECIMAL(26,0)) AS sxx,
+               CAST(sum(y*y) AS DECIMAL(22,4)) AS syy
+        FROM xy GROUP BY k
+    )
+    SELECT k AS event_type,
+           CAST(n AS BIGINT) AS n_obs,
+           round(CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) <> 0.0 THEN
+                 CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+                 END, 12) AS slope_per_s,
+           round(CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) <> 0.0 THEN
+                 (CAST(sy AS DOUBLE)
+                  - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+                 END, 6) AS intercept,
+           round(CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) <> 0.0
+                       AND CAST(n*syy - sy*sy AS DOUBLE) <> 0.0 THEN
+                 CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
+                 / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+                 END, 9) AS r2
+    FROM stats
+"""

@@ -70,8 +70,9 @@ _PRIORITY: list[str] = [
     # semdedup re-gates both k-means assignment lanes end-to-end),
     # mixture_sample (proportion/allowlist unit tests; hash-predicate
     # family gated by in-window stratified_sample/corpus pieces).
-    # corpus_report and resample_ffill (new this round, compositions of
-    # gated primitives; locally parity-checked at sf0.001+sf0.01) also
+    # corpus_report, resample_ffill, snapshot_diff, trend_ols, and
+    # decontaminate_bloom (new this round, compositions of gated
+    # primitives; locally parity-checked at sf0.001+sf0.01) also
     # wait for the FRONT of r06.
     # All rotate to the FRONT of r06. ---
     "asof_join",

@@ -2155,3 +2155,39 @@ TEXTML_ORACLES["corpus_report"] = f"""
              AS dup_rate
     FROM d GROUP BY source, lang
 """
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """Decontamination via the broadcast-Bloom prefilter (operators/
+    dedup.decontaminate_bloom): docs with doc_id % 89 == 0 stand in
+    for the eval benchmark; training docs sharing a word 4-gram are
+    dropped. Same exact result as the join path — the Bloom array
+    (xxhash64 positions computed JVM-side on both sides, vectorized
+    bit probe in one Arrow batch UDF, exact confirm join after) is
+    the runtime-filter shape that keeps the shuffle candidate-sized
+    at 100 TB."""
+    from market_insights_app_spark.operators.dedup import decontaminate_bloom
+
+    docs = _docs(spark, sf)
+    eval_set = docs.filter(F.col("doc_id") % 89 == 0)
+    train = docs.filter(F.col("doc_id") % 89 != 0)
+    kept = decontaminate_bloom(train, eval_set, shingle_n=4)
+    return kept.select("doc_id", "lang", "n_chars")
+
+
+TEXTML_ORACLES["decontaminate_bloom"] = f"""
+    WITH toks AS (SELECT doc_id, list_filter(string_split({_NORM_SQL}, ' '),
+                                             x -> x <> '') AS w
+                  FROM documents),
+    grams AS (SELECT doc_id,
+                     unnest(list_transform(generate_series(1, greatest(len(w)-3, 0)),
+                            i -> array_to_string(w[i:i+3], ' '))) AS g
+              FROM toks),
+    eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 89 = 0),
+    contaminated AS (SELECT DISTINCT t.doc_id
+                     FROM grams t JOIN eval_g e USING (g)
+                     WHERE t.doc_id % 89 <> 0)
+    SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+    WHERE d.doc_id % 89 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""

@@ -1,0 +1,236 @@
+"""Semantics tests for the round-5 continuation extensions:
+snapshot reconciliation (operators/reconcile.py), Bloom-prefilter
+decontamination (operators/dedup.decontaminate_bloom), and the exact
+DECIMAL OLS trend (operators/market.ols_trend). Cross-engine parity
+is covered by the driver-gate twins; these pin semantics on
+hand-computed fixtures and path-equivalence on real testdata."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_insights_app_spark.operators.reconcile import diff_summary, snapshot_diff
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def snaps(spark):
+    cols = ["k", "price", "note"]
+    old = spark.createDataFrame(
+        [
+            (1, 10.0, "a"),     # unchanged
+            (2, 20.0, "b"),     # changed: price moves
+            (3, None, "c"),     # changed: NULL -> value
+            (4, 40.0, None),    # unchanged: NULL == NULL (null-safe)
+            (5, 50.0, "e"),     # removed
+        ],
+        cols,
+    )
+    new = spark.createDataFrame(
+        [
+            (1, 10.0, "a"),
+            (2, 21.0, "b"),
+            (3, 30.0, "c"),
+            (4, 40.0, None),
+            (6, 60.0, "f"),     # added
+        ],
+        cols,
+    )
+    return old, new
+
+
+def test_snapshot_diff_statuses(snaps):
+    old, new = snaps
+    got = {
+        r["k"]: r["status"]
+        for r in snapshot_diff(old, new, ["k"], ["price", "note"]).collect()
+    }
+    assert got == {2: "changed", 3: "changed", 5: "removed", 6: "added"}
+
+
+def test_snapshot_diff_null_transitions(snaps):
+    """NULL->value is a change; NULL==NULL is not (eqNullSafe)."""
+    old, new = snaps
+    rows = {
+        r["k"]: r
+        for r in snapshot_diff(old, new, ["k"], ["price", "note"]).collect()
+    }
+    assert rows[3]["old_price"] is None and rows[3]["new_price"] == 30.0
+    assert 4 not in rows  # NULL note on both sides is unchanged
+
+
+def test_snapshot_diff_include_unchanged(snaps):
+    old, new = snaps
+    out = snapshot_diff(old, new, ["k"], ["price"], include_unchanged=True)
+    got = {r["k"]: r["status"] for r in out.collect()}
+    assert got[1] == "unchanged" and got[4] == "unchanged"
+    # every key from either side is present exactly once
+    assert sorted(got) == [1, 2, 3, 4, 5, 6]
+
+
+def test_diff_summary_counts(snaps):
+    old, new = snaps
+    diff = snapshot_diff(old, new, ["k"], ["price", "note"])
+    got = {r["status"]: r["n_rows"] for r in diff_summary(diff, ["k"]).collect()}
+    assert got == {"changed": 2, "removed": 1, "added": 1}
+
+
+# ---------------------------------------------------------------------------
+# decontaminate_bloom == decontaminate (no false negatives, confirm
+# join kills false positives)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_matches_exact_path(spark):
+    from market_insights_app_spark.operators.dedup import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    eval_set = docs.filter(F.col("doc_id") % 7 == 0)
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    exact = {
+        r["doc_id"]
+        for r in decontaminate(train, eval_set, shingle_n=3).select("doc_id").collect()
+    }
+    bloom = {
+        r["doc_id"]
+        for r in decontaminate_bloom(train, eval_set, shingle_n=3)
+        .select("doc_id")
+        .collect()
+    }
+    assert bloom == exact
+
+
+def test_bloom_tiny_filter_still_exact(spark):
+    """Deliberately undersized Bloom (2 bits/gram, 1 hash -> high FPR):
+    the confirm join must still make the result exact."""
+    from market_insights_app_spark.operators.dedup import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    eval_set = docs.filter(F.col("doc_id") % 5 == 0)
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    exact = {
+        r["doc_id"]
+        for r in decontaminate(train, eval_set, shingle_n=2).select("doc_id").collect()
+    }
+    bloom = {
+        r["doc_id"]
+        for r in decontaminate_bloom(
+            train, eval_set, shingle_n=2, bits_per_gram=2, n_hashes=1
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert bloom == exact
+
+
+def test_bloom_empty_eval_keeps_everything(spark):
+    from market_insights_app_spark.operators.dedup import decontaminate_bloom
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    eval_set = docs.filter(F.lit(False))
+    assert decontaminate_bloom(docs, eval_set).count() == 20
+
+
+# ---------------------------------------------------------------------------
+# ols_trend
+# ---------------------------------------------------------------------------
+
+
+def test_ols_trend_exact_line(spark):
+    """Points exactly on y = 2x + 5 (x in seconds from the origin):
+    slope/intercept/R^2 recovered exactly."""
+    from market_insights_app_spark.operators.market import ols_trend
+
+    rows = [
+        ("a", f"2024-01-01 00:00:{s:02d}", 2.0 * s + 5.0) for s in range(0, 50, 7)
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "ts", "value"]).select(
+        "event_type",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "value",
+    )
+    out = ols_trend(df, key_col="event_type").collect()[0]
+    assert out["n_obs"] == 8
+    assert out["slope_per_s"] == pytest.approx(2.0, abs=1e-9)
+    assert out["intercept"] == pytest.approx(5.0, abs=1e-6)
+    assert out["r2"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_ols_trend_matches_numpy(spark):
+    """Noisy series: slope/intercept agree with numpy lstsq to the
+    rounding the operator promises."""
+    import numpy as np
+
+    from market_insights_app_spark.operators.market import ols_trend
+
+    xs = list(range(0, 3600, 97))
+    ys = [round(0.01 * x + 3.0 + ((x * 2654435761) % 100) / 100.0, 2) for x in xs]
+    rows = [
+        ("k", f"2024-01-01 {x // 3600:02d}:{(x % 3600) // 60:02d}:{x % 60:02d}", y)
+        for x, y in zip(xs, ys)
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "ts", "value"]).select(
+        "event_type",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "value",
+    )
+    out = ols_trend(df, key_col="event_type").collect()[0]
+    slope_np, icept_np = np.polyfit(np.array(xs, dtype=float), np.array(ys), 1)
+    assert out["slope_per_s"] == pytest.approx(slope_np, rel=1e-9)
+    assert out["intercept"] == pytest.approx(icept_np, rel=1e-6)
+    assert 0.0 < out["r2"] < 1.0
+
+
+def test_ols_trend_degenerate_series(spark):
+    """n=1 and zero-time-variance series yield NULL slope/R^2 instead
+    of a division blow-up."""
+    from market_insights_app_spark.operators.market import ols_trend
+
+    df = spark.createDataFrame(
+        [
+            ("one", "2024-01-02 00:00:00", 1.0),
+            ("flat", "2024-01-03 00:00:00", 1.0),
+            ("flat", "2024-01-03 00:00:00", 2.0),
+        ],
+        ["event_type", "ts", "value"],
+    ).select(
+        "event_type", F.col("ts").cast("timestamp_ntz").alias("ts"), "value"
+    )
+    got = {r["event_type"]: r for r in ols_trend(df, key_col="event_type").collect()}
+    assert got["one"]["slope_per_s"] is None
+    assert got["flat"]["slope_per_s"] is None
+    assert got["flat"]["r2"] is None
+    assert got["flat"]["n_obs"] == 2
+
+
+def test_ols_trend_shift_invariant_slope(spark):
+    """Moving the origin changes the intercept, never the slope (the
+    sufficient-statistics algebra is shift-covariant)."""
+    from market_insights_app_spark.operators.market import ols_trend
+
+    rows = [
+        ("k", f"2024-01-05 00:{m:02d}:00", 3.0 + 0.5 * m) for m in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "ts", "value"]).select(
+        "event_type", F.col("ts").cast("timestamp_ntz").alias("ts"), "value"
+    )
+    a = ols_trend(df, key_col="event_type", origin="2024-01-01 00:00:00").collect()[0]
+    b = ols_trend(df, key_col="event_type", origin="2024-01-05 00:00:00").collect()[0]
+    assert a["slope_per_s"] == b["slope_per_s"] == pytest.approx(0.5 / 60, abs=1e-12)
+    assert b["intercept"] == pytest.approx(3.0, abs=1e-6)
+    assert math.isclose(a["r2"], 1.0)
