@@ -128,6 +128,28 @@ COMMENTARY = {
         "context counts and the vocab scalar are vocabulary-sized "
         "BroadcastExchanges; the per-doc reduce is map-side partial."
     ),
+    "snapshot_diff": (
+        "Snapshot reconciliation: ONE FullOuter SortMergeJoin "
+        "co-partitioned on the key (each 100 TB snapshot moves exactly "
+        "once), NULL-safe change predicate in the post-join "
+        "Filter/Project — no second pass. Bucketed snapshots would "
+        "drop even these two Exchanges (test_bucketed_join pattern)."
+    ),
+    "trend_ols": (
+        "Per-series OLS drift: partial HashAggregate map-side, one "
+        "Exchange carrying k x 6 exact DECIMAL partials, final "
+        "HashAggregate + a single projected double expression. The "
+        "shuffle never carries rows."
+    ),
+    "decontaminate_bloom": (
+        "Bloom-prefilter decontamination: the membership probe is an "
+        "ArrowEvalPython (vectorized bit lookups against one broadcast "
+        "bit array) applied at the scan stage, so the exact confirm "
+        "join and the distinct/anti-join above it only ever see "
+        "true-hit + ~0.2% false-positive gram rows. No SortMergeJoin "
+        "anywhere at bench scale; at web scale the confirm join "
+        "shuffles candidates only."
+    ),
 }
 
 

@@ -101,6 +101,28 @@ def main() -> None:
         "pairwise corr dense (500 keys)",
         pairwise_corr_dense(corr_in, ts_col="tts", n_blocks=4),
     )
+    from market_insights_app_spark.operators.market import ols_trend
+
+    t(
+        "ols trend (10k keys)",
+        ols_trend(evt, key_col="user_id", ts_col="tts"),
+    )
+    # snapshot diff: both snapshots are the full tick table ±1 in 89/97
+    # keys, 1-in-5 values changed — the FullOuter SMJ moves each side once
+    from market_insights_app_spark.operators.reconcile import snapshot_diff
+
+    old_s = ev.filter(F.col("event_id") % 89 != 0).select("event_id", "value", "event_type")
+    new_s = ev.filter(F.col("event_id") % 97 != 0).select(
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.col("value") + 1.0)
+        .otherwise(F.col("value"))
+        .alias("value"),
+        "event_type",
+    )
+    t(
+        "snapshot diff (10M x 10M)",
+        snapshot_diff(old_s, new_s, ["event_id"], ["value", "event_type"]),
+    )
     ev.unpersist()
 
     # --- synthetic docs: n_docs rows, zipf-ish repeated phrases ------------
@@ -132,6 +154,16 @@ def main() -> None:
     from market_insights_app_spark.operators.quality import bigram_logprob
 
     t("bigram LM score", bigram_logprob(docs))
+    from market_insights_app_spark.operators.dedup import decontaminate_bloom
+
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    train_docs = docs.filter(F.col("doc_id") % 97 != 0)
+    t0 = time.perf_counter()
+    nkept = decontaminate_bloom(train_docs, eval_docs, shingle_n=3).count()
+    print(
+        f"{'bloom decontaminate':35s} {time.perf_counter() - t0:7.2f} s"
+        f"   kept={nkept}"
+    )
     docs.unpersist()
 
     # --- synthetic embeddings: n_vecs × dim 64, web-scale k ----------------

@@ -299,3 +299,43 @@ def test_bigram_lm_no_bigram_broadcast(spark):
     # the bg-keyed join is a shuffle join: at least one SortMergeJoin
     # or ShuffledHashJoin remains
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p), p
+
+
+def test_snapshot_diff_single_join_filters_pushed(spark):
+    """The snapshot diff must be ONE join (full-outer sort-merge on
+    the key) with each snapshot's filter pushed into its scan — no
+    second pass for the change predicate, no extra exchange."""
+    from market_insights_app_spark.plans.registry import QUERIES
+
+    p = plan_of(QUERIES["snapshot_diff"](spark, SF_ORACLE))
+    tree = p.split("\n\n")[0]  # the plan tree, before the node details
+    assert tree.count("SortMergeJoin") == 1
+    assert "FullOuter" in p
+    # the NULL-safe change predicate lives in the post-join
+    # Filter/Project, not a separate shuffle: the join's two exchanges
+    assert tree.count("Exchange") == 2
+
+
+def test_trend_ols_single_partial_aggregate(spark):
+    """OLS sufficient statistics must partial-aggregate map-side: one
+    exchange carrying k x 6 decimal partials, never rows."""
+    from market_insights_app_spark.plans.registry import QUERIES
+
+    tree = plan_of(QUERIES["trend_ols"](spark, SF_ORACLE)).split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert tree.count("HashAggregate") == 2  # partial + final
+
+
+def test_bloom_probe_is_arrow_and_joins_stay_broadcast(spark):
+    """The Bloom membership probe must run in the Arrow lane
+    (ArrowEvalPython, never row-at-a-time BatchEvalPython), and with
+    the probe prefiltering the train grams the confirm + anti joins
+    stay broadcast — the train side is never shuffled on the gram."""
+    from market_insights_app_spark.plans.registry import QUERIES
+
+    tree = plan_of(QUERIES["decontaminate_bloom"](spark, SF_ORACLE)).split(
+        "\n\n"
+    )[0]
+    assert "ArrowEvalPython" in tree
+    assert "BatchEvalPython" not in tree
+    assert tree.count("SortMergeJoin") == 0
