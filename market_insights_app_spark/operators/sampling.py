@@ -296,3 +296,45 @@ def dsir_select(
     sort."""
     w = dsir_weights(raw, target, id_col, text_col, n_buckets)
     return w.orderBy(F.col("weight").desc(), F.col(id_col).asc()).limit(k)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Fixed-size weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirakis A-Res scheme: each row draws u ∈ (0, 1] and is
+    ranked by key = ln(u)/w (the order-equivalent log form of u^(1/w));
+    the global top-k by key are the sample.  Inclusion probability is
+    proportional to weight, exactly the "sample 10 M docs favoring
+    high quality-score" primitive a corpus pipeline runs.
+
+    Determinism contract, same as every sampler here: u comes from
+    ``hash_fraction`` (md5(salt:id)), shifted by one 2⁻³² quantum so
+    u > 0 (ln(0) guard) — reproducible across engines, runs, cluster
+    sizes, and task retries (``rand()`` re-draws on retry; this
+    doesn't).  The key is rounded to 9 dp BEFORE ranking so the ln
+    libm ulp cannot flip a cross-engine ordering, and exact key ties
+    break by ascending id.
+
+    Scale shape: keys are scan-stage expressions; the global top-k is
+    orderBy+limit → TakeOrderedAndProject (per-partition heap + one
+    k-row merge), never a global sort.  Rows with NULL or
+    non-positive weight are excluded (they'd have inclusion
+    probability 0)."""
+    c = F.col(id_col) if isinstance(id_col, str) else F.col(id_col)
+    w = F.col(weight_col).cast("double")
+    h = F.md5(F.concat(F.lit(salt + ":"), c.cast("string")))
+    u = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") + 1) / F.lit(
+        _HASH_SPACE
+    )
+    key = F.round(F.log(u) / w, 9)
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").desc(), c.asc())
+        .limit(k)
+    )

@@ -70,8 +70,8 @@ _PRIORITY: list[str] = [
     # semdedup re-gates both k-means assignment lanes end-to-end),
     # mixture_sample (proportion/allowlist unit tests; hash-predicate
     # family gated by in-window stratified_sample/corpus pieces).
-    # corpus_report, resample_ffill, snapshot_diff, trend_ols, and
-    # decontaminate_bloom (new this round, compositions of gated
+    # corpus_report, resample_ffill, snapshot_diff, trend_ols,
+    # weighted_sample, and decontaminate_bloom (new this round, compositions of gated
     # primitives; locally parity-checked at sf0.001+sf0.01) also
     # wait for the FRONT of r06.
     # All rotate to the FRONT of r06. ---

@@ -2191,3 +2191,28 @@ TEXTML_ORACLES["decontaminate_bloom"] = f"""
     WHERE d.doc_id % 89 <> 0
       AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
 """
+
+
+def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-weighted corpus sampling (operators/sampling.
+    weighted_sample): Efraimidis–Spirakis A-Res over the documents
+    with n_chars as the weight — inclusion odds proportional to
+    length, deterministic md5 uniforms, key rounded to 9 dp before
+    the TakeOrderedAndProject top-k so the ranking is engine-exact."""
+    from market_insights_app_spark.operators.sampling import weighted_sample
+
+    docs = _docs(spark, sf)
+    out = weighted_sample(docs, k=100, weight_col="n_chars")
+    return out.select("doc_id", "lang", "n_chars", "sample_key")
+
+
+TEXTML_ORACLES["weighted_sample"] = """
+    SELECT doc_id, lang, n_chars,
+           round(ln((CAST(('0x' || substr(md5('wsample-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) + 1) / 4294967296.0)
+                 / CAST(n_chars AS DOUBLE), 9) AS sample_key
+    FROM documents
+    WHERE n_chars IS NOT NULL AND n_chars > 0
+    ORDER BY sample_key DESC, doc_id ASC
+    LIMIT 100
+"""

@@ -289,3 +289,61 @@ def test_pairwise_corr_lanes_agree(spark, ticks):
     a = {tuple(r) for r in pairwise_corr(df).collect()}
     b = {tuple(r) for r in pairwise_corr_dense(df, n_blocks=3).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff vs a pure-Python dict diff
+# ---------------------------------------------------------------------------
+
+snap_row = st.tuples(
+    st.integers(min_value=0, max_value=15),               # key
+    st.one_of(st.none(), st.integers(0, 3)),              # value a
+    st.one_of(st.none(), st.sampled_from(["x", "y"])),    # value b
+)
+
+
+def py_diff(old_rows, new_rows):
+    old = {k: (a, b) for k, a, b in old_rows}
+    new = {k: (a, b) for k, a, b in new_rows}
+    out = {}
+    for k in old.keys() | new.keys():
+        if k not in old:
+            out[k] = "added"
+        elif k not in new:
+            out[k] = "removed"
+        elif old[k] != new[k]:          # Python tuple equality is null-safe
+            out[k] = "changed"
+        else:
+            out[k] = "unchanged"
+    return out
+
+
+@settings(**SETTINGS)
+@given(st.lists(snap_row, max_size=14, unique_by=lambda r: r[0]),
+       st.lists(snap_row, max_size=14, unique_by=lambda r: r[0]))
+def test_snapshot_diff_matches_python_model(spark, old_rows, new_rows):
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from market_insights_app_spark.operators.reconcile import snapshot_diff
+
+    schema = StructType(
+        [
+            StructField("k", IntegerType()),
+            StructField("a", IntegerType()),
+            StructField("b", StringType()),
+        ]
+    )
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    got = {
+        r["k"]: r["status"]
+        for r in snapshot_diff(
+            old, new, ["k"], ["a", "b"], include_unchanged=True
+        ).collect()
+    }
+    assert got == py_diff(old_rows, new_rows)

@@ -234,3 +234,44 @@ def test_ols_trend_shift_invariant_slope(spark):
     assert a["slope_per_s"] == b["slope_per_s"] == pytest.approx(0.5 / 60, abs=1e-12)
     assert b["intercept"] == pytest.approx(3.0, abs=1e-6)
     assert math.isclose(a["r2"], 1.0)
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample (Efraimidis-Spirakis A-Res)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_deterministic_and_guarded(spark):
+    from market_insights_app_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(1 + i % 7)) for i in range(200)]
+    rows += [(900, 0.0), (901, -3.0), (902, None)]  # excluded: w <= 0 / NULL
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    a = [r["doc_id"] for r in weighted_sample(df, 20, "w").collect()]
+    b = [r["doc_id"] for r in weighted_sample(df, 20, "w").collect()]
+    assert a == b and len(a) == 20
+    assert not {900, 901, 902} & set(a)
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    """Two weight classes 50x apart: the heavy class must dominate the
+    sample far beyond its population share (deterministic, so this is
+    a fixed fact about the salt, not a flaky statistical test)."""
+    from market_insights_app_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 50.0 if i % 10 == 0 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = [r["doc_id"] for r in weighted_sample(df, 100, "w").collect()]
+    heavy = sum(1 for i in got if i % 10 == 0)
+    # heavy rows are 10% of the population; with 50x weight they
+    # should take well over half the sample
+    assert heavy > 60
+
+
+def test_weighted_sample_salt_changes_sample(spark):
+    from market_insights_app_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([(i, 1.0) for i in range(500)], ["doc_id", "w"])
+    a = {r["doc_id"] for r in weighted_sample(df, 50, "w", salt="s1").collect()}
+    b = {r["doc_id"] for r in weighted_sample(df, 50, "w", salt="s2").collect()}
+    assert a != b
