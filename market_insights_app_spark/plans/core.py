@@ -1065,3 +1065,63 @@ def q_trend_ols(spark: SparkSession, sf: str) -> DataFrame:
     from market_insights_app_spark.operators.market import ols_trend
 
     return ols_trend(_events(spark, sf), key_col="event_type")
+
+
+def q_cdc_apply_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC round-trip law as a driver gate (operators/reconcile.
+    apply_changes): reconstruct the NEW orders snapshot from the OLD
+    snapshot plus the snapshot_diff change feed — the oracle computes
+    NEW directly, so a hash match proves apply(old, diff(old, new)) ==
+    new cross-engine. Scale shape: base moves once through one left
+    join against the CDC-sized change set, plus the added-row union."""
+    from market_insights_app_spark.operators.reconcile import (
+        apply_changes,
+        snapshot_diff,
+    )
+
+    orders = load_table(spark, sf, "orders")
+    old = orders.filter(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = (
+        orders.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderpriority") == "1-URGENT",
+                F.col("o_totalprice") + F.lit(10.0),
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+    diff = snapshot_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+    rebuilt = apply_changes(
+        old, diff, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+    return rebuilt.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        "o_orderstatus",
+    )
+
+
+def q_validate_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality expectation gate (operators/expectations.
+    validate_table): all row-level rules fold into ONE aggregate over
+    one lineitem scan; the unique-key rule is one groupBy; referential
+    integrity to orders is one left-anti join. Report = one row per
+    rule with pass/fail — the publish gate of a 100 TB pipeline."""
+    from market_insights_app_spark.operators.expectations import validate_table
+
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    return validate_table(
+        li,
+        not_null=["l_orderkey", "l_quantity", "l_shipdate"],
+        ranges={"l_quantity": (1.0, 50.0), "l_discount": (0.0, 0.1)},
+        accepted={"l_returnflag": ["A", "N", "R"], "l_linestatus": ["F", "O"]},
+        unique=["l_orderkey", "l_linenumber"],
+        foreign_key=("l_orderkey", orders, "o_orderkey"),
+    )

@@ -913,3 +913,48 @@ CORE_ORACLES["trend_ols"] = """
                  END, 9) AS r2
     FROM stats
 """
+
+CORE_ORACLES["cdc_apply_roundtrip"] = """
+    SELECT o_orderkey,
+           round(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN o_totalprice + 10.0 ELSE o_totalprice END, 2)
+             AS totalprice,
+           o_orderstatus
+    FROM orders WHERE o_orderkey % 97 <> 0
+"""
+
+CORE_ORACLES["validate_lineitem"] = """
+    WITH checks(rule, violations) AS (
+        SELECT 'not_null(l_orderkey)', count(*) FILTER (l_orderkey IS NULL) FROM lineitem
+        UNION ALL
+        SELECT 'not_null(l_quantity)', count(*) FILTER (l_quantity IS NULL) FROM lineitem
+        UNION ALL
+        SELECT 'not_null(l_shipdate)', count(*) FILTER (l_shipdate IS NULL) FROM lineitem
+        UNION ALL
+        SELECT 'in_range(l_quantity,1.0,50.0)',
+               count(*) FILTER (l_quantity IS NOT NULL AND (l_quantity < 1.0 OR l_quantity > 50.0))
+        FROM lineitem
+        UNION ALL
+        SELECT 'in_range(l_discount,0.0,0.1)',
+               count(*) FILTER (l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 0.1))
+        FROM lineitem
+        UNION ALL
+        SELECT 'accepted_values(l_returnflag)',
+               count(*) FILTER (l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R'))
+        FROM lineitem
+        UNION ALL
+        SELECT 'accepted_values(l_linestatus)',
+               count(*) FILTER (l_linestatus IS NOT NULL AND l_linestatus NOT IN ('F','O'))
+        FROM lineitem
+        UNION ALL
+        SELECT 'unique(l_orderkey,l_linenumber)', coalesce(sum(n - 1), 0)
+        FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)
+        UNION ALL
+        SELECT 'foreign_key(l_orderkey)', count(*)
+        FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    )
+    SELECT rule, violations,
+           CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
+    FROM checks
+"""

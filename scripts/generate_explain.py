@@ -150,6 +150,20 @@ COMMENTARY = {
         "anywhere at bench scale; at web scale the confirm join "
         "shuffles candidates only."
     ),
+    "validate_lineitem": (
+        "Expectation gate: all seven row-level rules are ONE "
+        "HashAggregate over ONE lineitem scan (the Generate explodes "
+        "the report row); unique-key excess is a two-stage aggregate; "
+        "FK orphans are a LeftAnti against the distinct parent keys. "
+        "Three lineitem reads total, nothing row-sized to the driver."
+    ),
+    "cdc_apply_roundtrip": (
+        "CDC apply over a derived change feed: base moves once through "
+        "a LeftOuter join against the feed plus the added-row union. "
+        "The diff subtree appears twice because the gate derives the "
+        "feed inline — production callers hand apply_changes a "
+        "MATERIALIZED change set (see the operator docstring)."
+    ),
 }
 
 

@@ -339,3 +339,16 @@ def test_bloom_probe_is_arrow_and_joins_stay_broadcast(spark):
     assert "ArrowEvalPython" in tree
     assert "BatchEvalPython" not in tree
     assert tree.count("SortMergeJoin") == 0
+
+
+def test_validate_table_row_rules_single_scan(spark):
+    """All seven row-level rules must fold into ONE aggregate over ONE
+    lineitem scan; the whole report reads lineitem exactly 3 times
+    (row rules, unique key, FK child) and orders once (FK parent)."""
+    from market_insights_app_spark.plans.registry import QUERIES
+
+    tree = plan_of(QUERIES["validate_lineitem"](spark, SF_ORACLE)).split(
+        "\n\n"
+    )[0]
+    assert tree.count("Scan parquet") == 4
+    assert tree.count("Generate") == 1  # one exploded report, not 7 aggregates

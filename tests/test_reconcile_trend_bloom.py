@@ -275,3 +275,87 @@ def test_weighted_sample_salt_changes_sample(spark):
     a = {r["doc_id"] for r in weighted_sample(df, 50, "w", salt="s1").collect()}
     b = {r["doc_id"] for r in weighted_sample(df, 50, "w", salt="s2").collect()}
     assert a != b
+
+
+# ---------------------------------------------------------------------------
+# apply_changes: the CDC round-trip law
+# ---------------------------------------------------------------------------
+
+
+def test_apply_changes_roundtrip(snaps):
+    from market_insights_app_spark.operators.reconcile import apply_changes
+
+    old, new = snaps
+    diff = snapshot_diff(old, new, ["k"], ["price", "note"])
+    rebuilt = apply_changes(old, diff, ["k"], ["price", "note"])
+    want = sorted(map(tuple, new.collect()))
+    got = sorted(map(tuple, rebuilt.select("k", "price", "note").collect()))
+    assert got == want
+
+
+def test_apply_changes_empty_feed_is_identity(snaps):
+    from market_insights_app_spark.operators.reconcile import apply_changes
+
+    old, _ = snaps
+    empty = snapshot_diff(old, old, ["k"], ["price", "note"])
+    assert empty.count() == 0
+    rebuilt = apply_changes(old, empty, ["k"], ["price", "note"])
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, old.select("k", "price", "note").collect())
+    )
+
+
+# ---------------------------------------------------------------------------
+# validate_table expectation gate
+# ---------------------------------------------------------------------------
+
+
+def test_validate_table_counts_each_rule(spark):
+    from market_insights_app_spark.operators.expectations import validate_table
+
+    df = spark.createDataFrame(
+        [
+            (1, 5.0, "A"),
+            (2, None, "B"),      # not_null(v) violation
+            (3, 99.0, "A"),      # range violation
+            (3, 1.0, "Z"),       # dup key + accepted violation
+            (None, 1.0, "A"),    # not_null(k) violation (and FK-exempt)
+        ],
+        ["k", "v", "flag"],
+    )
+    parent = spark.createDataFrame([(1,), (2,), (4,)], ["pk"])
+    rep = {
+        r["rule"]: (r["violations"], r["status"])
+        for r in validate_table(
+            df,
+            not_null=["k", "v"],
+            ranges={"v": (0.0, 50.0)},
+            accepted={"flag": ["A", "B"]},
+            unique=["k"],
+            foreign_key=("k", parent, "pk"),
+        ).collect()
+    }
+    assert rep["not_null(k)"] == (1, "fail")
+    assert rep["not_null(v)"] == (1, "fail")
+    assert rep["in_range(v,0.0,50.0)"] == (1, "fail")
+    assert rep["accepted_values(flag)"] == (1, "fail")
+    assert rep["unique(k)"] == (1, "fail")        # k=3 twice -> 1 excess row
+    assert rep["foreign_key(k)"] == (2, "fail")   # k=3 twice orphaned; NULL exempt
+
+
+def test_validate_table_all_pass(spark):
+    from market_insights_app_spark.operators.expectations import validate_table
+
+    df = spark.createDataFrame([(1, 2.0), (2, 3.0)], ["k", "v"])
+    rep = validate_table(
+        df, not_null=["k"], ranges={"v": (0.0, 10.0)}, unique=["k"]
+    ).collect()
+    assert all(r["status"] == "pass" and r["violations"] == 0 for r in rep)
+
+
+def test_validate_table_requires_rules(spark):
+    from market_insights_app_spark.operators.expectations import validate_table
+
+    df = spark.createDataFrame([(1,)], ["k"])
+    with pytest.raises(ValueError):
+        validate_table(df)
