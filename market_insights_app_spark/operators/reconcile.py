@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -144,3 +144,47 @@ def apply_changes(
         *[F.col(f"new_{c}").alias(c) for c in value_cols],
     )
     return kept.unionByName(added)
+
+
+def scd2_build(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Build a Type-2 slowly-changing dimension from a change log:
+    per key, each attribute change opens a validity interval
+    ``[valid_from, valid_to)``; the latest row per key is current
+    (``valid_to`` NULL).  Consecutive rows whose attributes are all
+    NULL-safe equal are no-op updates and collapse into the open
+    interval — the warehouse-standard SCD2 derivation.
+
+    Scale shape: ONE shuffle on the key feeds both windows (the lag
+    change-detection and the lead interval close use the same
+    partitioning, so Catalyst plans a single Exchange); no join, no
+    second pass.  Ties on ``ts_col`` order by ``tiebreak_col``
+    (required if the log can carry same-timestamp updates)."""
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(*order)
+    changed = reduce(
+        lambda a, c: a | c,
+        [
+            ~F.col(c).eqNullSafe(F.lag(F.col(c), 1).over(w))
+            for c in attr_cols
+        ],
+    )
+    # first row per key has lag NULL on every attr -> eqNullSafe is
+    # false unless the attr itself is NULL; force-open the first row
+    first = F.row_number().over(w) == 1
+    marked = df.withColumn("__open", first | changed).filter(F.col("__open"))
+    w2 = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(*order)
+    return marked.select(
+        *key_cols,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col), 1).over(w2).alias("valid_to"),
+        F.lead(F.col(ts_col), 1).over(w2).isNull().alias("is_current"),
+    )

@@ -1125,3 +1125,27 @@ def q_validate_lineitem(spark: SparkSession, sf: str) -> DataFrame:
         unique=["l_orderkey", "l_linenumber"],
         foreign_key=("l_orderkey", orders, "o_orderkey"),
     )
+
+
+def q_scd2_user_state(spark: SparkSession, sf: str) -> DataFrame:
+    """Type-2 slowly-changing dimension from the event log (operators/
+    reconcile.scd2_build): per user, each event_type change opens a
+    validity interval; consecutive same-type events collapse as no-op
+    updates. One key-partitioned shuffle feeds both windows (lag
+    change-detection + lead interval close)."""
+    from market_insights_app_spark.operators.reconcile import scd2_build
+
+    out = scd2_build(
+        _events(spark, sf),
+        key_cols=["user_id"],
+        ts_col="ts",
+        attr_cols=["event_type"],
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        ts_us("valid_from").alias("valid_from_us"),
+        ts_us("valid_to").alias("valid_to_us"),
+        "is_current",
+    )

@@ -958,3 +958,22 @@ CORE_ORACLES["validate_lineitem"] = """
            CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
     FROM checks
 """
+
+CORE_ORACLES["scd2_user_state"] = f"""
+    WITH ev AS (SELECT * FROM {EV_SUB}),
+    marked AS (
+        SELECT user_id, event_type, ts, event_id,
+               (row_number() OVER w = 1
+                OR NOT (event_type IS NOT DISTINCT FROM
+                        lag(event_type) OVER w)) AS opens
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    opened AS (SELECT * FROM marked WHERE opens)
+    SELECT user_id, event_type,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(lead(ts) OVER w2) AS valid_to_us,
+           (lead(ts) OVER w2 IS NULL) AS is_current
+    FROM opened
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""

@@ -352,3 +352,12 @@ def test_validate_table_row_rules_single_scan(spark):
     )[0]
     assert tree.count("Scan parquet") == 4
     assert tree.count("Generate") == 1  # one exploded report, not 7 aggregates
+
+
+def test_scd2_single_exchange(spark):
+    """Both SCD2 windows (lag change-detect, lead interval close) must
+    reuse one hash partitioning on the key — a single Exchange."""
+    from market_insights_app_spark.plans.registry import QUERIES
+
+    tree = plan_of(QUERIES["scd2_user_state"](spark, SF_ORACLE)).split("\n\n")[0]
+    assert tree.count("Exchange") == 1

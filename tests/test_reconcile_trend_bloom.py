@@ -359,3 +359,54 @@ def test_validate_table_requires_rules(spark):
     df = spark.createDataFrame([(1,)], ["k"])
     with pytest.raises(ValueError):
         validate_table(df)
+
+
+# ---------------------------------------------------------------------------
+# scd2_build
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_collapses_noops_and_orders_intervals(spark):
+    from market_insights_app_spark.operators.reconcile import scd2_build
+
+    rows = [
+        # user 1: A, A (no-op), B, B (no-op), A  -> 3 intervals
+        (1, 10, 1, "A"),
+        (1, 20, 2, "A"),
+        (1, 30, 3, "B"),
+        (1, 40, 4, "B"),
+        (1, 50, 5, "A"),
+        # user 2: NULL then value -> NULL opens, change opens
+        (2, 10, 6, None),
+        (2, 20, 7, "X"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "t", "i", "attr"])
+    out = sorted(
+        (
+            (r["k"], r["valid_from"], r["valid_to"], r["attr"], r["is_current"])
+            for r in scd2_build(df, ["k"], "t", ["attr"], "i").collect()
+        )
+    )
+    assert out == [
+        (1, 10, 30, "A", False),
+        (1, 30, 50, "B", False),
+        (1, 50, None, "A", True),
+        (2, 10, 20, None, False),
+        (2, 20, None, "X", True),
+    ]
+
+
+def test_scd2_same_ts_tiebreak(spark):
+    """Two updates at the same timestamp: the tiebreak column decides
+    which opens first; the later one closes it with a zero-length
+    interval (standard audit-log behavior)."""
+    from market_insights_app_spark.operators.reconcile import scd2_build
+
+    df = spark.createDataFrame(
+        [(1, 10, 1, "A"), (1, 10, 2, "B")], ["k", "t", "i", "attr"]
+    )
+    out = sorted(
+        (r["attr"], r["valid_from"], r["valid_to"])
+        for r in scd2_build(df, ["k"], "t", ["attr"], "i").collect()
+    )
+    assert out == [("A", 10, 10), ("B", 10, None)]
