@@ -188,3 +188,44 @@ def scd2_build(
         F.lead(F.col(ts_col), 1).over(w2).alias("valid_to"),
         F.lead(F.col(ts_col), 1).over(w2).isNull().alias("is_current"),
     )
+
+
+def pit_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    fact_ts: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Point-in-time (feature-store) lookup: enrich each fact row with
+    the dimension attributes VALID AT the fact's timestamp — the
+    leakage-safe join a training pipeline needs (joining on the
+    current dimension row would leak future state into features).
+
+    ``dim`` is an SCD2 frame (:func:`scd2_build` shape: ``key,
+    attr_cols…, valid_from, valid_to``).  Implementation rides the
+    union-merge as-of join (operators/joins.asof_join: one shuffle per
+    side, no range cross-product), matching the newest interval with
+    ``valid_from <= fact_ts``; a post-check nulls the attributes out
+    when that interval had already expired (``valid_to <= fact_ts`` —
+    only reachable if the dimension has coverage gaps)."""
+    from market_insights_app_spark.operators.joins import asof_join
+
+    out = asof_join(
+        facts,
+        dim,
+        key=key,
+        left_ts=fact_ts,
+        right_ts="valid_from",
+        value_cols=[*attr_cols, "valid_to"],
+    )
+    expired = F.col("valid_to").isNotNull() & (
+        F.col("valid_to") <= F.col(fact_ts)
+    )
+    return out.select(
+        *facts.columns,
+        *[
+            F.when(expired, F.lit(None)).otherwise(F.col(c)).alias(f"pit_{c}")
+            for c in attr_cols
+        ],
+    )

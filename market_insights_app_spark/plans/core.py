@@ -1149,3 +1149,38 @@ def q_scd2_user_state(spark: SparkSession, sf: str) -> DataFrame:
         ts_us("valid_to").alias("valid_to_us"),
         "is_current",
     )
+
+
+def q_pit_feature_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time feature lookup (operators/reconcile.pit_lookup):
+    each purchase event is enriched with the user's state — the SCD2
+    interval (built from the non-purchase event stream) valid at the
+    purchase timestamp. The leakage-safe feature join: rides the
+    union-merge as-of join, one shuffle per side, no range
+    cross-product. Zero-length intervals (same-microsecond
+    transitions) are dropped on both engines so the as-of tie is
+    well-defined."""
+    from market_insights_app_spark.operators.reconcile import (
+        pit_lookup,
+        scd2_build,
+    )
+
+    ev = _events(spark, sf)
+    dim = scd2_build(
+        ev.filter(F.col("event_type") != "purchase"),
+        key_cols=["user_id"],
+        ts_col="ts",
+        attr_cols=["event_type"],
+        tiebreak_col="event_id",
+    ).filter(F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from")))
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = pit_lookup(facts, dim, key="user_id", fact_ts="ts", attr_cols=["event_type"])
+    return out.select(
+        "user_id",
+        "event_id",
+        ts_us("ts").alias("ts_us"),
+        F.round("value", 6).alias("value"),
+        F.col("pit_event_type"),
+    )

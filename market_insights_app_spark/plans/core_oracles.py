@@ -977,3 +977,32 @@ CORE_ORACLES["scd2_user_state"] = f"""
     FROM opened
     WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
+
+CORE_ORACLES["pit_feature_lookup"] = f"""
+    WITH ev AS (SELECT * FROM {EV_SUB}),
+    marked AS (
+        SELECT user_id, event_type, ts, event_id,
+               (row_number() OVER w = 1
+                OR NOT (event_type IS NOT DISTINCT FROM
+                        lag(event_type) OVER w)) AS opens
+        FROM ev WHERE event_type <> 'purchase'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    opened AS (SELECT * FROM marked WHERE opens),
+    dim AS (
+        SELECT user_id, event_type, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS valid_to
+        FROM opened
+    ),
+    dim2 AS (SELECT * FROM dim
+             WHERE valid_to IS NULL OR valid_to > valid_from),
+    f AS (SELECT user_id, event_id, ts, value FROM ev
+          WHERE event_type = 'purchase')
+    SELECT f.user_id, f.event_id, epoch_us(f.ts) AS ts_us,
+           round(f.value, 6) AS value,
+           CASE WHEN d.valid_to IS NOT NULL AND d.valid_to <= f.ts
+                THEN NULL ELSE d.event_type END AS pit_event_type
+    FROM f ASOF LEFT JOIN dim2 d
+      ON f.user_id = d.user_id AND f.ts >= d.valid_from
+"""

@@ -410,3 +410,55 @@ def test_scd2_same_ts_tiebreak(spark):
         for r in scd2_build(df, ["k"], "t", ["attr"], "i").collect()
     )
     assert out == [("A", 10, 10), ("B", 10, None)]
+
+
+# ---------------------------------------------------------------------------
+# pit_lookup (point-in-time feature join)
+# ---------------------------------------------------------------------------
+
+
+def test_pit_lookup_no_future_leakage(spark):
+    """A fact must see the interval open AT its timestamp, never a
+    later one; facts before the first interval get NULL."""
+    from market_insights_app_spark.operators.reconcile import pit_lookup
+
+    dim = spark.createDataFrame(
+        [
+            (1, "bronze", 10, 20),
+            (1, "silver", 20, 40),
+            (1, "gold", 40, None),
+        ],
+        ["k", "tier", "valid_from", "valid_to"],
+    )
+    facts = spark.createDataFrame(
+        [(1, 5, 100), (1, 10, 101), (1, 39, 102), (1, 40, 103), (1, 99, 104)],
+        ["k", "t", "fid"],
+    )
+    got = {
+        r["fid"]: r["pit_tier"]
+        for r in pit_lookup(facts, dim, "k", "t", ["tier"]).collect()
+    }
+    assert got == {
+        100: None,        # before any interval
+        101: "bronze",    # boundary: interval opening at t is visible
+        102: "silver",
+        103: "gold",      # transition boundary goes to the new interval
+        104: "gold",      # current interval, open-ended
+    }
+
+
+def test_pit_lookup_gap_expires_attributes(spark):
+    """Coverage gap in the dimension: a fact inside the gap matches the
+    stale interval by as-of but the expiry check nulls it out."""
+    from market_insights_app_spark.operators.reconcile import pit_lookup
+
+    dim = spark.createDataFrame(
+        [(1, "a", 10, 20), (1, "b", 50, None)],
+        ["k", "attr", "valid_from", "valid_to"],
+    )
+    facts = spark.createDataFrame([(1, 30, 1), (1, 60, 2)], ["k", "t", "fid"])
+    got = {
+        r["fid"]: r["pit_attr"]
+        for r in pit_lookup(facts, dim, "k", "t", ["attr"]).collect()
+    }
+    assert got == {1: None, 2: "b"}
