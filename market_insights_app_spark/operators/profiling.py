@@ -73,3 +73,53 @@ def profile_table(
         wide.select(F.explode(F.array(*rows)).alias("p"))
         .select("p.*")
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Median/MAD robust outlier report per group — the anomaly gate
+    that survives what breaks z-scores: mean and stddev are themselves
+    dragged by the outliers they're supposed to find, median and MAD
+    (median absolute deviation) are not.  A value is flagged when
+    |v − median| > k · 1.4826 · MAD (1.4826 scales MAD to σ under
+    normality — the standard robust z-score).
+
+    Three grouped passes by construction (median → MAD needs the
+    median per row → flags need the MAD): each intermediate is a
+    k-row table broadcast back, so no pass shuffles data rows.  At
+    100 TB swap the exact percentiles for approx_percentile sketches
+    (one pass each, mergeable) behind the same shape.  Groups with
+    MAD = 0 (over half the values identical) flag any deviation from
+    the median."""
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.percentile(v, F.lit(0.5)).alias("med")
+    )
+    dev = df.select(F.col(key_col).alias("k"), v.alias("v")).join(
+        F.broadcast(med), "k"
+    )
+    mad = dev.groupBy("k").agg(
+        F.percentile(F.abs(F.col("v") - F.col("med")), F.lit(0.5)).alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "k").select(
+        "k",
+        (
+            F.abs(F.col("v") - F.col("med"))
+            > F.lit(k) * F.lit(1.4826) * F.col("mad")
+        ).alias("is_outlier"),
+        "med",
+        "mad",
+    )
+    return flagged.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.first("med"), 6).alias("median"),
+        F.round(F.first("mad"), 6).alias("mad"),
+        F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+        F.round(
+            F.sum(F.col("is_outlier").cast("double")) / F.count(F.lit(1)), 6
+        ).alias("outlier_rate"),
+    ).withColumnRenamed("k", key_col)

@@ -1184,3 +1184,13 @@ def q_pit_feature_lookup(spark: SparkSession, sf: str) -> DataFrame:
         F.round("value", 6).alias("value"),
         F.col("pit_event_type"),
     )
+
+
+def q_robust_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Median/MAD anomaly report per event_type (operators/profiling.
+    robust_outliers): robust z-score |v - median| > 3 * 1.4826 * MAD.
+    Three grouped passes, each intermediate a k-row broadcast —
+    data rows never shuffle."""
+    from market_insights_app_spark.operators.profiling import robust_outliers
+
+    return robust_outliers(_events(spark, sf), "event_type", "value")

@@ -1006,3 +1006,31 @@ CORE_ORACLES["pit_feature_lookup"] = f"""
     FROM f ASOF LEFT JOIN dim2 d
       ON f.user_id = d.user_id AND f.ts >= d.valid_from
 """
+
+CORE_ORACLES["robust_outliers"] = """
+    WITH med AS (
+        SELECT event_type AS k, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY 1
+    ),
+    dev AS (
+        SELECT e.event_type AS k, CAST(e.value AS DOUBLE) AS v, m.med
+        FROM events e JOIN med m ON e.event_type = m.k
+    ),
+    mad AS (
+        SELECT k, quantile_cont(abs(v - med), 0.5) AS mad
+        FROM dev GROUP BY 1
+    ),
+    flagged AS (
+        SELECT d.k, d.med, m.mad,
+               (abs(d.v - d.med) > 3.0 * 1.4826 * m.mad) AS is_outlier
+        FROM dev d JOIN mad m ON d.k = m.k
+    )
+    SELECT k AS event_type,
+           count(*) AS n,
+           round(any_value(med), 6) AS median,
+           round(any_value(mad), 6) AS mad,
+           coalesce(sum(CASE WHEN is_outlier THEN 1 END), 0) AS n_outliers,
+           round(sum(CASE WHEN is_outlier THEN 1.0 ELSE 0.0 END) / count(*), 6)
+             AS outlier_rate
+    FROM flagged GROUP BY k
+"""

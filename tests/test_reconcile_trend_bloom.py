@@ -462,3 +462,34 @@ def test_pit_lookup_gap_expires_attributes(spark):
         for r in pit_lookup(facts, dim, "k", "t", ["attr"]).collect()
     }
     assert got == {1: None, 2: "b"}
+
+
+# ---------------------------------------------------------------------------
+# robust_outliers (median/MAD anomaly gate)
+# ---------------------------------------------------------------------------
+
+
+def test_robust_outliers_flags_only_the_spike(spark):
+    """Symmetric cluster at 10+-2 with one spike at 1000: exactly the
+    spike is flagged; median/MAD are untouched by it (the point of
+    robust statistics)."""
+    from market_insights_app_spark.operators.profiling import robust_outliers
+
+    vals = [8.0, 9.0, 10.0, 11.0, 12.0, 1000.0]
+    df = spark.createDataFrame([("a", v) for v in vals], ["g", "v"])
+    r = robust_outliers(df, "g", "v").collect()[0]
+    assert r["n"] == 6 and r["n_outliers"] == 1
+    assert r["median"] == pytest.approx(10.5)
+    assert r["mad"] == pytest.approx(1.5)
+
+
+def test_robust_outliers_mad_zero_flags_any_deviation(spark):
+    """Over half the group identical -> MAD 0: any differing value is
+    an outlier (threshold collapses to |v - median| > 0)."""
+    from market_insights_app_spark.operators.profiling import robust_outliers
+
+    df = spark.createDataFrame(
+        [("a", 5.0)] * 6 + [("a", 5.1)], ["g", "v"]
+    )
+    r = robust_outliers(df, "g", "v").collect()[0]
+    assert r["mad"] == 0.0 and r["n_outliers"] == 1
