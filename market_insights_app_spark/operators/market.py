@@ -552,3 +552,53 @@ def ols_trend(
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 9).alias("r2"),
     )
+
+
+def twap(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Daily time-weighted average price: each tick holds its value
+    until the next tick (the last tick holds to midnight), TWAP =
+    Σ(v·Δt)/Σ(Δt) — the fill-quality benchmark VWAP cannot replace
+    when volume is missing or untrusted.
+
+    Exactness: v is DECIMAL(8,2), Δt is exact whole microseconds, and
+    the Δts partition the day, so Σ Δt = 86 400 000 000 exactly and
+    Σ(v·Δt) ≤ max_v·8.64·10¹⁰ — both accumulate in DECIMAL (products
+    are width > 18, so DuckDB's int128 lane engages) and the TWAP is
+    ONE double division, bit-identical cross-engine.  Same-timestamp
+    ticks get Δt = 0 (zero weight) except the last by tiebreak.
+
+    One (key, day) shuffle feeds both the lead window and the
+    aggregate."""
+    day = F.date_trunc("day", F.col(ts_col))
+    t_us = ts_us(ts_col)
+    day_end_us = ts_us(day) + F.lit(86_400_000_000)
+    w = Window.partitionBy(F.col(key_col), day).orderBy(
+        t_us.asc(), F.col(tiebreak_col).asc()
+    )
+    dt = (
+        F.coalesce(F.lead(t_us, 1).over(w), day_end_us) - t_us
+    ).cast("decimal(12,0)")
+    v = F.col(value_col).cast("decimal(8,2)")
+    rows = df.select(
+        F.col(key_col).alias("k"),
+        day.alias("d"),
+        (v * dt).alias("vdt"),
+        dt.alias("dt"),
+    )
+    out = rows.groupBy("k", "d").agg(
+        F.sum("vdt").cast("decimal(22,2)").alias("svdt"),
+        F.sum("dt").cast("decimal(14,0)").alias("sdt"),
+    )
+    return out.select(
+        F.col("k").alias(key_col),
+        F.col("d").alias("day"),
+        F.round(
+            F.col("svdt").cast("double") / F.col("sdt").cast("double"), 6
+        ).alias("twap"),
+    )

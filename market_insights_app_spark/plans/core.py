@@ -1194,3 +1194,37 @@ def q_robust_outliers(spark: SparkSession, sf: str) -> DataFrame:
     from market_insights_app_spark.operators.profiling import robust_outliers
 
     return robust_outliers(_events(spark, sf), "event_type", "value")
+
+
+def q_quantile_binning(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-depth discretization, the feature-engineering primitive:
+    10 quantile bins of value per event_type via ntile over a
+    deterministic (value, event_id) order; per-bin count and edges.
+    One shuffle on the group key feeds the window AND the bin
+    aggregate. (Equal-width binning lives in q_histogram; this is the
+    rank-based twin whose bins stay balanced under skew.)"""
+    ev = _events(spark, sf)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    binned = ev.select(
+        "event_type", "value", F.ntile(10).over(w).alias("bin")
+    )
+    return binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )
+
+
+def q_twap_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily TWAP per series (operators/market.twap): tick values
+    weighted by exact microsecond holding intervals that partition the
+    day; DECIMAL sums, one double division. Single (key, day)
+    shuffle."""
+    from market_insights_app_spark.operators.market import twap
+
+    out = twap(_events(spark, sf))
+    return out.select(
+        "user_id", ts_us("day").alias("day_us"), "twap"
+    )

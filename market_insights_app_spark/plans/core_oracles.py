@@ -1034,3 +1034,39 @@ CORE_ORACLES["robust_outliers"] = """
              AS outlier_rate
     FROM flagged GROUP BY k
 """
+
+CORE_ORACLES["quantile_binning"] = """
+    WITH b AS (
+        SELECT event_type, value,
+               ntile(10) OVER (PARTITION BY event_type
+                               ORDER BY value ASC, event_id ASC) AS bin
+        FROM events
+    )
+    SELECT event_type, bin, count(*) AS n,
+           round(min(value), 6) AS lo, round(max(value), 6) AS hi
+    FROM b GROUP BY event_type, bin
+"""
+
+CORE_ORACLES["twap_daily"] = f"""
+    WITH ev AS (SELECT * FROM {EV_SUB}),
+    t AS (
+        SELECT user_id AS k, date_trunc('day', ts) AS d,
+               CAST(value AS DECIMAL(8,2)) AS v,
+               CAST(coalesce(
+                        lead(epoch_us(ts)) OVER (
+                            PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY epoch_us(ts) ASC, event_id ASC),
+                        epoch_us(date_trunc('day', ts)) + 86400000000
+                    ) - epoch_us(ts) AS DECIMAL(12,0)) AS dt
+        FROM ev
+    ),
+    agg AS (
+        SELECT k, d,
+               CAST(sum(v * dt) AS DECIMAL(22,2)) AS svdt,
+               CAST(sum(dt) AS DECIMAL(14,0)) AS sdt
+        FROM t GROUP BY k, d
+    )
+    SELECT k AS user_id, epoch_us(d) AS day_us,
+           round(CAST(svdt AS DOUBLE) / CAST(sdt AS DOUBLE), 6) AS twap
+    FROM agg
+"""

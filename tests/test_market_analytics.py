@@ -177,3 +177,36 @@ def test_resample_ffill_golden(spark):
         11: (5.0, True),
         12: (9.0, False),
     }
+
+
+def test_twap_holding_intervals(spark):
+    """Hand-computed TWAP: v=10 for 6h, v=20 for 12h, v=30 for 6h
+    (last tick holds to midnight) -> (10*6 + 20*12 + 30*6) / 24 = 20."""
+    import datetime as dt
+
+    from market_insights_app_spark.operators.market import twap
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0), 1, 10.0),
+        (1, dt.datetime(2024, 1, 1, 6), 2, 20.0),
+        (1, dt.datetime(2024, 1, 1, 18), 3, 30.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    r = twap(df).collect()[0]
+    assert r["twap"] == pytest.approx((10 * 6 + 20 * 12 + 30 * 6) / 24.0)
+
+
+def test_twap_same_ts_zero_weight(spark):
+    """Two ticks at the same instant: the earlier (by tiebreak) gets
+    zero holding time and cannot move the average."""
+    import datetime as dt
+
+    from market_insights_app_spark.operators.market import twap
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0), 1, 999.0),   # zero-weight
+        (1, dt.datetime(2024, 1, 1, 0), 2, 10.0),    # holds all day
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    r = twap(df).collect()[0]
+    assert r["twap"] == pytest.approx(10.0)
