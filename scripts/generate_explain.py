@@ -164,6 +164,30 @@ COMMENTARY = {
         "feed inline — production callers hand apply_changes a "
         "MATERIALIZED change set (see the operator docstring)."
     ),
+    "scd2_user_state": (
+        "SCD Type-2 build: the lag change-detect window, the "
+        "row_number first-row guard, and the lead interval-close "
+        "window all share ONE hash partitioning on the key — a single "
+        "Exchange, no join."
+    ),
+    "pit_feature_lookup": (
+        "Point-in-time lookup riding the union-merge as-of join: both "
+        "sides exchange once on the key, the running last(ignorenulls) "
+        "forward-fill replaces a range cross-product, and the expiry "
+        "null-out is a post-project expression."
+    ),
+    "twap_daily": (
+        "TWAP: the lead holding-interval window and the (key, day) "
+        "aggregate share one partitioning; DECIMAL partial sums "
+        "combine map-side."
+    ),
+    "robust_outliers": (
+        "Median/MAD gate: three grouped passes whose intermediates "
+        "(median table, MAD table) are k-row BroadcastExchanges back "
+        "onto the scan — data rows never shuffle; the exact "
+        "percentiles sort within groups and swap for approx_percentile "
+        "sketches at full scale."
+    ),
 }
 
 
