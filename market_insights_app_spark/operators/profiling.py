@@ -21,7 +21,7 @@ t-digest at scale.)
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -123,3 +123,68 @@ def robust_outliers(
             F.sum(F.col("is_outlier").cast("double")) / F.count(F.lit(1)), 6
         ).alias("outlier_rate"),
     ).withColumnRenamed("k", key_col)
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    snapshot of a numeric column, per group — the ML-monitoring drift
+    number (rule of thumb: < 0.1 stable, 0.1-0.25 drifting, > 0.25
+    shifted).  Bins are the REFERENCE deciles (equi-depth on ref, so
+    every ref bin holds ~1/n of mass and the statistic is sensitive
+    where the data actually lives); PSI = Σ (q−p)·ln(q/p) over bin
+    shares, with both shares clamped to ``eps`` so empty bins
+    contribute a large-but-finite term.
+
+    Scale shape: the edge table is k × (n−1) doubles computed in one
+    grouped percentile aggregate and broadcast; binning is a
+    scan-stage expression (count of edges below the value) on each
+    side; everything after the two (key, bin) counts is arithmetic
+    over k×n tiny rows.  Values equal to an edge go to the lower bin
+    in both engines (strict ``v > edge`` count)."""
+    pcts = [i / n_bins for i in range(1, n_bins)]
+    v = F.col(value_col).cast("double")
+    edges = ref.groupBy(F.col(key_col).alias("k")).agg(
+        F.percentile(v, F.lit(pcts)).alias("edges")
+    )
+
+    def bin_counts(df: DataFrame, out: str) -> DataFrame:
+        b = df.select(F.col(key_col).alias("k"), v.alias("v")).join(
+            F.broadcast(edges), "k"
+        )
+        binned = b.select(
+            "k",
+            F.size(F.filter(F.col("edges"), lambda e: F.col("v") > e)).alias(
+                "bin"
+            ),
+        )
+        return binned.groupBy("k", "bin").agg(F.count(F.lit(1)).alias(out))
+
+    r = bin_counts(ref, "n_ref")
+    c = bin_counts(cur, "n_cur")
+    both = r.join(c, ["k", "bin"], "full_outer").select(
+        "k",
+        "bin",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    wk = Window.partitionBy("k")
+    p = F.greatest(
+        F.col("n_ref") / F.sum("n_ref").over(wk), F.lit(eps)
+    )
+    q = F.greatest(
+        F.col("n_cur") / F.sum("n_cur").over(wk), F.lit(eps)
+    )
+    term = (q - p) * F.log(q / p)
+    return (
+        both.select("k", term.alias("term"))
+        .groupBy("k")
+        .agg(F.round(F.sum("term"), 6).alias("psi"))
+        .withColumnRenamed("k", key_col)
+    )

@@ -1228,3 +1228,17 @@ def q_twap_daily(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "user_id", ts_us("day").alias("day_us"), "twap"
     )
+
+
+def q_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution drift monitor (operators/profiling.psi_drift):
+    PSI of value per event_type between the first and second half of
+    January, binned on the reference deciles. Edge table broadcast,
+    binning scan-stage, arithmetic over k x bins tiny rows."""
+    from market_insights_app_spark.operators.profiling import psi_drift
+
+    ev = _events(spark, sf)
+    cut = "2024-01-16"
+    ref = ev.filter(F.col("ts") < F.lit(cut).cast("timestamp_ntz"))
+    cur = ev.filter(F.col("ts") >= F.lit(cut).cast("timestamp_ntz"))
+    return psi_drift(ref, cur, "event_type", "value")

@@ -1070,3 +1070,38 @@ CORE_ORACLES["twap_daily"] = f"""
            round(CAST(svdt AS DOUBLE) / CAST(sdt AS DOUBLE), 6) AS twap
     FROM agg
 """
+
+CORE_ORACLES["psi_drift"] = """
+    WITH ref AS (SELECT event_type AS k, CAST(value AS DOUBLE) AS v
+                 FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+    cur AS (SELECT event_type AS k, CAST(value AS DOUBLE) AS v
+            FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+    edges AS (
+        SELECT k, quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+                   AS edges
+        FROM ref GROUP BY k
+    ),
+    rb AS (
+        SELECT r.k, len(list_filter(e.edges, x -> r.v > x)) AS bin,
+               count(*) AS n_ref
+        FROM ref r JOIN edges e USING (k) GROUP BY 1, 2
+    ),
+    cb AS (
+        SELECT c.k, len(list_filter(e.edges, x -> c.v > x)) AS bin,
+               count(*) AS n_cur
+        FROM cur c JOIN edges e USING (k) GROUP BY 1, 2
+    ),
+    merged AS (
+        SELECT coalesce(rb.k, cb.k) AS k, coalesce(rb.bin, cb.bin) AS bin,
+               coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        FROM rb FULL OUTER JOIN cb ON rb.k = cb.k AND rb.bin = cb.bin
+    ),
+    shares AS (
+        SELECT k,
+               greatest(n_ref / sum(n_ref) OVER (PARTITION BY k), 1e-6) AS p,
+               greatest(n_cur / sum(n_cur) OVER (PARTITION BY k), 1e-6) AS q
+        FROM merged
+    )
+    SELECT k AS event_type, round(sum((q - p) * ln(q / p)), 6) AS psi
+    FROM shares GROUP BY k
+"""

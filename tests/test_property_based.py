@@ -347,3 +347,56 @@ def test_snapshot_diff_matches_python_model(spark, old_rows, new_rows):
         ).collect()
     }
     assert got == py_diff(old_rows, new_rows)
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample vs an exact Python replica of the A-Res ranking
+# ---------------------------------------------------------------------------
+
+
+def py_weighted_sample(rows, k, salt="wsample-v1"):
+    import hashlib
+    import math as m
+
+    keyed = []
+    for rid, w in rows:
+        if w is None or w <= 0:
+            continue
+        h = hashlib.md5(f"{salt}:{rid}".encode()).hexdigest()[:8]
+        u = (int(h, 16) + 1) / 4294967296.0
+        keyed.append((round(m.log(u) / w, 9), rid))
+    # top-k by key desc, ties by ascending id
+    keyed.sort(key=lambda t: (-t[0], t[1]))
+    return [rid for _, rid in keyed[:k]]
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.one_of(
+                st.none(),
+                st.floats(
+                    min_value=-5, max_value=1e4,
+                    allow_nan=False, allow_infinity=False,
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda r: r[0],
+    ),
+    st.integers(min_value=1, max_value=10),
+)
+def test_weighted_sample_matches_python_model(spark, rows, k):
+    from market_insights_app_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(rows, schema="doc_id long, w double")
+    got = [
+        r["doc_id"]
+        for r in weighted_sample(df, k, "w").orderBy(
+            F.col("sample_key").desc(), F.col("doc_id").asc()
+        ).collect()
+    ]
+    assert got == py_weighted_sample(rows, k)

@@ -493,3 +493,49 @@ def test_robust_outliers_mad_zero_flags_any_deviation(spark):
     )
     r = robust_outliers(df, "g", "v").collect()[0]
     assert r["mad"] == 0.0 and r["n_outliers"] == 1
+
+
+# ---------------------------------------------------------------------------
+# psi_drift (population stability index)
+# ---------------------------------------------------------------------------
+
+
+def test_psi_identical_distributions_near_zero(spark):
+    from market_insights_app_spark.operators.profiling import psi_drift
+
+    rows = [("a", float(i % 100)) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = psi_drift(df, df, "g", "v").collect()[0]
+    assert r["psi"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_psi_shifted_distribution_is_large(spark):
+    """Current shifted wholesale past the reference's top decile: all
+    current mass lands in one bin -> PSI far beyond the 0.25 'shifted'
+    rule of thumb."""
+    from market_insights_app_spark.operators.profiling import psi_drift
+
+    ref = spark.createDataFrame(
+        [("a", float(i % 100)) for i in range(1000)], ["g", "v"]
+    )
+    cur = spark.createDataFrame(
+        [("a", 1000.0 + i) for i in range(500)], ["g", "v"]
+    )
+    r = psi_drift(ref, cur, "g", "v").collect()[0]
+    assert r["psi"] > 1.0
+
+
+def test_psi_symmetric_under_mild_shift(spark):
+    """A mild shift must register between the stable and shifted
+    thresholds, and empty-bin smoothing keeps it finite."""
+    from market_insights_app_spark.operators.profiling import psi_drift
+    import math
+
+    ref = spark.createDataFrame(
+        [("a", float(i % 100)) for i in range(1000)], ["g", "v"]
+    )
+    cur = spark.createDataFrame(
+        [("a", float((i % 100) + 8)) for i in range(1000)], ["g", "v"]
+    )
+    r = psi_drift(ref, cur, "g", "v").collect()[0]
+    assert 0.0 < r["psi"] < 10.0 and math.isfinite(r["psi"])
