@@ -1242,3 +1242,58 @@ def q_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
     ref = ev.filter(F.col("ts") < F.lit(cut).cast("timestamp_ntz"))
     cur = ev.filter(F.col("ts") >= F.lit(cut).cast("timestamp_ntz"))
     return psi_drift(ref, cur, "event_type", "value")
+
+
+def q_incremental_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental view maintenance gate (operators/reconcile.
+    agg_delta + incremental_agg_update): the orders revenue-by-status
+    aggregate is materialized from the OLD snapshot, the snapshot_diff
+    change feed (including group migrations: repriced urgent orders)
+    folds in as per-group deltas, and the oracle recomputes the
+    aggregate directly from NEW — the hash match proves base + delta
+    == recompute. Sums in DECIMAL: fp summation order would break the
+    invariant."""
+    from market_insights_app_spark.operators.reconcile import (
+        agg_delta,
+        incremental_agg_update,
+        snapshot_diff,
+    )
+
+    orders = load_table(spark, sf, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    old = orders.filter(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey", price.alias("o_totalprice"), "o_orderstatus"
+    )
+    new = (
+        orders.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderpriority") == "1-URGENT",
+                price + F.lit(10).cast("decimal(18,2)"),
+            )
+            .otherwise(price)
+            .alias("o_totalprice"),
+            # urgent orders also migrate status group: exercises the
+            # two-sided delta (leave old group, enter new group)
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.lit("U"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+        )
+    )
+    base_agg = old.groupBy("o_orderstatus").agg(
+        F.sum("o_totalprice").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    diff = snapshot_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+    delta = agg_delta(diff, "o_orderstatus", "o_totalprice")
+    updated = incremental_agg_update(
+        base_agg, delta, "o_orderstatus", "revenue", "n_orders"
+    )
+    return updated.select(
+        "o_orderstatus",
+        F.col("revenue").cast("decimal(20,2)").alias("revenue"),
+        "n_orders",
+    )

@@ -1105,3 +1105,17 @@ CORE_ORACLES["psi_drift"] = """
     SELECT k AS event_type, round(sum((q - p) * ln(q / p)), 6) AS psi
     FROM shares GROUP BY k
 """
+
+CORE_ORACLES["incremental_agg"] = """
+    SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'U'
+                ELSE o_orderstatus END AS o_orderstatus,
+           CAST(sum(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                              THEN CAST(o_totalprice AS DECIMAL(18,2))
+                                   + CAST(10 AS DECIMAL(18,2))
+                              ELSE CAST(o_totalprice AS DECIMAL(18,2)) END
+                         AS DECIMAL(18,2)))
+                AS DECIMAL(20,2)) AS revenue,
+           count(*) AS n_orders
+    FROM orders WHERE o_orderkey % 97 <> 0
+    GROUP BY 1
+"""

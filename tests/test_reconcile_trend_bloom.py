@@ -539,3 +539,64 @@ def test_psi_symmetric_under_mild_shift(spark):
     )
     r = psi_drift(ref, cur, "g", "v").collect()[0]
     assert 0.0 < r["psi"] < 10.0 and math.isfinite(r["psi"])
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate maintenance (IVM)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_agg_matches_recompute_with_migrations(spark):
+    """Changed rows that also move groups, a group that empties out,
+    and a brand-new group: base + delta must equal recompute."""
+    from market_insights_app_spark.operators.reconcile import (
+        agg_delta,
+        incremental_agg_update,
+        snapshot_diff,
+    )
+
+    cols = ["k", "v", "g"]
+    old = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "a"), (3, 30, "b"), (4, 40, "c")], cols
+    )
+    new = spark.createDataFrame(
+        [(1, 10, "a"), (2, 25, "b"), (4, 40, "c"), (5, 50, "d")], cols
+    )
+    # row 2 migrates a->b with a reprice, row 3 (sole 'b' member at 30)
+    # is removed, 'd' is new
+    base = old.groupBy("g").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    diff = snapshot_diff(old, new, ["k"], ["v", "g"])
+    upd = incremental_agg_update(
+        base, agg_delta(diff, "g", "v"), "g", "s", "c"
+    )
+    want = sorted(
+        map(
+            tuple,
+            new.groupBy("g")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect(),
+        )
+    )
+    assert sorted(map(tuple, upd.collect())) == want
+
+
+def test_incremental_agg_empty_diff_is_identity(spark):
+    from market_insights_app_spark.operators.reconcile import (
+        agg_delta,
+        incremental_agg_update,
+        snapshot_diff,
+    )
+
+    df = spark.createDataFrame([(1, 10, "a"), (2, 20, "b")], ["k", "v", "g"])
+    base = df.groupBy("g").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    diff = snapshot_diff(df, df, ["k"], ["v", "g"])
+    upd = incremental_agg_update(
+        base, agg_delta(diff, "g", "v"), "g", "s", "c"
+    )
+    assert sorted(map(tuple, upd.collect())) == sorted(
+        map(tuple, base.collect())
+    )
