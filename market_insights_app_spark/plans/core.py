@@ -1297,3 +1297,42 @@ def q_incremental_agg(spark: SparkSession, sf: str) -> DataFrame:
         F.col("revenue").cast("decimal(20,2)").alias("revenue"),
         "n_orders",
     )
+
+
+def q_ab_welch_t(spark: SparkSession, sf: str) -> DataFrame:
+    """Experiment readout per event_type: Welch's t-statistic between
+    a hash-assigned treatment (odd user_id) and control. The six
+    sufficient statistics (n, Σv, Σv² per arm) come from ONE
+    conditional map-side-combining aggregate — no self-join, no second
+    pass — in DECIMAL (v² sized like series_moments), and the
+    t-statistic is a single double expression: bit-identical
+    cross-engine. Degenerate arms (n < 2 or zero pooled variance)
+    yield NULL."""
+    ev = _events(spark, sf)
+    t = (F.col("user_id") % 2 == 1).cast("int")
+    v = F.col("value").cast("decimal(7,2)")
+    stats = ev.groupBy("event_type").agg(
+        F.sum(t).cast("decimal(12,0)").alias("n1"),
+        F.sum(F.when(t == 1, v)).cast("decimal(20,2)").alias("s1"),
+        F.sum(F.when(t == 1, v * v)).cast("decimal(24,4)").alias("ss1"),
+        (F.count(F.lit(1)) - F.sum(t)).cast("decimal(12,0)").alias("n0"),
+        F.sum(F.when(t == 0, v)).cast("decimal(20,2)").alias("s0"),
+        F.sum(F.when(t == 0, v * v)).cast("decimal(24,4)").alias("ss0"),
+    )
+    n1, n0 = F.col("n1").cast("double"), F.col("n0").cast("double")
+    s1, s0 = F.col("s1").cast("double"), F.col("s0").cast("double")
+    ss1, ss0 = F.col("ss1").cast("double"), F.col("ss0").cast("double")
+    m1, m0 = s1 / n1, s0 / n0
+    var1 = (ss1 - s1 * s1 / n1) / (n1 - 1.0)
+    var0 = (ss0 - s0 * s0 / n0) / (n0 - 1.0)
+    se2 = var1 / n1 + var0 / n0
+    tstat = F.when(
+        (n1 > 1.0) & (n0 > 1.0) & (se2 > 0.0), (m1 - m0) / F.sqrt(se2)
+    )
+    return stats.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n_treat"),
+        F.col("n0").cast("long").alias("n_control"),
+        F.round(m1 - m0, 6).alias("mean_diff"),
+        F.round(tstat, 6).alias("welch_t"),
+    )

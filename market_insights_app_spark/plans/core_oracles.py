@@ -1119,3 +1119,42 @@ CORE_ORACLES["incremental_agg"] = """
     FROM orders WHERE o_orderkey % 97 <> 0
     GROUP BY 1
 """
+
+CORE_ORACLES["ab_welch_t"] = """
+    WITH s AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS DECIMAL(12,0)) AS n1,
+               CAST(sum(CASE WHEN user_id % 2 = 1
+                             THEN CAST(value AS DECIMAL(7,2)) END)
+                    AS DECIMAL(20,2)) AS s1,
+               CAST(sum(CASE WHEN user_id % 2 = 1
+                             THEN CAST(value AS DECIMAL(7,2))
+                                  * CAST(value AS DECIMAL(7,2)) END)
+                    AS DECIMAL(24,4)) AS ss1,
+               CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS DECIMAL(12,0)) AS n0,
+               CAST(sum(CASE WHEN user_id % 2 = 0
+                             THEN CAST(value AS DECIMAL(7,2)) END)
+                    AS DECIMAL(20,2)) AS s0,
+               CAST(sum(CASE WHEN user_id % 2 = 0
+                             THEN CAST(value AS DECIMAL(7,2))
+                                  * CAST(value AS DECIMAL(7,2)) END)
+                    AS DECIMAL(24,4)) AS ss0
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n_treat,
+           CAST(n0 AS BIGINT) AS n_control,
+           round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                 - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS mean_diff,
+           round(CASE WHEN CAST(n1 AS DOUBLE) > 1.0 AND CAST(n0 AS DOUBLE) > 1.0
+                       AND ((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE)
+                          + (CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE)*CAST(s0 AS DOUBLE)/CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0) / CAST(n0 AS DOUBLE)) > 0.0
+                 THEN (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                       - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                      / sqrt((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE)
+                           + (CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE)*CAST(s0 AS DOUBLE)/CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0) / CAST(n0 AS DOUBLE))
+                 END, 6) AS welch_t
+    FROM s
+"""

