@@ -2216,3 +2216,67 @@ TEXTML_ORACLES["weighted_sample"] = """
     ORDER BY sample_key DESC, doc_id ASC
     LIMIT 100
 """
+
+
+def q_chi2_lang_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Categorical drift: chi-square statistic of the language
+    distribution between two halves of the corpus (doc_id parity),
+    per source — the categorical sibling of ★psi_drift's numeric PSI.
+    One grouped count pass; expectations and the statistic are
+    arithmetic over (source × lang × 2) tiny rows, joined back via
+    k-row broadcasts. Cells: chi2 = sum (obs - exp)^2 / exp over the
+    2 x L contingency table per source."""
+    docs = _docs(spark, sf)
+    cells = docs.groupBy(
+        "source", "lang", (F.col("doc_id") % 2 == 0).alias("half_a")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    tot_src = cells.groupBy("source").agg(F.sum("obs").alias("n_src"))
+    tot_half = cells.groupBy("source", "half_a").agg(
+        F.sum("obs").alias("n_half")
+    )
+    tot_lang = cells.groupBy("source", "lang").agg(F.sum("obs").alias("n_lang"))
+    j = (
+        cells.join(F.broadcast(tot_src), "source")
+        .join(F.broadcast(tot_half), ["source", "half_a"])
+        .join(F.broadcast(tot_lang), ["source", "lang"])
+    )
+    exp = (
+        F.col("n_half").cast("double")
+        * F.col("n_lang").cast("double")
+        / F.col("n_src").cast("double")
+    )
+    term = (F.col("obs").cast("double") - exp) * (
+        F.col("obs").cast("double") - exp
+    ) / exp
+    return (
+        j.select("source", term.alias("term"))
+        .groupBy("source")
+        .agg(F.round(F.sum("term"), 6).alias("chi2"))
+    )
+
+
+TEXTML_ORACLES["chi2_lang_drift"] = """
+    WITH cells AS (
+        SELECT source, lang, (doc_id % 2 = 0) AS half_a, count(*) AS obs
+        FROM documents GROUP BY 1, 2, 3
+    ),
+    ts AS (SELECT source, sum(obs) AS n_src FROM cells GROUP BY 1),
+    th AS (SELECT source, half_a, sum(obs) AS n_half FROM cells GROUP BY 1, 2),
+    tl AS (SELECT source, lang, sum(obs) AS n_lang FROM cells GROUP BY 1, 2)
+    SELECT c.source,
+           round(sum(
+               (CAST(obs AS DOUBLE)
+                - CAST(n_half AS DOUBLE) * CAST(n_lang AS DOUBLE)
+                  / CAST(n_src AS DOUBLE))
+               * (CAST(obs AS DOUBLE)
+                  - CAST(n_half AS DOUBLE) * CAST(n_lang AS DOUBLE)
+                    / CAST(n_src AS DOUBLE))
+               / (CAST(n_half AS DOUBLE) * CAST(n_lang AS DOUBLE)
+                  / CAST(n_src AS DOUBLE))
+           ), 6) AS chi2
+    FROM cells c
+    JOIN ts USING (source)
+    JOIN th USING (source, half_a)
+    JOIN tl USING (source, lang)
+    GROUP BY c.source
+"""

@@ -640,3 +640,45 @@ def test_welch_t_matches_numpy_formula(spark):
          + (ss0 - s0 * s0 / n0) / (n0 - 1) / n0) ** 0.5
     )
     assert got_t == pytest.approx(want_t, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# chi2 categorical drift
+# ---------------------------------------------------------------------------
+
+
+def test_chi2_matches_scipy_formula(spark):
+    """2x2 contingency with a known chi-square value (no continuity
+    correction): [[10, 20], [20, 10]] -> chi2 = n(ad-bc)^2/(r1 r2 c1 c2)
+    = 60 * 300^2 / 30^4 = 20/3."""
+    from market_insights_app_spark.plans.registry import QUERIES  # noqa: F401
+    import numpy as np
+    from pyspark.sql import functions as G
+
+    rows = (
+        [(2 * i, "s", "en") for i in range(10)]       # half_a en: 10
+        + [(2 * i + 1, "s", "en") for i in range(20)]  # half_b en: 20
+        + [(2 * i + 100000, "s", "fr") for i in range(20)]  # half_a fr: 20
+        + [(2 * i + 100001, "s", "fr") for i in range(10)]  # half_b fr: 10
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source", "lang"])
+    cells = df.groupBy(
+        "source", "lang", (G.col("doc_id") % 2 == 0).alias("half_a")
+    ).agg(G.count(G.lit(1)).alias("obs"))
+    obs = {(r["lang"], r["half_a"]): r["obs"] for r in cells.collect()}
+    O = np.array(
+        [[obs[("en", True)], obs[("en", False)]],
+         [obs[("fr", True)], obs[("fr", False)]]],
+        dtype=float,
+    )
+    row = O.sum(1, keepdims=True); col = O.sum(0, keepdims=True)
+    E = row @ col / O.sum()
+    want = float((((O - E) ** 2) / E).sum())
+    # textbook 2x2 shortcut: n(ad-bc)^2 / (r1 r2 c1 c2)
+    a, b, c, d = O.ravel()
+    n = O.sum()
+    shortcut = n * (a * d - b * c) ** 2 / (
+        (a + b) * (c + d) * (a + c) * (b + d)
+    )
+    assert want == pytest.approx(shortcut, rel=1e-12)
+    assert want == pytest.approx(20 / 3, abs=1e-9)
