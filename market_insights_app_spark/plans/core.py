@@ -1336,3 +1336,55 @@ def q_ab_welch_t(spark: SparkSession, sf: str) -> DataFrame:
         F.round(m1 - m0, 6).alias("mean_diff"),
         F.round(tstat, 6).alias("welch_t"),
     )
+
+
+def q_ab_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
+    """Non-parametric experiment readout per event_type: Mann-Whitney
+    U between the hash-assigned arms (odd user_id = treatment), with
+    average ranks for ties and the tie-corrected normal approximation.
+    Rank arithmetic is exact rational halves (doubles represent .5
+    exactly), so the statistic is engine-exact by construction — no
+    libm in the U itself. One window pass + one aggregate sharing the
+    event_type partitioning."""
+    ev = _events(spark, sf)
+    t = (F.col("user_id") % 2 == 1).cast("int")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").asc())
+    wt = Window.partitionBy("event_type", "value")
+    ranked = ev.select(
+        "event_type",
+        t.alias("t"),
+        (
+            F.rank().over(w).cast("double")
+            + (F.count(F.lit(1)).over(wt).cast("double") - 1.0) / 2.0
+        ).alias("r"),
+        F.count(F.lit(1)).over(wt).alias("tie_n"),
+        "value",
+    )
+    stats = ranked.groupBy("event_type").agg(
+        F.sum(F.when(F.col("t") == 1, F.col("r"))).alias("r1"),
+        F.sum("t").cast("double").alias("n1"),
+        F.sum(1 - F.col("t")).cast("double").alias("n0"),
+        # sum over DISTINCT tie groups of (t^3 - t): every member of a
+        # tie group carries tie_n, so divide the per-row contribution
+        # by the group size to count each group once
+        F.sum(
+            (
+                F.col("tie_n") * F.col("tie_n") * F.col("tie_n")
+                - F.col("tie_n")
+            ).cast("double")
+            / F.col("tie_n").cast("double")
+        ).alias("tie_term"),
+    )
+    n1, n0 = F.col("n1"), F.col("n0")
+    n = n1 + n0
+    u1 = F.col("r1") - n1 * (n1 + 1.0) / 2.0
+    mu = n1 * n0 / 2.0
+    var = (n1 * n0 / 12.0) * ((n + 1.0) - F.col("tie_term") / (n * (n - 1.0)))
+    z = F.when(var > 0.0, (u1 - mu) / F.sqrt(var))
+    return stats.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n_treat"),
+        F.col("n0").cast("long").alias("n_control"),
+        F.round(u1, 1).alias("u_stat"),
+        F.round(z, 6).alias("z_approx"),
+    )

@@ -1158,3 +1158,38 @@ CORE_ORACLES["ab_welch_t"] = """
                  END, 6) AS welch_t
     FROM s
 """
+
+CORE_ORACLES["ab_mann_whitney"] = """
+    WITH ranked AS (
+        SELECT event_type,
+               CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS t,
+               CAST(rank() OVER (PARTITION BY event_type ORDER BY value ASC)
+                    AS DOUBLE)
+               + (CAST(count(*) OVER (PARTITION BY event_type, value)
+                       AS DOUBLE) - 1.0) / 2.0 AS r,
+               count(*) OVER (PARTITION BY event_type, value) AS tie_n
+        FROM events
+    ),
+    stats AS (
+        SELECT event_type,
+               sum(CASE WHEN t = 1 THEN r END) AS r1,
+               CAST(sum(t) AS DOUBLE) AS n1,
+               CAST(sum(1 - t) AS DOUBLE) AS n0,
+               sum(CAST(tie_n * tie_n * tie_n - tie_n AS DOUBLE)
+                   / CAST(tie_n AS DOUBLE)) AS tie_term
+        FROM ranked GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n_treat,
+           CAST(n0 AS BIGINT) AS n_control,
+           round(r1 - n1 * (n1 + 1.0) / 2.0, 1) AS u_stat,
+           round(CASE WHEN (n1 * n0 / 12.0)
+                           * ((n1 + n0 + 1.0)
+                              - tie_term / ((n1 + n0) * (n1 + n0 - 1.0))) > 0.0
+                 THEN (r1 - n1 * (n1 + 1.0) / 2.0 - n1 * n0 / 2.0)
+                      / sqrt((n1 * n0 / 12.0)
+                             * ((n1 + n0 + 1.0)
+                                - tie_term / ((n1 + n0) * (n1 + n0 - 1.0))))
+                 END, 6) AS z_approx
+    FROM stats
+"""

@@ -74,7 +74,7 @@ _PRIORITY: list[str] = [
     # weighted_sample, cdc_apply_roundtrip, validate_lineitem,
     # scd2_user_state, pit_feature_lookup, robust_outliers,
     # quantile_binning, twap_daily, psi_drift, incremental_agg,
-    # ab_welch_t, chi2_lang_drift, and
+    # ab_welch_t, ab_mann_whitney, chi2_lang_drift, and
     # decontaminate_bloom (new this round, compositions of gated
     # primitives; locally parity-checked at sf0.001+sf0.01) also
     # wait for the FRONT of r06.

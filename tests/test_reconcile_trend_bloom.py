@@ -682,3 +682,34 @@ def test_chi2_matches_scipy_formula(spark):
     )
     assert want == pytest.approx(shortcut, rel=1e-12)
     assert want == pytest.approx(20 / 3, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U
+# ---------------------------------------------------------------------------
+
+
+def test_mann_whitney_hand_computed(spark):
+    """treatment {1,2} vs control {3,4,5}: every control beats every
+    treatment -> U1 = 0; with ties absent the z uses the plain
+    variance."""
+    from market_insights_app_spark.plans.registry import QUERIES
+
+    import duckdb
+
+    # replicate via the registered oracle on an in-memory table to keep
+    # one source of truth for the formula
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        "(1, 'x', 1.0), (3, 'x', 2.0), (2, 'x', 3.0), (4, 'x', 4.0), (6, 'x', 5.0)"
+        ") AS t(user_id, event_type, value)"
+    )
+    from market_insights_app_spark.plans.core_oracles import CORE_ORACLES
+
+    row = con.execute(CORE_ORACLES["ab_mann_whitney"]).fetchone()
+    # treatment = odd user_id = {1, 3} with values {1.0, 2.0}: ranks 1+2
+    # -> R1 = 3, U1 = R1 - n1(n1+1)/2 = 0
+    assert row[1] == 2 and row[2] == 3
+    assert row[3] == 0.0
+    assert row[4] < 0  # treatment stochastically smaller
