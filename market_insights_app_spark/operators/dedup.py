@@ -1133,10 +1133,14 @@ def decontaminate_bloom(
     Mechanics: bit positions are computed JVM-side on BOTH sides with
     the same ``xxhash64(gram, seed) & (m-1)`` expression (m a power of
     two; two's-complement AND maps negative hashes into [0, m)), so no
-    Python reimplementation of the hash exists to drift.  The eval
-    side's distinct positions (bounded by min(k·n_grams, m)) are
-    collected once, packed into a numpy bit array, and shipped via
-    ``SparkContext.broadcast``; the train-side probe is one
+    Python reimplementation of the hash exists to drift.  The bit
+    array itself is BUILT DISTRIBUTEDLY: positions are repartitioned
+    by their 1 MiB chunk index (one exchange of packed int64s), each
+    chunk is OR-packed into a byte array inside an Arrow-batched
+    ``mapInPandas``, and the driver collects exactly m/8 bytes of
+    packed chunks — never a Row per position, so driver memory is
+    bounded by the ~20 MB array itself even at 10⁷⁺ grams.  The array
+    ships via ``SparkContext.broadcast``; the train-side probe is one
     Arrow-batched pandas UDF doing vectorized bit lookups.  (numpy /
     pandas are module-level imports here solely so the UDF's
     ``pd.Series`` type hints resolve under ``from __future__ import
@@ -1155,17 +1159,45 @@ def decontaminate_bloom(
             for i in range(n_hashes)
         ]
 
-    pos_rows = (
-        eval_grams.select(
-            F.explode(F.array(*positions(F.col("g")))).alias("p")
+    # distributed bit-array build: no .distinct() (OR is idempotent),
+    # one exchange of int64 positions keyed by chunk, per-chunk OR-pack
+    # in Arrow batches, and a collect bounded by m/8 bytes total.
+    chunk_bits = min(1 << 23, m_bits)  # 1 MiB byte-chunks
+    chunk_bytes = chunk_bits >> 3
+    chunk_shift = chunk_bits.bit_length() - 1
+    n_chunks = m_bits // chunk_bits
+    pos_df = eval_grams.select(
+        F.explode(F.array(*positions(F.col("g")))).alias("p")
+    ).repartition(n_chunks, F.shiftright("p", chunk_shift))
+
+    def pack_chunks(batches):
+        local: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            p = pdf["p"].to_numpy().astype(np.int64)
+            cid = p >> chunk_shift
+            for c in np.unique(cid):
+                arr = local.setdefault(
+                    int(c), np.zeros(chunk_bytes, dtype=np.uint8)
+                )
+                off = p[cid == c] & (chunk_bits - 1)
+                np.bitwise_or.at(
+                    arr, off >> 3, np.uint8(1) << (off & 7).astype(np.uint8)
+                )
+        yield pd.DataFrame(
+            {
+                "chunk": pd.Series(list(local.keys()), dtype="int64"),
+                "bits": pd.Series(
+                    [a.tobytes() for a in local.values()], dtype=object
+                ),
+            }
         )
-        .distinct()
-        .collect()
-    )
+
     bits = np.zeros(m_bits >> 3, dtype=np.uint8)
-    if pos_rows:
-        p = np.fromiter((r["p"] for r in pos_rows), dtype=np.int64)
-        np.bitwise_or.at(bits, p >> 3, np.uint8(1) << (p & 7).astype(np.uint8))
+    for row in pos_df.mapInPandas(
+        pack_chunks, "chunk long, bits binary"
+    ).collect():
+        o = row["chunk"] * chunk_bytes
+        bits[o : o + chunk_bytes] |= np.frombuffer(row["bits"], dtype=np.uint8)
     bc = train.sparkSession.sparkContext.broadcast(bits)
 
     @F.pandas_udf("boolean")

@@ -567,8 +567,10 @@ def twap(
     when volume is missing or untrusted.
 
     Exactness: v is DECIMAL(8,2), Δt is exact whole microseconds, and
-    the Δts partition the day, so Σ Δt = 86 400 000 000 exactly and
-    Σ(v·Δt) ≤ max_v·8.64·10¹⁰ — both accumulate in DECIMAL (products
+    the Δts partition [first tick, midnight) — so Σ Δt =
+    day_end − first_tick (= 86 400 000 000 only when the first tick is
+    at midnight) and Σ(v·Δt) ≤ max_v·8.64·10¹⁰ — both accumulate in
+    DECIMAL (products
     are width > 18, so DuckDB's int128 lane engages) and the TWAP is
     ONE double division, bit-identical cross-engine.  Same-timestamp
     ticks get Δt = 0 (zero weight) except the last by tiebreak.

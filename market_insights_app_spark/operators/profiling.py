@@ -142,12 +142,19 @@ def psi_drift(
     shares, with both shares clamped to ``eps`` so empty bins
     contribute a large-but-finite term.
 
+    A group present ONLY in the current snapshot (a brand-new segment
+    — arguably maximal drift) has no reference deciles to bin
+    against; it is emitted with ``psi = NULL`` as the new-segment
+    sentinel rather than silently dropped, so alerting layers must
+    treat NULL as "new group, investigate" (not "no drift").
+
     Scale shape: the edge table is k × (n−1) doubles computed in one
     grouped percentile aggregate and broadcast; binning is a
     scan-stage expression (count of edges below the value) on each
     side; everything after the two (key, bin) counts is arithmetic
-    over k×n tiny rows.  Values equal to an edge go to the lower bin
-    in both engines (strict ``v > edge`` count)."""
+    over k×n tiny rows (the new-segment pass adds one tiny distinct
+    anti-join).  Values equal to an edge go to the lower bin in both
+    engines (strict ``v > edge`` count)."""
     pcts = [i / n_bins for i in range(1, n_bins)]
     v = F.col(value_col).cast("double")
     edges = ref.groupBy(F.col(key_col).alias("k")).agg(
@@ -182,9 +189,15 @@ def psi_drift(
         F.col("n_cur") / F.sum("n_cur").over(wk), F.lit(eps)
     )
     term = (q - p) * F.log(q / p)
-    return (
+    scored = (
         both.select("k", term.alias("term"))
         .groupBy("k")
         .agg(F.round(F.sum("term"), 6).alias("psi"))
-        .withColumnRenamed("k", key_col)
     )
+    new_groups = (
+        cur.select(F.col(key_col).alias("k"))
+        .distinct()
+        .join(ref.select(F.col(key_col).alias("k")).distinct(), "k", "left_anti")
+        .select("k", F.lit(None).cast("double").alias("psi"))
+    )
+    return scored.unionByName(new_groups).withColumnRenamed("k", key_col)

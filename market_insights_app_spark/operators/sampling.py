@@ -325,7 +325,7 @@ def weighted_sample(
     k-row merge), never a global sort.  Rows with NULL or
     non-positive weight are excluded (they'd have inclusion
     probability 0)."""
-    c = F.col(id_col) if isinstance(id_col, str) else F.col(id_col)
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
     w = F.col(weight_col).cast("double")
     h = F.md5(F.concat(F.lit(salt + ":"), c.cast("string")))
     u = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") + 1) / F.lit(

@@ -1307,10 +1307,15 @@ def q_ab_welch_t(spark: SparkSession, sf: str) -> DataFrame:
     pass — in DECIMAL (v² sized like series_moments), and the
     t-statistic is a single double expression: bit-identical
     cross-engine. Degenerate arms (n < 2 or zero pooled variance)
-    yield NULL."""
+    yield NULL.
+
+    Overflow contract (shared with ols_trend / twap): values are
+    exact at |value| < 10⁶ (DECIMAL(8,2)); beyond that Spark nulls the
+    cast (corrupting the arm mean silently) while DuckDB hard-errors,
+    so the domain bound is part of the oracle contract."""
     ev = _events(spark, sf)
     t = (F.col("user_id") % 2 == 1).cast("int")
-    v = F.col("value").cast("decimal(7,2)")
+    v = F.col("value").cast("decimal(8,2)")
     stats = ev.groupBy("event_type").agg(
         F.sum(t).cast("decimal(12,0)").alias("n1"),
         F.sum(F.when(t == 1, v)).cast("decimal(20,2)").alias("s1"),

@@ -1104,6 +1104,11 @@ CORE_ORACLES["psi_drift"] = """
     )
     SELECT k AS event_type, round(sum((q - p) * ln(q / p)), 6) AS psi
     FROM shares GROUP BY k
+    UNION ALL
+    -- new-segment sentinel: groups with no reference distribution
+    SELECT k AS event_type, CAST(NULL AS DOUBLE) AS psi
+    FROM (SELECT DISTINCT k FROM cur) c
+    WHERE k NOT IN (SELECT DISTINCT k FROM ref)
 """
 
 CORE_ORACLES["incremental_agg"] = """
@@ -1121,25 +1126,32 @@ CORE_ORACLES["incremental_agg"] = """
 """
 
 CORE_ORACLES["ab_welch_t"] = """
+    -- v is DECIMAL(8,2) (|value| < 1e6, the ols_trend/twap domain);
+    -- the v*v operand is widened to DECIMAL(19,2) so DuckDB's int128
+    -- (HUGEINT) lane engages — an (8,2)x(8,2) product stays in the
+    -- int64 lane, where a large-value sum could wrap (series_moments
+    -- pattern).
     WITH s AS (
         SELECT event_type,
                CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
                     AS DECIMAL(12,0)) AS n1,
                CAST(sum(CASE WHEN user_id % 2 = 1
-                             THEN CAST(value AS DECIMAL(7,2)) END)
+                             THEN CAST(value AS DECIMAL(8,2)) END)
                     AS DECIMAL(20,2)) AS s1,
                CAST(sum(CASE WHEN user_id % 2 = 1
-                             THEN CAST(value AS DECIMAL(7,2))
-                                  * CAST(value AS DECIMAL(7,2)) END)
+                             THEN CAST(CAST(value AS DECIMAL(19,2))
+                                  * CAST(value AS DECIMAL(8,2))
+                                  AS DECIMAL(24,4)) END)
                     AS DECIMAL(24,4)) AS ss1,
                CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
                     AS DECIMAL(12,0)) AS n0,
                CAST(sum(CASE WHEN user_id % 2 = 0
-                             THEN CAST(value AS DECIMAL(7,2)) END)
+                             THEN CAST(value AS DECIMAL(8,2)) END)
                     AS DECIMAL(20,2)) AS s0,
                CAST(sum(CASE WHEN user_id % 2 = 0
-                             THEN CAST(value AS DECIMAL(7,2))
-                                  * CAST(value AS DECIMAL(7,2)) END)
+                             THEN CAST(CAST(value AS DECIMAL(19,2))
+                                  * CAST(value AS DECIMAL(8,2))
+                                  AS DECIMAL(24,4)) END)
                     AS DECIMAL(24,4)) AS ss0
         FROM events GROUP BY event_type
     )
