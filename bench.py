@@ -1,10 +1,17 @@
 """Benchmark harness — times the headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-{"metric": ..., "value": <total sec>, "unit": "sec",
- "queries": {name: sec, ...},
- "full_total": <sec>, "full_queries": {name: sec, ...},
- "sf": <scale factor>}
+local[$SPARK_GRAFT_CPUS].
+
+Output contract (truncation-proof since r6 — the driver captures only
+the TAIL of stdout, and r5's single giant JSON line lost its head):
+  line 1: the COMPLETE record — headline + full-registry sweep +
+          per-query deltas vs the previous run + named regressions;
+          also written atomically to BENCH_FULL.json at the repo root
+          (the committed round-over-round reference).
+  last line: the COMPACT driver-contract line, guaranteed to fit a
+          2 kB tail capture: {"metric": ..., "value": <total sec>,
+          "unit": "sec", "queries": {headline name: sec},
+          "full_total": <sec>, "regressions": <count>, "sf": ...}
 
 Each query executes its FULL plan into the noop sink (no
 collect-to-driver overhead in the measurement). One untimed warmup
@@ -128,6 +135,46 @@ def main() -> None:
     full_total = round(
         sum(v for v in full.values() if isinstance(v, float)), 3
     )
+
+    # delta report vs the previous committed run: regressions are
+    # NAMED (not hunted) — >30 % slower AND >0.2 s absolute.
+    ref_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    prior = {}
+    if os.path.exists(ref_path):
+        try:
+            with open(ref_path) as fh:
+                prior = json.load(fh).get("full_queries", {})
+        except (OSError, ValueError):
+            prior = {}
+    deltas = {
+        name: round(v - prior[name], 3)
+        for name, v in full.items()
+        if isinstance(v, float) and isinstance(prior.get(name), (int, float))
+    }
+    regressions = {
+        name: {"prev": prior[name], "now": full[name], "delta": d}
+        for name, d in deltas.items()
+        if d > 0.2 and full[name] > prior[name] * 1.3
+    }
+    record = {
+        "metric": "headline query wall-clock, noop sink",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "full_total": full_total,
+        "full_queries": full,
+        "deltas_vs_prior": deltas,
+        "regressions": regressions,
+        "sf": sf,
+    }
+    tmp = ref_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(record, fh, indent=1)
+    os.replace(tmp, ref_path)
+    print(json.dumps(record))
+    # LAST line: compact driver-contract JSON — always fits the tail
     print(
         json.dumps(
             {
@@ -136,7 +183,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "full_total": full_total,
-                "full_queries": full,
+                "regressions": len(regressions),
                 "sf": sf,
             }
         )

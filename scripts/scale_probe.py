@@ -123,6 +123,68 @@ def main() -> None:
         "snapshot diff (10M x 10M)",
         snapshot_diff(old_s, new_s, ["event_id"], ["value", "event_type"]),
     )
+
+    # --- reconcile family at change-log scale ------------------------------
+    from market_insights_app_spark.operators.reconcile import (
+        agg_delta,
+        incremental_agg_update,
+        pit_lookup,
+        scd2_build,
+    )
+
+    # SCD2 from the full tick table as a change log: 10k keys × ~1k
+    # updates each; ~1/50 of consecutive rows collapse as no-ops
+    log = ev.select(
+        "user_id",
+        F.timestamp_micros(
+            F.lit(1_704_067_200_000_000) + F.col("event_id") * 250_000
+        ).alias("uts"),
+        "event_id",
+        F.pmod(F.xxhash64("event_id", F.lit(7)), F.lit(50)).alias("segment"),
+        "event_type",
+    )
+    scd2 = scd2_build(
+        log, ["user_id"], "uts", ["segment", "event_type"], tiebreak_col="event_id"
+    )
+    t("scd2 build (10M change log)", scd2)
+
+    # PIT lookup: 1M facts against the materialized SCD2 dimension
+    dim = scd2.persist()
+    dim.count()
+    facts = ev.filter(F.col("event_id") % 10 == 0).select(
+        "event_id",
+        "user_id",
+        F.timestamp_micros(
+            F.lit(1_704_067_200_000_000) + F.col("event_id") * 250_000 + 1
+        ).alias("fts"),
+    )
+    t(
+        "pit lookup (1M facts x scd2 dim)",
+        pit_lookup(facts, dim, "user_id", "fts", ["segment", "event_type"]),
+    )
+    dim.unpersist()
+
+    # IVM: a 10M-vs-10M diff reduced to per-group deltas and merged into
+    # the materialized aggregate — the base is never rescanned
+    old_d = old_s.select(
+        "event_id", F.col("value").cast("decimal(18,2)").alias("value"), "event_type"
+    )
+    new_d = new_s.select(
+        "event_id", F.col("value").cast("decimal(18,2)").alias("value"), "event_type"
+    )
+    base_agg = old_d.groupBy("event_type").agg(
+        F.sum("value").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    diff_d = snapshot_diff(
+        old_d, new_d, ["event_id"], ["value", "event_type"]
+    ).persist()
+    diff_d.count()
+    delta = agg_delta(diff_d, "event_type", "value")
+    t(
+        "ivm update (10M diff -> 5 groups)",
+        incremental_agg_update(base_agg, delta, "event_type", "s", "c"),
+    )
+    diff_d.unpersist()
     ev.unpersist()
 
     # --- synthetic docs: n_docs rows, zipf-ish repeated phrases ------------
