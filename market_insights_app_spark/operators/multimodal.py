@@ -197,24 +197,119 @@ def fake_decode_audio(payload: bytes):
     return src.astype(np.float64) / 127.5 - 1.0
 
 
-def real_decode_image(payload: bytes, width=None, height=None):
-    """REAL image decode: PIL (imported lazily, executor-side) → (h, w,
-    3) uint8 RGB.  width/height, when given, crop-resize via PIL so the
-    output shape matches the metadata columns.  Raises
-    NotImplementedError when PIL is absent — the honest boundary the
-    fake kernel stands in for (reference ships bytes to its vision
-    endpoint, app/main.py:702-707)."""
-    try:
-        from PIL import Image
-    except ImportError as exc:  # container has no PIL — fake=True is the gate path
-        raise NotImplementedError(
-            "real image decode requires PIL (pillow); not installed in "
-            "this container — pass fake=True for the deterministic "
-            "stand-in decoder"
-        ) from exc
-    import io
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png_stdlib(payload: bytes):
+    """Minimal PNG decoder on the stdlib only (zlib + struct + numpy):
+    8-bit-depth non-interlaced grayscale / RGB / palette / gray+alpha /
+    RGBA → (h, w, 3) uint8 RGB, all five scanline filters (None, Sub,
+    Up, Average, Paeth) per the public PNG spec (RFC 2083 §6).  This
+    is the image twin of the stdlib-``wave`` audio lane: it makes the
+    REAL image decode path executable in containers without PIL.  The
+    vectorization is per-scanline (filters 1/3/4 have an intra-line
+    dependency), sized for CI probing — production containers use the
+    PIL branch above it."""
+    import struct
+    import zlib
 
     import numpy as np
+
+    if not payload or payload[:8] != _PNG_MAGIC:
+        raise NotImplementedError(
+            "stdlib image decode handles PNG only; other codecs need "
+            "PIL (pillow) — not installed in this container"
+        )
+    pos, idat, plte = 8, b"", None
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc
+    if w is None or depth != 8 or interlace != 0 or ctype not in (0, 2, 3, 4, 6):
+        raise NotImplementedError(
+            f"stdlib PNG lane supports 8-bit non-interlaced color types "
+            f"0/2/3/4/6; got depth={depth} ctype={ctype} interlace={interlace}"
+        )
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    raw = zlib.decompress(idat)
+    stride = w * nch
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    at = 0
+    for y in range(h):
+        f = raw[at]
+        line = np.frombuffer(raw, np.uint8, stride, at + 1).astype(np.int32)
+        at += 1 + stride
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up — no intra-line dependency, vector add
+            cur = (line + prev) & 0xFF
+        else:  # Sub / Average / Paeth carry a left-pixel dependency
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(cur[x - nch]) if x >= nch else 0
+                b = int(prev[x])
+                c = int(prev[x - nch]) if x >= nch else 0
+                if f == 1:
+                    v = line[x] + a
+                elif f == 3:
+                    v = line[x] + ((a + b) >> 1)
+                else:  # f == 4, Paeth predictor
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    v = line[x] + (
+                        a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    )
+                cur[x] = v & 0xFF
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    arr = out.reshape(h, w, nch)
+    if ctype == 2:
+        rgb = arr
+    elif ctype == 6:
+        rgb = arr[:, :, :3]
+    elif ctype == 3:
+        pal = np.frombuffer(plte or b"", np.uint8).reshape(-1, 3)
+        rgb = pal[arr[:, :, 0]]
+    else:  # 0 / 4: grayscale (+alpha) → replicate the luma channel
+        rgb = np.repeat(arr[:, :, :1], 3, axis=2)
+    return np.ascontiguousarray(rgb)
+
+
+def real_decode_image(payload: bytes, width=None, height=None):
+    """REAL image decode: PIL (imported lazily, executor-side) when
+    present → (h, w, 3) uint8 RGB, else the stdlib PNG lane
+    (:func:`_decode_png_stdlib`) — so the real image path is LIVE in
+    this container for PNG payloads, exactly like audio's stdlib-wave
+    lane.  width/height, when given, resize (PIL's resampler on the
+    PIL branch, :func:`bilinear_resize` on the stdlib branch — the two
+    branches may differ at interpolated pixels; decode itself is
+    identical).  Raises NotImplementedError only for non-PNG payloads
+    without PIL — the honest boundary the fake kernel stands in for
+    (reference ships bytes to its vision endpoint,
+    app/main.py:702-707)."""
+    import numpy as np
+
+    try:
+        from PIL import Image
+    except ImportError:
+        rgb = _decode_png_stdlib(payload)
+        if width and height and not (pd.isna(width) or pd.isna(height)):
+            rgb = bilinear_resize(rgb, int(height), int(width))
+        return rgb
+    import io
 
     img = Image.open(io.BytesIO(payload or b"")).convert("RGB")
     if width and height and not (pd.isna(width) or pd.isna(height)):

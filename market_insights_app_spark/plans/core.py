@@ -578,6 +578,40 @@ def q_session_stateful_replay(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ohlc_stream_replay(spark: SparkSession, sf: str) -> DataFrame:
+    """ST5/market driver evidence for the STREAMING OHLC aggregate:
+    runs streaming/ingest.ohlc_agg (windowed min_by/max_by candles —
+    the incremental form of operators/market.ohlc_bars) over the
+    events parquet replayed as an availableNow file stream, complete
+    output mode so every window's final candle lands in the memory
+    sink.  The DuckDB twin computes the same daily candles with
+    row_number over the (ts, event_id) total order — identical values
+    because min_by/max_by over that struct pick the same open/close
+    ticks — so the streaming runtime itself is hash-gated (the
+    ema/session replay pattern)."""
+    import uuid
+
+    from market_insights_app_spark.streaming.ingest import (
+        events_file_stream,
+        ohlc_agg,
+        run_available_now_to_memory,
+    )
+
+    name = f"ohlc_replay_{uuid.uuid4().hex[:8]}"
+    stream = events_file_stream(spark, sf, max_files_per_trigger=10_000)
+    run_available_now_to_memory(ohlc_agg(stream), name, "complete")
+    out = spark.table(name)
+    return out.select(
+        "user_id",
+        ts_us("bucket_ts").alias("bucket_us"),
+        F.round("open", 6).alias("open"),
+        F.round("high", 6).alias("high"),
+        F.round("low", 6).alias("low"),
+        F.round("close", 6).alias("close"),
+        "n_ticks",
+    )
+
+
 def q_ict_analysis(spark: SparkSession, sf: str) -> DataFrame:
     """U1 (main.js:336-383): the full analyzeICT composite — hi/lo/mid,
     premium-discount, MA-slope bias, equal-highs/lows, OTE retracement

@@ -713,6 +713,23 @@ CORE_ORACLES["ohlc_resample"] = """
     FROM t GROUP BY user_id, b
 """
 
+CORE_ORACLES["ohlc_stream_replay"] = """
+    WITH t AS (
+      SELECT user_id, date_trunc('day', ts) AS b, value,
+             row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events)
+    SELECT user_id, epoch_us(b) AS bucket_us,
+           round(MAX(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+           round(MAX(value), 6) AS high,
+           round(MIN(value), 6) AS low,
+           round(MAX(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+           COUNT(*) AS n_ticks
+    FROM t GROUP BY user_id, b
+"""
+
 CORE_ORACLES["vwap_daily"] = """
     WITH t AS (
       SELECT user_id, date_trunc('day', ts) AS b,
