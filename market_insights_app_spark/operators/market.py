@@ -604,3 +604,182 @@ def twap(
             F.col("svdt").cast("double") / F.col("sdt").cast("double"), 6
         ).alias("twap"),
     )
+
+
+def daily_returns(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Daily close-to-close simple returns per series: close = the
+    value of the last (ts, id)-ordered tick per (key, day) via
+    ``max_by`` over the total-order struct, return =
+    close/lag(close) − 1 (NULL on each key's first day).
+
+    Determinism: closes are raw stored doubles (no arithmetic), the
+    return is ONE double division, and the return is additionally
+    emitted TRUNCATED to the 10⁻⁹ grid as DECIMAL(13,9) (``ret_d``) so
+    downstream sufficient-statistic aggregates (:func:`sharpe_ratio`,
+    :func:`beta_vs_benchmark`) accumulate exactly, free of
+    double-summation order.  The grid fix is floor(ret·10⁹)/10⁹ — one
+    IEEE multiply + floor, bit-identical cross-engine — NOT round():
+    when x·10⁹ lands within an ulp of a half-integer, DuckDB's
+    multiply-based round and Spark's exact-expansion round disagree
+    (observed at sf0.01: 31.4400035905 → …590 vs …591).
+
+    One shuffle: the (key, day) groupBy and the per-key lag window
+    share the key partitioning."""
+    day = F.date_trunc("day", F.col(ts_col))
+    close = df.groupBy(
+        F.col(key_col).alias("k"), day.alias("d")
+    ).agg(
+        F.max_by(
+            F.col(value_col), F.struct(F.col(ts_col), F.col(id_col))
+        ).alias("close")
+    )
+    w = Window.partitionBy("k").orderBy(F.col("d").asc())
+    ret = F.col("close") / F.lag("close", 1).over(w) - 1.0
+    ret_fx = F.floor(ret * F.lit(1e9)) / F.lit(1e9)
+    return close.select(
+        "k",
+        "d",
+        "close",
+        ret.alias("ret"),
+        ret_fx.cast("decimal(13,9)").alias("ret_d"),
+    )
+
+
+def sharpe_ratio(
+    returns: DataFrame,
+    key_col: str = "k",
+    ret_col: str = "ret_d",
+    periods_per_year: int = 252,
+) -> DataFrame:
+    """Annualized Sharpe ratio per series from a :func:`daily_returns`
+    frame: mean(ret)/stddev_samp(ret) · √periods, rate-free form.
+
+    The three sufficient statistics accumulate in INTEGER FIXED-POINT
+    (r·10⁹ as exact longs; the square sums as integer-valued
+    DECIMAL(37,0) so the int128 lane engages): integer-valued sums
+    convert to double deterministically on every engine, whereas a
+    fractional DECIMAL(38,18)→double conversion is off-by-an-ulp
+    between Spark (correctly-rounded BigDecimal) and DuckDB
+    (int128-to-double then scale multiply) — observed at sf0.01 on
+    vol/sharpe.  Mean, stddev and the ratio are then single UNROUNDED
+    double expressions (bit-identical chains; round()ing them could
+    land on an engine-divergent half-way perception — see
+    daily_returns).  The 10⁻⁹ grid scale cancels inside the Sharpe;
+    mean/vol rescale by one final multiply.  Keys with n < 2 or zero
+    variance yield NULL."""
+    # ret_d is integer-valued at scale 9 ⇒ ·10⁹ then cast long is exact
+    rfx = (
+        (F.col(ret_col).cast("decimal(22,9)") * F.lit(1_000_000_000))
+        .cast("long")
+    )
+    stats = (
+        returns.filter(F.col(ret_col).isNotNull())
+        .select(F.col(key_col), rfx.alias("rfx"))
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("rfx").alias("s1"),
+            F.sum(
+                F.col("rfx").cast("decimal(18,0)")
+                * F.col("rfx").cast("decimal(18,0)")
+            ).alias("s2"),
+        )
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    mean_fx = s1 / n
+    var_fx = (s2 - s1 * s1 / n) / (n - 1.0)
+    sharpe = F.when(
+        (F.col("n") > 1) & (var_fx > 0.0),
+        mean_fx / F.sqrt(var_fx) * F.sqrt(F.lit(float(periods_per_year))),
+    )
+    return stats.select(
+        F.col(key_col),
+        F.col("n").alias("n_days"),
+        (mean_fx * F.lit(1e-9)).alias("mean_ret"),
+        # var >= 0 guard: s1²/n can exceed s2 by an ulp on constant
+        # series — Spark sqrt would give NaN where DuckDB hard-errors,
+        # so both twins guard the sign
+        (
+            F.when((F.col("n") > 1) & (var_fx >= 0.0), F.sqrt(var_fx))
+            * F.lit(1e-9)
+        ).alias("vol"),
+        sharpe.alias("sharpe"),
+    )
+
+
+def beta_vs_benchmark(
+    returns: DataFrame,
+    key_col: str = "k",
+    day_col: str = "d",
+    ret_col: str = "ret_d",
+) -> DataFrame:
+    """CAPM-style beta (and alpha per period) of every series against
+    the EQUAL-WEIGHT cross-sectional benchmark: the market return for a
+    day is the mean of all series' returns that day, and
+    beta_j = cov(r_j, r_m)/var(r_m) from one OLS sufficient-statistic
+    pass.
+
+    Exactness: per-day market means are one double division of an
+    exact DECIMAL sum by a count, floor-truncated to 10⁹-scaled
+    INTEGER fixed-point (round() is engine-divergent at half-way
+    perceptions, and fractional decimal→double conversions are
+    off-by-an-ulp across engines — see daily_returns/sharpe_ratio);
+    all five sufficient statistics (n, Σx, Σy, Σxx, Σxy) accumulate as
+    exact integers (squares in integer-valued DECIMAL(37,0)), so every
+    downstream double is a deterministic IEEE chain, emitted
+    UNROUNDED.  The fixed-point scale cancels inside beta; alpha
+    rescales by one final multiply.
+
+    Scale shape: day-level benchmark table is tiny (one row per day)
+    and broadcast back onto the returns; the per-key stats aggregate
+    is map-side-combining — two shuffles total (day agg + key agg),
+    rows cross each exactly once."""
+    r = F.col(ret_col)
+    day_mean = (
+        F.sum(r).cast("decimal(24,9)").cast("double")
+        / F.count(F.lit(1)).cast("double")
+    )
+    per_day = returns.filter(r.isNotNull()).groupBy(day_col).agg(
+        F.floor(day_mean * F.lit(1e9)).cast("long").alias("xfx")
+    )
+    yfx = (
+        (r.cast("decimal(22,9)") * F.lit(1_000_000_000)).cast("long")
+    )
+    joined = (
+        returns.filter(r.isNotNull())
+        .select(F.col(key_col), F.col(day_col), yfx.alias("yfx"))
+        .join(F.broadcast(per_day), on=day_col)
+    )
+    d18 = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    stats = joined.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xfx").alias("sx"),
+        F.sum("yfx").alias("sy"),
+        F.sum(d18("xfx") * d18("xfx")).alias("sxx"),
+        F.sum(d18("xfx") * d18("yfx")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    den = n * sxx - sx * sx
+    beta = F.when(den != 0.0, (n * sxy - sx * sy) / den)
+    alpha = F.when(den != 0.0, (sy - beta * sx) / n * F.lit(1e-9))
+    # the square sums exceed 2^63, where DuckDB's int128→double
+    # conversion can sit one ulp off Spark's correctly-rounded one —
+    # beta/alpha are therefore rounded (the structural half-way cases
+    # are already gone thanks to the grid fixes, so round() is safe
+    # here in a way it was not for mean_ret)
+    return stats.select(
+        F.col(key_col),
+        F.col("n").alias("n_days"),
+        F.round(beta, 6).alias("beta"),
+        F.round(alpha, 9).alias("alpha"),
+    )

@@ -136,6 +136,68 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("frame_mean", T.DoubleType()),
+    ]
+)
+
+
+def sample_frame_bytes(
+    df: DataFrame,
+    frame_w: int = 4,
+    frame_h: int = 4,
+    every_n: int = 2,
+) -> DataFrame:
+    """Byte-level frame sampling over opaque video payloads: treat the
+    payload as a packed sequence of ``frame_w × frame_h`` RGB frames
+    (``frame_w·frame_h·3`` bytes each), keep every ``every_n``-th
+    frame, and emit one row per sampled frame with its byte-mean — the
+    uniform-stride frame-subsample step of a video training pipeline
+    (:func:`frame_sample_plan` is the timestamp-domain sibling; this
+    is the byte-domain one the oracle can replay).  A real codec would
+    replace the fixed-stride slicing with container-aware demuxing;
+    the Spark plumbing — Arrow batches, fan-out row-per-frame schema,
+    per-frame statistics — is the real, tested part.
+
+    Scale shape: pure ``mapInPandas`` fan-out, no shuffle; each input
+    row yields ceil(n_frames/every_n) rows, so partition sizing follows
+    payload bytes, which the upstream reader already bounds."""
+    fs = frame_w * frame_h * 3
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            nfs: list[int] = []
+            means: list[float] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = np.frombuffer(p or b"", dtype=np.uint8)
+                nf = len(b) // fs
+                for i in range(0, nf, every_n):
+                    ids.append(int(mid))
+                    idxs.append(i)
+                    nfs.append(nf)
+                    means.append(
+                        float(b[i * fs : (i + 1) * fs].sum()) / float(fs)
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "n_frames": pd.Series(nfs, dtype="int32"),
+                    "frame_mean": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(kernel, FRAME_SAMPLE_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # real transform kernels over (fake-)decoded pixels / samples
 #

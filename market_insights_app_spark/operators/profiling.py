@@ -201,3 +201,58 @@ def psi_drift(
         .select("k", F.lit(None).cast("double").alias("psi"))
     )
     return scored.unionByName(new_groups).withColumnRenamed("k", key_col)
+
+
+def key_skew(
+    df: DataFrame,
+    key_cols: list[str],
+    top_n: int = 20,
+) -> DataFrame:
+    """Partition-skew report for a prospective shuffle/join key — the
+    first question before keying a 100 TB shuffle: the ``top_n``
+    heaviest keys with their absolute counts, share of all rows, and
+    cumulative share, plus the global key count for context.  A top
+    key holding ≫ 1/n_partitions of the rows predicts a straggler task
+    and argues for salting or an AQE skew join (see
+    plans/core.q_salted_hot_agg for the remedy this report triggers).
+
+    Scale shape: ONE map-side-combining groupBy over the rows; the
+    global totals reduce to a single broadcast row; the heavy-hitter
+    cut is orderBy+limit → TakeOrderedAndProject (per-partition heap,
+    never a global sort); ranking/cumulating run over the ``top_n``-row
+    result only."""
+    keys = [F.col(k) for k in key_cols]
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total"),
+        F.count(F.lit(1)).alias("n_keys_total"),
+    )
+    top = counts.orderBy(
+        F.col("n_rows").desc(), *[k.asc() for k in keys]
+    ).limit(top_n)
+    w = (
+        Window.orderBy(F.col("n_rows").desc(), *[k.asc() for k in keys])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.col("n_rows").desc(), *[k.asc() for k in keys]
+                )
+            )
+            .alias("rank"),
+            *key_cols,
+            "n_rows",
+            (F.col("n_rows").cast("double") / F.col("__total").cast("double")).alias(
+                "share"
+            ),
+            (
+                F.sum("n_rows").over(w).cast("double")
+                / F.col("__total").cast("double")
+            ).alias("cum_share"),
+            "n_keys_total",
+        )
+    )

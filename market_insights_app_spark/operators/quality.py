@@ -261,3 +261,48 @@ def perplexity_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def token_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Shannon entropy of each document's unigram (case-folded
+    whitespace-token) distribution, plus the type count and the
+    type-normalized entropy in [0, 1] — the information-density signal
+    between :func:`repetition_features`' ratio heuristics and the
+    bigram LM's corpus statistics: boilerplate and keyword-stuffed
+    docs score low, diverse prose scores high.
+
+    entropy = −Σ p·ln p is computed via the algebraic identity
+    ln T − (Σ c·ln c)/T over the per-token counts, so ONE aggregate
+    per doc suffices (no second pass to learn T first).  A doc whose
+    tokens are all identical gets exactly 0.0 (ln T − (T·ln T)/T —
+    the same double subtracted from itself); single-type docs have
+    NULL normalized entropy; empty docs emit no row.
+
+    Scale shape mirrors repetition_features: explode → one
+    (doc, token) count aggregate → one per-doc aggregate; entropies
+    round to 6 dp (the Σ c·ln c partials are libm doubles whose
+    summation order is engine-arbitrary — rounding absorbs the ulp,
+    the bigram_lm contract)."""
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    tok = base.select("id", F.explode(_lower_tokens("__t")).alias("tok"))
+    tc = tok.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    cd = F.col("c").cast("double")
+    per = tc.groupBy("id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(cd * F.log(cd)).alias("__slnc"),
+    )
+    t = F.col("n_tokens").cast("double")
+    ent = F.log(t) - F.col("__slnc") / t
+    norm = F.when(
+        F.col("n_types") > 1, ent / F.log(F.col("n_types").cast("double"))
+    )
+    return per.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        "n_types",
+        F.round(ent, 6).alias("entropy"),
+        F.round(norm, 6).alias("norm_entropy"),
+    )

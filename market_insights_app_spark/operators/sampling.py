@@ -338,3 +338,34 @@ def weighted_sample(
         .orderBy(F.col("sample_key").desc(), c.asc())
         .limit(k)
     )
+
+
+def sample_n_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = "groupsample-v1",
+) -> DataFrame:
+    """Deterministic fixed-size uniform sample per group — "n docs per
+    domain/language" — the bounded-quota sibling of
+    :func:`stratified_sample` (which keeps a FRACTION per group and so
+    still mirrors group skew).  Rows rank within their group by
+    md5(salt:id) (the same engine-portable hash-order contract as
+    every sampler here: reproducible across engines, runs, and task
+    retries, no rand() re-draw hazard) and the first ``n`` survive;
+    exact hash ties break by ascending id.
+
+    Scale shape: one shuffle on the group key; the rank-and-filter is
+    a single window pass — groups larger than ``n`` never leave more
+    than ``n`` rows per group past the filter."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.md5(F.concat(F.lit(salt + ":"), c.cast("string")))
+    w = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy(
+        h.asc(), c.asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

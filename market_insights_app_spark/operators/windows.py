@@ -299,3 +299,88 @@ def ewma(value: Column | str, w: WindowSpec, span: int) -> Column:
 def macd(value: Column | str, w: WindowSpec, fast: int = 12, slow: int = 26) -> Column:
     """MACD line = EWMA(fast) − EWMA(slow) (bounded-horizon form)."""
     return ewma(value, w, fast) - ewma(value, w, slow)
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_cols: list[str],
+    state_col: str,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: for every (prev_state, next_state) pair of CONSECUTIVE
+    events within a key (ordered by the (ts, id) total order), the
+    transition count and the row-conditional probability
+    P(next | prev) = n / Σ_next n.
+
+    The probability is one double division of two exact longs —
+    bit-identical cross-engine.  Scale shape: one shuffle for the
+    per-key lag window; the pair aggregate reduces to |states|² tiny
+    rows, and the per-prev normalization runs as a window over that
+    tiny table (states are low-cardinality by construction — event
+    types, page ids, order states)."""
+    w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    pairs = df.select(
+        F.lag(F.col(state_col), 1).over(w).alias("prev_state"),
+        F.col(state_col).alias("next_state"),
+    ).filter(F.col("prev_state").isNotNull())
+    counts = pairs.groupBy("prev_state", "next_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("prev_state")
+    return counts.select(
+        "prev_state",
+        "next_state",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wp).cast("double")).alias(
+            "p"
+        ),
+    )
+
+
+def rolling_zscore_anomalies(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str = "value",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    n: int = 20,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Trailing-window z-score anomaly detector per key: each tick is
+    scored against the mean/sample-stddev of the PREVIOUS ``n`` ticks
+    (current row excluded — the monitored point must not contaminate
+    its own baseline), and rows with |z| > ``threshold`` are flagged.
+    Warm-up rows (< n priors) and zero-variance baselines yield NULL z
+    and never flag.
+
+    One shuffle: a single (key, ts, id)-sorted window pass computes
+    both trailing moments; the z and the flag are scan-stage
+    expressions over them (same shape as W2 rolling_stddev)."""
+    w = (
+        Window.partitionBy(*[F.col(k) for k in key_cols])
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(-n, -1)
+    )
+    ord_w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    v = F.col(value_col).cast("double")
+    mean = F.avg(v).over(w)
+    sd = F.stddev_samp(v).over(w)
+    warm = F.row_number().over(ord_w) > n
+    # flag on the ROUNDED z so the threshold comparison is
+    # engine-portable (a raw-double compare at the boundary could flip
+    # on a libm ulp — the embedding_neardup contract)
+    z = F.round(F.when(warm & (sd > 0.0), (v - mean) / sd), 6)
+    return df.select(
+        *key_cols,
+        ts_col,
+        id_col,
+        F.col(value_col),
+        z.alias("z"),
+        F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_anomaly"),
+    )

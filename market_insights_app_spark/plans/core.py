@@ -1427,3 +1427,150 @@ def q_ab_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
         F.round(u1, 1).alias("u_stat"),
         F.round(z, 6).alias("z_approx"),
     )
+
+
+def q_daily_sharpe(spark: SparkSession, sf: str) -> DataFrame:
+    """Annualized Sharpe per series from daily close-to-close returns
+    (operators/market.daily_returns + sharpe_ratio): the risk-adjusted
+    summary beside max_drawdown.  All aggregates over DECIMAL returns
+    (exact sufficient statistics); one (key, day) shuffle feeds
+    close/lag, one key shuffle the stats."""
+    from market_insights_app_spark.operators.market import (
+        daily_returns,
+        sharpe_ratio,
+    )
+
+    rets = daily_returns(_events(spark, sf))
+    out = sharpe_ratio(rets)
+    return out.select(
+        F.col("k").alias("user_id"),
+        "n_days",
+        F.col("mean_ret").cast("double").alias("mean_ret"),
+        F.col("vol").cast("double").alias("vol"),
+        "sharpe",
+    )
+
+
+def q_beta_benchmark(spark: SparkSession, sf: str) -> DataFrame:
+    """CAPM beta/alpha of every series against the equal-weight
+    cross-sectional benchmark (operators/market.beta_vs_benchmark):
+    day-level market means broadcast back onto the returns, one
+    sufficient-statistic pass per key."""
+    from market_insights_app_spark.operators.market import (
+        beta_vs_benchmark,
+        daily_returns,
+    )
+
+    rets = daily_returns(_events(spark, sf))
+    out = beta_vs_benchmark(rets)
+    return out.select(
+        F.col("k").alias("user_id"),
+        "n_days",
+        "beta",
+        F.col("alpha").cast("double").alias("alpha"),
+    )
+
+
+def q_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's
+    event-type sequence (operators/windows.transition_matrix) — the
+    sequence-model summary (next-event prediction baseline, funnel
+    sanity check).  P(next|prev) is one division of exact longs."""
+    from market_insights_app_spark.operators.windows import transition_matrix
+
+    out = transition_matrix(
+        _events(spark, sf), ["user_id"], "event_type"
+    )
+    # p is ONE double division of exact longs — bit-identical
+    # cross-engine; emitted unrounded (round() can perceive half-way
+    # points differently per engine — see market.daily_returns)
+    return out.select("prev_state", "next_state", "n", "p")
+
+
+def q_zscore_anomalies(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-20 z-score anomaly scan per user
+    (operators/windows.rolling_zscore_anomalies), flagged rows only —
+    the monitoring query a pipeline runs on every metric series.  The
+    flag compares the 6-dp-rounded z so the threshold is
+    engine-portable."""
+    from market_insights_app_spark.operators.windows import (
+        rolling_zscore_anomalies,
+    )
+
+    out = rolling_zscore_anomalies(
+        _events(spark, sf), ["user_id"], n=20, threshold=3.0
+    )
+    return out.filter(F.col("is_anomaly")).select(
+        "user_id",
+        ts_us("ts").alias("ts_us"),
+        "event_id",
+        "value",
+        "z",
+    )
+
+
+def q_key_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Shuffle-key skew report for events.user_id
+    (operators/profiling.key_skew): top-20 heaviest keys with share and
+    cumulative share — the diagnosis that precedes salting
+    (q_salted_hot_agg is the remedy)."""
+    from market_insights_app_spark.operators.profiling import key_skew
+
+    # shares are single divisions of exact longs — emitted unrounded
+    out = key_skew(_events(spark, sf), ["user_id"], top_n=20)
+    return out.select(
+        "rank", "user_id", "n_rows", "share", "cum_share", "n_keys_total"
+    )
+
+
+def q_interval_join_stream_replay(spark: SparkSession, sf: str) -> DataFrame:
+    """ST-family driver evidence for the STREAM-STREAM interval join
+    (streaming/ingest.interval_join_stream): purchases and clicks
+    replayed as two availableNow file streams, joined on user within
+    the preceding 30 minutes, drained to a memory sink — the streaming
+    twin of q_click_attribution, hash-gated against the same interval
+    oracle.  The two-sided watermark + range predicate are exactly the
+    state-bounding construction production would run; in replay the
+    single availableNow batch emits every in-interval match."""
+    import uuid
+
+    from market_insights_app_spark.streaming.ingest import (
+        events_file_stream,
+        interval_join_stream,
+        run_available_now_to_memory,
+    )
+
+    purchases = (
+        events_file_stream(spark, sf, max_files_per_trigger=10_000)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("l_uid"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("pts"),
+        )
+    )
+    clicks = (
+        events_file_stream(spark, sf, max_files_per_trigger=10_000)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("r_uid"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("cts"),
+        )
+    )
+    joined = interval_join_stream(
+        purchases,
+        clicks,
+        left_key="l_uid",
+        right_key="r_uid",
+        left_ts="pts",
+        right_ts="cts",
+        within="30 minutes",
+    )
+    name = f"ivj_replay_{uuid.uuid4().hex[:8]}"
+    run_available_now_to_memory(joined, name, "append")
+    return spark.table(name).select(
+        "purchase_id",
+        "click_id",
+        (ts_us("pts") - ts_us("cts")).alias("delta_us"),
+    )

@@ -1222,3 +1222,143 @@ CORE_ORACLES["ab_mann_whitney"] = """
                  END, 6) AS z_approx
     FROM stats
 """
+
+# -- round-6 additions: returns/sharpe/beta, transitions, anomalies, skew --
+
+_DAILY_RET_CTE = """
+    cl AS (
+      SELECT user_id, date_trunc('day', ts) AS d, value AS close,
+             row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events),
+    c2 AS (SELECT user_id, d, close FROM cl WHERE rn = 1),
+    -- 10^-9 grid fix by floor(x*1e9)/1e9, NOT round(): one IEEE
+    -- multiply + floor is bit-identical cross-engine, while round at
+    -- a perceived half-way diverges (Spark exact expansion vs DuckDB
+    -- multiply-based)
+    r AS (SELECT user_id, d,
+                 CAST(floor((close / lag(close) OVER (PARTITION BY user_id
+                                                      ORDER BY d) - 1.0)
+                            * 1e9) / 1e9
+                      AS DECIMAL(13,9)) AS rd
+          FROM c2),
+    r2 AS (SELECT user_id, d, rd FROM r WHERE rd IS NOT NULL)
+"""
+
+CORE_ORACLES["daily_sharpe"] = f"""
+    -- sufficient statistics in 10^9-scaled INTEGER fixed-point:
+    -- integer-valued sums convert to double deterministically on both
+    -- engines (fractional DECIMAL(38,18)->double is off-by-an-ulp
+    -- between Spark and DuckDB); the grid scale cancels in the Sharpe
+    -- and rescales mean/vol with one final multiply.  var >= 0 guard
+    -- mirrors the Spark twin (a -1-ulp variance would NaN there,
+    -- error here).
+    WITH {_DAILY_RET_CTE},
+    fx AS (SELECT user_id, CAST(CAST(rd AS DECIMAL(19,9)) * 1000000000 AS BIGINT) AS rfx FROM r2),
+    s AS (SELECT user_id, COUNT(*) AS n,
+                 CAST(sum(rfx) AS DOUBLE) AS s1d,
+                 CAST(sum(CAST(rfx AS DECIMAL(19,0))
+                          * CAST(rfx AS DECIMAL(19,0))) AS DOUBLE) AS s2d
+          FROM fx GROUP BY user_id),
+    d AS (SELECT user_id, n, CAST(n AS DOUBLE) AS nd, s1d, s2d FROM s),
+    v AS (SELECT user_id, n, nd, s1d,
+                 (s2d - s1d * s1d / nd) / (nd - 1.0) AS var
+          FROM d)
+    SELECT user_id, n AS n_days,
+           s1d / nd * 1e-9 AS mean_ret,
+           (CASE WHEN n > 1 AND var >= 0.0 THEN sqrt(var) END) * 1e-9 AS vol,
+           CASE WHEN n > 1 AND var > 0.0
+                THEN (s1d / nd) / sqrt(var) * sqrt(252.0) END AS sharpe
+    FROM v
+"""
+
+CORE_ORACLES["beta_benchmark"] = f"""
+    WITH {_DAILY_RET_CTE},
+    m AS (SELECT d,
+                 CAST(floor(CAST(CAST(sum(rd) AS DECIMAL(24,9)) AS DOUBLE)
+                            / CAST(COUNT(*) AS DOUBLE) * 1e9)
+                      AS BIGINT) AS xfx
+          FROM r2 GROUP BY d),
+    j AS (SELECT r2.user_id, m.xfx,
+                 CAST(CAST(r2.rd AS DECIMAL(19,9)) * 1000000000 AS BIGINT) AS yfx
+          FROM r2 JOIN m USING (d)),
+    s AS (SELECT user_id, COUNT(*) AS n,
+                 CAST(sum(xfx) AS DOUBLE) AS sxd,
+                 CAST(sum(yfx) AS DOUBLE) AS syd,
+                 CAST(sum(CAST(xfx AS DECIMAL(19,0))
+                          * CAST(xfx AS DECIMAL(19,0))) AS DOUBLE) AS sxxd,
+                 CAST(sum(CAST(xfx AS DECIMAL(19,0))
+                          * CAST(yfx AS DECIMAL(19,0))) AS DOUBLE) AS sxyd
+          FROM j GROUP BY user_id),
+    d2 AS (SELECT user_id, n, CAST(n AS DOUBLE) AS nd,
+                  sxd, syd, sxxd, sxyd
+           FROM s),
+    b AS (SELECT user_id, n, nd, syd, sxd,
+                 nd * sxxd - sxd * sxd AS den,
+                 nd * sxyd - sxd * syd AS num
+          FROM d2)
+    SELECT user_id, n AS n_days,
+           round(CASE WHEN den <> 0.0 THEN num / den END, 6) AS beta,
+           round(CASE WHEN den <> 0.0
+                 THEN (syd - (num / den) * sxd) / nd * 1e-9 END, 9) AS alpha
+    FROM b
+"""
+
+CORE_ORACLES["transition_matrix"] = """
+    WITH seq AS (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    c AS (SELECT prev AS prev_state, event_type AS next_state,
+                 COUNT(*) AS n
+          FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2)
+    SELECT prev_state, next_state, n,
+           CAST(n AS DOUBLE)
+           / CAST(sum(n) OVER (PARTITION BY prev_state) AS DOUBLE) AS p
+    FROM c
+"""
+
+CORE_ORACLES["zscore_anomalies"] = """
+    WITH w AS (
+      SELECT user_id, ts, event_id, value,
+             avg(value) OVER win AS m,
+             stddev_samp(value) OVER win AS sd,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+    z AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+                 round(CASE WHEN rn > 20 AND sd > 0.0
+                       THEN (value - m) / sd END, 6) AS z
+          FROM w)
+    SELECT user_id, ts_us, event_id, value, z
+    FROM z WHERE abs(z) > 3.0
+"""
+
+CORE_ORACLES["key_skew"] = """
+    WITH c AS (SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+                   COUNT(*) AS n_keys_total
+            FROM c),
+    top AS (SELECT * FROM c ORDER BY n_rows DESC, user_id ASC LIMIT 20)
+    SELECT CAST(row_number() OVER (ORDER BY n_rows DESC, user_id ASC)
+                AS INT) AS rank,
+           user_id, n_rows,
+           CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+           CAST(sum(n_rows) OVER (ORDER BY n_rows DESC, user_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
+           n_keys_total
+    FROM top, tot
+"""
+
+CORE_ORACLES["interval_join_stream_replay"] = f"""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS delta_us
+    FROM {EV_SUB} p JOIN {EV_SUB} c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""

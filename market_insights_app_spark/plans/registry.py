@@ -107,6 +107,15 @@ _LAST_SWEPT: dict[str, int] = {
 # Queries first registered in round _ROUND (no driver row can exist).
 _NEW_THIS_ROUND: list[str] = [
     "ohlc_stream_replay",  # streaming OHLC hash-gated via replay
+    "daily_sharpe",        # daily returns → annualized Sharpe
+    "beta_benchmark",      # CAPM beta vs equal-weight benchmark
+    "transition_matrix",   # Markov event-type transitions
+    "zscore_anomalies",    # trailing-window z-score monitor
+    "key_skew",            # shuffle-key skew report
+    "sample_per_group",    # fixed-quota per-group sampler
+    "token_entropy",       # unigram entropy quality signal
+    "frame_sample",        # byte-domain video frame sampling
+    "interval_join_stream_replay",  # stream-stream interval join gate
 ]
 
 # Queries whose operator/plan semantics were touched since their last

@@ -2287,3 +2287,98 @@ TEXTML_ORACLES["chi2_lang_drift"] = """
     JOIN tl USING (source, lang)
     GROUP BY c.source
 """
+
+
+def q_sample_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-quota per-group corpus sampling — 30 docs per language
+    (operators/sampling.sample_n_per_group): the bounded-quota sibling
+    of stratified_sample, hash-ordered so engines and reruns agree."""
+    from market_insights_app_spark.operators.sampling import sample_n_per_group
+
+    out = sample_n_per_group(_docs(spark, sf), ["lang"], 30)
+    return out.select("doc_id", "lang")
+
+
+def q_token_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document unigram Shannon entropy + type counts
+    (operators/quality.token_entropy) — the information-density
+    quality signal."""
+    from market_insights_app_spark.operators.quality import token_entropy
+
+    return token_entropy(_docs(spark, sf))
+
+
+def q_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Byte-domain video frame sampling (operators/multimodal.
+    sample_frame_bytes): documents' text bytes stand in for packed
+    4×4-RGB video payloads; every 2nd frame is kept with its
+    byte-mean.  The mapInPandas fan-out (row per sampled frame) is the
+    real plumbing; the oracle replays the slicing over hex pairs."""
+    from market_insights_app_spark.operators.multimodal import (
+        sample_frame_bytes,
+    )
+
+    docs = _docs(spark, sf)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    out = sample_frame_bytes(media, frame_w=4, frame_h=4, every_n=2)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        "n_frames",
+        F.round("frame_mean", 4).alias("frame_mean"),
+    )
+
+
+TEXTML_ORACLES["sample_per_group"] = """
+    WITH r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('groupsample-v1:' || CAST(doc_id AS VARCHAR)) ASC,
+                        doc_id ASC) AS rn
+      FROM documents)
+    SELECT doc_id, lang FROM r WHERE rn <= 30
+"""
+
+TEXTML_ORACLES["token_entropy"] = """
+    WITH tk AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                       x -> x <> '') AS toks
+         FROM documents),
+    t AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+    tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+    p AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                 COUNT(*) AS n_types,
+                 sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS slnc
+          FROM tc GROUP BY 1)
+    SELECT doc_id, n_tokens, n_types,
+           round(ln(CAST(n_tokens AS DOUBLE)) - slnc / CAST(n_tokens AS DOUBLE),
+                 6) AS entropy,
+           round(CASE WHEN n_types > 1
+                 THEN (ln(CAST(n_tokens AS DOUBLE))
+                       - slnc / CAST(n_tokens AS DOUBLE))
+                      / ln(CAST(n_types AS DOUBLE)) END, 6) AS norm_entropy
+    FROM p
+"""
+
+TEXTML_ORACLES["frame_sample"] = """
+    WITH c AS (SELECT doc_id,
+                      regexp_extract_all(hex(encode(text)), '..') AS hx
+               FROM documents),
+    f AS (SELECT doc_id, hx, CAST(len(hx) // 48 AS INT) AS n_frames
+          FROM c WHERE len(hx) >= 48),
+    g AS (SELECT doc_id, n_frames, hx,
+                 CAST(unnest(range(0, n_frames, 2)) AS INT) AS frame_idx
+          FROM f)
+    SELECT doc_id AS media_id, frame_idx, n_frames,
+           round(CAST(list_sum(list_transform(
+                   hx[frame_idx*48+1 : frame_idx*48+48], x ->
+                     (strpos('0123456789ABCDEF', x[1]) - 1) * 16
+                   + (strpos('0123456789ABCDEF', x[2]) - 1)))
+                 AS DOUBLE) / 48.0, 4) AS frame_mean
+    FROM g
+"""

@@ -188,6 +188,31 @@ COMMENTARY = {
         "percentiles sort within groups and swap for approx_percentile "
         "sketches at full scale."
     ),
+    "daily_sharpe": (
+        "Returns→Sharpe: the (key, day) close aggregate and the lag "
+        "window + stats aggregate run on TWO exchanges total — the "
+        "window re-keys once on the key and the sufficient-statistic "
+        "groupBy reuses that partitioning. All sums are DECIMAL "
+        "partials; the Sharpe is one double expression at the end."
+    ),
+    "key_skew": (
+        "Skew report: one map-side-combining count groupBy is the only "
+        "row-bearing Exchange; totals reduce to a broadcast single "
+        "row; the heavy-hitter cut is TakeOrderedAndProject (heap, no "
+        "global sort); rank/cum-share windows touch only top_n rows."
+    ),
+    "zscore_anomalies": (
+        "Anomaly monitor: both trailing moments (avg, stddev_samp over "
+        "ROWS -20..-1) and the warm-up row_number share a single "
+        "(key)-sorted Exchange; the z, the rounding, and the threshold "
+        "flag are scan-stage expressions over the window output."
+    ),
+    "frame_sample": (
+        "Video frame fan-out: a single MapInPandas (Arrow lane) over a "
+        "payload-pruned ReadSchema — no shuffle at all; output rows "
+        "scale with payload bytes, which the file reader already "
+        "bounds per partition."
+    ),
 }
 
 

@@ -185,6 +185,29 @@ def main() -> None:
         incremental_agg_update(base_agg, delta, "event_type", "s", "c"),
     )
     diff_d.unpersist()
+
+    # --- round-6 sequence/returns/skew ops over the same ticks --------------
+    from market_insights_app_spark.operators.market import (
+        beta_vs_benchmark,
+        daily_returns,
+        sharpe_ratio,
+    )
+    from market_insights_app_spark.operators.profiling import key_skew
+    from market_insights_app_spark.operators.windows import (
+        rolling_zscore_anomalies,
+        transition_matrix,
+    )
+
+    rets = daily_returns(evt, ts_col="tts")
+    t("daily returns + sharpe (10k keys)", sharpe_ratio(rets))
+    t("beta vs benchmark (10k keys)", beta_vs_benchmark(rets))
+    t("transition matrix (10M events)", transition_matrix(
+        ev, ["user_id"], "event_type", ts_col="ts", id_col="event_id"
+    ))
+    t("zscore anomalies (10M ticks)", rolling_zscore_anomalies(
+        ev, ["user_id"], value_col="value", ts_col="ts", id_col="event_id"
+    ).filter(F.col("is_anomaly")))
+    t("key skew report (10M rows)", key_skew(ev, ["user_id"]))
     ev.unpersist()
 
     # --- synthetic docs: n_docs rows, zipf-ish repeated phrases ------------

@@ -361,3 +361,59 @@ def test_scd2_single_exchange(spark):
 
     tree = plan_of(QUERIES["scd2_user_state"](spark, SF_ORACLE)).split("\n\n")[0]
     assert tree.count("Exchange") == 1
+
+
+def test_key_skew_heap_cut_and_broadcast_totals(spark):
+    """The heavy-hitter cut must be TakeOrderedAndProject (per-partition
+    heap), never a global Sort over the key counts; the totals row must
+    broadcast; the row scan must shuffle exactly once (the count
+    groupBy)."""
+    from market_insights_app_spark.plans.registry import QUERIES
+
+    tree = plan_of(QUERIES["key_skew"](spark, SF_ORACLE)).split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastExchange" in tree
+    assert tree.count("Scan parquet") == 2  # counts + totals branches
+
+
+def test_daily_sharpe_two_exchanges(spark):
+    """daily close agg shuffles on (key, day); the lag window re-keys
+    on the key and the stats groupBy must REUSE that partitioning —
+    two exchanges total, none after the window."""
+    from market_insights_app_spark.plans.registry import QUERIES
+
+    tree = plan_of(QUERIES["daily_sharpe"](spark, SF_ORACLE)).split("\n\n")[0]
+    assert tree.count("Exchange") == 2
+
+
+def test_zscore_single_exchange(spark):
+    """Both trailing moments and the row_number warm-up share ONE
+    (key)-partitioned sort — a single Exchange."""
+    from market_insights_app_spark.plans.registry import QUERIES
+
+    tree = plan_of(QUERIES["zscore_anomalies"](spark, SF_ORACLE)).split(
+        "\n\n"
+    )[0]
+    assert tree.count("Exchange") == 1
+
+
+def test_sample_per_group_single_exchange(spark):
+    """The per-group rank-and-filter is one window pass over one
+    group-keyed shuffle."""
+    from market_insights_app_spark.plans.registry import QUERIES
+
+    tree = plan_of(QUERIES["sample_per_group"](spark, SF_ORACLE)).split(
+        "\n\n"
+    )[0]
+    assert tree.count("Exchange") == 1
+
+
+def test_frame_sample_stays_arrow(spark):
+    """The frame fan-out kernel must run in the Arrow lane and read
+    only the columns it needs."""
+    from market_insights_app_spark.plans.registry import QUERIES
+
+    p = plan_of(QUERIES["frame_sample"](spark, SF_ORACLE))
+    assert "MapInPandas" in p
+    assert "BatchEvalPython" not in p
+    assert "text" in p.split("ReadSchema")[1][:200]
