@@ -78,6 +78,12 @@ HEADLINE = [
     # round-5 LM-pipeline batch
     "bigram_lm",
     "span_dedup",
+    # round-6 additions
+    "daily_sharpe",
+    "transition_matrix",
+    "key_skew",
+    "token_entropy",
+    "frame_sample",
 ]
 
 

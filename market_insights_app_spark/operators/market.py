@@ -640,7 +640,10 @@ def daily_returns(
         ).alias("close")
     )
     w = Window.partitionBy("k").orderBy(F.col("d").asc())
-    ret = F.col("close") / F.lag("close", 1).over(w) - 1.0
+    prev = F.lag("close", 1).over(w)
+    # zero previous close → undefined return (NULL), not ±Infinity
+    # (which would error the ANSI cast to the decimal grid)
+    ret = F.when(prev != 0.0, F.col("close") / prev - 1.0)
     ret_fx = F.floor(ret * F.lit(1e9)) / F.lit(1e9)
     return close.select(
         "k",

@@ -1236,12 +1236,13 @@ _DAILY_RET_CTE = """
     -- multiply + floor is bit-identical cross-engine, while round at
     -- a perceived half-way diverges (Spark exact expansion vs DuckDB
     -- multiply-based)
+    r0 AS (SELECT user_id, d, close,
+                  lag(close) OVER (PARTITION BY user_id ORDER BY d) AS prev
+           FROM c2),
     r AS (SELECT user_id, d,
-                 CAST(floor((close / lag(close) OVER (PARTITION BY user_id
-                                                      ORDER BY d) - 1.0)
-                            * 1e9) / 1e9
+                 CAST(floor((close / prev - 1.0) * 1e9) / 1e9
                       AS DECIMAL(13,9)) AS rd
-          FROM c2),
+          FROM r0 WHERE prev IS NULL OR prev <> 0.0),
     r2 AS (SELECT user_id, d, rd FROM r WHERE rd IS NOT NULL)
 """
 
