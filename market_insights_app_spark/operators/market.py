@@ -786,3 +786,68 @@ def beta_vs_benchmark(
         F.round(beta, 6).alias("beta"),
         F.round(alpha, 9).alias("alpha"),
     )
+
+
+def rolling_market_corr(
+    returns: DataFrame,
+    key_col: str = "k",
+    day_col: str = "d",
+    ret_col: str = "ret_d",
+    n: int = 20,
+) -> DataFrame:
+    """Trailing-window Pearson correlation of each series' daily
+    return against the equal-weight cross-sectional market return —
+    the time-VARYING sibling of :func:`beta_vs_benchmark` (a regime
+    monitor: correlation regimes shift; the static beta hides it).
+
+    Exactness contract: both return lanes ride the 10⁹ integer
+    fixed-point grid (see daily_returns), so ALL five windowed
+    sufficient statistics are exact integer sums (products as
+    width-19 DECIMAL so the int128 lane engages); the correlation is
+    one double expression per row, rounded to 6 dp because the square
+    sums exceed 2⁶³ where int128→double conversion may sit one ulp
+    apart across engines.  Windows with fewer than ``n`` observations
+    or degenerate variance yield NULL.
+
+    Scale shape: the day-keyed market table broadcasts; ONE
+    (key)-sorted window pass computes all five trailing sums."""
+    r = F.col(ret_col)
+    day_mean = (
+        F.sum(r).cast("decimal(24,9)").cast("double")
+        / F.count(F.lit(1)).cast("double")
+    )
+    per_day = returns.filter(r.isNotNull()).groupBy(day_col).agg(
+        F.floor(day_mean * F.lit(1e9)).cast("long").alias("xfx")
+    )
+    yfx = (r.cast("decimal(22,9)") * F.lit(1_000_000_000)).cast("long")
+    joined = (
+        returns.filter(r.isNotNull())
+        .select(F.col(key_col), F.col(day_col), yfx.alias("yfx"))
+        .join(F.broadcast(per_day), on=day_col)
+    )
+    ow = Window.partitionBy(key_col).orderBy(F.col(day_col).asc())
+    w = ow.rowsBetween(-(n - 1), 0)
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    scored = joined.select(
+        F.col(key_col),
+        F.col(day_col),
+        F.row_number().over(ow).alias("__rn"),
+        F.sum("xfx").over(w).cast("double").alias("sx"),
+        F.sum("yfx").over(w).cast("double").alias("sy"),
+        F.sum(d19("xfx") * d19("xfx")).over(w).cast("double").alias("sxx"),
+        F.sum(d19("yfx") * d19("yfx")).over(w).cast("double").alias("syy"),
+        F.sum(d19("xfx") * d19("yfx")).over(w).cast("double").alias("sxy"),
+    )
+    nd = F.lit(float(n))
+    varx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    corr = F.when(
+        (F.col("__rn") >= n) & (varx > 0.0) & (vary > 0.0),
+        num / F.sqrt(varx * vary),
+    )
+    return scored.select(
+        F.col(key_col),
+        F.col(day_col),
+        F.round(corr, 6).alias("roll_corr"),
+    )

@@ -306,3 +306,50 @@ def token_entropy(
         F.round(ent, 6).alias("entropy"),
         F.round(norm, 6).alias("norm_entropy"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Graded n-gram novelty of each document against a reference
+    corpus: the fraction of the doc's DISTINCT word n-grams that do
+    not appear anywhere in the reference — the scoring sibling of
+    binary decontamination (drop at ~0 novelty = contaminated copy;
+    weight by novelty for curriculum/dedup-aware sampling).
+
+    Shape: distinct doc grams explode once; membership is one
+    left-join marker against the reference's distinct gram set (AQE
+    broadcasts it at bench scale; at web scale it shuffle-joins or
+    swaps in the Bloom prefilter from operators/dedup); the ratio is
+    a per-doc division of exact counts.  Docs too short for one
+    n-gram emit no row (nothing to measure)."""
+    from market_insights_app_spark.functions.text import word_shingles
+
+    ref_grams = reference.select(
+        F.explode(word_shingles(text_col, shingle_n)).alias("g")
+    ).distinct()
+    doc_grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("g"),
+    )
+    marked = doc_grams.join(
+        ref_grams.withColumn("__hit", F.lit(1)), on="g", how="left"
+    )
+    out = marked.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias(
+            "n_novel"
+        ),
+    )
+    return out.select(
+        F.col("__id").alias(id_col),
+        "n_grams",
+        "n_novel",
+        (F.col("n_novel").cast("double") / F.col("n_grams").cast("double")).alias(
+            "novelty"
+        ),
+    )

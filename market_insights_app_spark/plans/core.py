@@ -1574,3 +1574,23 @@ def q_interval_join_stream_replay(spark: SparkSession, sf: str) -> DataFrame:
         "click_id",
         (ts_us("pts") - ts_us("cts")).alias("delta_us"),
     )
+
+
+def q_rolling_corr_market(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-20-day correlation of each series' return vs the
+    equal-weight market (operators/market.rolling_market_corr) — the
+    time-varying regime monitor beside the static beta.  All five
+    windowed sufficient statistics are exact integer fixed-point sums;
+    warm-up and degenerate windows yield NULL."""
+    from market_insights_app_spark.operators.market import (
+        daily_returns,
+        rolling_market_corr,
+    )
+
+    rets = daily_returns(_events(spark, sf))
+    out = rolling_market_corr(rets, n=20)
+    return out.select(
+        F.col("k").alias("user_id"),
+        ts_us("d").alias("day_us"),
+        "roll_corr",
+    )

@@ -1363,3 +1363,38 @@ CORE_ORACLES["interval_join_stream_replay"] = f"""
      AND p.event_type = 'purchase' AND c.event_type = 'click'
      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
 """
+
+CORE_ORACLES["rolling_corr_market"] = f"""
+    WITH {_DAILY_RET_CTE},
+    m AS (SELECT d,
+                 CAST(floor(CAST(CAST(sum(rd) AS DECIMAL(24,9)) AS DOUBLE)
+                            / CAST(COUNT(*) AS DOUBLE) * 1e9)
+                      AS BIGINT) AS xfx
+          FROM r2 GROUP BY d),
+    j AS (SELECT r2.user_id, r2.d, m.xfx,
+                 CAST(CAST(r2.rd AS DECIMAL(19,9)) * 1000000000 AS BIGINT) AS yfx
+          FROM r2 JOIN m USING (d)),
+    wsum AS (SELECT user_id, d,
+                    row_number() OVER w AS rn,
+                    CAST(sum(xfx) OVER wf AS DOUBLE) AS sx,
+                    CAST(sum(yfx) OVER wf AS DOUBLE) AS sy,
+                    CAST(sum(CAST(xfx AS DECIMAL(19,0))
+                             * CAST(xfx AS DECIMAL(19,0))) OVER wf AS DOUBLE) AS sxx,
+                    CAST(sum(CAST(yfx AS DECIMAL(19,0))
+                             * CAST(yfx AS DECIMAL(19,0))) OVER wf AS DOUBLE) AS syy,
+                    CAST(sum(CAST(xfx AS DECIMAL(19,0))
+                             * CAST(yfx AS DECIMAL(19,0))) OVER wf AS DOUBLE) AS sxy
+             FROM j
+             WINDOW w AS (PARTITION BY user_id ORDER BY d),
+                    wf AS (PARTITION BY user_id ORDER BY d
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+    c AS (SELECT user_id, d, rn,
+                 20.0 * sxx - sx * sx AS varx,
+                 20.0 * syy - sy * sy AS vary,
+                 20.0 * sxy - sx * sy AS num
+          FROM wsum)
+    SELECT user_id, epoch_us(d) AS day_us,
+           round(CASE WHEN rn >= 20 AND varx > 0.0 AND vary > 0.0
+                 THEN num / sqrt(varx * vary) END, 6) AS roll_corr
+    FROM c
+"""

@@ -116,6 +116,8 @@ _NEW_THIS_ROUND: list[str] = [
     "token_entropy",       # unigram entropy quality signal
     "frame_sample",        # byte-domain video frame sampling
     "interval_join_stream_replay",  # stream-stream interval join gate
+    "rolling_corr_market",  # trailing windowed corr vs market
+    "ngram_novelty",        # graded novelty vs reference corpus
 ]
 
 # Queries whose operator/plan semantics were touched since their last

@@ -2382,3 +2382,36 @@ TEXTML_ORACLES["frame_sample"] = """
                  AS DOUBLE) / 48.0, 4) AS frame_mean
     FROM g
 """
+
+
+def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Graded n-gram novelty of the training split against the
+    doc_id % 97 == 0 benchmark reference (operators/quality.
+    ngram_novelty) — the scoring sibling of ★decontaminate."""
+    from market_insights_app_spark.operators.quality import ngram_novelty
+
+    docs = _docs(spark, sf)
+    ref = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return ngram_novelty(train, ref, shingle_n=3)
+
+
+TEXTML_ORACLES["ngram_novelty"] = f"""
+    WITH toks AS (SELECT doc_id, list_filter(string_split({_NORM_SQL}, ' '),
+                                             x -> x <> '') AS w
+                  FROM documents),
+    grams0 AS (SELECT doc_id,
+                      unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+                             i -> array_to_string(w[i:i+2], ' '))) AS g
+               FROM toks),
+    grams AS (SELECT DISTINCT doc_id, g FROM grams0),
+    ref AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+    tr AS (SELECT gr.doc_id, r.g IS NOT NULL AS hit
+           FROM grams gr LEFT JOIN ref r USING (g)
+           WHERE gr.doc_id % 97 <> 0)
+    SELECT doc_id, COUNT(*) AS n_grams,
+           CAST(sum(CASE WHEN NOT hit THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN NOT hit THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM tr GROUP BY doc_id
+"""

@@ -315,3 +315,77 @@ def test_frame_sample_short_payload_emits_nothing(spark):
         "media_id long, kind string, payload binary",
     )
     assert sample_frame_bytes(media, 4, 4).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# rolling_market_corr
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_corr_perfect_when_series_is_market_multiple(spark):
+    from market_insights_app_spark.operators.market import (
+        daily_returns,
+        rolling_market_corr,
+    )
+
+    # two series with proportional (but non-constant) daily returns:
+    # the equal-weight market is proportional to both -> corr == 1
+    closes = [100.0, 105.0, 99.0, 108.0, 102.0, 111.0]
+    rows = []
+    for d, c in enumerate(closes):
+        rows.append((1, _ts(d + 1), d * 10 + 1, c))
+        rows.append((2, _ts(d + 1), d * 10 + 2, 2.0 * c))
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    out = rolling_market_corr(daily_returns(df), n=3).collect()
+    vals = [r["roll_corr"] for r in out if r["roll_corr"] is not None]
+    assert len(vals) == 6  # (5 ret days - 2 warmup) x 2 series
+    assert all(v == pytest.approx(1.0, abs=1e-6) for v in vals)
+
+
+def test_rolling_corr_warmup_is_null(spark):
+    from market_insights_app_spark.operators.market import (
+        daily_returns,
+        rolling_market_corr,
+    )
+
+    closes = [100.0, 105.0, 99.0, 108.0]
+    rows = [
+        (u, _ts(d + 1), d * 10 + u, c * u)
+        for u in (1, 2)
+        for d, c in enumerate(closes)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    out = rolling_market_corr(daily_returns(df), n=3).orderBy(
+        "k", "d"
+    ).collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["k"], []).append(r["roll_corr"])
+    for _u, vals in per_user.items():
+        assert vals[0] is None and vals[1] is None  # warm-up
+        assert vals[2] is not None
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_novelty_golden(spark):
+    from market_insights_app_spark.operators.quality import ngram_novelty
+
+    ref = spark.createDataFrame([(0, "a b c d e")], ["doc_id", "text"])
+    train = spark.createDataFrame(
+        [
+            (1, "a b c x y z"),  # 4 distinct trigrams, 1 shared -> 3/4
+            (2, "b c d e"),      # both trigrams in ref -> 0.0
+            (3, "hi there"),     # too short for a trigram -> no row
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in ngram_novelty(train, ref).collect()}
+    assert set(got) == {1, 2}
+    assert (got[1]["n_grams"], got[1]["n_novel"]) == (4, 3)
+    assert got[1]["novelty"] == pytest.approx(0.75)
+    assert (got[2]["n_grams"], got[2]["n_novel"]) == (2, 0)
+    assert got[2]["novelty"] == 0.0
