@@ -851,3 +851,60 @@ def rolling_market_corr(
         F.col(day_col),
         F.round(corr, 6).alias("roll_corr"),
     )
+
+
+def var_cvar(
+    returns: DataFrame,
+    key_col: str = "k",
+    day_col: str = "d",
+    ret_col: str = "ret_d",
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Historical Value-at-Risk and Conditional VaR (expected
+    shortfall) per series from a :func:`daily_returns` frame — the
+    left-tail risk readout beside :func:`sharpe_ratio`'s central one
+    (reference analytics stop at mean/extrema stats; VaR is the next
+    question any holder of those series asks).
+
+    Discrete, interpolation-free definitions (exact on both engines):
+    with n non-null returns per key and the tail size
+    k = ceil(alpha·n) ≥ 1, ``var_a`` is the k-th SMALLEST return and
+    ``cvar_a`` the mean of those k.  Both ride the 10⁻⁹ integer
+    fixed-point grid (see daily_returns): the order statistic is a
+    stored grid value re-expressed as ONE exact-operand double
+    division, and the CVaR is an exact long sum divided once.  Ties at
+    the cut are broken by day for row_number, but both outputs are
+    tie-invariant (equal values either side contribute identically).
+
+    Scale shape: ONE shuffle on the key — the rank window, the count
+    window and the final aggregate all share the key partitioning;
+    the k-row tail never leaves its partition."""
+    rfx = (
+        (F.col(ret_col).cast("decimal(22,9)") * F.lit(1_000_000_000))
+        .cast("long")
+    )
+    r = returns.filter(F.col(ret_col).isNotNull()).select(
+        F.col(key_col).alias("k"),
+        F.col(day_col).alias("d"),
+        rfx.alias("rfx"),
+    )
+    ow = Window.partitionBy("k").orderBy(
+        F.col("rfx").asc(), F.col("d").asc()
+    )
+    ranked = r.select(
+        "k",
+        "rfx",
+        F.row_number().over(ow).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("k")).alias("__n"),
+    )
+    kth = F.ceil(F.lit(alpha) * F.col("__n")).cast("int")
+    tail = ranked.filter(F.col("__rn") <= kth)
+    return tail.groupBy("k").agg(
+        F.max("__n").alias("n_days"),
+        F.count(F.lit(1)).alias("tail_n"),
+        (F.max("rfx").cast("double") / F.lit(1e9)).alias("var_a"),
+        (
+            F.sum("rfx").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1e9))
+        ).alias("cvar_a"),
+    )

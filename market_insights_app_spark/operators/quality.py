@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from market_insights_app_spark.functions.text import STOPWORDS as _STOPWORDS
 from market_insights_app_spark.functions.text import tokens
 
 
@@ -352,4 +353,142 @@ def ngram_novelty(
         (F.col("n_novel").cast("double") / F.col("n_grams").cast("double")).alias(
             "novelty"
         ),
+    )
+
+
+def quality_funnel(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    wc_min: int = 25,
+    wc_max: int = 95,
+    mean_len_min: float = 4.3,
+    mean_len_max: float = 4.8,
+    stop_min: float = 0.05,
+    distinct_min: float = 0.4,
+) -> DataFrame:
+    """Gopher-style quality-filter FUNNEL: apply the rule cascade
+    (word-count band → mean-word-length band → stopword-ratio floor →
+    distinct-token-ratio floor) and report survivors after each stage
+    — the curation dashboard a pipeline operator reads before
+    committing thresholds (per-doc pass flags are one `.filter` away;
+    the funnel is the aggregate view).
+
+    Rules are the public Gopher/C4 heuristics (Rae et al. 2021 §A1.1)
+    re-thresholded for this corpus's token statistics.  Every feature
+    is a deterministic integer count or an exact-operand double
+    division, so stage membership is bit-identical cross-engine.
+
+    Scale shape: ONE scan computes all features; the cascade is five
+    conditional partial aggregates (map-side combine) collapsing to a
+    single row, exploded driver-free into the 5-row report."""
+    toks = _lower_tokens(text_col)
+    wc = F.size(toks)
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_dist = F.size(F.array_distinct(toks))
+    feats = df.select(
+        wc.alias("wc"),
+        (sum_len.cast("double") / wc.cast("double")).alias("mlen"),
+        (n_stop.cast("double") / wc.cast("double")).alias("stopr"),
+        (n_dist.cast("double") / wc.cast("double")).alias("distr"),
+    ).filter(F.col("wc") > 0)
+    p1 = (F.col("wc") >= wc_min) & (F.col("wc") <= wc_max)
+    p2 = p1 & (F.col("mlen") >= mean_len_min) & (F.col("mlen") <= mean_len_max)
+    p3 = p2 & (F.col("stopr") >= stop_min)
+    p4 = p3 & (F.col("distr") >= distinct_min)
+    one = lambda p: F.sum(F.when(p, 1).otherwise(0)).cast("long")  # noqa: E731
+    agg = feats.agg(
+        F.count(F.lit(1)).alias("s0"),
+        one(p1).alias("s1"),
+        one(p2).alias("s2"),
+        one(p3).alias("s3"),
+        one(p4).alias("s4"),
+    )
+    names = ["total", "word_count", "mean_word_len", "stopword_ratio",
+             "distinct_ratio"]
+    stages = F.array(*[
+        F.struct(
+            F.lit(i).alias("rule_idx"),
+            F.lit(nm).alias("rule"),
+            F.col(f"s{i}").alias("survivors"),
+            (
+                (F.col(f"s{i - 1}") - F.col(f"s{i}"))
+                if i else F.lit(0).cast("long")
+            ).alias("dropped"),
+        )
+        for i, nm in enumerate(names)
+    ])
+    return agg.select(F.explode(stages).alias("st")).select("st.*")
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k word-bigram collocations by pointwise mutual information
+    PMI(w1,w2) = ln(c_xy·T_big ⁄ (c_w1·c_w2)) with a minimum pair
+    count — collocation mining for tokenizer/vocab construction (the
+    association sibling of :func:`bigram_lm`'s conditional
+    probabilities).
+
+    Determinism: every count is an exact long; the RANKING key is the
+    raw probability ratio — a three-op IEEE expression on exact
+    integer-valued doubles, bit-identical cross-engine — with (w1,w2)
+    tie-breaks, so the top-k cut never depends on `ln` libm behavior;
+    the displayed PMI is rounded to 6 dp.
+
+    Scale shape: bigram counts shuffle once on the gram; the
+    min-count filter shrinks the pair table before the two unigram
+    joins (AQE broadcasts the heavy-hitter-pruned sides at bench
+    scale); the totals are a broadcast 1-row cross join; top-k is
+    TakeOrderedAndProject, no global sort."""
+    toks = _lower_tokens(text_col)
+    per_doc = df.select(
+        toks.alias("w"), _bigrams_multiset(text_col).alias("g")
+    )
+    tot = per_doc.agg(
+        F.sum(F.size("w")).alias("t_uni"),
+        F.sum(F.greatest(F.size("g"), F.lit(0))).alias("t_big"),
+    )
+    uni = (
+        per_doc.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big = (
+        per_doc.select(F.explode("g").alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    pairs = big.select(
+        F.split(F.col("g"), " ").getItem(0).alias("w1"),
+        F.split(F.col("g"), " ").getItem(1).alias("w2"),
+        "c_xy",
+    )
+    j = (
+        pairs.join(uni.withColumnRenamed("tok", "w1")
+                   .withColumnRenamed("c", "c1"), on="w1")
+        .join(uni.withColumnRenamed("tok", "w2")
+              .withColumnRenamed("c", "c2"), on="w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    ratio = (
+        F.col("c_xy").cast("double") * F.col("t_big").cast("double")
+    ) / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+    return (
+        j.select(
+            "w1", "w2", "c_xy", "c1", "c2",
+            ratio.alias("__ratio"),
+            F.round(F.log(ratio), 6).alias("pmi"),
+        )
+        .orderBy(F.desc("__ratio"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+        .drop("__ratio")
     )

@@ -1594,3 +1594,25 @@ def q_rolling_corr_market(spark: SparkSession, sf: str) -> DataFrame:
         ts_us("d").alias("day_us"),
         "roll_corr",
     )
+
+
+def q_var_cvar(spark: SparkSession, sf: str) -> DataFrame:
+    """Historical 10% VaR + CVaR per series from daily close-to-close
+    returns (operators/market.var_cvar) — the left-tail risk readout
+    beside ★daily_sharpe.  Alpha 0.10 keeps the tail ≥ 6 rows on the
+    ~66-day sf0.01 fixture so the expected-shortfall mean is a real
+    multi-row aggregate, not a single order statistic."""
+    from market_insights_app_spark.operators.market import (
+        daily_returns,
+        var_cvar,
+    )
+
+    rets = daily_returns(_events(spark, sf))
+    out = var_cvar(rets, alpha=0.10)
+    return out.select(
+        F.col("k").alias("user_id"),
+        "n_days",
+        "tail_n",
+        "var_a",
+        "cvar_a",
+    )

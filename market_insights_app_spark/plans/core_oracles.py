@@ -1398,3 +1398,27 @@ CORE_ORACLES["rolling_corr_market"] = f"""
                  THEN num / sqrt(varx * vary) END, 6) AS roll_corr
     FROM c
 """
+
+CORE_ORACLES["var_cvar"] = f"""
+    WITH {_DAILY_RET_CTE},
+    fx AS (SELECT user_id, d,
+                  CAST(CAST(rd AS DECIMAL(22,9)) * 1000000000 AS BIGINT) AS rfx
+           FROM r2),
+    ranked AS (SELECT user_id, rfx,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY rfx ASC, d ASC) AS rn,
+                      COUNT(*) OVER (PARTITION BY user_id) AS n
+               FROM fx),
+    tail AS (SELECT * FROM ranked
+             -- CAST to DOUBLE: DuckDB parses 0.10 as DECIMAL(2,1) and
+             -- would ceil the exact product, while Spark's lit(0.10)
+             -- is a double (0.1*60 = 6.000000000000001 -> ceil 7);
+             -- both engines must ride the same IEEE product
+             WHERE rn <= CAST(ceil(CAST(0.10 AS DOUBLE) * n) AS INTEGER))
+    SELECT user_id, max(n) AS n_days,
+           COUNT(*) AS tail_n,
+           CAST(max(rfx) AS DOUBLE) / 1e9 AS var_a,
+           CAST(sum(rfx) AS DOUBLE)
+           / (CAST(COUNT(*) AS DOUBLE) * 1e9) AS cvar_a
+    FROM tail GROUP BY user_id
+"""

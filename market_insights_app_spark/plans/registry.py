@@ -118,6 +118,9 @@ _NEW_THIS_ROUND: list[str] = [
     "interval_join_stream_replay",  # stream-stream interval join gate
     "rolling_corr_market",  # trailing windowed corr vs market
     "ngram_novelty",        # graded novelty vs reference corpus
+    "var_cvar",             # historical VaR + expected shortfall
+    "quality_funnel",       # Gopher rule-cascade survivor report
+    "pmi_collocations",     # top-k bigram PMI collocations
 ]
 
 # Queries whose operator/plan semantics were touched since their last

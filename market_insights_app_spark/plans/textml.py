@@ -2415,3 +2415,87 @@ TEXTML_ORACLES["ngram_novelty"] = f"""
            / CAST(COUNT(*) AS DOUBLE) AS novelty
     FROM tr GROUP BY doc_id
 """
+
+
+def q_quality_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style rule-cascade funnel over the corpus
+    (operators/quality.quality_funnel): survivors after each of the
+    four filter stages, thresholds calibrated to this corpus's token
+    statistics so every stage drops a real slice (500 -> 412 -> 338
+    -> 218 -> ~120 at sf0.01)."""
+    from market_insights_app_spark.operators.quality import quality_funnel
+
+    return quality_funnel(_docs(spark, sf))
+
+
+TEXTML_ORACLES["quality_funnel"] = """
+    WITH toks AS (SELECT doc_id,
+            list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                        x -> x <> '') AS w
+          FROM documents),
+    m AS (SELECT len(w) AS wc,
+                 CAST(list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT)))
+                      AS DOUBLE) / CAST(len(w) AS DOUBLE) AS mlen,
+                 CAST(len(list_filter(w, x -> list_contains(
+                        ['the','a','and','of','to','in','is','it','that','for'],
+                        x))) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS stopr,
+                 CAST(len(list_distinct(w)) AS DOUBLE)
+                 / CAST(len(w) AS DOUBLE) AS distr
+          FROM toks WHERE len(w) > 0),
+    f AS (SELECT wc BETWEEN 25 AND 95 AS p1,
+                 mlen BETWEEN 4.3 AND 4.8 AS m2,
+                 stopr >= 0.05 AS m3,
+                 distr >= 0.4 AS m4
+          FROM m),
+    agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+                   CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+                   CAST(sum(CASE WHEN p1 AND m2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+                   CAST(sum(CASE WHEN p1 AND m2 AND m3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+                   CAST(sum(CASE WHEN p1 AND m2 AND m3 AND m4 THEN 1 ELSE 0 END) AS BIGINT) AS s4
+            FROM f)
+    SELECT 0 AS rule_idx, 'total' AS rule, s0 AS survivors,
+           CAST(0 AS BIGINT) AS dropped FROM agg
+    UNION ALL SELECT 1, 'word_count', s1, s0 - s1 FROM agg
+    UNION ALL SELECT 2, 'mean_word_len', s2, s1 - s2 FROM agg
+    UNION ALL SELECT 3, 'stopword_ratio', s3, s2 - s3 FROM agg
+    UNION ALL SELECT 4, 'distinct_ratio', s4, s3 - s4 FROM agg
+"""
+
+
+def q_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-50 bigram collocations by PMI with pair count >= 5
+    (operators/quality.pmi_collocations) — collocation mining for
+    tokenizer/vocab work; ranking rides the raw probability ratio so
+    the cut is libm-free."""
+    from market_insights_app_spark.operators.quality import pmi_collocations
+
+    return pmi_collocations(_docs(spark, sf), min_count=5, k=50)
+
+
+TEXTML_ORACLES["pmi_collocations"] = """
+    WITH toks AS (SELECT doc_id,
+            list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                        x -> x <> '') AS w
+          FROM documents),
+    tot AS (SELECT CAST(sum(len(w)) AS BIGINT) AS t_uni,
+                   CAST(sum(greatest(len(w) - 1, 0)) AS BIGINT) AS t_big
+            FROM toks),
+    uni AS (SELECT unnest(w) AS tok FROM toks),
+    unic AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY tok),
+    big AS (SELECT unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                                         i -> w[i] || ' ' || w[i+1])) AS g
+            FROM toks),
+    bigc AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c_xy
+             FROM big GROUP BY g HAVING COUNT(*) >= 5),
+    j AS (SELECT string_split(g, ' ')[1] AS w1,
+                 string_split(g, ' ')[2] AS w2, c_xy
+          FROM bigc),
+    sc AS (SELECT j.w1, j.w2, j.c_xy, u1.c AS c1, u2.c AS c2,
+                  (CAST(j.c_xy AS DOUBLE) * CAST(t.t_big AS DOUBLE))
+                  / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS ratio
+           FROM j JOIN unic u1 ON j.w1 = u1.tok
+                  JOIN unic u2 ON j.w2 = u2.tok
+                  CROSS JOIN tot t)
+    SELECT w1, w2, c_xy, c1, c2, round(ln(ratio), 6) AS pmi
+    FROM sc ORDER BY ratio DESC, w1 ASC, w2 ASC LIMIT 50
+"""

@@ -213,6 +213,42 @@ COMMENTARY = {
         "scale with payload bytes, which the file reader already "
         "bounds per partition."
     ),
+    "rolling_corr_market": (
+        "Regime monitor: the day-keyed equal-weight market table is a "
+        "BroadcastExchange onto the per-key return stream; ONE "
+        "(key)-sorted window pass then computes all five trailing "
+        "fixed-point sums — the correlation itself is scan-stage "
+        "double math over the window output."
+    ),
+    "ngram_novelty": (
+        "Novelty scoring: distinct doc grams explode once; membership "
+        "is a single left join against the reference's distinct gram "
+        "set (broadcast at bench scale; swaps to the Bloom prefilter "
+        "shape at web scale) and the ratio is a per-doc division of "
+        "exact counts — no per-row Python anywhere."
+    ),
+    "var_cvar": (
+        "Tail risk: (key, day) close aggregate, then ONE key-sorted "
+        "Exchange shared by the rank window, the per-key count window "
+        "and the tail aggregate — no join; the ceil(αn)-row tail never "
+        "leaves its partition, so the shuffle carries per-key partials "
+        "only."
+    ),
+    "quality_funnel": (
+        "Rule cascade as ONE text-only scan: all four rule features "
+        "are scan-stage expressions, the five survivor counts are "
+        "conditional partial aggregates (map-side combine) collapsing "
+        "to a single row, and the 5-row report explodes from that row "
+        "— a single Exchange end to end, at any corpus size."
+    ),
+    "pmi_collocations": (
+        "Collocations: bigram and unigram counts each shuffle once on "
+        "the gram; the min-count HAVING prunes the pair table BEFORE "
+        "the two unigram joins, which AQE turns into broadcasts; the "
+        "totals are a broadcast single row and the top-k is "
+        "TakeOrderedAndProject — ranking on the raw ratio keeps the "
+        "cut libm-free."
+    ),
 }
 
 

@@ -208,6 +208,16 @@ def main() -> None:
         ev, ["user_id"], value_col="value", ts_col="ts", id_col="event_id"
     ).filter(F.col("is_anomaly")))
     t("key skew report (10M rows)", key_skew(ev, ["user_id"]))
+    from market_insights_app_spark.operators.market import (
+        rolling_market_corr,
+        var_cvar,
+    )
+
+    t("var/cvar tail risk (10k keys)", var_cvar(rets, alpha=0.10))
+    t(
+        "rolling market corr (10k keys)",
+        rolling_market_corr(rets, n=20),
+    )
     ev.unpersist()
 
     # --- synthetic docs: n_docs rows, zipf-ish repeated phrases ------------
@@ -248,6 +258,18 @@ def main() -> None:
     print(
         f"{'bloom decontaminate':35s} {time.perf_counter() - t0:7.2f} s"
         f"   kept={nkept}"
+    )
+    from market_insights_app_spark.operators.quality import (
+        ngram_novelty,
+        pmi_collocations,
+        quality_funnel,
+    )
+
+    t("quality funnel (docs)", quality_funnel(docs))
+    t("pmi collocations (docs)", pmi_collocations(docs, min_count=5, k=50))
+    t(
+        "ngram novelty (docs vs 1/97 ref)",
+        ngram_novelty(train_docs, eval_docs, shingle_n=3),
     )
     docs.unpersist()
 

@@ -417,3 +417,45 @@ def test_frame_sample_stays_arrow(spark):
     assert "MapInPandas" in p
     assert "BatchEvalPython" not in p
     assert "text" in p.split("ReadSchema")[1][:200]
+
+
+def test_var_cvar_two_exchanges_no_join(spark):
+    """VaR/CVaR: (key, day) close agg + ONE key shuffle shared by the
+    rank window, the count window and the tail aggregate — no join,
+    no extra exchange after the window."""
+    from market_insights_app_spark.plans.registry import QUERIES
+
+    tree = plan_of(QUERIES["var_cvar"](spark, SF_ORACLE)).split("\n\n")[0]
+    assert tree.count("Exchange") == 2
+    assert "Join" not in tree
+
+
+def test_quality_funnel_single_scan_single_exchange(spark):
+    """The whole rule cascade is conditional partial aggregates over
+    ONE scan collapsing to one row — a single exchange, and the scan
+    reads only the text column."""
+    from market_insights_app_spark.plans.registry import QUERIES
+
+    tree = plan_of(QUERIES["quality_funnel"](spark, SF_ORACLE)).split(
+        "\n\n"
+    )[0]
+    assert tree.count("Exchange") == 1
+    assert tree.count("Scan parquet") == 1
+    sch = [ln for ln in plan_of(
+        QUERIES["quality_funnel"](spark, SF_ORACLE)
+    ).split("\n") if "ReadSchema" in ln]
+    assert sch and "text" in sch[0] and "doc_id" not in sch[0]
+
+
+def test_pmi_collocations_broadcast_joins_topk(spark):
+    """Unigram-count joins onto the min-count-pruned pair table must
+    broadcast (never SortMergeJoin at this scale) and the final top-k
+    must be TakeOrderedAndProject, not a global sort."""
+    from market_insights_app_spark.plans.registry import QUERIES
+
+    tree = plan_of(QUERIES["pmi_collocations"](spark, SF_ORACLE)).split(
+        "\n\n"
+    )[0]
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree
+    assert "TakeOrderedAndProject" in tree

@@ -389,3 +389,109 @@ def test_ngram_novelty_golden(spark):
     assert got[1]["novelty"] == pytest.approx(0.75)
     assert (got[2]["n_grams"], got[2]["n_novel"]) == (2, 0)
     assert got[2]["novelty"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# var_cvar
+# ---------------------------------------------------------------------------
+
+
+def test_var_cvar_golden(spark):
+    from market_insights_app_spark.operators.market import var_cvar
+
+    # ten returns on the 1e-9 grid; alpha=0.2 -> k=2 smallest
+    rets = [-0.10, -0.02, 0.01, 0.02, 0.03, 0.04, 0.05, 0.06, 0.07, 0.08]
+    rows = [(1, _ts(i + 1), r) for i, r in enumerate(rets)]
+    df = spark.createDataFrame(rows, "k long, d timestamp, r double").select(
+        "k", "d", F.col("r").cast("decimal(13,9)").alias("ret_d")
+    )
+    out = var_cvar(df, alpha=0.2).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row["n_days"], row["tail_n"]) == (10, 2)
+    assert row["var_a"] == pytest.approx(-0.02)
+    assert row["cvar_a"] == pytest.approx(-0.06)
+
+
+def test_var_cvar_null_returns_excluded(spark):
+    from market_insights_app_spark.operators.market import var_cvar
+
+    rows = [(1, _ts(1), None), (1, _ts(2), -0.05), (1, _ts(3), 0.01)]
+    df = spark.createDataFrame(rows, "k long, d timestamp, r double").select(
+        "k", "d", F.col("r").cast("decimal(13,9)").alias("ret_d")
+    )
+    row = var_cvar(df, alpha=0.5).collect()[0]
+    assert row["n_days"] == 2  # the NULL first-day return never counts
+    assert row["var_a"] == pytest.approx(-0.05)
+
+
+# ---------------------------------------------------------------------------
+# quality_funnel
+# ---------------------------------------------------------------------------
+
+
+def test_quality_funnel_cascade_counts(spark):
+    from market_insights_app_spark.operators.quality import quality_funnel
+
+    mk = lambda toks: " ".join(toks)  # noqa: E731
+    docs = [
+        # passes wc/len/stopword rules: 30 tokens, mean len 4.37
+        (1, mk(["the", "scan", "that", "vector"] * 7 + ["queries", "lines"])),
+        # fails word-count (too short)
+        (2, "tiny doc"),
+        # passes wc, fails mean-word-len (all 2-char tokens)
+        (3, mk(["ab"] * 30)),
+        # passes wc + len (mean 4.5), fails stopword floor (none)
+        (4, mk(["scan", "vector", "line", "data"] * 8)),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["rule"]: r for r in quality_funnel(df).collect()}
+    assert out["total"]["survivors"] == 4
+    assert out["word_count"]["survivors"] == 3
+    assert out["word_count"]["dropped"] == 1
+    assert out["mean_word_len"]["survivors"] == 2
+    assert out["stopword_ratio"]["survivors"] == 1
+    assert out["distinct_ratio"]["survivors"] <= 1
+    # survivors are monotone non-increasing down the cascade
+    order = ["total", "word_count", "mean_word_len", "stopword_ratio",
+             "distinct_ratio"]
+    surv = [out[n]["survivors"] for n in order]
+    assert surv == sorted(surv, reverse=True)
+    # dropped reconciles pairwise
+    for hi, lo in zip(order, order[1:]):
+        assert out[lo]["dropped"] == out[hi]["survivors"] - out[lo]["survivors"]
+
+
+# ---------------------------------------------------------------------------
+# pmi_collocations
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_collocations_golden(spark):
+    import math
+
+    from market_insights_app_spark.operators.quality import pmi_collocations
+
+    # "a b" always collocates; "c" floats freely
+    docs = [(i, "a b c a b") for i in range(5)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = pmi_collocations(df, min_count=5, k=10).collect()
+    got = {(r["w1"], r["w2"]): r for r in out}
+    # per doc: bigrams = (a,b) (b,c) (c,a) (a,b) -> 4 per doc, 20 total
+    ab = got[("a", "b")]
+    assert (ab["c_xy"], ab["c1"], ab["c2"]) == (10, 10, 10)
+    # PMI(a,b) = ln(10*20/(10*10)) = ln 2
+    assert ab["pmi"] == pytest.approx(round(math.log(2.0), 6))
+    # the strongest collocation ranks first
+    assert (out[0]["w1"], out[0]["w2"]) == ("a", "b")
+
+
+def test_pmi_min_count_filters(spark):
+    from market_insights_app_spark.operators.quality import pmi_collocations
+
+    docs = [(1, "x y"), (2, "p q p q p q p q p q p q")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = pmi_collocations(df, min_count=5, k=10).collect()
+    pairs = {(r["w1"], r["w2"]) for r in out}
+    assert ("x", "y") not in pairs  # count 1 < 5
+    assert ("p", "q") in pairs
