@@ -644,7 +644,18 @@ def daily_returns(
     # zero previous close → undefined return (NULL), not ±Infinity
     # (which would error the ANSI cast to the decimal grid)
     ret = F.when(prev != 0.0, F.col("close") / prev - 1.0)
-    ret_fx = F.floor(ret * F.lit(1e9)) / F.lit(1e9)
+    # grid-domain guard: DECIMAL(13,9) holds |r| ≤ 9999.999999999, so a
+    # ≥10⁶%-in-a-day move (degenerate ticks, not markets — found by the
+    # 10 M-row scale probe, where it ANSI-errored the whole job) must
+    # NULL out, not crash.  The abs pre-guard keeps the ANSI floor→long
+    # in range; the floor-value BETWEEN is the cross-engine condition
+    # (DuckDB floors to double and applies the identical bound).
+    ret_small = F.when(F.abs(ret) < F.lit(10000.0), ret)
+    fxf = F.floor(ret_small * F.lit(1e9))
+    ret_fx = (
+        F.when(fxf.between(-9_999_999_999_999, 9_999_999_999_999), fxf)
+        / F.lit(1e9)
+    )
     return close.select(
         "k",
         "d",

@@ -1239,8 +1239,12 @@ _DAILY_RET_CTE = """
     r0 AS (SELECT user_id, d, close,
                   lag(close) OVER (PARTITION BY user_id ORDER BY d) AS prev
            FROM c2),
+    -- grid-domain guard mirrors daily_returns: a floored fixed-point
+    -- value outside ±(10^13 - 1) cannot live in DECIMAL(13,9) -> NULL
     r AS (SELECT user_id, d,
-                 CAST(floor((close / prev - 1.0) * 1e9) / 1e9
+                 CAST(CASE WHEN floor((close / prev - 1.0) * 1e9)
+                           BETWEEN -9999999999999 AND 9999999999999
+                      THEN floor((close / prev - 1.0) * 1e9) / 1e9 END
                       AS DECIMAL(13,9)) AS rd
           FROM r0 WHERE prev IS NULL OR prev <> 0.0),
     r2 AS (SELECT user_id, d, rd FROM r WHERE rd IS NOT NULL)

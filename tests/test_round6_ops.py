@@ -495,3 +495,21 @@ def test_pmi_min_count_filters(spark):
     pairs = {(r["w1"], r["w2"]) for r in out}
     assert ("x", "y") not in pairs  # count 1 < 5
     assert ("p", "q") in pairs
+
+
+def test_daily_returns_grid_overflow_nulls_not_errors(spark):
+    """A >=10^6%-in-a-day move cannot live on the DECIMAL(13,9) grid:
+    the grid return must NULL out (ANSI-safe), never error the job —
+    found by the 10M-row scale probe."""
+    from market_insights_app_spark.operators.market import daily_returns
+
+    rows = [
+        (1, _ts(1), 1, 0.01),       # prev close
+        (1, _ts(2), 2, 120_000.0),  # ret = 11_999_999 -> off-grid
+        (1, _ts(3), 3, 120_001.2),  # ret = 1e-5 -> on-grid
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    out = {r["d"].day: r for r in daily_returns(df).collect()}
+    assert out[2]["ret_d"] is None           # guarded, not crashed
+    assert out[2]["ret"] == pytest.approx(11_999_999.0)  # raw survives
+    assert out[3]["ret_d"] is not None
