@@ -84,6 +84,11 @@ HEADLINE = [
     "key_skew",
     "token_entropy",
     "frame_sample",
+    "var_cvar",
+    "rolling_corr_market",
+    "quality_funnel",
+    "pmi_collocations",
+    "ngram_novelty",
 ]
 
 
@@ -125,8 +130,12 @@ def main() -> None:
     }
     total = round(sum(timings.values()), 3)
 
-    # full-registry sweep: one timed pass per query, preceded by an
-    # untimed sf0.001 pass that absorbs the plan's codegen cost
+    # full-registry sweep: best-of-2 timed passes per query, preceded
+    # by an untimed sf0.001 pass.  The tiny pass alone proved
+    # insufficient (r6): AQE re-plans at sf0.1, so the first sf0.1 run
+    # still pays whole-stage codegen — single-pass timings produced 8
+    # phantom regressions that all evaporated on re-timing.  Two timed
+    # passes keep the delta report trustworthy at 2× sweep cost.
     tiny = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     full = {}
     for name in QUERIES:
@@ -135,7 +144,7 @@ def main() -> None:
                 QUERIES[name](spark, tiny).write.mode("overwrite").format(
                     "noop"
                 ).save()
-            full[name] = round(run(name), 3)
+            full[name] = round(min(run(name), run(name)), 3)
         except Exception as exc:  # a broken plan is a result, not a crash
             full[name] = f"error: {type(exc).__name__}"
     full_total = round(

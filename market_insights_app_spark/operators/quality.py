@@ -400,7 +400,11 @@ def quality_funnel(
     p2 = p1 & (F.col("mlen") >= mean_len_min) & (F.col("mlen") <= mean_len_max)
     p3 = p2 & (F.col("stopr") >= stop_min)
     p4 = p3 & (F.col("distr") >= distinct_min)
-    one = lambda p: F.sum(F.when(p, 1).otherwise(0)).cast("long")  # noqa: E731
+    # coalesce: SUM over zero rows is NULL — an empty (or fully
+    # wc=0) corpus must report 0 survivors, not NULL
+    one = lambda p: F.coalesce(  # noqa: E731
+        F.sum(F.when(p, 1).otherwise(0)), F.lit(0)
+    ).cast("long")
     agg = feats.agg(
         F.count(F.lit(1)).alias("s0"),
         one(p1).alias("s1"),

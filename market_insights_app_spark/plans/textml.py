@@ -2448,10 +2448,10 @@ TEXTML_ORACLES["quality_funnel"] = """
                  distr >= 0.4 AS m4
           FROM m),
     agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS s0,
-                   CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
-                   CAST(sum(CASE WHEN p1 AND m2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
-                   CAST(sum(CASE WHEN p1 AND m2 AND m3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
-                   CAST(sum(CASE WHEN p1 AND m2 AND m3 AND m4 THEN 1 ELSE 0 END) AS BIGINT) AS s4
+                   CAST(coalesce(sum(CASE WHEN p1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS s1,
+                   CAST(coalesce(sum(CASE WHEN p1 AND m2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS s2,
+                   CAST(coalesce(sum(CASE WHEN p1 AND m2 AND m3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS s3,
+                   CAST(coalesce(sum(CASE WHEN p1 AND m2 AND m3 AND m4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS s4
             FROM f)
     SELECT 0 AS rule_idx, 'total' AS rule, s0 AS survivors,
            CAST(0 AS BIGINT) AS dropped FROM agg

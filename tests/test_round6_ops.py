@@ -513,3 +513,12 @@ def test_daily_returns_grid_overflow_nulls_not_errors(spark):
     assert out[2]["ret_d"] is None           # guarded, not crashed
     assert out[2]["ret"] == pytest.approx(11_999_999.0)  # raw survives
     assert out[3]["ret_d"] is not None
+
+
+def test_quality_funnel_empty_corpus_reports_zeros(spark):
+    from market_insights_app_spark.operators.quality import quality_funnel
+
+    df = spark.createDataFrame([], "doc_id long, text string")
+    out = {r["rule"]: r for r in quality_funnel(df).collect()}
+    assert len(out) == 5
+    assert all(r["survivors"] == 0 and r["dropped"] == 0 for r in out.values())
