@@ -400,3 +400,80 @@ def test_weighted_sample_matches_python_model(spark, rows, k):
         ).collect()
     ]
     assert got == py_weighted_sample(rows, k)
+
+
+# ---------------------------------------------------------------------------
+# var_cvar vs a pure-Python order-statistic model
+# ---------------------------------------------------------------------------
+
+ret_grid = st.integers(min_value=-900_000_000, max_value=900_000_000)
+
+
+@given(
+    rets=st.lists(ret_grid, min_size=1, max_size=40),
+    alpha=st.sampled_from([0.05, 0.10, 0.25, 0.5, 1.0]),
+)
+@settings(**SETTINGS)
+def test_var_cvar_matches_python_model(spark, rets, alpha):
+    """VaR = k-th smallest grid return, CVaR = mean of the k smallest,
+    k = ceil(alpha*n) under IEEE multiply — byte-identical to the
+    operator's definition."""
+    import datetime as dt
+
+    from market_insights_app_spark.operators.market import var_cvar
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1) + dt.timedelta(days=i), fx / 1e9)
+        for i, fx in enumerate(rets)
+    ]
+    df = spark.createDataFrame(rows, "k long, d timestamp, r double").select(
+        "k", "d", F.col("r").cast("decimal(13,9)").alias("ret_d")
+    )
+    got = var_cvar(df, alpha=alpha).collect()[0]
+
+    n = len(rets)
+    k = math.ceil(alpha * n)
+    tail = sorted(rets)[:k]
+    assert got["n_days"] == n
+    assert got["tail_n"] == k
+    assert got["var_a"] == pytest.approx(tail[-1] / 1e9, abs=1e-12)
+    assert got["cvar_a"] == pytest.approx(sum(tail) / k / 1e9, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# pmi_collocations vs a pure-Python count model
+# ---------------------------------------------------------------------------
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=2, max_size=12),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_pmi_collocations_matches_python_model(spark, docs):
+    from collections import Counter
+
+    from market_insights_app_spark.operators.quality import pmi_collocations
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["w1"], r["w2"]): r
+        for r in pmi_collocations(df, min_count=2, k=100).collect()
+    }
+
+    uni = Counter(t for d in docs for t in d)
+    big = Counter((a, b) for d in docs for a, b in zip(d, d[1:]))
+    t_big = sum(big.values())
+    expect = {
+        p: c for p, c in big.items() if c >= 2
+    }
+    assert set(got) == set(expect)
+    for (w1, w2), c_xy in expect.items():
+        r = got[(w1, w2)]
+        assert (r["c_xy"], r["c1"], r["c2"]) == (c_xy, uni[w1], uni[w2])
+        ratio = (c_xy * t_big) / (uni[w1] * uni[w2])
+        assert r["pmi"] == pytest.approx(round(math.log(ratio), 6), abs=1e-6)
