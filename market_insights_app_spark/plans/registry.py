@@ -137,6 +137,19 @@ _CHANGED_SINCE_ROW: list[str] = [
     "weighted_sample",
 ]
 
+# r7 pre-stage: after the r6 sweep lands, fold CORRECTNESS_r06 into
+# _LAST_SWEPT (the 50 window names -> 6). r7's must-sweep is then the
+# 46 r4-stale rows + r7's new/changed — within one 50-slot window iff
+# new+changed ≤ 4, so EITHER keep r7's registry additions to ≤4 nets
+# OR consolidate provably-redundant siblings first (candidates named
+# in the r5 verdict: ngram_jaccard_bigram⊂ngram_jaccard,
+# hybrid_search=bm25+topk, near_dedup_corpus vs _exact share the
+# pipeline). The r6 daily_returns grid-guard touched the shared
+# _DAILY_RET_CTE; the guard IS r6-driver-gated through var_cvar +
+# rolling_corr_market (tier 0, same CTE), but daily_sharpe /
+# beta_benchmark sat out the full r6 window (swept r5) — put both in
+# r7's _CHANGED_SINCE_ROW.
+
 _unknown = (
     set(_LAST_SWEPT) | set(_NEW_THIS_ROUND) | set(_CHANGED_SINCE_ROW)
 ) - set(_COLLECTED)
