@@ -477,3 +477,51 @@ def test_pmi_collocations_matches_python_model(spark, docs):
         assert (r["c_xy"], r["c1"], r["c2"]) == (c_xy, uni[w1], uni[w2])
         ratio = (c_xy * t_big) / (uni[w1] * uni[w2])
         assert r["pmi"] == pytest.approx(round(math.log(ratio), 6), abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty vs a pure-Python set model
+# ---------------------------------------------------------------------------
+
+
+@given(
+    train=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=10),
+        min_size=1,
+        max_size=8,
+    ),
+    ref=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=10),
+        min_size=1,
+        max_size=4,
+    ),
+)
+@settings(**SETTINGS)
+def test_ngram_novelty_matches_python_model(spark, train, ref):
+    from market_insights_app_spark.operators.quality import ngram_novelty
+
+    n = 2  # bigram shingles
+    tdf = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(train)], ["doc_id", "text"]
+    )
+    rdf = spark.createDataFrame(
+        [(100 + i, " ".join(t)) for i, t in enumerate(ref)],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r for r in ngram_novelty(tdf, rdf, shingle_n=n).collect()
+    }
+
+    grams = lambda toks: {  # noqa: E731
+        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+    }
+    ref_set = set().union(*(grams(t) for t in ref)) if ref else set()
+    for i, toks in enumerate(train):
+        g = grams(toks)
+        if not g:
+            assert i not in got  # too short -> no row
+            continue
+        novel = g - ref_set
+        r = got[i]
+        assert (r["n_grams"], r["n_novel"]) == (len(g), len(novel))
+        assert r["novelty"] == pytest.approx(len(novel) / len(g))
