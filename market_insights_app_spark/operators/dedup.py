@@ -602,7 +602,10 @@ def jaccard_clusters(
     docs join in once at the end — the doc-level pair set, which is
     Ω(n²) rows on a dup-heavy corpus regardless of how cheaply each
     pair is screened, is never materialized.  (Measured: 14 s → ~4 s at
-    sf0.1 where the doc graph has 8.9 M edges but only 3 935 masks.)"""
+    sf0.1 where the doc graph has 8.9 M edges but only 3 935 masks;
+    the r6 driver-numpy CC lane for ≤ _DENSE_CC_DRIVER_CAP masks took
+    it to ~1.8 s by replacing the 9.7 M-edge distributed mask-pair CC
+    with one exact in-memory label propagation.)"""
     grams = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(text_col, shingle_n)).alias("g"),
@@ -626,6 +629,58 @@ def jaccard_clusters(
     return duplicate_clusters(pairs.select("a", "b"), max_iterations)
 
 
+# driver-lane cap for the dense-mask CC: 8192 masks = 64 KB collect +
+# 64 MB boolean adjacency; above it the distributed crossJoin lane runs
+_DENSE_CC_DRIVER_CAP = 8192
+
+
+def _mask_components_numpy(
+    mask_vals: list[int], threshold: float
+) -> list[tuple[int, int]]:
+    """(mask, component-min-mask) for every mask with at least one
+    cross-mask Jaccard ≥ threshold neighbor — the driver-side twin of
+    ``duplicate_clusters`` over the mask-pair graph.  Intersection /
+    union counts come from an exact float64 bit-matrix matmul (integer
+    values ≤ 64, exactly representable), so the threshold division is
+    the same IEEE double the JVM expression computes; min-label
+    propagation over the boolean adjacency converges to each
+    component's minimum mask value, matching the distributed lane's
+    cluster ids exactly."""
+    import numpy as np
+
+    m = np.asarray(mask_vals, dtype=np.int64)
+    n = len(m)
+    if n == 0:
+        return []
+    # (n, 64) bit expansion; arithmetic >> keeps the sign bit correct
+    bits = ((m[:, None] >> np.arange(64, dtype=np.int64)[None, :]) & 1)
+    B = bits.astype(np.float64)
+    pc = B.sum(axis=1)
+    inter = B @ B.T                       # exact integer counts
+    union = pc[:, None] + pc[None, :] - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        adj = (inter / union) >= threshold
+    np.fill_diagonal(adj, False)
+    has_nbr = adj.any(axis=1)
+    labels = m.copy()
+    big = np.iinfo(np.int64).max
+    for _ in range(n):                    # converges in O(diameter)
+        changed = False
+        # blocked masked-min keeps peak memory at block × n int64
+        for s in range(0, n, 1024):
+            e = min(s + 1024, n)
+            nbr = np.where(adj[s:e], labels[None, :], big).min(axis=1)
+            new = np.minimum(labels[s:e], nbr)
+            if not np.array_equal(new, labels[s:e]):
+                labels[s:e] = new
+                changed = True
+        if not changed:
+            break
+    return [
+        (int(m[i]), int(labels[i])) for i in range(n) if has_nbr[i]
+    ]
+
+
 def _dense_mask_clusters(
     grams: DataFrame,
     vocab: DataFrame,
@@ -647,20 +702,40 @@ def _dense_mask_clusters(
         .localCheckpoint(eager=True)
     )
     masks = dm.select("mask").distinct()
-    if masks.count() > 65536:  # see _dense_jaccard_pairs on the cap
+    n_masks = masks.count()
+    if n_masks > 65536:  # see _dense_jaccard_pairs on the cap
         return None
-    x, y = masks.alias("x"), masks.alias("y")
-    inter = F.bit_count(F.col("x.mask").bitwiseAND(F.col("y.mask")))
-    union = F.bit_count(F.col("x.mask").bitwiseOR(F.col("y.mask")))
-    cross = (
-        x.crossJoin(F.broadcast(y))
-        .filter(F.col("x.mask") != F.col("y.mask"))
-        .filter((inter.cast("double") / union) >= F.lit(threshold))
-        .select(F.col("x.mask").alias("a"), F.col("y.mask").alias("b"))
-    )
-    mlab = duplicate_clusters(cross, max_iterations).select(
-        F.col("id").alias("mask"), F.col("cluster").alias("mcomp")
-    )
+    if n_masks <= _DENSE_CC_DRIVER_CAP:
+        # driver lane: ≤8192 distinct masks is ≤64 KB of longs to
+        # collect and a ≤64 MB boolean adjacency — bounded BY THE SAME
+        # CAP that gates this path, so the collect is safe by
+        # construction.  The mask-pair graph here is edge-DENSE (sf0.1:
+        # 3 935 masks but 9.7 M matching pairs), so the distributed
+        # crossJoin + iterative min-label CC paid ~8 s of shuffle-job
+        # latency for a graph whose adjacency fits in one numpy array;
+        # exact float64 intersection counts (integers ≤64) keep the
+        # Jaccard division bit-identical to the JVM expression.
+        vals = [r["mask"] for r in masks.collect()]
+        pairs = _mask_components_numpy(vals, threshold)
+        if pairs:
+            mlab = dm.sparkSession.createDataFrame(
+                pairs, "mask long, mcomp long"
+            )
+        else:
+            mlab = dm.sparkSession.createDataFrame([], "mask long, mcomp long")
+    else:
+        x, y = masks.alias("x"), masks.alias("y")
+        inter = F.bit_count(F.col("x.mask").bitwiseAND(F.col("y.mask")))
+        union = F.bit_count(F.col("x.mask").bitwiseOR(F.col("y.mask")))
+        cross = (
+            x.crossJoin(F.broadcast(y))
+            .filter(F.col("x.mask") != F.col("y.mask"))
+            .filter((inter.cast("double") / union) >= F.lit(threshold))
+            .select(F.col("x.mask").alias("a"), F.col("y.mask").alias("b"))
+        )
+        mlab = duplicate_clusters(cross, max_iterations).select(
+            F.col("id").alias("mask"), F.col("cluster").alias("mcomp")
+        )
     cnt = dm.groupBy("mask").agg(F.count(F.lit(1)).alias("n_docs"))
     labeled = (
         dm.join(F.broadcast(mlab), "mask", "left")

@@ -469,3 +469,47 @@ def test_span_dedup_fully_covered_doc_empties(spark):
     got = _span_rows(spark, ["a b c", "a b c"], L=3)
     assert got[2].n_removed == 3 and got[2].text_dedup == ""
     assert got[2].n_tokens == 3
+
+
+def test_mask_cc_driver_and_distributed_lanes_agree(spark, monkeypatch):
+    """The driver-numpy mask-component lane (≤ _DENSE_CC_DRIVER_CAP
+    masks) and the distributed crossJoin + iterative-CC lane must
+    produce identical cluster assignments."""
+    from market_insights_app_spark.operators import dedup as D
+
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    rows = [
+        (i, " ".join(words[j] for j in range(6) if (i >> j) & 1 or j == i % 6))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    driver = {
+        (r["id"], r["cluster"])
+        for r in D.jaccard_clusters(df, threshold=0.6).collect()
+    }
+    monkeypatch.setattr(D, "_DENSE_CC_DRIVER_CAP", 0)  # force distributed
+    dist = {
+        (r["id"], r["cluster"])
+        for r in D.jaccard_clusters(df, threshold=0.6).collect()
+    }
+    assert driver == dist
+    assert driver
+
+
+def test_mask_components_numpy_golden():
+    from market_insights_app_spark.operators.dedup import (
+        _mask_components_numpy,
+    )
+
+    # 0b0011 vs 0b0111: J=2/3 >= 0.5 -> linked; 0b1000 isolated;
+    # 0b0110 links to 0b0111 (J=2/3) and 0b0011 (J=1/3, no edge) but
+    # joins their component transitively via 0b0111
+    got = dict(_mask_components_numpy([0b0011, 0b0111, 0b1000, 0b0110], 0.5))
+    assert got == {0b0011: 0b0011, 0b0111: 0b0011, 0b0110: 0b0011}
+    assert _mask_components_numpy([], 0.5) == []
+    # negative masks (bit 63 set) keep exact bit semantics
+    neg = -(1 << 63) | 0b11            # bits {0,1,63}
+    neg2 = -(1 << 63) | 0b01           # bits {0,63}: J=2/3
+    got = dict(_mask_components_numpy([neg, neg2], 0.5))
+    assert got == {neg: neg2, neg2: neg2}  # min long is neg2
