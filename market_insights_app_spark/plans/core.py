@@ -1581,13 +1581,19 @@ def q_rolling_corr_market(spark: SparkSession, sf: str) -> DataFrame:
     equal-weight market (operators/market.rolling_market_corr) — the
     time-varying regime monitor beside the static beta.  All five
     windowed sufficient statistics are exact integer fixed-point sums;
-    warm-up and degenerate windows yield NULL."""
+    warm-up and degenerate windows yield NULL.
+
+    The returns frame feeds BOTH the day-keyed market mean and the
+    per-key window lane; without the checkpoint each lane re-derives
+    it from the raw ticks — a second full tick scan at 100 TB.  The
+    returns table is key×day-sized (massively reduced), so
+    materializing it once is the right trade at any scale."""
     from market_insights_app_spark.operators.market import (
         daily_returns,
         rolling_market_corr,
     )
 
-    rets = daily_returns(_events(spark, sf))
+    rets = daily_returns(_events(spark, sf)).localCheckpoint(eager=False)
     out = rolling_market_corr(rets, n=20)
     return out.select(
         F.col("k").alias("user_id"),
