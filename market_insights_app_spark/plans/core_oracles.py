@@ -964,7 +964,11 @@ CORE_ORACLES["validate_lineitem"] = """
                count(*) FILTER (l_linestatus IS NOT NULL AND l_linestatus NOT IN ('F','O'))
         FROM lineitem
         UNION ALL
-        SELECT 'unique(l_orderkey,l_linenumber)', coalesce(sum(n - 1), 0)
+        -- CAST: bare sum(BIGINT) is HUGEINT in DuckDB, and the UNION ALL
+        -- would promote the whole `violations` column with it; the driver's
+        -- value-hash distinguishes int128 from Spark's bigint (r6 red).
+        SELECT 'unique(l_orderkey,l_linenumber)',
+               CAST(coalesce(sum(n - 1), 0) AS BIGINT)
         FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)
         UNION ALL
         SELECT 'foreign_key(l_orderkey)', count(*)
@@ -1046,8 +1050,12 @@ CORE_ORACLES["robust_outliers"] = """
            count(*) AS n,
            round(any_value(med), 6) AS median,
            round(any_value(mad), 6) AS mad,
-           coalesce(sum(CASE WHEN is_outlier THEN 1 END), 0) AS n_outliers,
-           round(sum(CASE WHEN is_outlier THEN 1.0 ELSE 0.0 END) / count(*), 6)
+           -- CASTs: bare sum(int) is HUGEINT and sum(1.0)/count(*) is
+           -- DECIMAL in DuckDB; Spark emits bigint/double (r6 red).
+           CAST(coalesce(sum(CASE WHEN is_outlier THEN 1 END), 0) AS BIGINT)
+             AS n_outliers,
+           round(CAST(sum(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6)
              AS outlier_rate
     FROM flagged GROUP BY k
 """

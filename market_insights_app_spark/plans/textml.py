@@ -742,12 +742,12 @@ TEXTML_ORACLES: dict[str, str] = {
         WHERE cosine >= 0.40
     """,
     "connector_fx_parse": """
-        SELECT 'EURUSD' AS symbol, 1.0825 AS price,
+        SELECT 'EURUSD' AS symbol, CAST(1.0825 AS DOUBLE) AS price,
                epoch_us(TIMESTAMP '2024-03-01 10:15:30') AS ts_us,
                'USD' AS currency, 'alpha_vantage_fx' AS source
     """,
     "connector_yahoo_parse": """
-        SELECT 'AAPL' AS symbol, 190.25 AS price,
+        SELECT 'AAPL' AS symbol, CAST(190.25 AS DOUBLE) AS price,
                epoch_us(to_timestamp(1709290120)) AS ts_us,
                'USD' AS currency, 'yahoo' AS source
     """,

@@ -103,6 +103,55 @@ def test_parity(name, spark, duck):
     )
 
 
+# Driver-safe DuckDB output types: the driver's value-hash distinguishes
+# physical types its stringified local replica does not — HUGEINT (bare
+# sum() over integers) and surprise DECIMALs (sum(1.0), decimal division)
+# have each cost a round (r2 decimal-width cliff, r6 robust_outliers /
+# validate_lineitem).  DECIMAL is allowed only where the Spark twin
+# verifiably emits the identical decimal type.
+_SAFE_DUCK_TYPES = {
+    "BIGINT", "DOUBLE", "VARCHAR", "BOOLEAN", "INTEGER",
+    "TIMESTAMP", "DATE",
+}
+_DECIMAL_WHITELIST = {
+    ("incremental_agg", "revenue"): "DECIMAL(20,2)",
+}
+
+
+def test_oracle_type_hygiene(duck):
+    """Every DuckDB oracle must emit only driver-safe column types.
+    Planning only — ``rel.types`` never executes the query."""
+    bad = []
+    for name, sql in ORACLES.items():
+        rel = duck.sql(sql)
+        for col, typ in zip(rel.columns, rel.types):
+            t = str(typ)
+            if t in _SAFE_DUCK_TYPES:
+                continue
+            if _DECIMAL_WHITELIST.get((name, col)) == t:
+                continue
+            bad.append(f"{name}.{col}: {t}")
+    assert not bad, (
+        "oracle columns with driver-unsafe types (CAST them to "
+        "BIGINT/DOUBLE, or whitelist decimals the Spark twin matches): "
+        + "; ".join(bad)
+    )
+
+
+def test_decimal_whitelist_matches_spark(spark):
+    """The decimal whitelist is only sound if the Spark twin emits the
+    same decimal type — pin it (plan-only, no execution)."""
+    from pyspark.sql.types import DecimalType
+
+    for (name, col), t in _DECIMAL_WHITELIST.items():
+        field = QUERIES[name](spark, SF_ORACLE).schema[col]
+        assert isinstance(field.dataType, DecimalType), (name, col)
+        p, s = field.dataType.precision, field.dataType.scale
+        assert t == f"DECIMAL({p},{s})", (
+            f"{name}.{col}: oracle {t} vs Spark DECIMAL({p},{s})"
+        )
+
+
 def test_ann_oracle_dim_assumption(spark):
     """The generated ANN oracles embed dim-64 hyperplane literals; fail
     loudly here if the testdata embedding dimension ever changes."""
