@@ -630,7 +630,9 @@ def jaccard_clusters(
 
 
 # driver-lane cap for the dense-mask CC: 8192 masks = 64 KB collect +
-# 64 MB boolean adjacency; above it the distributed crossJoin lane runs
+# 64 MB boolean adjacency + 64 MiB strip-matmul temporaries (the
+# adjacency is built in 1024-row strips — never a full n² float64
+# matrix); above it the distributed crossJoin lane runs
 _DENSE_CC_DRIVER_CAP = 8192
 
 
@@ -656,10 +658,19 @@ def _mask_components_numpy(
     bits = ((m[:, None] >> np.arange(64, dtype=np.int64)[None, :]) & 1)
     B = bits.astype(np.float64)
     pc = B.sum(axis=1)
-    inter = B @ B.T                       # exact integer counts
-    union = pc[:, None] + pc[None, :] - inter
+    # Blockwise adjacency: a full B @ B.T at the 8192 cap is a
+    # 8192²×8 = 512 MiB float64 temporary, and inter/union/adj would
+    # stack three of them (~1.5 GB transient).  1024-row strips keep
+    # the peak at strip×n float64 (64 MiB) + the n² bool result
+    # (64 MB at the cap); per-strip values are the exact same float64
+    # matmul/divide the full-matrix form computes.
+    adj = np.empty((n, n), dtype=bool)
     with np.errstate(divide="ignore", invalid="ignore"):
-        adj = (inter / union) >= threshold
+        for s in range(0, n, 1024):
+            e = min(s + 1024, n)
+            inter_s = B[s:e] @ B.T        # exact integer counts
+            union_s = pc[s:e, None] + pc[None, :] - inter_s
+            adj[s:e] = (inter_s / union_s) >= threshold
     np.fill_diagonal(adj, False)
     has_nbr = adj.any(axis=1)
     labels = m.copy()

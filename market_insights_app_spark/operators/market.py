@@ -676,17 +676,18 @@ def sharpe_ratio(
 
     The three sufficient statistics accumulate in INTEGER FIXED-POINT
     (r·10⁹ as exact longs; the square sums as integer-valued
-    DECIMAL(37,0) so the int128 lane engages): integer-valued sums
-    convert to double deterministically on every engine, whereas a
-    fractional DECIMAL(38,18)→double conversion is off-by-an-ulp
-    between Spark (correctly-rounded BigDecimal) and DuckDB
-    (int128-to-double then scale multiply) — observed at sf0.01 on
-    vol/sharpe.  Mean, stddev and the ratio are then single UNROUNDED
-    double expressions (bit-identical chains; round()ing them could
-    land on an engine-divergent half-way perception — see
-    daily_returns).  The 10⁻⁹ grid scale cancels inside the Sharpe;
-    mean/vol rescale by one final multiply.  Keys with n < 2 or zero
-    variance yield NULL."""
+    DECIMAL(37,0) so the int128 lane engages).  s1 stays below 2⁶³ by
+    domain, so its long→double conversion is correctly rounded on both
+    engines and mean_ret is emitted UNROUNDED.  The square sum s2 is
+    NOT so bounded (one 300 %+ day, or ~100 days of 30 % moves, pushes
+    Σ(r·10⁹)² past 2⁶³), and in that regime DuckDB's int128→double
+    conversion can sit one ulp off Spark's correctly-rounded
+    BigDecimal→double — so vol and sharpe, which inherit s2 through
+    the variance, are ROUNDED to 6 dp exactly like beta/alpha in
+    :func:`beta_vs_benchmark` (safe post-grid-fix: the structural
+    half-way cases are gone).  The 10⁻⁹ grid scale cancels inside the
+    Sharpe; mean/vol rescale by one final multiply.  Keys with n < 2
+    or zero variance yield NULL."""
     # ret_d is integer-valued at scale 9 ⇒ ·10⁹ then cast long is exact
     rfx = (
         (F.col(ret_col).cast("decimal(22,9)") * F.lit(1_000_000_000))
@@ -709,7 +710,14 @@ def sharpe_ratio(
     s1 = F.col("s1").cast("double")
     s2 = F.col("s2").cast("double")
     mean_fx = s1 / n
-    var_fx = (s2 - s1 * s1 / n) / (n - 1.0)
+    # var_fx must be NULL (not a raw /(n-1) division) for n == 1: the
+    # expression appears inside when() CONDITIONS below, which are
+    # evaluated eagerly, so an unguarded n-1 divisor is an ANSI
+    # DIVIDE_BY_ZERO job-killer on any key with exactly one return
+    # (found by the grid-lane property test, r7)
+    var_fx = F.when(
+        F.col("n") > 1, (s2 - s1 * s1 / n) / (n - 1.0)
+    )
     sharpe = F.when(
         (F.col("n") > 1) & (var_fx > 0.0),
         mean_fx / F.sqrt(var_fx) * F.sqrt(F.lit(float(periods_per_year))),
@@ -721,11 +729,12 @@ def sharpe_ratio(
         # var >= 0 guard: s1²/n can exceed s2 by an ulp on constant
         # series — Spark sqrt would give NaN where DuckDB hard-errors,
         # so both twins guard the sign
-        (
+        F.round(
             F.when((F.col("n") > 1) & (var_fx >= 0.0), F.sqrt(var_fx))
-            * F.lit(1e-9)
+            * F.lit(1e-9),
+            6,
         ).alias("vol"),
-        sharpe.alias("sharpe"),
+        F.round(sharpe, 6).alias("sharpe"),
     )
 
 
@@ -880,7 +889,15 @@ def var_cvar(
     Discrete, interpolation-free definitions (exact on both engines):
     with n non-null returns per key and the tail size
     k = ceil(alpha·n) ≥ 1, ``var_a`` is the k-th SMALLEST return and
-    ``cvar_a`` the mean of those k.  Both ride the 10⁻⁹ integer
+    ``cvar_a`` the mean of those k.  ``alpha·n`` is the raw IEEE
+    double product, NOT rational arithmetic — e.g. alpha=0.10, n=60
+    gives ceil(6.000000000000001) = 7, one more tail row than the
+    mathematical ceil(αn) at many (alpha, n) pairs.  This is
+    deliberate: the identical product is what the DuckDB oracle
+    computes (it CASTs alpha to DOUBLE for exactly this reason), so
+    cross-engine parity holds; callers needing the textbook k should
+    pass alpha as an exactly-representable double (e.g. 0.0625) or
+    pre-compute k themselves.  Both ride the 10⁻⁹ integer
     fixed-point grid (see daily_returns): the order statistic is a
     stored grid value re-expressed as ONE exact-operand double
     division, and the CVaR is an exact long sum divided once.  Ties at

@@ -90,11 +90,15 @@ def robust_outliers(
 
     Three grouped passes by construction (median → MAD needs the
     median per row → flags need the MAD): each intermediate is a
-    k-row table broadcast back, so no pass shuffles data rows.  At
-    100 TB swap the exact percentiles for approx_percentile sketches
-    (one pass each, mergeable) behind the same shape.  Groups with
-    MAD = 0 (over half the values identical) flag any deviation from
-    the median."""
+    k-row table broadcast back.  Note the exact grouped
+    ``percentile`` is NOT a cheap partial aggregate — it buffers the
+    group's values and moves those aggregation buffers through an
+    exchange, so the first two passes each shuffle O(rows) of value
+    data (the final flag pass is a true partial agg).  At 100 TB use
+    :func:`robust_outliers_approx` — the same shape over mergeable
+    ``approx_percentile`` sketches, where only fixed-size sketch
+    buffers cross the exchange.  Groups with MAD = 0 (over half the
+    values identical) flag any deviation from the median."""
     v = F.col(value_col).cast("double")
     med = df.groupBy(F.col(key_col).alias("k")).agg(
         F.percentile(v, F.lit(0.5)).alias("med")

@@ -1223,11 +1223,32 @@ def q_pit_feature_lookup(spark: SparkSession, sf: str) -> DataFrame:
 def q_robust_outliers(spark: SparkSession, sf: str) -> DataFrame:
     """Median/MAD anomaly report per event_type (operators/profiling.
     robust_outliers): robust z-score |v - median| > 3 * 1.4826 * MAD.
-    Three grouped passes, each intermediate a k-row broadcast —
-    data rows never shuffle."""
+    Three grouped passes, each intermediate a k-row broadcast; the two
+    exact-percentile passes move value buffers through their exchange
+    (the sketch twin robust_outliers_approx is the 100 TB lane)."""
     from market_insights_app_spark.operators.profiling import robust_outliers
 
     return robust_outliers(_events(spark, sf), "event_type", "value")
+
+
+def q_sketch_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-lane error-bound gate (operators/sketches.
+    sketch_accuracy_report): per event_type, exact n and distinct-user
+    counts plus BOOLEANS asserting the GK quantile sketch (p50/p90 of
+    value, accuracy 10⁴) and the HLL++ distinct estimate sit inside
+    their published error bounds, checked against exact counts in the
+    same job.  The DuckDB oracle emits literal TRUEs — a sketch
+    regression flips a boolean and hash-fails the driver gate.  This
+    row is what makes the 100 TB sketch lane (robust_outliers_approx /
+    value_quantiles_approx / perplexity_buckets_approx / hll_profile)
+    driver-verified rather than promised."""
+    from market_insights_app_spark.operators.sketches import (
+        sketch_accuracy_report,
+    )
+
+    return sketch_accuracy_report(
+        _events(spark, sf), "event_type", "value", "user_id"
+    )
 
 
 def q_quantile_binning(spark: SparkSession, sf: str) -> DataFrame:

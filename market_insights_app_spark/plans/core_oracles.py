@@ -1060,6 +1060,19 @@ CORE_ORACLES["robust_outliers"] = """
     FROM flagged GROUP BY k
 """
 
+CORE_ORACLES["sketch_profile"] = """
+    -- The approximate values themselves are engine-specific (Spark
+    -- GK/HLL++ internals); the gate therefore verifies exact counts
+    -- plus the Spark-side bound BOOLEANS, which must all be TRUE.
+    SELECT event_type,
+           count(*) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+           TRUE AS distinct_ok,
+           TRUE AS p50_ok,
+           TRUE AS p90_ok
+    FROM events GROUP BY event_type
+"""
+
 CORE_ORACLES["quantile_binning"] = """
     WITH b AS (
         SELECT event_type, value,
@@ -1259,11 +1272,13 @@ _DAILY_RET_CTE = """
 """
 
 CORE_ORACLES["daily_sharpe"] = f"""
-    -- sufficient statistics in 10^9-scaled INTEGER fixed-point:
-    -- integer-valued sums convert to double deterministically on both
-    -- engines (fractional DECIMAL(38,18)->double is off-by-an-ulp
-    -- between Spark and DuckDB); the grid scale cancels in the Sharpe
-    -- and rescales mean/vol with one final multiply.  var >= 0 guard
+    -- sufficient statistics in 10^9-scaled INTEGER fixed-point.  s1
+    -- stays below 2^63 by domain (long->double is correctly rounded
+    -- on both engines -> mean_ret unrounded), but the square sum s2
+    -- can exceed 2^63, where DuckDB's int128->double conversion may
+    -- sit one ulp off Spark's correctly-rounded decimal->double —
+    -- vol/sharpe inherit s2 through the variance and are therefore
+    -- rounded to 6 dp, exactly like beta/alpha.  var >= 0 guard
     -- mirrors the Spark twin (a -1-ulp variance would NaN there,
     -- error here).
     WITH {_DAILY_RET_CTE},
@@ -1279,9 +1294,10 @@ CORE_ORACLES["daily_sharpe"] = f"""
           FROM d)
     SELECT user_id, n AS n_days,
            s1d / nd * 1e-9 AS mean_ret,
-           (CASE WHEN n > 1 AND var >= 0.0 THEN sqrt(var) END) * 1e-9 AS vol,
-           CASE WHEN n > 1 AND var > 0.0
-                THEN (s1d / nd) / sqrt(var) * sqrt(252.0) END AS sharpe
+           round((CASE WHEN n > 1 AND var >= 0.0 THEN sqrt(var) END) * 1e-9,
+                 6) AS vol,
+           round(CASE WHEN n > 1 AND var > 0.0
+                 THEN (s1d / nd) / sqrt(var) * sqrt(252.0) END, 6) AS sharpe
     FROM v
 """
 

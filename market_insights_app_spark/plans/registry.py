@@ -50,105 +50,104 @@ _COLLECTED: dict[str, QueryFn] = {**_collect(core), **_collect(textml)}
 # the judge would flag.
 # ---------------------------------------------------------------------------
 
-_ROUND = 6
+_ROUND = 7
 _WINDOW = 50
 
 # name -> round of its latest driver CORRECTNESS row (0 = never swept).
-# Source: CORRECTNESS_r01..r05 artifacts (an entry counts as swept when
-# the driver recorded it, including rows-only `err: no_oracle` rows).
+# Source: CORRECTNESS_r01..r06 artifacts (an entry counts as swept when
+# the driver recorded it, including rows-only `err: no_oracle` rows and
+# the two r6 hash-RED rows — robust_outliers / validate_lineitem were
+# *swept* in r6; their re-gate slot comes from _CHANGED_SINCE_ROW, not
+# from staleness).
 _LAST_SWEPT: dict[str, int] = {
-    "ab_mann_whitney": 0, "ab_welch_t": 0, "ann_lsh_topk": 3,
-    "asof_join": 5, "autocorr_lag1": 4, "bigram_lm": 5, "bm25_search": 5,
-    "bollinger": 4, "cdc_apply_roundtrip": 0, "chi2_lang_drift": 0,
+    "ab_mann_whitney": 6, "ab_welch_t": 6, "ann_lsh_topk": 6,
+    "asof_join": 5, "autocorr_lag1": 4, "beta_benchmark": 6,
+    "bigram_lm": 5, "bm25_search": 5, "bollinger": 4,
+    "cdc_apply_roundtrip": 6, "chi2_lang_drift": 6,
     "click_attribution": 4, "cohort_retention": 4,
     "connector_av_quote_parse": 5, "connector_fx_parse": 5,
-    "connector_yahoo_parse": 5, "corpus_report": 0, "corpus_shuffle": 3,
-    "corpus_split": 3, "cube_agg": 4, "decontaminate": 5,
-    "decontaminate_bloom": 0, "dedup_exact": 5, "dedup_latest_wins": 4,
-    "doc_chunks": 3, "doc_repetition": 5, "domain_doc_cap": 5,
-    "domain_split": 5, "dsir_select": 5, "ema_stateful_replay": 5,
-    "embedding_neardup": 5, "embedding_topk": 5, "equity_cumsum": 4,
-    "ewma_macd": 5, "fingerprint_docs": 3, "funnel_conversion": 4,
+    "connector_yahoo_parse": 5, "corpus_report": 6, "corpus_shuffle": 6,
+    "corpus_split": 6, "cube_agg": 4, "daily_sharpe": 6,
+    "decontaminate": 5, "decontaminate_bloom": 6, "dedup_exact": 5,
+    "dedup_latest_wins": 4, "doc_chunks": 6, "doc_repetition": 5,
+    "domain_doc_cap": 5, "domain_split": 5, "dsir_select": 5,
+    "ema_stateful_replay": 5, "embedding_neardup": 6,
+    "embedding_topk": 5, "equity_cumsum": 4, "ewma_macd": 5,
+    "fingerprint_docs": 6, "frame_sample": 6, "funnel_conversion": 4,
     "fuzzy_match": 5, "group_topk": 4, "grouping_sets_revenue": 4,
-    "histogram": 4, "hybrid_search": 3, "ict_analysis": 4,
-    "impact_classify": 3, "incremental_agg": 0, "inverted_index": 5,
-    "ivf_topk": 5, "journal_stats": 3, "json_extract_props": 4,
-    "kmeans_assign": 3, "lag_delta": 4, "lang_id": 5,
-    "latest_join_enrich": 4, "latest_per_key": 4, "level_extract": 3,
+    "histogram": 4, "hybrid_search": 6, "ict_analysis": 4,
+    "impact_classify": 6, "incremental_agg": 6,
+    "interval_join_stream_replay": 6, "inverted_index": 5,
+    "ivf_topk": 5, "journal_stats": 6, "json_extract_props": 4,
+    "key_skew": 6, "kmeans_assign": 6, "lag_delta": 4, "lang_id": 5,
+    "latest_join_enrich": 4, "latest_per_key": 4, "level_extract": 6,
     "lm_quality": 5, "local_extrema": 4, "ma_slope_trend": 4,
     "max_drawdown": 5, "media_decode": 5, "media_features": 4,
     "minhash_neardup": 4, "minhash_neardup_portable": 5,
-    "minmax_mid_premium": 4, "minmax_normalize": 4, "mixture_sample": 3,
+    "minmax_mid_premium": 4, "minmax_normalize": 4, "mixture_sample": 6,
     "multi_join_revenue": 5, "near_dedup_corpus": 5,
     "near_dedup_corpus_exact": 5, "ngram_jaccard": 5,
-    "ngram_jaccard_bigram": 3, "ohlc_resample": 5, "pairwise_corr": 5,
-    "pairwise_corr_dense": 5, "passage_dedup": 4, "perplexity_buckets": 5,
-    "pii_scrub": 5, "pit_feature_lookup": 0, "pivot_event_counts": 4,
-    "pnl_r_scalars": 4, "positions_agg": 5, "prices_filter_range_limit": 4,
-    "prices_keyset_page": 4, "prices_page2": 4, "psi_drift": 0,
-    "quantile_binning": 0, "quantize_int8": 5, "range_join_sessions": 4,
-    "recent_n_tail": 4, "resample_ffill": 0, "robust_outliers": 0,
+    "ngram_jaccard_bigram": 6, "ngram_novelty": 6, "ohlc_resample": 5,
+    "ohlc_stream_replay": 6, "pairwise_corr": 5,
+    "pairwise_corr_dense": 5, "passage_dedup": 4,
+    "perplexity_buckets": 5, "pii_scrub": 5, "pit_feature_lookup": 6,
+    "pivot_event_counts": 4, "pmi_collocations": 6, "pnl_r_scalars": 4,
+    "positions_agg": 5, "prices_filter_range_limit": 4,
+    "prices_keyset_page": 4, "prices_page2": 4, "psi_drift": 6,
+    "quality_funnel": 6, "quantile_binning": 6, "quantize_int8": 5,
+    "range_join_sessions": 4, "recent_n_tail": 4, "resample_ffill": 6,
+    "robust_outliers": 6, "rolling_corr_market": 6,
     "rolling_min_volatility": 4, "rolling_stddev10": 4,
     "rollup_revenue": 4, "rsi14": 4, "salted_hot_agg": 4,
-    "scd2_user_state": 0, "semdedup": 5, "seq_len_histogram": 3,
-    "seq_pack": 5, "series_moments": 5, "session_stateful_replay": 5,
-    "session_window_agg": 4, "set_ops": 4, "simhash_neardup": 4,
-    "simhash_neardup_portable": 5, "sliding_window_agg": 4, "sma5": 4,
-    "snapshot_diff": 0, "span_dedup": 5, "stratified_sample": 5,
-    "table_profile": 5, "tag_split": 3, "text_quality": 5,
-    "tfidf_top_terms": 5, "timestamp_normalize": 3, "tokens_count": 3,
+    "sample_per_group": 6, "scd2_user_state": 6, "semdedup": 5,
+    "seq_len_histogram": 6, "seq_pack": 5, "series_moments": 5,
+    "session_stateful_replay": 5, "session_window_agg": 4, "set_ops": 4,
+    "simhash_neardup": 4, "simhash_neardup_portable": 5,
+    "sliding_window_agg": 4, "sma5": 4, "snapshot_diff": 6,
+    "span_dedup": 5, "stratified_sample": 5, "table_profile": 5,
+    "tag_split": 6, "text_quality": 5, "tfidf_top_terms": 5,
+    "timestamp_normalize": 6, "token_entropy": 6, "tokens_count": 6,
     "tpch_q1_style": 5, "trailing_max_argmax": 4, "training_corpus": 5,
-    "trend_ols": 0, "tumbling_window_agg": 4, "twap_daily": 0,
-    "union_merge_dedup": 4, "url_normalize": 5, "validate_lineitem": 0,
-    "value_quantiles": 4, "vocab_topk": 5, "vwap_daily": 5,
-    "weighted_sample": 0, "window_delta_stats": 4, "zipf_slope": 4,
+    "transition_matrix": 6, "trend_ols": 6, "tumbling_window_agg": 4,
+    "twap_daily": 6, "union_merge_dedup": 4, "url_normalize": 5,
+    "validate_lineitem": 6, "value_quantiles": 4, "var_cvar": 6,
+    "vocab_topk": 5, "vwap_daily": 5, "weighted_sample": 6,
+    "window_delta_stats": 4, "zipf_slope": 4, "zscore_anomalies": 6,
 }
 
 # Queries first registered in round _ROUND (no driver row can exist).
+# r7 adds exactly ONE net-new query: the window is 46 r4-stale + 3
+# changed + 1 new = 50 slots exactly (the pre-staged r7 budget).
 _NEW_THIS_ROUND: list[str] = [
-    "ohlc_stream_replay",  # streaming OHLC hash-gated via replay
-    "daily_sharpe",        # daily returns → annualized Sharpe
-    "beta_benchmark",      # CAPM beta vs equal-weight benchmark
-    "transition_matrix",   # Markov event-type transitions
-    "zscore_anomalies",    # trailing-window z-score monitor
-    "key_skew",            # shuffle-key skew report
-    "sample_per_group",    # fixed-quota per-group sampler
-    "token_entropy",       # unigram entropy quality signal
-    "frame_sample",        # byte-domain video frame sampling
-    "interval_join_stream_replay",  # stream-stream interval join gate
-    "rolling_corr_market",  # trailing windowed corr vs market
-    "ngram_novelty",        # graded novelty vs reference corpus
-    "var_cvar",             # historical VaR + expected shortfall
-    "quality_funnel",       # Gopher rule-cascade survivor report
-    "pmi_collocations",     # top-k bigram PMI collocations
+    "sketch_profile",  # sketch-lane error-bound gate (GK + HLL++)
 ]
 
-# Queries whose operator/plan semantics were touched since their last
-# driver row — must re-gate even if recently green.  r6: the advisor-fix
-# batch (embedding_neardup threshold de-vacuized; psi_drift new-segment
-# sentinel; ab_welch_t decimal widening; decontaminate_bloom distributed
-# bit-array build; weighted_sample Column-id fix).  The never-swept among
-# them are already tier-2-front; listing keeps the audit explicit.
+# Queries whose operator/plan/oracle semantics were touched since
+# their last driver row — must re-gate even if recently swept.  r7:
+# - robust_outliers / validate_lineitem: r6 hash-RED; their DuckDB
+#   oracles gained BIGINT/DOUBLE casts (HUGEINT/DECIMAL output types
+#   were the failure, values already matched).
+# - daily_sharpe: ADVICE r6 medium — vol/sharpe now rounded to 6 dp
+#   in BOTH twins (s2 > 2^63 ulp regime).
+# beta_benchmark is NOT listed: its r6 row postdates the r6 grid-guard
+# commit (the driver sweeps end-of-round code; the r6 pre-stage note
+# feared otherwise, CORRECTNESS_r06 settled it) and nothing touched it
+# in r7.
 _CHANGED_SINCE_ROW: list[str] = [
-    "embedding_neardup",
-    "psi_drift",
-    "ab_welch_t",
-    "decontaminate_bloom",
-    "weighted_sample",
+    "robust_outliers",
+    "validate_lineitem",
+    "daily_sharpe",
 ]
 
-# r7 pre-stage: after the r6 sweep lands, fold CORRECTNESS_r06 into
-# _LAST_SWEPT (the 50 window names -> 6). r7's must-sweep is then the
-# 46 r4-stale rows + r7's new/changed — within one 50-slot window iff
-# new+changed ≤ 4, so EITHER keep r7's registry additions to ≤4 nets
-# OR consolidate provably-redundant siblings first (candidates named
-# in the r5 verdict: ngram_jaccard_bigram⊂ngram_jaccard,
-# hybrid_search=bm25+topk, near_dedup_corpus vs _exact share the
-# pipeline). The r6 daily_returns grid-guard touched the shared
-# _DAILY_RET_CTE; the guard IS r6-driver-gated through var_cvar +
-# rolling_corr_market (tier 0, same CTE), but daily_sharpe /
-# beta_benchmark sat out the full r6 window (swept r5) — put both in
-# r7's _CHANGED_SINCE_ROW.
+# r8 pre-stage: after the r7 sweep lands, fold CORRECTNESS_r07 into
+# _LAST_SWEPT (the 50 window names -> 7). The r8 must-sweep is then
+# the 49 r5-stale rows, so r8 has ONE slot for new+changed combined.
+# If r8 needs more (it will: any advice fix touching a swept query
+# consumes the slot), consolidate the redundant siblings the r5
+# verdict already sanctioned BEFORE adding: near_dedup_corpus (r5,
+# shares its pipeline with near_dedup_corpus_exact) is itself one of
+# the 49 — removing it directly frees a slot; ngram_jaccard_bigram
+# and hybrid_search free future-round load.
 
 _unknown = (
     set(_LAST_SWEPT) | set(_NEW_THIS_ROUND) | set(_CHANGED_SINCE_ROW)

@@ -141,9 +141,16 @@ def session_agg(
     )
 
 
+# Most recently drained StreamingQuery — explain tooling reads its
+# executed micro-batch plan (scripts/generate_explain.py); queries
+# keep their DataFrame-only return contract.
+LAST_REPLAY_QUERY = None
+
+
 def run_available_now_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Test/driver helper: drain everything currently available into an
     in-memory table and stop (ST2's on-demand trigger analog)."""
+    global LAST_REPLAY_QUERY
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -152,6 +159,7 @@ def run_available_now_to_memory(stream_df: DataFrame, name: str, output_mode: st
         .start()
     )
     q.awaitTermination()
+    LAST_REPLAY_QUERY = q
     return q
 
 

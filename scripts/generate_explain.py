@@ -241,6 +241,13 @@ COMMENTARY = {
         "to a single row, and the 5-row report explodes from that row "
         "— a single Exchange end to end, at any corpus size."
     ),
+    "sketch_profile": (
+        "Sketch-lane gate: TWO partial-aggregable scans (GK quantile + "
+        "HLL++ sketch pass, then the exact-rank count pass) joined on "
+        "the 5-row group key — at 100 TB only fixed-size sketch "
+        "registers and count partials cross either Exchange; the k-row "
+        "sketch frame that joins back is a BroadcastExchange."
+    ),
     "pmi_collocations": (
         "Collocations: bigram and unigram counts each shuffle once on "
         "the gram; the min-count HAVING prunes the pair table BEFORE "
@@ -248,6 +255,37 @@ COMMENTARY = {
         "totals are a broadcast single row and the top-k is "
         "TakeOrderedAndProject — ranking on the raw ratio keeps the "
         "cut libm-free."
+    ),
+}
+
+# Streaming replay gates: their query functions RUN the availableNow
+# replay and return a batch frame over the memory sink, so the batch
+# explain would only show a LocalTableScan.  Instead the executed
+# MICRO-BATCH plan is captured from the StreamingQuery after the drain
+# (streaming/ingest.LAST_REPLAY_QUERY) — that plan is what a
+# production cluster executes every trigger.
+STREAMING_COMMENTARY = {
+    "ohlc_stream_replay": (
+        "Streaming OHLC candles: the micro-batch plan is a windowed "
+        "StateStoreRestore → partial agg → StateStoreSave sandwich on "
+        "(user_id, window) — min_by/max_by candle partials are "
+        "mergeable, so each trigger shuffles only per-key candle "
+        "state, never raw ticks twice.  Watermark on the event time "
+        "bounds the state store: windows older than the watermark are "
+        "evicted after they finalize.  Under availableNow replay the "
+        "same operators run with one (or few) batches — identical "
+        "semantics, which is why the DuckDB batch oracle can "
+        "hash-gate the streaming runtime."
+    ),
+    "interval_join_stream_replay": (
+        "Stream-stream interval join: both sides carry watermarks and "
+        "the join predicate includes the two-sided time range, so the "
+        "StreamingSymmetricHashJoin keeps only in-interval rows in "
+        "each side's state store (the state-bounding contract for "
+        "stream-stream joins at scale — without the range the state "
+        "would grow unboundedly).  The plan shows per-side state "
+        "store operators keyed on user; matches emit as soon as both "
+        "sides arrive, and watermark passage evicts expired rows."
     ),
 }
 
@@ -280,6 +318,18 @@ def main() -> None:
         with redirect_stdout(buf):
             df.explain("formatted")
         out.write(f"\n## {name}\n\n{note}\n\n```\n{buf.getvalue().strip()}\n```\n")
+    for name, note in STREAMING_COMMENTARY.items():
+        from market_insights_app_spark.streaming import ingest
+
+        QUERIES[name](spark, sf_dir).collect()  # runs the replay
+        q = ingest.LAST_REPLAY_QUERY
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            q.explain()
+        out.write(
+            f"\n## {name} (executed micro-batch plan)\n\n{note}\n\n"
+            f"```\n{buf.getvalue().strip()}\n```\n"
+        )
     with open("EXPLAIN.md", "w") as f:
         f.write(out.getvalue())
     print("wrote EXPLAIN.md")

@@ -218,6 +218,49 @@ def main() -> None:
         "rolling market corr (10k keys)",
         rolling_market_corr(rets, n=20),
     )
+
+    # --- round-7 sketch lane: exact vs approx on the same 10M ticks --------
+    # The point of the comparison: the exact lanes buffer/sort whole
+    # value columns through their exchanges; the sketch lanes move only
+    # fixed-size GK/HLL++ buffers. Same output shape, bound-tested in
+    # tests/test_sketches.py.
+    from market_insights_app_spark.operators.profiling import (
+        profile_table,
+        robust_outliers,
+    )
+    from market_insights_app_spark.operators.sketches import (
+        hll_profile,
+        robust_outliers_approx,
+        sketch_accuracy_report,
+        value_quantiles_approx,
+    )
+
+    t("robust outliers EXACT (10M)", robust_outliers(ev, "event_type", "value"))
+    t(
+        "robust outliers SKETCH (10M)",
+        robust_outliers_approx(ev, "event_type", "value"),
+    )
+    t(
+        "value quantiles EXACT (10M)",
+        ev.groupBy("event_type").agg(
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+            F.percentile("value", F.lit(0.9)).alias("p90"),
+            F.percentile("value", F.lit(0.99)).alias("p99"),
+        ),
+    )
+    t(
+        "value quantiles SKETCH (10M)",
+        value_quantiles_approx(ev, "event_type", "value"),
+    )
+    t("table profile EXACT-distinct (10M)", profile_table(ev))
+    t("table profile HLL (10M)", hll_profile(ev))
+    t0 = time.perf_counter()
+    rep = sketch_accuracy_report(ev, "event_type", "value", "user_id").collect()
+    ok = all(r["distinct_ok"] and r["p50_ok"] and r["p90_ok"] for r in rep)
+    print(
+        f"{'sketch accuracy report (10M)':35s} {time.perf_counter() - t0:7.2f} s"
+        f"   all_bounds_ok={ok}"
+    )
     ev.unpersist()
 
     # --- synthetic docs: n_docs rows, zipf-ish repeated phrases ------------

@@ -525,3 +525,139 @@ def test_ngram_novelty_matches_python_model(spark, train, ref):
         r = got[i]
         assert (r["n_grams"], r["n_novel"]) == (len(g), len(novel))
         assert r["novelty"] == pytest.approx(len(novel) / len(g))
+
+
+# ---------------------------------------------------------------------------
+# daily_returns -> sharpe_ratio / beta_vs_benchmark: the 10^-9 integer
+# fixed-point grid lane vs a pure-Python model (verdict r6 task: the
+# grid guards were pinned only by golden tests).  Closes deliberately
+# include 0.0 (the ±Infinity guard), huge/tiny values (ratios past the
+# DECIMAL(13,9) grid domain -> NULL) and ordinary magnitudes.
+# ---------------------------------------------------------------------------
+
+close_val = st.one_of(
+    st.floats(min_value=1e-2, max_value=1e4, allow_nan=False, allow_infinity=False),
+    st.just(0.0),
+    st.floats(min_value=1e8, max_value=1e12, allow_nan=False, allow_infinity=False),
+    st.floats(min_value=1e-12, max_value=1e-8, allow_nan=False, allow_infinity=False),
+)
+
+
+def _py_grid_fx(closes):
+    """Per-day 10^9-grid fixed-point returns (None where the operator
+    emits NULL): mirrors daily_returns' zero-prev and grid-domain
+    guards bit for bit."""
+    out, prev = [], None
+    for c in closes:
+        fx = None
+        if prev is not None and prev != 0.0:
+            r = c / prev - 1.0
+            if abs(r) < 10000.0:
+                f = math.floor(r * 1e9)
+                if -9_999_999_999_999 <= f <= 9_999_999_999_999:
+                    fx = int(f)
+        out.append(fx)
+        prev = c
+    return out
+
+
+@given(
+    walks=st.lists(
+        st.lists(close_val, min_size=1, max_size=10),
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(**SETTINGS)
+def test_sharpe_beta_grid_lane_matches_python_model(spark, walks):
+    import datetime as dt
+
+    from market_insights_app_spark.operators.market import (
+        beta_vs_benchmark,
+        daily_returns,
+        sharpe_ratio,
+    )
+
+    rows = [
+        (k, dt.datetime(2024, 1, 1) + dt.timedelta(days=i), i * 10 + k, c)
+        for k, closes in enumerate(walks)
+        for i, c in enumerate(closes)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    rets = daily_returns(df)
+    got_s = {r["k"]: r for r in sharpe_ratio(rets).collect()}
+    got_b = {r["k"]: r for r in beta_vs_benchmark(rets).collect()}
+
+    fx_by_key = {k: _py_grid_fx(closes) for k, closes in enumerate(walks)}
+
+    # --- sharpe model: integer sufficient stats, then the exact IEEE
+    # chain of the operator ------------------------------------------------
+    for k, fxs in fx_by_key.items():
+        xs = [f for f in fxs if f is not None]
+        if not xs:
+            assert k not in got_s
+            continue
+        g = got_s[k]
+        n = len(xs)
+        s1d, s2d, nd = float(sum(xs)), float(sum(x * x for x in xs)), float(n)
+        assert g["n_days"] == n
+        assert g["mean_ret"] == pytest.approx(s1d / nd * 1e-9, rel=1e-12, abs=1e-18)
+        if n > 1:
+            var = (s2d - s1d * s1d / nd) / (nd - 1.0)
+            if var >= 0.0:
+                assert g["vol"] == pytest.approx(
+                    math.sqrt(var) * 1e-9, abs=1.01e-6
+                )
+            else:
+                assert g["vol"] is None
+            if var > 0.0:
+                assert g["sharpe"] == pytest.approx(
+                    (s1d / nd) / math.sqrt(var) * math.sqrt(252.0), abs=1.01e-6
+                )
+            else:
+                assert g["sharpe"] is None
+        else:
+            assert g["vol"] is None and g["sharpe"] is None
+
+    # --- beta model: per-day equal-weight market on the same grid ---------
+    from fractions import Fraction
+
+    n_days = max(len(c) for c in walks)
+    xfx = {}
+    for d in range(n_days):
+        day_fx = [
+            fx_by_key[k][d]
+            for k in fx_by_key
+            if d < len(fx_by_key[k]) and fx_by_key[k][d] is not None
+        ]
+        if day_fx:
+            # exact decimal sum -> correctly-rounded double -> /count
+            # -> *1e9 -> floor: the operator's exact chain
+            d1 = float(Fraction(sum(day_fx), 10**9))
+            xfx[d] = int(math.floor(d1 / float(len(day_fx)) * 1e9))
+    for k, fxs in fx_by_key.items():
+        pairs = [
+            (xfx[d], fx) for d, fx in enumerate(fxs) if fx is not None
+        ]
+        if not pairs:
+            assert k not in got_b
+            continue
+        g = got_b[k]
+        n = len(pairs)
+        sx = sum(p[0] for p in pairs)
+        sy = sum(p[1] for p in pairs)
+        sxx = sum(p[0] * p[0] for p in pairs)
+        sxy = sum(p[0] * p[1] for p in pairs)
+        assert g["n_days"] == n
+        nd = float(n)
+        sxd, syd, sxxd, sxyd = float(sx), float(sy), float(sxx), float(sxy)
+        den = nd * sxxd - sxd * sxd
+        if den == 0.0:
+            assert g["beta"] is None and g["alpha"] is None
+        else:
+            beta = (nd * sxyd - sxd * syd) / den
+            alpha = (syd - beta * sxd) / nd * 1e-9
+            assert g["beta"] == pytest.approx(beta, abs=1.01e-6)
+            assert g["alpha"] == pytest.approx(alpha, abs=1.01e-9)
