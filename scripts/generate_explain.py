@@ -285,7 +285,15 @@ STREAMING_COMMENTARY = {
         "stream-stream joins at scale — without the range the state "
         "would grow unboundedly).  The plan shows per-side state "
         "store operators keyed on user; matches emit as soon as both "
-        "sides arrive, and watermark passage evicts expired rows."
+        "sides arrive, and watermark passage evicts expired rows.  "
+        "StreamingQuery.explain() returns the LAST executed "
+        "micro-batch — under availableNow that is the final drain "
+        "epoch with empty LocalTableScan sources; the load-bearing "
+        "parts are the StreamingSymmetricHashJoin condition and the "
+        "`state cleanup` value predicates derived from it (watermark "
+        "minus the 30-minute range on each side), which are identical "
+        "in every epoch.  The file-scan source shape is visible in "
+        "the ohlc_stream_replay section above."
     ),
 }
 

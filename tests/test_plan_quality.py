@@ -459,3 +459,18 @@ def test_pmi_collocations_broadcast_joins_topk(spark):
     assert "SortMergeJoin" not in tree
     assert "CartesianProduct" not in tree
     assert "TakeOrderedAndProject" in tree
+
+
+def test_sketch_profile_sketch_aggregates_and_broadcast(spark):
+    """The sketch lane must BE a sketch lane in the plan: the GK
+    percentile pass shows as a partial/merge ObjectHashAggregate pair
+    (fixed-size sketch buffers cross its Exchange), the k-row sketch
+    frame joins back as a BroadcastExchange (never a shuffle join),
+    and the only row-width exchanges belong to the exact-rank/exact
+    -distinct verification side the report exists to compare against."""
+    from market_insights_app_spark.plans.registry import QUERIES
+
+    tree = plan_of(QUERIES["sketch_profile"](spark, SF_ORACLE)).split("\n\n")[0]
+    assert "ObjectHashAggregate" in tree  # percentile_approx sketch agg
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree and "CartesianProduct" not in tree
