@@ -283,6 +283,11 @@ def kmeans_fit(
         if k is None:
             k = heuristic_k(vecs.count())
         init_rows = vecs.orderBy(F.col("__id").asc()).limit(k).select("__v").collect()
+        if not init_rows:
+            # empty corpus (an empty filter result is routine at scale)
+            # -> no clusters; callers map [] to an empty result frame
+            # instead of killing the job
+            return []
         if len(init_rows) < k:
             raise ValueError(
                 f"kmeans_fit: need >= {k} vectors, got {len(init_rows)}"
@@ -328,6 +333,12 @@ def kmeans_assign(
     """Fit + final assignment: (id, cluster, dist2 rounded to 6dp).
     ``k=None`` → ≈√n (heuristic_k)."""
     cents = kmeans_fit(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    if not cents:  # empty corpus -> empty assignment, same schema
+        return df.select(
+            F.col(id_col),
+            F.lit(0).cast("int").alias("cluster"),
+            F.lit(0.0).alias("dist2"),
+        ).limit(0)
     out = assign_clusters(df, cents, id_col, vec_col)
     return out.select(
         id_col, "cluster", F.round("dist2", 6).alias("dist2")

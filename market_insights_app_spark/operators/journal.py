@@ -62,7 +62,12 @@ def histogram(
     most ``bins`` groups."""
     v = F.col(value_col)
     lohi = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).first()
-    lo, hi = float(lohi["lo"]), float(lohi["hi"])
+    if lohi["lo"] is None:
+        # empty / all-null input: any edges work — the bin groupBy
+        # over zero rows yields the empty report either way
+        lo, hi = 0.0, 1.0
+    else:
+        lo, hi = float(lohi["lo"]), float(lohi["hi"])
     step = (hi - lo) / bins if hi > lo else 1.0
     bin_idx = F.least(
         F.lit(bins - 1), F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(step)))

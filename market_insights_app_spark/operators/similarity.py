@@ -268,6 +268,10 @@ def ivf_topk(
     its nearest centroid (argmax cosine); the query probes the
     ``nprobe`` nearest cells and runs exact cosine inside them only."""
     cents = _seed_centroids(df, n_cells, seed_ids, id_col, vec_col)
+    if not cents:  # empty corpus: no cells -> empty top-k, same schema
+        return df.select(
+            F.col(id_col), F.lit(0.0).alias("cosine")
+        ).limit(0)
     probe_ids = _probe_cells(query_vec, cents, nprobe)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     assigned = df.withColumn("__cell", _cell_expr(_as_double(F.col(vec_col)), cents))
@@ -536,6 +540,10 @@ def semdedup(
     cents = clustering.kmeans_fit(
         df, k=k, iters=iters, id_col=id_col, vec_col=vec_col
     )
+    if not cents:  # empty corpus -> nothing to dedup, same schema
+        return df.select(
+            F.col(id_col), F.lit(0).cast("int").alias("cluster")
+        ).limit(0)
     v = _as_double(F.col(vec_col))
     if len(cents) > clustering.LARGE_K:
         # web-scale path: one shuffle groups each cluster onto an

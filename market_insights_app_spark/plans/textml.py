@@ -186,6 +186,12 @@ def _query_vec(spark, sf) -> list[float]:
     row: Row = (
         _emb(spark, sf).filter(F.col("vec_id") == 0).select("embedding").first()
     )
+    if row is None:
+        # empty corpus: a zero query vector keeps every downstream
+        # top-k plan valid and returning 0 rows instead of crashing
+        # on a missing seed (dim 64 pinned by
+        # test_ann_oracle_dim_assumption)
+        return [0.0] * 64
     return [float(x) for x in row["embedding"]]
 
 
@@ -1944,9 +1950,14 @@ def q_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
     sx, sy = fold(xs), fold(ys)
     sxy = fold(F.zip_with(xs, ys, lambda a, b: a * b))
     sxx = fold(F.zip_with(xs, xs, lambda a, b: a * b))
+    den = n * sxx - sx * sx
     return arr.select(
         F.size(pts).alias("n_terms"),
-        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("slope"),
+        # den == 0 (empty corpus, or a single distinct term) must be
+        # NULL, not an ANSI DIVIDE_BY_ZERO job abort
+        F.round(
+            F.when(den != 0.0, (n * sxy - sx * sy) / den), 6
+        ).alias("slope"),
     )
 
 

@@ -661,3 +661,75 @@ def test_sharpe_beta_grid_lane_matches_python_model(spark, walks):
             alpha = (syd - beta * sxd) / nd * 1e-9
             assert g["beta"] == pytest.approx(beta, abs=1.01e-6)
             assert g["alpha"] == pytest.approx(alpha, abs=1.01e-9)
+
+
+@given(
+    walks=st.lists(
+        st.lists(close_val, min_size=2, max_size=12),
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(**SETTINGS)
+def test_rolling_market_corr_matches_python_model(spark, walks):
+    """rolling_market_corr vs the same pure-Python fixed-point model:
+    five trailing integer sums over the last-n day-ordered non-null
+    returns, correlation as the operator's exact IEEE chain, NULL on
+    warm-up and degenerate variance."""
+    import datetime as dt
+
+    from market_insights_app_spark.operators.market import (
+        daily_returns,
+        rolling_market_corr,
+    )
+
+    N = 3
+    rows = [
+        (k, dt.datetime(2024, 1, 1) + dt.timedelta(days=i), i * 10 + k, c)
+        for k, closes in enumerate(walks)
+        for i, c in enumerate(closes)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    got = {
+        (r["k"], r["d"].day): r["roll_corr"]
+        for r in rolling_market_corr(daily_returns(df), n=N).collect()
+    }
+
+    from fractions import Fraction
+
+    fx_by_key = {k: _py_grid_fx(closes) for k, closes in enumerate(walks)}
+    n_days = max(len(c) for c in walks)
+    xfx = {}
+    for d in range(n_days):
+        day_fx = [
+            fx_by_key[k][d]
+            for k in fx_by_key
+            if d < len(fx_by_key[k]) and fx_by_key[k][d] is not None
+        ]
+        if day_fx:
+            d1 = float(Fraction(sum(day_fx), 10**9))
+            xfx[d] = int(math.floor(d1 / float(len(day_fx)) * 1e9))
+    for k, fxs in fx_by_key.items():
+        pairs = [(d, xfx[d], fx) for d, fx in enumerate(fxs) if fx is not None]
+        for i, (d, _x, _y) in enumerate(pairs):
+            day = d + 1  # day-of-month of 2024-01-01 + d
+            expect = None
+            if i + 1 >= N:
+                win = pairs[i + 1 - N : i + 1]
+                nd = float(N)
+                sx = float(sum(p[1] for p in win))
+                sy = float(sum(p[2] for p in win))
+                sxx = float(sum(p[1] * p[1] for p in win))
+                syy = float(sum(p[2] * p[2] for p in win))
+                sxy = float(sum(p[1] * p[2] for p in win))
+                varx = nd * sxx - sx * sx
+                vary = nd * syy - sy * sy
+                if varx > 0.0 and vary > 0.0:
+                    expect = (nd * sxy - sx * sy) / math.sqrt(varx * vary)
+            assert (k, day) in got
+            if expect is None:
+                assert got[(k, day)] is None, (k, day)
+            else:
+                assert got[(k, day)] == pytest.approx(expect, abs=1.01e-6)
