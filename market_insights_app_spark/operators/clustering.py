@@ -289,9 +289,11 @@ def kmeans_fit(
             # instead of killing the job
             return []
         if len(init_rows) < k:
-            raise ValueError(
-                f"kmeans_fit: need >= {k} vectors, got {len(init_rows)}"
-            )
+            # fewer vectors than clusters (a tiny filtered shard):
+            # clamp k to n — each point seeds its own cluster, Lloyd is
+            # a no-op fixpoint — rather than aborting the whole job.
+            # Requesting k=8 on an 8+-vector corpus is unaffected.
+            k = len(init_rows)
         cents: list[list[float]] = [[float(x) for x in r[0]] for r in init_rows]
         dim = len(cents[0])
         for _ in range(iters):

@@ -186,11 +186,20 @@ def psi_drift(
         F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
     )
     wk = Window.partitionBy("k")
+    # a key with ZERO current rows (segment disappeared) would divide
+    # by a zero window total — an ANSI job abort.  The guard yields
+    # NULL shares, greatest() ignores NULL -> every bin floors to eps,
+    # and the PSI comes out large: "segment vanished" reads as maximal
+    # drift, the right signal.  (The symmetric ref-side guard can only
+    # engage for keys whose ref rows are all outside the binned join —
+    # defensive.)
+    ref_tot = F.sum("n_ref").over(wk)
+    cur_tot = F.sum("n_cur").over(wk)
     p = F.greatest(
-        F.col("n_ref") / F.sum("n_ref").over(wk), F.lit(eps)
+        F.when(ref_tot > 0, F.col("n_ref") / ref_tot), F.lit(eps)
     )
     q = F.greatest(
-        F.col("n_cur") / F.sum("n_cur").over(wk), F.lit(eps)
+        F.when(cur_tot > 0, F.col("n_cur") / cur_tot), F.lit(eps)
     )
     term = (q - p) * F.log(q / p)
     scored = (

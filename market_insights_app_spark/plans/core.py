@@ -1439,7 +1439,14 @@ def q_ab_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
     n = n1 + n0
     u1 = F.col("r1") - n1 * (n1 + 1.0) / 2.0
     mu = n1 * n0 / 2.0
-    var = (n1 * n0 / 12.0) * ((n + 1.0) - F.col("tie_term") / (n * (n - 1.0)))
+    # n must exceed 1 BEFORE the tie-term division: `var` appears in a
+    # when() CONDITION below, which evaluates eagerly, so an unguarded
+    # n·(n−1) divisor is an ANSI DIVIDE_BY_ZERO job abort on a
+    # single-row group (r7 single-row sweep)
+    var = F.when(
+        n > 1.0,
+        (n1 * n0 / 12.0) * ((n + 1.0) - F.col("tie_term") / (n * (n - 1.0))),
+    )
     z = F.when(var > 0.0, (u1 - mu) / F.sqrt(var))
     return stats.select(
         "event_type",

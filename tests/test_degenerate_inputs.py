@@ -61,6 +61,41 @@ def test_query_survives_empty_input(name, spark, empty_sf):
     assert isinstance(rows, list)
 
 
+@pytest.fixture(scope="module")
+def single_row_sf(spark, tmp_path_factory):
+    """One-row twins of every testdata table — the n=1 hazard class
+    (zero-variance windows, n-1 divisors, k>n clustering, self-joins
+    with no pair).  At 100 TB a heavily filtered shard routinely
+    leaves one row per table; an operator that aborts on it kills the
+    whole job."""
+    root = tmp_path_factory.mktemp("single_row_sf")
+    for t in TESTDATA_TABLES:
+        (
+            spark.read.parquet(f"{SF_ORACLE}/{t}.parquet")
+            .limit(1)
+            .write.mode("overwrite")
+            .parquet(str(root / f"{t}.parquet"))
+        )
+    return str(root)
+
+
+# mixture_sample's contract fires here too: a 1-row documents table
+# cannot cover every group named in the mixture weights.
+SINGLE_ROW_CONTRACT_ERRORS = dict(CONTRACT_ERRORS)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_survives_single_row_input(name, spark, single_row_sf):
+    if name in SINGLE_ROW_CONTRACT_ERRORS:
+        with pytest.raises(
+            Exception, match=SINGLE_ROW_CONTRACT_ERRORS[name]
+        ):
+            QUERIES[name](spark, single_row_sf).collect()
+        return
+    rows = QUERIES[name](spark, single_row_sf).collect()
+    assert isinstance(rows, list)
+
+
 def _mk_events(spark, rows):
     return spark.createDataFrame(
         rows, "event_id long, ts timestamp, user_id long, value double"

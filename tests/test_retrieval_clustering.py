@@ -180,10 +180,12 @@ def test_kmeans_ties_break_to_lower_cluster(spark):
     assert got["cluster"] == 0 and got["dist2"] == 25.0
 
 
-def test_kmeans_requires_enough_vectors(spark):
+def test_kmeans_clamps_k_to_corpus_size(spark):
+    """k > n must CLAMP (each point its own cluster), not abort — a
+    tiny filtered shard is routine at scale (r7 single-row sweep)."""
     df = spark.createDataFrame([(0, [1.0])], ["vec_id", "embedding"])
-    with pytest.raises(ValueError, match="need >= 2"):
-        kmeans_fit(df, k=2)
+    cents = kmeans_fit(df, k=2)
+    assert cents == [[1.0]]
 
 
 def test_assign_large_k_pandas_path_matches_expression_path(spark):
