@@ -96,6 +96,37 @@ def test_query_survives_single_row_input(name, spark, single_row_sf):
     assert isinstance(rows, list)
 
 
+@pytest.fixture(scope="module")
+def dup_rows_sf(spark, tmp_path_factory):
+    """Three IDENTICAL rows per table — the zero-variance hazard
+    class the single-row sweep cannot reach: n > 1 so n−1 divisors
+    engage, but every column is constant, so sample variances,
+    correlation denominators, log-share ratios and range widths are
+    all exactly zero.  Duplicate ingestion is routine at 100 TB
+    (retried batches, at-least-once sinks); an operator that divides
+    by a variance without a zero guard aborts the whole job here."""
+    root = tmp_path_factory.mktemp("dup_rows_sf")
+    for t in TESTDATA_TABLES:
+        one = spark.read.parquet(f"{SF_ORACLE}/{t}.parquet").limit(1)
+        (
+            one.unionAll(one)
+            .unionAll(one)
+            .write.mode("overwrite")
+            .parquet(str(root / f"{t}.parquet"))
+        )
+    return str(root)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_survives_duplicate_constant_input(name, spark, dup_rows_sf):
+    if name in CONTRACT_ERRORS:
+        with pytest.raises(Exception, match=CONTRACT_ERRORS[name]):
+            QUERIES[name](spark, dup_rows_sf).collect()
+        return
+    rows = QUERIES[name](spark, dup_rows_sf).collect()
+    assert isinstance(rows, list)
+
+
 def _mk_events(spark, rows):
     return spark.createDataFrame(
         rows, "event_id long, ts timestamp, user_id long, value double"
