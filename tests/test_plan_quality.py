@@ -474,3 +474,49 @@ def test_sketch_profile_sketch_aggregates_and_broadcast(spark):
     assert "ObjectHashAggregate" in tree  # percentile_approx sketch agg
     assert "BroadcastHashJoin" in tree
     assert "SortMergeJoin" not in tree and "CartesianProduct" not in tree
+
+
+def test_aqe_skew_join_engages_on_hot_key(spark):
+    """JOIN skew is delegated to AQE (AGG skew is salted explicitly —
+    salted_hot_agg — because AQE cannot split a collapsed groupBy
+    key).  Pin the delegation actually works: a hot key owning ~half
+    the fact side must come out of the shuffle marked ``skew=true`` on
+    the executed SortMergeJoin, i.e. AQE split the oversized partition
+    and replicated the matching side.  Thresholds are scaled down the
+    same way the 20 M-row probe (scripts/skew_probe.py) scales them,
+    so this is the identical mechanism a 100 TB hot key triggers."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = (
+            spark.range(200_000)
+            .withColumn(
+                "k",
+                F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(
+                    F.pmod(F.xxhash64("id"), F.lit(1_000))
+                ),
+            )
+            .withColumn("v", F.col("id").cast("double"))
+        )
+        dim = spark.range(1_000).withColumnRenamed("id", "k").withColumn(
+            "w", F.col("k").cast("double")
+        )
+        joined = fact.join(dim, "k").agg(F.sum(F.col("v") * F.col("w")).alias("s"))
+        joined.collect()  # AQE finalizes per-action; this QE executed
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
