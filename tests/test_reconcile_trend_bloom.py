@@ -541,6 +541,29 @@ def test_psi_symmetric_under_mild_shift(spark):
     assert 0.0 < r["psi"] < 10.0 and math.isfinite(r["psi"])
 
 
+def test_psi_vanished_segment_large_not_abort(spark):
+    """A key with reference rows but ZERO current rows used to divide
+    by a zero window total (ANSI job abort, r7 single-row sweep); it
+    must instead come out as a large finite PSI — "segment vanished"
+    is maximal drift, and one dead segment must never kill the whole
+    monitoring job."""
+    import math
+
+    ref = spark.createDataFrame(
+        [("a", float(i % 100)) for i in range(200)]
+        + [("b", float(i % 100)) for i in range(200)],
+        ["g", "v"],
+    )
+    cur = spark.createDataFrame(
+        [("a", float(i % 100)) for i in range(200)], ["g", "v"]
+    )
+    from market_insights_app_spark.operators.profiling import psi_drift
+
+    got = {r["g"]: r for r in psi_drift(ref, cur, "g", "v").collect()}
+    assert got["a"]["psi"] == pytest.approx(0.0, abs=1e-9)
+    assert math.isfinite(got["b"]["psi"]) and got["b"]["psi"] > 1.0
+
+
 # ---------------------------------------------------------------------------
 # incremental aggregate maintenance (IVM)
 # ---------------------------------------------------------------------------
