@@ -733,3 +733,90 @@ def test_rolling_market_corr_matches_python_model(spark, walks):
                 assert got[(k, day)] is None, (k, day)
             else:
                 assert got[(k, day)] == pytest.approx(expect, abs=1.01e-6)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 build + point-in-time lookup vs a pure-Python interval model
+# ---------------------------------------------------------------------------
+
+# change log: per (key, ts) one attribute observation; ts unique per
+# key (same-ts tie-break ambiguity is a separate, golden-tested
+# contract), small domains so no-op updates and attr NULLs are common
+scd_log = st.lists(
+    st.tuples(
+        st.integers(0, 2),                                # key
+        st.integers(0, 20),                               # ts
+        st.one_of(st.none(), st.integers(0, 2)),          # attr
+    ),
+    min_size=1,
+    max_size=20,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+def py_scd2(rows):
+    """(key -> [(valid_from, valid_to, attr)]) with no-op updates
+    collapsed, latest interval open (valid_to None)."""
+    out = {}
+    for k in {r[0] for r in rows}:
+        seq = sorted((ts, a) for kk, ts, a in rows if kk == k)
+        opens = []
+        prev = object()  # sentinel != any attr incl. None
+        for ts, a in seq:
+            if a != prev:
+                opens.append((ts, a))
+            prev = a
+        out[k] = [
+            (ts, opens[i + 1][0] if i + 1 < len(opens) else None, a)
+            for i, (ts, a) in enumerate(opens)
+        ]
+    return out
+
+
+@settings(**SETTINGS)
+@given(scd_log, st.lists(st.tuples(st.integers(0, 2), st.integers(-1, 22)),
+                         min_size=1, max_size=12))
+def test_scd2_and_pit_lookup_match_python_model(spark, log_rows, fact_rows):
+    from market_insights_app_spark.operators.reconcile import (
+        pit_lookup,
+        scd2_build,
+    )
+
+    log = spark.createDataFrame(
+        log_rows, schema="k int, ts int, attr int"
+    )
+    dim = scd2_build(log, ["k"], "ts", ["attr"])
+    model = py_scd2(log_rows)
+
+    got = {}
+    for r in dim.collect():
+        got.setdefault(r["k"], []).append(
+            (r["valid_from"], r["valid_to"], r["attr"])
+        )
+        assert r["is_current"] == (r["valid_to"] is None)
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in model.items()
+    }
+
+    facts = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(fact_rows)],
+        schema="fid int, k int, fts int",
+    )
+    pit = {
+        r["fid"]: r["pit_attr"]
+        for r in pit_lookup(facts, dim, "k", "fts", ["attr"]).collect()
+    }
+
+    def py_pit(k, fts):
+        best = None
+        for vf, vt, a in model.get(k, []):
+            if vf <= fts and (best is None or vf > best[0]):
+                best = (vf, vt, a)
+        if best is None:
+            return None
+        vf, vt, a = best
+        # expired-interval post-check (coverage gap): NULL the attr
+        return None if (vt is not None and vt <= fts) else a
+
+    for i, (k, fts) in enumerate(fact_rows):
+        assert pit[i] == py_pit(k, fts), (i, k, fts)
