@@ -820,3 +820,62 @@ def test_scd2_and_pit_lookup_match_python_model(spark, log_rows, fact_rows):
 
     for i, (k, fts) in enumerate(fact_rows):
         assert pit[i] == py_pit(k, fts), (i, k, fts)
+
+
+# ---------------------------------------------------------------------------
+# CDC round-trip + incremental view maintenance vs direct recompute
+# ---------------------------------------------------------------------------
+
+ivm_snap = st.lists(
+    st.tuples(
+        st.integers(0, 25),     # key
+        st.integers(0, 3),      # group
+        st.integers(-50, 50),   # exact integer value (IVM contract)
+    ),
+    max_size=16,
+    unique_by=lambda r: r[0],
+)
+
+
+@settings(**SETTINGS)
+@given(ivm_snap, ivm_snap)
+def test_cdc_roundtrip_and_ivm_match_recompute(spark, old_rows, new_rows):
+    """Two laws on random snapshot pairs (adds, drops, value changes
+    AND group migrations): apply_changes(old, diff(old,new)) == new,
+    and base_agg + agg_delta(diff) == groupBy-recompute over new —
+    including groups that appear, empty out, or swap members."""
+    from market_insights_app_spark.operators.reconcile import (
+        agg_delta,
+        apply_changes,
+        incremental_agg_update,
+        snapshot_diff,
+    )
+
+    schema = "k int, g int, v long"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    diff = snapshot_diff(old, new, ["k"], ["g", "v"])
+    diff.persist()
+    try:
+        got_new = {
+            (r["k"], r["g"], r["v"])
+            for r in apply_changes(old, diff, ["k"], ["g", "v"]).collect()
+        }
+        assert got_new == set(new_rows)
+
+        base_agg = old.groupBy("g").agg(
+            F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")
+        )
+        maintained = {
+            r["g"]: (r["s"], r["c"])
+            for r in incremental_agg_update(
+                base_agg, agg_delta(diff, "g", "v"), "g", "s", "c"
+            ).collect()
+        }
+        expect = {}
+        for _, g, v in new_rows:
+            s, c = expect.get(g, (0, 0))
+            expect[g] = (s + v, c + 1)
+        assert maintained == expect
+    finally:
+        diff.unpersist()
