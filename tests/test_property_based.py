@@ -879,3 +879,50 @@ def test_cdc_roundtrip_and_ivm_match_recompute(spark, old_rows, new_rows):
         assert maintained == expect
     finally:
         diff.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# robust_outliers vs a pure-Python median/MAD model
+# ---------------------------------------------------------------------------
+
+
+def py_pct(vals, p=0.5):
+    """Spark/DuckDB exact interpolated percentile (type='linear'):
+    rank p·(n−1), linear between the bracketing order statistics.
+    Integer inputs at p=0.5 make every step exactly representable, so
+    the comparison below is exact, not approximate."""
+    s = sorted(vals)
+    r = p * (len(s) - 1)
+    lo = int(r)
+    frac = r - lo
+    hi = min(lo + 1, len(s) - 1)
+    return s[lo] + (s[hi] - s[lo]) * frac
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-100, 100)),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_robust_outliers_matches_python_model(spark, rows):
+    from market_insights_app_spark.operators.profiling import robust_outliers
+
+    df = spark.createDataFrame(rows, schema="g int, v long")
+    got = {r["g"]: r for r in robust_outliers(df, "g", "v").collect()}
+
+    for g in {g for g, _ in rows}:
+        vals = [float(v) for gg, v in rows if gg == g]
+        med = py_pct(vals)
+        mad = py_pct([abs(v - med) for v in vals])
+        n_out = sum(abs(v - med) > (3.0 * 1.4826) * mad for v in vals)
+        r = got[g]
+        assert r["n"] == len(vals)
+        assert r["median"] == pytest.approx(med, abs=1e-6)
+        assert r["mad"] == pytest.approx(mad, abs=1e-6)
+        assert r["n_outliers"] == n_out
+        assert r["outlier_rate"] == pytest.approx(
+            n_out / len(vals), abs=1e-6
+        )
