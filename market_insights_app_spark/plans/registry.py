@@ -138,14 +138,20 @@ _CHANGED_SINCE_ROW: list[str] = [
     "validate_lineitem",
     "daily_sharpe",
 ]
-# NOT listed although touched in r7: the empty-input robustness guards
-# (tests/test_degenerate_inputs.py) added fallback paths that execute
-# ONLY when a source table is empty — behavior on every non-empty
-# input, i.e. the entire driver-swept domain, is expression-identical
-# (ann/ivf/embedding/hybrid zero-query seed, kmeans/semdedup empty-
-# centroid early return, histogram None-min guard, mixture_sample
-# unchanged-by-design).  zipf_slope and histogram additionally sit in
-# this window via r4-staleness, so their guards get driver rows anyway.
+# NOT listed although touched in r7: the degenerate-input robustness
+# guards (tests/test_degenerate_inputs.py) added fallback paths that
+# execute ONLY on inputs outside the driver-swept domain — behavior on
+# every non-degenerate input is expression-identical:
+# - empty-table sweep: ann/ivf/embedding/hybrid zero-query seed,
+#   kmeans/semdedup empty-centroid early return, histogram None-min
+#   guard, mixture_sample unchanged-by-design;
+# - single-row sweep: kmeans_fit clamps k only when k > n (sf0.01 has
+#   n ≫ k), psi_drift's share guard engages only at a zero window
+#   total (impossible with rows present), ab_mann_whitney's var guard
+#   changes the expression only for single-row event_type groups
+#   (sf0.01 groups are thousands of rows).
+# zipf_slope and histogram additionally sit in this window via
+# r4-staleness, so their guards get driver rows anyway.
 
 # r8 pre-stage: after the r7 sweep lands, fold CORRECTNESS_r07 into
 # _LAST_SWEPT (the 50 window names -> 7). The r8 must-sweep is then
