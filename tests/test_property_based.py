@@ -926,3 +926,49 @@ def test_robust_outliers_matches_python_model(spark, rows):
         assert r["outlier_rate"] == pytest.approx(
             n_out / len(vals), abs=1e-6
         )
+
+
+# ---------------------------------------------------------------------------
+# pack_greedy / global_running_sum vs a pure-Python prefix-sum model
+# ---------------------------------------------------------------------------
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 10_000),          # unique order key
+            st.integers(1, 500),             # doc token length
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda r: r[0],
+    ),
+    st.integers(min_value=1, max_value=1024),
+)
+def test_pack_greedy_matches_python_model(spark, rows, target):
+    """The two-level distributed prefix sum (per-partition running sum
+    + broadcast partition offsets) must equal the sequential prefix
+    sum for ANY partitioning, and the greedy bin assignment must obey
+    the packing laws: bins are contiguous in document order, start at
+    0, and every bin except possibly the last is filled past nothing
+    (a doc opens a new bin only when the running total crosses a
+    target boundary)."""
+    from market_insights_app_spark.operators.packing import pack_greedy
+
+    df = spark.createDataFrame(rows, schema="doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: r["bin"]
+        for r in pack_greedy(df, "doc_id", "n_tokens", target).collect()
+    }
+
+    cum = 0
+    expect = {}
+    for doc_id, n in sorted(rows):
+        expect[doc_id] = cum // target
+        cum += n
+    assert got == expect
+
+    bins = [expect[d] for d, _ in sorted(rows)]
+    assert bins[0] == 0
+    assert all(b2 - b1 >= 0 for b1, b2 in zip(bins, bins[1:]))
