@@ -972,3 +972,55 @@ def test_pack_greedy_matches_python_model(spark, rows, target):
     bins = [expect[d] for d, _ in sorted(rows)]
     assert bins[0] == 0
     assert all(b2 - b1 >= 0 for b1, b2 in zip(bins, bins[1:]))
+
+
+# ---------------------------------------------------------------------------
+# chunk_tokens coverage laws vs a pure-Python chunker
+# ---------------------------------------------------------------------------
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.integers(1, 200),                 # token counts per doc
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(2, 40),                      # chunk_size
+    st.integers(0, 39),                      # overlap (< chunk_size enforced)
+)
+def test_chunk_tokens_matches_python_model(spark, doc_lens, chunk_size, overlap):
+    """Chunking laws on random (doc length, chunk_size, overlap):
+    chunks equal the Python slicer exactly (text + token counts), the
+    union of chunks covers every token, and no emitted tail is fully
+    contained in the previous chunk (the RAG-dedup bound)."""
+    if overlap >= chunk_size:
+        overlap = chunk_size - 1
+    from market_insights_app_spark.operators.packing import chunk_tokens
+
+    docs = [
+        (i, " ".join(f"t{i}_{j}" for j in range(n)))
+        for i, n in enumerate(doc_lens)
+    ]
+    df = spark.createDataFrame(docs, schema="doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["chunk_tokens"])
+        for r in chunk_tokens(
+            df, chunk_size=chunk_size, overlap=overlap
+        ).collect()
+    }
+
+    step = chunk_size - overlap
+    expect = {}
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        n = len(toks)
+        upper = max(n - chunk_size + step - 1, 0)
+        starts = list(range(0, upper + 1, step))
+        for idx, s in enumerate(starts):
+            piece = toks[s : s + chunk_size]
+            expect[(doc_id, idx)] = (" ".join(piece), len(piece))
+        # coverage: the last emitted chunk must reach the document end
+        last = starts[-1]
+        assert last + chunk_size >= n or last + len(toks[last:last + chunk_size]) >= n
+    assert got == expect
