@@ -1,0 +1,552 @@
+"""ACID table layer over plain parquet: ordered commit log + optimistic
+concurrency — the transactional MERGE/upsert the reference's SQLite
+`INSERT OR REPLACE` / update-else-insert flows get for free from their
+single-writer database (reference db.py:166-201 session/journal upserts,
+db.py:517-525 REPLACE), re-expressed for a multi-writer distributed
+filesystem.
+
+Design (public knowledge: the Delta Lake protocol, Armbrust et al.,
+VLDB 2020 — re-implemented from the paper's ideas, no Delta code):
+
+* A table is a directory.  Data lives in immutable per-commit
+  subdirectories ``data/<uuid>/part-*.parquet``; the authoritative
+  state is the ordered log ``_txn_log/<version>.json``.  A data file
+  is part of the table iff some committed version references it —
+  readers never see half-written data because data directories are
+  fully written BEFORE the commit record that publishes them.
+* Commit = atomically creating log entry N+1.  Atomicity comes from
+  ``os.link`` (fail-if-exists) of a fully-written temp file — a log
+  entry is complete the instant it is visible.  Exactly one writer
+  wins a version; losers detect the collision and either REBASE
+  (key-disjoint winner — bump the version and re-publish the same
+  rewrite) or RETRY (re-run the merge against the new snapshot).
+* Snapshot isolation: a reader resolves a version once and reads only
+  the files that version references; concurrent commits are invisible.
+  Time travel = resolving an older version (until `vacuum`).
+* Data skipping: each add-entry records min/max of the first merge key
+  for its directory, so MERGE rewrites only directories whose key
+  range overlaps the updates — at 100 TB a merge into a key-sorted
+  table touches O(updates) files, not O(table).
+* Log replay cost is bounded by checkpoints: every
+  ``checkpoint_interval`` commits the full live-file map is written to
+  ``_txn_log/checkpoint-<version>.json``; a snapshot reads one
+  checkpoint + at most ``checkpoint_interval`` JSON deltas (driver-side
+  metadata only — never data).
+
+Honest scope: the fail-if-exists primitive is atomic on POSIX
+filesystems (and HDFS create-no-overwrite).  Object stores without
+atomic put-if-absent (plain S3) need an external log store for the
+same guarantee — exactly the documented Delta-on-S3 caveat — so
+constructor rejects ``://`` URIs rather than silently weakening the
+contract."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LOG_DIR = "_txn_log"
+DATA_DIR = "data"
+_V_WIDTH = 20
+
+
+class CommitConflict(Exception):
+    """Raised when optimistic commit loses ``max_retries`` times in a
+    row — the table is under heavier write contention than the caller
+    budgeted for."""
+
+
+def _fmt_version(v: int) -> str:
+    return f"{v:0{_V_WIDTH}d}.json"
+
+
+def _stat_value(v):
+    """JSON-safe ordered encoding of a min/max stat, or None when the
+    type has no order-preserving JSON form (then the file is never
+    pruned — correct, just not skipped)."""
+    import datetime
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        # ISO-8601 compares lexicographically in chronological order
+        return v.isoformat()
+    return None
+
+
+@dataclass
+class Snapshot:
+    """Resolved table state at one version: immutable once built."""
+
+    version: int
+    files: dict[str, dict] = field(default_factory=dict)  # dir -> add entry
+    schema_json: str | None = None
+
+    @property
+    def dirs(self) -> list[str]:
+        return sorted(self.files)
+
+
+class TxnTable:
+    """One transactional parquet table.  All methods are safe to call
+    from concurrent writers (threads or processes) on the same path;
+    every write method returns the committed version number."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        checkpoint_interval: int = 10,
+    ):
+        if "://" in path:
+            raise NotImplementedError(
+                "TxnTable needs an atomic fail-if-exists commit primitive; "
+                "object-store URIs require an external log store "
+                "(the Delta-on-S3 caveat) — use a POSIX path here"
+            )
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.checkpoint_interval = checkpoint_interval
+        os.makedirs(os.path.join(self.path, LOG_DIR), exist_ok=True)
+        os.makedirs(os.path.join(self.path, DATA_DIR), exist_ok=True)
+
+    # -- log plumbing ------------------------------------------------
+
+    def _log_path(self) -> str:
+        return os.path.join(self.path, LOG_DIR)
+
+    def _versions(self) -> list[int]:
+        out = []
+        for f in os.listdir(self._log_path()):
+            if f.endswith(".json") and not f.startswith(("checkpoint-", ".")):
+                out.append(int(f[: -len(".json")]))
+        out.sort()
+        # a racing listdir can observe version N+1 while missing N (no
+        # directory-listing snapshot on POSIX); replay only the
+        # contiguous prefix so a snapshot is always a real table state
+        contiguous = []
+        for i, v in enumerate(out):
+            if v != i:
+                break
+            contiguous.append(v)
+        return contiguous
+
+    def _read_commit(self, v: int) -> dict:
+        with open(os.path.join(self._log_path(), _fmt_version(v))) as fh:
+            return json.load(fh)
+
+    def _publish(self, version: int, payload: dict) -> bool:
+        """Atomically publish commit `version`.  True iff this writer
+        won the version.  The temp file is fully written and fsynced
+        before the link, so a visible log entry is always complete."""
+        log = self._log_path()
+        tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}")
+        final = os.path.join(log, _fmt_version(version))
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, final)  # atomic fail-if-exists publication
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def _maybe_checkpoint(self, snap_after: Snapshot) -> None:
+        """Write the full live map every `checkpoint_interval` commits.
+        Replay is deterministic, so two writers racing on the same
+        checkpoint write identical content — the loser's FileExists is
+        benign."""
+        v = snap_after.version
+        if v < 0 or (v + 1) % self.checkpoint_interval != 0:
+            return
+        log = self._log_path()
+        tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}")
+        final = os.path.join(log, f"checkpoint-{v:0{_V_WIDTH}d}.json")
+        body = {
+            "version": v,
+            "files": snap_after.files,
+            "schema": snap_after.schema_json,
+        }
+        with open(tmp, "w") as fh:
+            json.dump(body, fh)
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            pass
+        finally:
+            os.unlink(tmp)
+
+    def _latest_checkpoint(self, upto: int) -> dict | None:
+        best = None
+        for f in os.listdir(self._log_path()):
+            if f.startswith("checkpoint-") and f.endswith(".json"):
+                v = int(f[len("checkpoint-") : -len(".json")])
+                if v <= upto and (best is None or v > best):
+                    best = v
+        if best is None:
+            return None
+        with open(
+            os.path.join(self._log_path(), f"checkpoint-{best:0{_V_WIDTH}d}.json")
+        ) as fh:
+            return json.load(fh)
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        """Resolve the live file set at `version` (default: latest).
+        Driver-side metadata replay only — one checkpoint JSON plus at
+        most `checkpoint_interval` delta JSONs; data files are never
+        touched."""
+        versions = self._versions()
+        if not versions:
+            return Snapshot(version=-1)
+        target = versions[-1] if version is None else version
+        if target not in versions:
+            raise ValueError(
+                f"version {target} not in log (have {versions[0]}..{versions[-1]})"
+            )
+        snap = Snapshot(version=-1)
+        cp = self._latest_checkpoint(target)
+        if cp is not None:
+            snap = Snapshot(
+                version=cp["version"],
+                files=dict(cp["files"]),
+                schema_json=cp.get("schema"),
+            )
+        for v in versions:
+            if v <= snap.version or v > target:
+                continue
+            c = self._read_commit(v)
+            for d in c.get("remove", []):
+                snap.files.pop(d, None)
+            for a in c.get("add", []):
+                snap.files[a["dir"]] = a
+            snap.schema_json = c.get("schema", snap.schema_json)
+            snap.version = v
+        return snap
+
+    def history(self) -> list[dict]:
+        """All commit records, oldest first (op, read_version, counts)."""
+        return [self._read_commit(v) for v in self._versions()]
+
+    # -- data plumbing -----------------------------------------------
+
+    def _write_data(self, df: DataFrame, stats_col: str | None) -> dict:
+        """Write `df` into a fresh immutable data directory and return
+        its add-entry (dir, rows, key-range stats).  Stats are read
+        back from the written files — one column scan over the new
+        directory only, never a recompute of the producing plan."""
+        rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
+        full = os.path.join(self.path, rel)
+        df.write.mode("errorifexists").parquet(full)
+        entry: dict = {"dir": rel}
+        back = self.spark.read.parquet(full)
+        if stats_col is not None and stats_col in back.columns:
+            row = back.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(stats_col).alias("lo"),
+                F.max(stats_col).alias("hi"),
+            ).first()
+            lo, hi = _stat_value(row["lo"]), _stat_value(row["hi"])
+            entry["rows"] = row["n"]
+            if lo is not None and hi is not None:
+                entry["stats"] = {"col": stats_col, "min": lo, "max": hi}
+        else:
+            entry["rows"] = back.count()
+        return entry
+
+    def _drop_data(self, rel: str) -> None:
+        shutil.rmtree(os.path.join(self.path, rel), ignore_errors=True)
+
+    def _read_dirs(self, dirs: list[str], schema_json: str | None) -> DataFrame:
+        if not dirs:
+            from pyspark.sql.types import StructType
+
+            if schema_json is None:
+                raise ValueError("empty table with no recorded schema")
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(schema_json))
+            )
+        return self.spark.read.parquet(*(os.path.join(self.path, d) for d in dirs))
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """The table as a DataFrame at `version` (default latest) —
+        snapshot-isolated: commits after the resolve are invisible."""
+        snap = self.snapshot(version)
+        if snap.version < 0:
+            raise ValueError(f"table {self.path} has no commits")
+        return self._read_dirs(snap.dirs, snap.schema_json)
+
+    # -- write operations --------------------------------------------
+
+    def _commit_loop(
+        self,
+        op: str,
+        build,  # Snapshot -> (add_entries, remove_dirs) ; data already written
+        rebase_safe,  # (our (add,remove), winning commit dict) -> bool
+        max_retries: int,
+        on_stale=None,  # add_entries -> None: reclaim snapshot-dependent data
+        schema_json: str | None = None,  # fallback when the table is new
+    ) -> int:
+        """Shared optimistic-concurrency loop.  `build` runs against a
+        fresh snapshot and returns the rewrite; on a lost publish the
+        winning commit is examined — if it satisfies `rebase_safe` the
+        same rewrite is re-published at a higher version (no data
+        re-written, no re-read), else `on_stale` reclaims the
+        snapshot-dependent data directories and `build` re-runs."""
+        attempts = 0
+        while attempts < max_retries:
+            snap = self.snapshot()
+            add, remove = build(snap)
+            version = snap.version + 1
+            payload = {
+                "version": version,
+                "op": op,
+                "read_version": snap.version,
+                "add": add,
+                "remove": remove,
+                "schema": snap.schema_json or schema_json,
+                "ts": time.time(),
+                "writer": f"{os.getpid()}-{uuid.uuid4().hex[:8]}",
+            }
+            while attempts < max_retries:
+                attempts += 1
+                if self._publish(version, payload):
+                    self._maybe_checkpoint(self.snapshot(version))
+                    return version
+                try:
+                    winner = self._read_commit(version)
+                except FileNotFoundError:
+                    winner = None  # publish failed without a visible winner
+                if winner is not None and rebase_safe((add, remove), winner):
+                    version += 1
+                    payload = {**payload, "version": version}
+                    continue
+                if on_stale is not None:
+                    on_stale(add)
+                break
+            else:
+                break
+        raise CommitConflict(
+            f"lost {max_retries} optimistic commits on {self.path} ({op})"
+        )
+
+    def append(self, df: DataFrame, stats_col: str | None = None,
+               max_retries: int = 20) -> int:
+        """Blind INSERT: no table read, conflicts never invalidate the
+        write — every lost race simply rebases to the next version.
+        The add carries the DataFrame's own schema so the first commit
+        defines the table."""
+        entry = self._write_data(df, stats_col)
+        schema_json = df.schema.json()
+        attempts = 0
+        while attempts < max_retries:
+            snap = self.snapshot()
+            version = snap.version + 1
+            payload = {
+                "version": version,
+                "op": "append",
+                "read_version": snap.version,
+                "add": [entry],
+                "remove": [],
+                "schema": snap.schema_json or schema_json,
+                "ts": time.time(),
+                "writer": f"{os.getpid()}-{uuid.uuid4().hex[:8]}",
+            }
+            attempts += 1
+            if self._publish(version, payload):
+                self._maybe_checkpoint(self.snapshot(version))
+                return version
+        raise CommitConflict(
+            f"lost {max_retries} optimistic commits on {self.path} (append)"
+        )
+
+    def overwrite(self, df: DataFrame, stats_col: str | None = None,
+                  max_retries: int = 10) -> int:
+        """Full-table replace (the reference's seed-reset shape, S9).
+        The replacement data is snapshot-independent, so a lost race
+        only re-runs the cheap `build` (recomputing the remove list
+        against the fresh snapshot) — never the data write."""
+        entry = self._write_data(df, stats_col)
+
+        def build(snap: Snapshot):
+            return [entry], snap.dirs
+
+        def rebase_safe(ours, winner) -> bool:
+            return False  # the remove list must cover every concurrent commit
+
+        return self._commit_loop(
+            "overwrite", build, rebase_safe, max_retries,
+            schema_json=df.schema.json(),
+        )
+
+    def merge(
+        self,
+        updates: DataFrame,
+        key_cols: list[str],
+        bump_col: str | None = None,
+        max_retries: int = 10,
+    ) -> int:
+        """Transactional update-else-insert (D5, reference db.py:166-201):
+        rows matching `updates` on `key_cols` are replaced, the rest
+        inserted — atomically, under snapshot isolation, concurrent-
+        writer-safe.
+
+        Scale shape: the first key's min/max prunes the rewrite to
+        overlapping data directories only (data skipping), so a merge
+        into a key-clustered table rewrites O(updates) directories.
+        Key-disjoint concurrent writers conflict only on the version
+        counter and REBASE without re-reading or re-writing anything;
+        overlapping writers re-run against the fresh snapshot —
+        serializability the lock-sentinel lane approximated with a
+        global mutex (streaming/ingest.py:166) falls out of the log
+        order instead."""
+        k0 = key_cols[0]
+        updates = updates.dropDuplicates(key_cols)
+        if bump_col is not None:
+            updates = updates.withColumn(bump_col, F.current_timestamp())
+        # materialize the update set ONCE; retries re-read only the target
+        upd_entry = self._write_data(updates, k0)
+        upd_df = self._read_dirs([upd_entry["dir"]], None)
+        u = upd_entry.get("stats")
+
+        def overlaps(entry: dict) -> bool:
+            s = entry.get("stats")
+            if s is None or u is None or s.get("col") != k0:
+                return True  # no stats -> cannot prune (correct, unskipped)
+            try:
+                return not (s["max"] < u["min"] or s["min"] > u["max"])
+            except TypeError:  # mixed stat types (schema drift): don't prune
+                return True
+
+        state: dict = {}
+
+        def build(snap: Snapshot):
+            touched = [d for d in snap.dirs if overlaps(snap.files[d])]
+            state["touched"] = set(touched)
+            if touched:
+                tgt = self._read_dirs(touched, snap.schema_json)
+                kept = tgt.join(
+                    upd_df.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+                )
+                out = kept.unionByName(upd_df)
+            else:
+                out = upd_df
+            entry = self._write_data(out, k0)
+            if snap.version < 0:
+                # first commit defines the schema
+                return [entry], []
+            return [entry], touched
+
+        def rebase_safe(ours, winner) -> bool:
+            """The winning commit is invisible to this rewrite iff it
+            neither removed anything we read/removed nor added data in
+            our key range (their keys can then not collide with ours)."""
+            _, our_remove = ours
+            if set(winner.get("remove", [])) & state["touched"]:
+                return False
+            for a in winner.get("add", []):
+                s = a.get("stats")
+                if s is None or u is None or s.get("col") != k0:
+                    return False
+                try:
+                    if not (s["max"] < u["min"] or s["min"] > u["max"]):
+                        return False
+                except TypeError:
+                    return False
+            return True
+
+        def on_stale(add):
+            for a in add:  # the rewrite was built against a stale snapshot
+                self._drop_data(a["dir"])
+
+        try:
+            return self._commit_loop(
+                "merge", build, rebase_safe, max_retries,
+                on_stale=on_stale, schema_json=updates.schema.json(),
+            )
+        finally:
+            self._drop_data(upd_entry["dir"])  # staging only, never referenced
+
+    def delete_where(self, predicate, max_retries: int = 10) -> int:
+        """Transactional DELETE (S9/S10 row-delete shape): rewrite every
+        live directory without the matching rows.  (A real engine would
+        prune directories via predicate-on-stats; deletes here are
+        table-wide rewrites — the reference's delete flows are tiny
+        demo tables, db.py:92-99.)"""
+        state: dict = {}
+
+        def build(snap: Snapshot):
+            if snap.version < 0:
+                raise ValueError("delete_where on an empty table")
+            tgt = self._read_dirs(snap.dirs, snap.schema_json)
+            out = tgt.filter(~predicate)
+            entry = self._write_data(out, None)
+            state["touched"] = set(snap.dirs)
+            return [entry], snap.dirs
+
+        def rebase_safe(ours, winner) -> bool:
+            return False  # a delete reads the whole table
+
+        def on_stale(add):
+            for a in add:
+                self._drop_data(a["dir"])
+
+        return self._commit_loop(
+            "delete", build, rebase_safe, max_retries, on_stale=on_stale
+        )
+
+    # -- maintenance -------------------------------------------------
+
+    def vacuum(self, retain_seconds: float = 3600.0) -> list[str]:
+        """Delete data directories no commit references, older than
+        `retain_seconds` (mtime).  The age guard is what keeps an
+        in-flight writer's just-written-not-yet-committed directory
+        safe — the same retention contract as Delta's VACUUM.  Note
+        referenced = ANY commit still in the log, so time travel keeps
+        working for every listed version; truncating old log entries
+        (and with them old versions) is a separate policy decision this
+        sandbox never needs."""
+        referenced: set[str] = set()
+        for c in self.history():
+            for a in c.get("add", []):
+                referenced.add(a["dir"])
+        dropped = []
+        data_root = os.path.join(self.path, DATA_DIR)
+        now = time.time()
+        for d in os.listdir(data_root):
+            rel = f"{DATA_DIR}/{d}"
+            full = os.path.join(data_root, d)
+            if rel in referenced:
+                continue
+            if now - os.path.getmtime(full) < retain_seconds:
+                continue
+            shutil.rmtree(full, ignore_errors=True)
+            dropped.append(rel)
+        return dropped
+
+
+def streaming_merge_sink(table: TxnTable, key_cols: list[str],
+                         bump_col: str | None = None):
+    """foreachBatch body running each micro-batch as one ACID MERGE —
+    the transactional upgrade of streaming/ingest.py's lock-sentinel
+    `latest_wins_batch` (D4): restarts re-merge the same batch
+    idempotently (same keys replace themselves), concurrent writers
+    serialize through the commit log instead of a host-local mutex."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        table.merge(batch, key_cols, bump_col=bump_col)
+
+    return sink

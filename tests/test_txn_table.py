@@ -1,0 +1,251 @@
+"""ACID commit-log table (storage/txnlog.py): append/merge/overwrite/
+delete semantics, snapshot isolation, time travel, optimistic
+concurrency under real thread contention, data-skipping pruning, and
+checkpointed log replay.
+
+These are D4/D5's transactional upgrade (reference db.py:166-201,
+517-525) — pure-unit by design: the driver's DuckDB oracle cannot
+express a multi-writer commit protocol."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_insights_app_spark.storage.txnlog import (
+    CommitConflict,
+    TxnTable,
+    streaming_merge_sink,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mk(spark, pairs):
+    return spark.createDataFrame([(int(k), str(v)) for k, v in pairs], "id INT, val STRING")
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return TxnTable(spark, str(tmp_path / "t"), checkpoint_interval=4)
+
+
+def test_append_read_roundtrip(spark, table):
+    v0 = table.append(_mk(spark, [(1, "a"), (2, "b")]), stats_col="id")
+    v1 = table.append(_mk(spark, [(3, "c")]), stats_col="id")
+    assert (v0, v1) == (0, 1)
+    assert _rows(table.read()) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_merge_update_else_insert(spark, table):
+    table.append(_mk(spark, [(1, "a"), (2, "b")]), stats_col="id")
+    v = table.merge(_mk(spark, [(2, "B"), (4, "d")]), ["id"])
+    assert v == 1
+    assert _rows(table.read()) == [(1, "a"), (2, "B"), (4, "d")]
+    # merging the same batch again is idempotent (restart semantics)
+    table.merge(_mk(spark, [(2, "B"), (4, "d")]), ["id"])
+    assert _rows(table.read()) == [(1, "a"), (2, "B"), (4, "d")]
+
+
+def test_merge_creates_table(spark, table):
+    table.merge(_mk(spark, [(7, "x")]), ["id"])
+    assert _rows(table.read()) == [(7, "x")]
+
+
+def test_merge_bump_col(spark, table):
+    table.merge(_mk(spark, [(1, "a")]), ["id"], bump_col="updated_at")
+    row = table.read().first()
+    assert row["updated_at"] is not None
+
+
+def test_time_travel_and_snapshot_isolation(spark, table):
+    table.append(_mk(spark, [(1, "a")]), stats_col="id")
+    pinned = table.snapshot()  # resolve BEFORE the next commit
+    table.merge(_mk(spark, [(1, "A"), (2, "b")]), ["id"])
+    # the pinned snapshot still reads the old state (no vacuum yet)
+    assert _rows(table._read_dirs(pinned.dirs, pinned.schema_json)) == [(1, "a")]
+    assert _rows(table.read(version=0)) == [(1, "a")]
+    assert _rows(table.read()) == [(1, "A"), (2, "b")]
+
+
+def test_overwrite_and_delete(spark, table):
+    table.append(_mk(spark, [(1, "a"), (2, "b")]), stats_col="id")
+    table.overwrite(_mk(spark, [(9, "z")]), stats_col="id")
+    assert _rows(table.read()) == [(9, "z")]
+    table.append(_mk(spark, [(10, "y")]), stats_col="id")
+    table.delete_where(F.col("id") == 9)
+    assert _rows(table.read()) == [(10, "y")]
+
+
+def test_history_records_ops(spark, table):
+    table.append(_mk(spark, [(1, "a")]), stats_col="id")
+    table.merge(_mk(spark, [(2, "b")]), ["id"])
+    ops = [c["op"] for c in table.history()]
+    assert ops == ["append", "merge"]
+    assert [c["version"] for c in table.history()] == [0, 1]
+
+
+def test_merge_prunes_disjoint_directories(spark, table):
+    """Data skipping: a merge whose key range is disjoint from a data
+    directory's [min,max] must NOT rewrite that directory."""
+    table.append(_mk(spark, [(1, "a"), (2, "b")]), stats_col="id")
+    table.append(_mk(spark, [(100, "x"), (200, "y")]), stats_col="id")
+    low_dirs = set(table.snapshot().dirs)
+    table.merge(_mk(spark, [(150, "X")]), ["id"])
+    commit = table.history()[-1]
+    # exactly one directory (the 100-200 one) was rewritten
+    assert len(commit["remove"]) == 1
+    survivors = set(table.snapshot().dirs)
+    assert len(low_dirs & survivors) == 1  # the 1-2 directory untouched
+    assert _rows(table.read()) == [
+        (1, "a"), (2, "b"), (100, "x"), (150, "X"), (200, "y"),
+    ]
+
+
+def test_checkpoint_bounds_replay(spark, table):
+    for i in range(9):  # interval=4 -> checkpoints at v3 and v7
+        table.append(_mk(spark, [(i, f"v{i}")]), stats_col="id")
+    cps = [
+        f for f in os.listdir(os.path.join(table.path, "_txn_log"))
+        if f.startswith("checkpoint-")
+    ]
+    assert len(cps) == 2
+    # snapshot equals full replay
+    assert len(table.snapshot().dirs) == 9
+    assert len(_rows(table.read())) == 9
+    # a checkpoint alone reconstructs its version
+    with open(os.path.join(table.path, "_txn_log", sorted(cps)[-1])) as fh:
+        body = json.load(fh)
+    assert body["version"] == 7 and len(body["files"]) == 8
+
+
+def test_concurrent_appends_all_land(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "ca"))
+    errs = []
+
+    def w(i):
+        try:
+            TxnTable(spark, t.path).append(
+                _mk(spark, [(i, f"w{i}")]), stats_col="id", max_retries=50
+            )
+        except Exception as e:  # noqa: BLE001 - recorded and re-raised below
+            errs.append(e)
+
+    ths = [threading.Thread(target=w, args=(i,)) for i in range(6)]
+    [th.start() for th in ths]
+    [th.join() for th in ths]
+    assert not errs
+    assert _rows(t.read()) == [(i, f"w{i}") for i in range(6)]
+    assert [c["version"] for c in t.history()] == list(range(6))
+
+
+def test_concurrent_disjoint_merges_serialize(spark, tmp_path):
+    """Key-disjoint writers merging concurrently: every writer's rows
+    land exactly once, keys stay unique — the property the global
+    lock-sentinel bought, now from the commit log."""
+    t = TxnTable(spark, str(tmp_path / "cm"))
+    t.append(_mk(spark, [(k, "seed") for k in range(4)]), stats_col="id")
+    errs = []
+
+    def w(base):
+        try:
+            TxnTable(spark, t.path).merge(
+                _mk(spark, [(base, f"m{base}"), (base + 1, f"m{base + 1}")]),
+                ["id"],
+                max_retries=50,
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ths = [threading.Thread(target=w, args=(b,)) for b in (0, 2, 10, 12)]
+    [th.start() for th in ths]
+    [th.join() for th in ths]
+    assert not errs
+    got = dict(_rows(t.read()))
+    assert got == {
+        0: "m0", 1: "m1", 2: "m2", 3: "m3",
+        10: "m10", 11: "m11", 12: "m12", 13: "m13",
+    }
+
+
+def test_concurrent_overlapping_merges_last_committer_wins(spark, tmp_path):
+    """Writers updating the SAME key must serialize: the final value is
+    whichever writer committed last in the log — verified by replaying
+    the commit order against a dict model."""
+    t = TxnTable(spark, str(tmp_path / "co"))
+    t.append(_mk(spark, [(1, "seed")]), stats_col="id")
+    versions = {}
+
+    def w(tag):
+        versions[tag] = TxnTable(spark, t.path).merge(
+            _mk(spark, [(1, tag), (100 + ord(tag[0]), tag)]), ["id"], max_retries=50
+        )
+
+    ths = [threading.Thread(target=w, args=(tag,)) for tag in ("A", "B", "C")]
+    [th.start() for th in ths]
+    [th.join() for th in ths]
+    last = max(versions, key=versions.__getitem__)
+    got = dict(_rows(t.read()))
+    assert got[1] == last  # serializability: log order decides
+    for tag in ("A", "B", "C"):
+        assert got[100 + ord(tag[0])] == tag  # no writer's insert lost
+
+
+def test_conflict_exhaustion_raises(spark, table, monkeypatch):
+    table.append(_mk(spark, [(1, "a")]), stats_col="id")
+    # force every publish to lose: pre-create the next N log entries
+    monkeypatch.setattr(
+        TxnTable, "_publish", lambda self, v, p: False, raising=True
+    )
+    with pytest.raises(CommitConflict):
+        table.merge(_mk(spark, [(1, "x")]), ["id"], max_retries=3)
+
+
+def test_vacuum_reclaims_only_unreferenced_old_dirs(spark, table):
+    table.append(_mk(spark, [(1, "a")]), stats_col="id")
+    table.merge(_mk(spark, [(1, "b")]), ["id"])
+    data_root = os.path.join(table.path, "data")
+    # plant an orphan (a crashed writer's uncommitted directory)
+    orphan = os.path.join(data_root, "deadbeef")
+    os.makedirs(orphan)
+    old = 1.0
+    os.utime(orphan, (old, old))
+    dropped = table.vacuum(retain_seconds=3600)
+    assert dropped == ["data/deadbeef"]
+    # referenced dirs survive even when old -> time travel still works
+    assert _rows(table.read(version=0)) == [(1, "a")]
+    assert _rows(table.read()) == [(1, "b")]
+    # a FRESH orphan survives the age guard (in-flight writer safety)
+    fresh = os.path.join(data_root, "cafebabe")
+    os.makedirs(fresh)
+    assert table.vacuum(retain_seconds=3600) == []
+
+
+def test_rejects_object_store_uri(spark):
+    with pytest.raises(NotImplementedError):
+        TxnTable(spark, "s3://bucket/table")
+
+
+def test_streaming_merge_sink(spark, tmp_path):
+    """availableNow replay through foreachBatch -> ACID MERGE: the
+    latest-wins materialization, transactional edition of
+    streaming/ingest.latest_wins_batch."""
+    src = tmp_path / "src"
+    _mk(spark, [(1, "s1"), (2, "s2")]).write.mode("overwrite").parquet(str(src))
+    t = TxnTable(spark, str(tmp_path / "sink"))
+    t.append(_mk(spark, [(2, "old"), (9, "keep")]), stats_col="id")
+    stream = spark.readStream.schema("id INT, val STRING").parquet(str(src))
+    q = (
+        stream.writeStream.foreachBatch(streaming_merge_sink(t, ["id"]))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert _rows(t.read()) == [(1, "s1"), (2, "s2"), (9, "keep")]
