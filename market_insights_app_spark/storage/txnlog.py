@@ -267,6 +267,41 @@ class TxnTable:
             entry["rows"] = back.count()
         return entry
 
+    def _write_clustered(
+        self, df: DataFrame, cluster_col: str, n_buckets: int
+    ) -> list[dict]:
+        """Write `df` as ONE physical directory holding `n_buckets`
+        range-clustered subdirectories (``__bucket=i``), and return one
+        add-entry per subdirectory with its own disjoint key-range
+        stats.  One write job + one grouped footer-scan job — never a
+        job per bucket.  `repartitionByRange` gives each partition a
+        disjoint slice of the cluster key's order, so the per-bucket
+        min/max stats are disjoint by construction — the layout that
+        makes every later key-confined MERGE rewrite O(1) buckets."""
+        rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
+        full = os.path.join(self.path, rel)
+        (
+            df.repartitionByRange(n_buckets, F.col(cluster_col))
+            .withColumn("__bucket", F.spark_partition_id())
+            .write.mode("errorifexists")
+            .partitionBy("__bucket")
+            .parquet(full)
+        )
+        back = self.spark.read.parquet(full)
+        rows = back.groupBy("__bucket").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(cluster_col).alias("lo"),
+            F.max(cluster_col).alias("hi"),
+        ).collect()
+        entries = []
+        for r in sorted(rows, key=lambda r: r["__bucket"]):
+            lo, hi = _stat_value(r["lo"]), _stat_value(r["hi"])
+            e: dict = {"dir": f"{rel}/__bucket={r['__bucket']}", "rows": r["n"]}
+            if lo is not None and hi is not None:
+                e["stats"] = {"col": cluster_col, "min": lo, "max": hi}
+            entries.append(e)
+        return entries
+
     def _drop_data(self, rel: str) -> None:
         shutil.rmtree(os.path.join(self.path, rel), ignore_errors=True)
 
@@ -508,6 +543,42 @@ class TxnTable:
             "delete", build, rebase_safe, max_retries, on_stale=on_stale
         )
 
+    def optimize(
+        self,
+        cluster_col: str,
+        target_dirs: int | None = None,
+        max_retries: int = 5,
+    ) -> int:
+        """Compact the live table into `target_dirs` range-clustered
+        directories with DISJOINT `cluster_col` stats — the OPTIMIZE /
+        re-clustering pass that restores data skipping after merges
+        and appends have blurred the key ranges (every key-confined
+        MERGE afterwards rewrites O(1) directories again).  One
+        repartitionByRange write job regardless of target count.  At
+        100 TB this is the periodic background compaction; between
+        runs correctness never depends on it — pruning just degrades
+        toward rewrite-everything."""
+        state: dict = {}
+
+        def build(snap: Snapshot):
+            if snap.version < 0:
+                raise ValueError("optimize on an empty table")
+            df = self._read_dirs(snap.dirs, snap.schema_json)
+            k = target_dirs or max(1, min(len(snap.dirs), 32))
+            entries = self._write_clustered(df, cluster_col, k)
+            state["root"] = entries[0]["dir"].rsplit("/__bucket=", 1)[0]
+            return entries, snap.dirs
+
+        def rebase_safe(ours, winner) -> bool:
+            return False  # compaction reads the whole table
+
+        def on_stale(add):
+            self._drop_data(state["root"])  # one physical root for all buckets
+
+        return self._commit_loop(
+            "optimize", build, rebase_safe, max_retries, on_stale=on_stale
+        )
+
     # -- maintenance -------------------------------------------------
 
     def vacuum(self, retain_seconds: float = 3600.0) -> list[str]:
@@ -522,7 +593,9 @@ class TxnTable:
         referenced: set[str] = set()
         for c in self.history():
             for a in c.get("add", []):
-                referenced.add(a["dir"])
+                # an optimize commit references per-bucket SUBdirs of one
+                # physical root — protect the whole root directory
+                referenced.add("/".join(a["dir"].split("/")[:2]))
         dropped = []
         data_root = os.path.join(self.path, DATA_DIR)
         now = time.time()

@@ -105,6 +105,21 @@ def main() -> None:
         f"{n_writers} concurrent key-disjoint merges: {t_conc:.1f}s total, "
         f"{rewrites} dirs rewritten across them, log at v{hist[-1]['version']}"
     )
+    # --- OPTIMIZE: restore clustering after the wide merge blurred it --
+    t0 = time.monotonic()
+    t.optimize("k", target_dirs=n_dirs)
+    t_opt = time.monotonic() - t0
+    snap = t.snapshot()
+    assert len(snap.dirs) == n_dirs
+    t0 = time.monotonic()
+    t.merge(mk(5 * per + 100, 10_000), ["k"])
+    t_repruned = time.monotonic() - t0
+    nrw2 = len(t.history()[-1]["remove"])
+    print(
+        f"optimize into {n_dirs} clustered dirs: {t_opt:.1f}s; "
+        f"post-optimize 10k merge rewrote {nrw2} dirs in {t_repruned:.1f}s"
+    )
+
     n_final = t.read().count()
     # every update set targeted existing keys -> cardinality unchanged
     assert n_final == n_rows, n_final

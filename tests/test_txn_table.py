@@ -227,6 +227,42 @@ def test_vacuum_reclaims_only_unreferenced_old_dirs(spark, table):
     assert table.vacuum(retain_seconds=3600) == []
 
 
+def test_optimize_restores_clustering(spark, table):
+    """Appends with interleaved key ranges destroy pruning; OPTIMIZE
+    re-clusters into disjoint-stat directories so a key-confined merge
+    is O(1) directories again."""
+    _evens = [(k, f"e{k}") for k in range(0, 100, 2)]
+    _odds = [(k, f"o{k}") for k in range(1, 100, 2)]
+    table.append(_mk(spark, _evens), stats_col="id")
+    table.append(_mk(spark, _odds), stats_col="id")
+    before = _rows(table.read())
+    v = table.optimize("id", target_dirs=4)
+    snap = table.snapshot()
+    assert len(snap.dirs) == 4
+    stats = sorted(
+        (snap.files[d]["stats"]["min"], snap.files[d]["stats"]["max"])
+        for d in snap.dirs
+    )
+    for (lo1, hi1), (lo2, _hi2) in zip(stats, stats[1:]):
+        assert hi1 < lo2  # disjoint ranges
+    assert _rows(table.read()) == before  # pure layout change
+    table.merge(_mk(spark, [(3, "X")]), ["id"])
+    assert len(table.history()[-1]["remove"]) == 1  # pruning restored
+    assert table.history()[-2]["op"] == "optimize"
+    assert _rows(table.read(version=v - 1)) == before  # time travel intact
+
+
+def test_vacuum_protects_optimize_buckets(spark, table):
+    table.append(_mk(spark, [(k, "x") for k in range(20)]), stats_col="id")
+    table.optimize("id", target_dirs=2)
+    # age everything; the optimize root is still referenced by the log
+    data_root = os.path.join(table.path, "data")
+    for d in os.listdir(data_root):
+        os.utime(os.path.join(data_root, d), (1.0, 1.0))
+    table.vacuum(retain_seconds=3600)
+    assert len(_rows(table.read())) == 20
+
+
 def test_rejects_object_store_uri(spark):
     with pytest.raises(NotImplementedError):
         TxnTable(spark, "s3://bucket/table")
