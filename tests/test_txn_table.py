@@ -268,6 +268,61 @@ def test_rejects_object_store_uri(spark):
         TxnTable(spark, "s3://bucket/table")
 
 
+def test_random_op_sequence_matches_dict_model(spark, tmp_path):
+    """Model-based check: a deterministic pseudo-random sequence of
+    append/merge/delete/overwrite/optimize against a pure-Python dict
+    model; every committed version is also re-read via time travel at
+    the end (the log IS the history)."""
+    import random
+
+    rng = random.Random(0xAC1D)
+    t = TxnTable(spark, str(tmp_path / "model"), checkpoint_interval=3)
+    model: dict[int, str] = {}
+    states: list[dict[int, str]] = []
+
+    def sync_append(pairs):
+        for k, v in pairs:
+            assert k not in model
+            model[k] = v
+        t.append(_mk(spark, pairs), stats_col="id")
+
+    def sync_merge(pairs):
+        model.update(pairs)
+        t.merge(_mk(spark, pairs), ["id"])
+
+    next_fresh = 1000
+    for step in range(12):
+        op = rng.choice(["append", "merge", "merge", "delete", "overwrite", "optimize"])
+        if op == "append":
+            pairs = [(next_fresh + i, f"a{step}") for i in range(rng.randint(1, 4))]
+            next_fresh += 10
+            sync_append(pairs)
+        elif op == "merge":
+            keys = rng.sample(sorted(model) or [0], min(2, max(1, len(model))))
+            pairs = [(k, f"m{step}") for k in keys] + [(next_fresh, f"m{step}")]
+            next_fresh += 10
+            sync_merge(pairs)
+        elif op == "delete" and model:
+            victim = rng.choice(sorted(model))
+            del model[victim]
+            t.delete_where(F.col("id") == victim)
+        elif op == "overwrite":
+            pairs = [(i, f"o{step}") for i in range(rng.randint(1, 3))]
+            model = dict(pairs)
+            t.overwrite(_mk(spark, pairs), stats_col="id")
+        elif op == "optimize" and model:
+            t.optimize("id", target_dirs=2)
+        else:
+            continue
+        states.append(dict(model))
+        got = dict(_rows(t.read()))
+        assert got == model, f"step {step} ({op}): {got} != {model}"
+    # time travel: the final log replays every committed state
+    versions = [c["version"] for c in t.history()]
+    assert versions == list(range(len(versions)))
+    assert dict(_rows(t.read(version=versions[-1]))) == states[-1]
+
+
 def test_streaming_merge_sink(spark, tmp_path):
     """availableNow replay through foreachBatch -> ACID MERGE: the
     latest-wins materialization, transactional edition of
