@@ -334,6 +334,7 @@ class TxnTable:
         max_retries: int,
         on_stale=None,  # add_entries -> None: reclaim snapshot-dependent data
         schema_json: str | None = None,  # fallback when the table is new
+        txn: tuple[str, int] | None = None,  # (app, id) idempotence marker
     ) -> int:
         """Shared optimistic-concurrency loop.  `build` runs against a
         fresh snapshot and returns the rewrite; on a lost publish the
@@ -356,6 +357,8 @@ class TxnTable:
                 "ts": time.time(),
                 "writer": f"{os.getpid()}-{uuid.uuid4().hex[:8]}",
             }
+            if txn is not None:
+                payload["txn"] = {"app": txn[0], "id": txn[1]}
             while attempts < max_retries:
                 attempts += 1
                 if self._publish(version, payload):
@@ -427,13 +430,24 @@ class TxnTable:
             schema_json=df.schema.json(),
         )
 
+    def last_txn(self, app: str) -> int | None:
+        """Highest transaction id committed under `app`, or None.
+        Scans the log newest-first (driver-side JSON only; a real
+        deployment would fold this into the checkpoint)."""
+        for v in reversed(self._versions()):
+            t = self._read_commit(v).get("txn")
+            if t and t.get("app") == app:
+                return t["id"]
+        return None
+
     def merge(
         self,
         updates: DataFrame,
         key_cols: list[str],
         bump_col: str | None = None,
         max_retries: int = 10,
-    ) -> int:
+        txn: tuple[str, int] | None = None,
+    ) -> int | None:
         """Transactional update-else-insert (D5, reference db.py:166-201):
         rows matching `updates` on `key_cols` are replaced, the rest
         inserted — atomically, under snapshot isolation, concurrent-
@@ -447,7 +461,20 @@ class TxnTable:
         overlapping writers re-run against the fresh snapshot —
         serializability the lock-sentinel lane approximated with a
         global mutex (streaming/ingest.py:166) falls out of the log
-        order instead."""
+        order instead.
+
+        `txn=(app, id)`: exactly-once marker — if the log already
+        holds a commit by `app` with a transaction id >= `id`, the
+        merge is a no-op returning None (the Delta idempotent-writes
+        pattern; restarted streaming micro-batches skip instead of
+        re-merging).  Ids must be monotone per app, which Spark's
+        micro-batch ids are; the check-then-commit window assumes one
+        live writer per app — exactly a streaming query's checkpoint
+        contract."""
+        if txn is not None:
+            applied = self.last_txn(txn[0])
+            if applied is not None and applied >= txn[1]:
+                return None
         k0 = key_cols[0]
         updates = updates.dropDuplicates(key_cols)
         if bump_col is not None:
@@ -511,6 +538,7 @@ class TxnTable:
             return self._commit_loop(
                 "merge", build, rebase_safe, max_retries,
                 on_stale=on_stale, schema_json=updates.schema.json(),
+                txn=txn,
             )
         finally:
             self._drop_data(upd_entry["dir"])  # staging only, never referenced
@@ -612,14 +640,20 @@ class TxnTable:
 
 
 def streaming_merge_sink(table: TxnTable, key_cols: list[str],
-                         bump_col: str | None = None):
+                         bump_col: str | None = None,
+                         app: str | None = None):
     """foreachBatch body running each micro-batch as one ACID MERGE —
     the transactional upgrade of streaming/ingest.py's lock-sentinel
-    `latest_wins_batch` (D4): restarts re-merge the same batch
-    idempotently (same keys replace themselves), concurrent writers
+    `latest_wins_batch` (D4).  With `app` set, the (app, batch_id)
+    pair rides the commit log as a transaction marker, so a restarted
+    micro-batch SKIPS instead of re-merging — exactly-once into the
+    table, not just idempotent-by-values.  Concurrent writers
     serialize through the commit log instead of a host-local mutex."""
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        table.merge(batch, key_cols, bump_col=bump_col)
+        table.merge(
+            batch, key_cols, bump_col=bump_col,
+            txn=(app, batch_id) if app is not None else None,
+        )
 
     return sink

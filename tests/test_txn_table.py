@@ -268,6 +268,24 @@ def test_rejects_object_store_uri(spark):
         TxnTable(spark, "s3://bucket/table")
 
 
+def test_txn_marker_exactly_once(spark, table):
+    """A merge carrying an already-applied (app, id) is a no-op — the
+    restarted-micro-batch contract (Delta idempotent-writes pattern)."""
+    v = table.merge(_mk(spark, [(1, "a")]), ["id"], txn=("job1", 0))
+    assert v == 0 and table.last_txn("job1") == 0
+    # replay of batch 0: skipped, even with DIFFERENT (stale) content
+    assert table.merge(_mk(spark, [(1, "STALE")]), ["id"], txn=("job1", 0)) is None
+    assert _rows(table.read()) == [(1, "a")]
+    # a later batch applies; an unrelated app is not blocked
+    assert table.merge(_mk(spark, [(2, "b")]), ["id"], txn=("job1", 1)) == 1
+    assert table.merge(_mk(spark, [(3, "c")]), ["id"], txn=("job2", 0)) == 2
+    assert table.last_txn("job1") == 1
+    assert table.last_txn("job2") == 0
+    assert table.last_txn("nope") is None
+    # txn markers survive in history for audit
+    assert table.history()[-1]["txn"] == {"app": "job2", "id": 0}
+
+
 def test_random_op_sequence_matches_dict_model(spark, tmp_path):
     """Model-based check: a deterministic pseudo-random sequence of
     append/merge/delete/overwrite/optimize against a pure-Python dict
