@@ -278,6 +278,8 @@ class TxnTable:
         disjoint slice of the cluster key's order, so the per-bucket
         min/max stats are disjoint by construction — the layout that
         makes every later key-confined MERGE rewrite O(1) buckets."""
+        if "__bucket" in df.columns:
+            raise ValueError("column name __bucket is reserved by optimize()")
         rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
         full = os.path.join(self.path, rel)
         (
@@ -636,6 +638,14 @@ class TxnTable:
                 continue
             shutil.rmtree(full, ignore_errors=True)
             dropped.append(rel)
+        # reclaim orphaned log temp files (a writer that died mid-publish)
+        for f in os.listdir(self._log_path()):
+            full = os.path.join(self._log_path(), f)
+            if f.startswith(".tmp-") and now - os.path.getmtime(full) >= retain_seconds:
+                try:
+                    os.unlink(full)
+                except OSError:
+                    pass
         return dropped
 
 

@@ -268,6 +268,36 @@ def test_rejects_object_store_uri(spark):
         TxnTable(spark, "s3://bucket/table")
 
 
+def test_crashed_writer_leaves_table_unchanged(spark, table, monkeypatch):
+    """A writer that dies after writing data but before publishing its
+    commit must be invisible: readers see the old state, and vacuum
+    reclaims the orphan once it ages past retention."""
+    table.append(_mk(spark, [(1, "a")]), stats_col="id")
+
+    real_publish = TxnTable._publish
+
+    def crash(self, v, p):
+        raise RuntimeError("writer killed before commit")
+
+    monkeypatch.setattr(TxnTable, "_publish", crash)
+    with pytest.raises(RuntimeError):
+        table.merge(_mk(spark, [(1, "lost"), (2, "lost")]), ["id"])
+    monkeypatch.setattr(TxnTable, "_publish", real_publish)
+
+    assert _rows(table.read()) == [(1, "a")]  # crash invisible
+    assert [c["op"] for c in table.history()] == ["append"]
+    # the crashed writer's staging + rewrite dirs are unreferenced orphans
+    data_root = os.path.join(table.path, "data")
+    for d in os.listdir(data_root):
+        os.utime(os.path.join(data_root, d), (1.0, 1.0))
+    dropped = table.vacuum(retain_seconds=3600)
+    assert len(dropped) >= 1  # orphans reclaimed
+    assert _rows(table.read()) == [(1, "a")]  # live data survived aging
+    # the table keeps accepting writes afterwards
+    table.merge(_mk(spark, [(2, "b")]), ["id"])
+    assert _rows(table.read()) == [(1, "a"), (2, "b")]
+
+
 def test_txn_marker_exactly_once(spark, table):
     """A merge carrying an already-applied (app, id) is a no-op — the
     restarted-micro-batch contract (Delta idempotent-writes pattern)."""
