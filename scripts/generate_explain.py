@@ -68,6 +68,19 @@ COMMENTARY = {
         "bucket shuffle is paid once at write time and amortizes over "
         "every downstream join and aggregation on the key."
     ),
+    "txn_merge_rewrite": (
+        "ACID MERGE rewrite (storage/txnlog.TxnTable.merge): the table "
+        "here holds two data directories with disjoint key-range stats; "
+        "the commit-log metadata layer pruned the rewrite to the ONE "
+        "overlapping directory, so the scan below reads a single "
+        "location (data skipping is invisible to Catalyst — it happens "
+        "before the plan is built, exactly like Delta's file pruning). "
+        "The WHEN-MATCHED half is a LeftAnti BroadcastHashJoin of the "
+        "small update-key set against only that directory; the union "
+        "appends the update rows. At 100 TB the cost is O(overlapping "
+        "directories), not O(table), and the broadcast is the update "
+        "keys — never the table."
+    ),
     "exact_jaccard_pairs": (
         "Pairs stage of near_dedup_corpus_exact: all-pairs exact "
         "Jaccard as a token equi-join on the shingle — no cross "
@@ -366,6 +379,40 @@ def main() -> None:
             for t in ("expl_bkt_a", "expl_bkt_b"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
             out.write(f"\n## {name}\n\n{note}\n\n```\n{plan_txt}\n```\n")
+            continue
+        elif name == "txn_merge_rewrite":
+            import shutil as _shutil
+            import tempfile as _tempfile
+
+            from pyspark.sql import functions as F
+
+            from market_insights_app_spark.storage.txnlog import TxnTable
+
+            _root = _tempfile.mkdtemp(prefix="expl_txn_")
+            t = TxnTable(spark, f"{_root}/t")
+            mk = lambda lo, n: spark.range(lo, lo + n).select(  # noqa: E731
+                F.col("id").alias("k"), F.sha1(F.col("id").cast("string")).alias("v")
+            )
+            t.append(mk(0, 5_000), stats_col="k")
+            t.append(mk(100_000, 5_000), stats_col="k")
+            upd = mk(100_100, 50)
+            snap = t.snapshot()
+            # same pruning the merge itself performs: stats say only the
+            # second directory overlaps the update key range
+            touched = [
+                d for d in snap.dirs
+                if not (snap.files[d]["stats"]["max"] < 100_100
+                        or snap.files[d]["stats"]["min"] > 100_149)
+            ]
+            assert len(touched) == 1, touched
+            tgt = t._read_dirs(touched, snap.schema_json)
+            kept = tgt.join(upd.select("k").distinct(), on=["k"], how="left_anti")
+            df = kept.unionByName(upd)
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+            _shutil.rmtree(_root, ignore_errors=True)
+            out.write(f"\n## {name}\n\n{note}\n\n```\n{buf.getvalue().strip()}\n```\n")
             continue
         elif name == "exact_jaccard_pairs":
             from market_insights_app_spark.operators.dedup import exact_jaccard_pairs
