@@ -520,3 +520,32 @@ def test_aqe_skew_join_engages_on_hot_key(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_txn_merge_rewrite_plan_prunes_and_broadcasts(spark, tmp_path):
+    """The ACID MERGE rewrite must (a) scan ONLY the directory whose
+    stats overlap the update keys — the remove-list prune — and (b)
+    anti-join by broadcasting the small update-key set, never the
+    table side (storage/txnlog.TxnTable.merge)."""
+    from market_insights_app_spark.storage.txnlog import TxnTable
+
+    t = TxnTable(spark, str(tmp_path / "t"))
+
+    def mk(lo, n):
+        return spark.range(lo, lo + n).select(
+            F.col("id").alias("k"), F.col("id").cast("string").alias("v")
+        )
+
+    t.append(mk(0, 2_000), stats_col="k")
+    t.append(mk(100_000, 2_000), stats_col="k")
+    t.merge(mk(100_100, 25), ["k"])
+    commit = t.history()[-1]
+    assert len(commit["remove"]) == 1  # metadata-layer data skipping
+    # reconstruct the rewrite plan merge builds for the touched dir
+    snap = t.snapshot()
+    upd = mk(100_100, 25)
+    tgt = t._read_dirs(commit["remove"], snap.schema_json)
+    kept = tgt.join(upd.select("k").distinct(), on=["k"], how="left_anti")
+    p = plan_of(kept.unionByName(upd))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
