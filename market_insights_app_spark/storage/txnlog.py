@@ -483,6 +483,11 @@ class TxnTable:
             updates = updates.withColumn(bump_col, F.current_timestamp())
         # materialize the update set ONCE; retries re-read only the target
         upd_entry = self._write_data(updates, k0)
+        if upd_entry["rows"] == 0:
+            # an empty update set (idle streaming micro-batch) must not
+            # degenerate into a stats-less full-table rewrite
+            self._drop_data(upd_entry["dir"])
+            return None
         upd_df = self._read_dirs([upd_entry["dir"]], None)
         u = upd_entry.get("stats")
 

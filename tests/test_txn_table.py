@@ -298,6 +298,16 @@ def test_crashed_writer_leaves_table_unchanged(spark, table, monkeypatch):
     assert _rows(table.read()) == [(1, "a"), (2, "b")]
 
 
+def test_empty_updates_merge_is_noop(spark, table):
+    """An idle streaming micro-batch merges an EMPTY batch — that must
+    not commit anything (and especially not rewrite the whole table,
+    which a stats-less update set would otherwise touch)."""
+    table.append(_mk(spark, [(1, "a")]), stats_col="id")
+    assert table.merge(_mk(spark, []), ["id"]) is None
+    assert [c["op"] for c in table.history()] == ["append"]
+    assert _rows(table.read()) == [(1, "a")]
+
+
 def test_txn_marker_exactly_once(spark, table):
     """A merge carrying an already-applied (app, id) is a no-op — the
     restarted-micro-batch contract (Delta idempotent-writes pattern)."""
