@@ -286,8 +286,19 @@ def test_pairwise_corr_lanes_agree(spark, ticks):
     df = spark.createDataFrame(
         rows, ["user_id", "ts", "event_id", "value", "vol"]
     )
-    a = {tuple(r) for r in pairwise_corr(df).collect()}
-    b = {tuple(r) for r in pairwise_corr_dense(df, n_blocks=3).collect()}
+    def canon(rows):
+        # NaN != NaN would fail the set compare even when both lanes
+        # emit NaN for the same constant-series pair — map to a sentinel
+        return {
+            tuple(
+                "NaN" if isinstance(v, float) and math.isnan(v) else v
+                for v in r
+            )
+            for r in rows
+        }
+
+    a = canon(pairwise_corr(df).collect())
+    b = canon(pairwise_corr_dense(df, n_blocks=3).collect())
     assert a == b
 
 
