@@ -33,12 +33,21 @@ VLDB 2020 — re-implemented from the paper's ideas, no Delta code):
   checkpoint + at most ``checkpoint_interval`` JSON deltas (driver-side
   metadata only — never data).
 
-Honest scope: the fail-if-exists primitive is atomic on POSIX
-filesystems (and HDFS create-no-overwrite).  Object stores without
-atomic put-if-absent (plain S3) need an external log store for the
-same guarantee — exactly the documented Delta-on-S3 caveat — so
-constructor rejects ``://`` URIs rather than silently weakening the
-contract."""
+Honest scope:
+
+* The fail-if-exists primitive is atomic on POSIX filesystems (and
+  HDFS create-no-overwrite).  Object stores without atomic
+  put-if-absent (plain S3) need an external log store for the same
+  guarantee — exactly the documented Delta-on-S3 caveat — so the
+  constructor rejects ``://`` URIs rather than silently weakening the
+  contract.
+* The table schema is FIXED at the first commit; schema evolution
+  (add/rename/widen) is out of scope — a merge whose update set's
+  columns differ from the table's fails in ``unionByName`` rather
+  than silently corrupting the layout.
+* ``last_txn`` scans the log newest-first (driver-side JSON); a
+  production deployment would fold per-app watermarks into the
+  checkpoint."""
 
 from __future__ import annotations
 
