@@ -496,3 +496,106 @@ def pmi_collocations(
         .limit(k)
         .drop("__ratio")
     )
+
+
+def nb_seed_classifier(
+    corpus: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "is_positive",
+) -> DataFrame:
+    """Seed-set Naive Bayes quality classifier — the deterministic,
+    closed-form cousin of the GPT-3 / CCNet "train a classifier on a
+    high-quality seed corpus, score the crawl" filter (Brown et al.
+    2020 §A; Wenzek et al. 2020): a labeled ``seeds`` frame (boolean
+    ``label_col``; e.g. curated/wiki-like = true, raw crawl = false)
+    trains per-token Laplace-smoothed log-likelihood ratios
+
+        llr(t) = ln((c_pos(t)+1)/(N_pos+V)) - ln((c_neg(t)+1)/(N_neg+V))
+
+    with N_L the class token totals and V the seed vocabulary size;
+    each corpus document then scores the NB log-odds
+
+        nb_score = ln((docs_pos+1)/(docs_neg+1)) + Σ_tokens llr(t)
+
+    (out-of-vocabulary tokens take the same formula at c=0, so the
+    expression shape is identical in-vocab and OOV — no special-cased
+    math for the cross-engine twin to mismatch).  Output per corpus
+    doc: (id, n_tokens, nb_score, keep = nb_score > 0).  Zero-token
+    documents emit no row (nothing to score), matching the other
+    scoring lanes in this module.
+
+    Scale shape: seed token counts are one vocabulary-sized groupBy;
+    the llr table and the class totals are broadcast (vocabulary ≪
+    corpus — the trained model is a small dimension, reusable across
+    any future corpus without retraining); the corpus token stream
+    joins the broadcast llr and reduces map-side-combinably on the doc
+    id. One linear shuffle over the corpus, no window, no driver state.
+
+    Determinism: all counts are exact longs; each llr is two ln's of
+    long-ratio doubles subtracted once; the per-doc sum is rounded to
+    6 dp (docs are short enough that double summation-order ulps sit
+    ~6 orders below the grain — the argument :func:`unigram_logprob`
+    pins), and the keep flag derives from the ROUNDED score so both
+    engines branch on the same number."""
+    pos = F.col("__pos")
+    seed_toks = seeds.select(
+        F.col(label_col).alias("__pos"),
+        F.explode(_lower_tokens(text_col)).alias("term"),
+    )
+    counts = seed_toks.groupBy("term").agg(
+        F.sum(F.when(pos, 1).otherwise(0)).alias("c_pos"),
+        F.sum(F.when(pos, 0).otherwise(1)).alias("c_neg"),
+    )
+    totals = counts.agg(
+        F.sum("c_pos").alias("n_pos"),
+        F.sum("c_neg").alias("n_neg"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    prior = seeds.agg(
+        F.log(
+            (F.sum(F.when(F.col(label_col), 1).otherwise(0)) + F.lit(1)).cast(
+                "double"
+            )
+            / (
+                F.sum(F.when(F.col(label_col), 0).otherwise(1)) + F.lit(1)
+            ).cast("double")
+        ).alias("log_prior")
+    )
+
+    def _llr(c_pos: Column, c_neg: Column) -> Column:
+        p = (c_pos + F.lit(1)).cast("double") / (
+            F.col("n_pos") + F.col("v")
+        ).cast("double")
+        q = (c_neg + F.lit(1)).cast("double") / (
+            F.col("n_neg") + F.col("v")
+        ).cast("double")
+        return F.log(p) - F.log(q)
+
+    llr = counts.crossJoin(F.broadcast(totals)).select(
+        "term", _llr(F.col("c_pos"), F.col("c_neg")).alias("llr")
+    )
+    toks = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_lower_tokens(text_col)).alias("term"),
+    )
+    scored = (
+        toks.join(F.broadcast(llr), "term", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "__id",
+            # OOV = the c=0 instance of the same smoothed formula
+            F.coalesce(F.col("llr"), _llr(F.lit(0), F.lit(0))).alias("llr"),
+        )
+    )
+    per_doc = scored.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("llr").alias("__s")
+    )
+    score = F.round(F.col("__s") + F.col("log_prior"), 6)
+    return per_doc.crossJoin(F.broadcast(prior)).select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        score.alias("nb_score"),
+        (score > F.lit(0.0)).alias("keep"),
+    )

@@ -162,6 +162,12 @@ _CHANGED_SINCE_ROW: list[str] = [
 # shares its pipeline with near_dedup_corpus_exact) is itself one of
 # the 49 — removing it directly frees a slot; ngram_jaccard_bigram
 # and hybrid_search free future-round load.
+#
+# Pre-built r8 candidate, already twin-tested locally at sf0.001 and
+# sf0.01: plans/textml.staged_r8_q_nb_quality + STAGED_R8_ORACLES
+# ["nb_quality"] (seed-set Naive Bayes quality filter).  To register:
+# rename to q_nb_quality, move the oracle into TEXTML_ORACLES, add
+# "nb_quality" to _NEW_THIS_ROUND.
 
 _unknown = (
     set(_LAST_SWEPT) | set(_NEW_THIS_ROUND) | set(_CHANGED_SINCE_ROW)

@@ -2510,3 +2510,73 @@ TEXTML_ORACLES["pmi_collocations"] = """
     SELECT w1, w2, c_xy, c1, c2, round(ln(ratio), 6) AS pmi
     FROM sc ORDER BY ratio DESC, w1 ASC, w2 ASC LIMIT 50
 """
+
+
+# ---------------------------------------------------------------------------
+# r8-STAGED (NOT collected: no q_ prefix — the r7 sweep window is
+# budgeted to exactly 50 slots, see plans/registry.py).  r8 renames
+# `staged_r8_q_nb_quality` -> `q_nb_quality`, moves the oracle into
+# TEXTML_ORACLES["nb_quality"], and lists the name in _NEW_THIS_ROUND.
+# Until then the pair is gated locally by tests/test_lm_scoring.py's
+# direct Spark<->DuckDB parity test.
+# ---------------------------------------------------------------------------
+
+
+def staged_r8_q_nb_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Seed-set Naive Bayes quality filter (GPT-3 §A / CCNet shape):
+    every 5th document is a labeled seed (positive = source 'src0'),
+    the trained log-likelihood-ratio model scores the other 80% of the
+    corpus, keep = positive NB log-odds."""
+    from market_insights_app_spark.operators.quality import nb_seed_classifier
+
+    docs = _docs(spark, sf)
+    seeds = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "text", (F.col("source") == "src0").alias("is_pos")
+    )
+    rest = docs.filter(F.col("doc_id") % 5 != 0)
+    return nb_seed_classifier(rest, seeds, label_col="is_pos")
+
+
+STAGED_R8_ORACLES: dict[str, str] = {}
+
+STAGED_R8_ORACLES["nb_quality"] = f"""
+    WITH seed AS (SELECT text, source = 'src0' AS is_pos
+                  FROM documents WHERE doc_id % 5 = 0),
+    rest AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+    st AS (SELECT is_pos, unnest({_LTOKS_SQL}) AS term FROM seed),
+    counts AS (SELECT term,
+                      CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT)
+                        AS c_pos,
+                      CAST(sum(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT)
+                        AS c_neg
+               FROM st GROUP BY term),
+    tot AS (SELECT CAST(sum(c_pos) AS BIGINT) AS n_pos,
+                   CAST(sum(c_neg) AS BIGINT) AS n_neg,
+                   CAST(count(*) AS BIGINT) AS v
+            FROM counts),
+    prior AS (SELECT ln(CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) + 1
+                             AS DOUBLE)
+                        / CAST(sum(CASE WHEN is_pos THEN 0 ELSE 1 END) + 1
+                               AS DOUBLE)) AS log_prior
+              FROM seed),
+    llr AS (SELECT term,
+                   ln(CAST(c_pos + 1 AS DOUBLE) / CAST(n_pos + v AS DOUBLE))
+                   - ln(CAST(c_neg + 1 AS DOUBLE) / CAST(n_neg + v AS DOUBLE))
+                     AS llr
+            FROM counts CROSS JOIN tot),
+    toks AS (SELECT doc_id, unnest({_LTOKS_SQL}) AS term FROM rest),
+    scored AS (SELECT t.doc_id,
+                      coalesce(l.llr,
+                               ln(CAST(1 AS DOUBLE)
+                                  / CAST(n_pos + v AS DOUBLE))
+                               - ln(CAST(1 AS DOUBLE)
+                                    / CAST(n_neg + v AS DOUBLE))) AS llr
+               FROM toks t LEFT JOIN llr l USING (term) CROSS JOIN tot),
+    per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   sum(llr) AS s
+            FROM scored GROUP BY doc_id)
+    SELECT doc_id, n_tokens,
+           round(s + log_prior, 6) AS nb_score,
+           round(s + log_prior, 6) > 0.0 AS keep
+    FROM per CROSS JOIN prior
+"""

@@ -7,6 +7,8 @@ import math
 
 import pytest
 
+from tests.conftest import SF_ORACLE
+
 from market_insights_app_spark.operators.quality import (
     bigram_logprob,
     perplexity_buckets,
@@ -79,3 +81,67 @@ def test_perplexity_buckets_per_lang_independent(spark):
     for lang in ("en", "fr"):
         buckets = sorted(r.bucket for r in out if r.lang == lang)
         assert buckets == ["head", "middle", "tail"]
+
+
+# --- seed-set Naive Bayes classifier (operators/quality.nb_seed_classifier) --
+
+
+def test_nb_seed_classifier_golden(spark):
+    """Hand-computed Laplace NB log-odds on a 2-doc seed set."""
+    from market_insights_app_spark.operators.quality import nb_seed_classifier
+
+    seeds = spark.createDataFrame(
+        [("good good fine", True), ("bad bad awful", False)],
+        ["text", "is_positive"],
+    )
+    corpus = spark.createDataFrame(
+        [(1, "good fine"), (2, "bad awful"), (3, "unseen")],
+        ["doc_id", "text"],
+    )
+    # N_pos=3, N_neg=3, V=4; prior = ln(2/2) = 0
+    def llr(cp, cn):
+        return math.log((cp + 1) / (3 + 4)) - math.log((cn + 1) / (3 + 4))
+
+    exp = {
+        1: llr(2, 0) + llr(1, 0),           # good, fine
+        2: llr(0, 2) + llr(0, 1),           # bad, awful
+        3: llr(0, 0),                        # OOV token
+    }
+    got = {r.doc_id: r for r in nb_seed_classifier(corpus, seeds).collect()}
+    for d, e in exp.items():
+        assert got[d].nb_score == pytest.approx(e, abs=1e-6)
+    assert got[1].keep and not got[2].keep
+    assert got[3].nb_score == pytest.approx(0.0, abs=1e-9)  # symmetric OOV
+    assert got[1].n_tokens == 2 and got[3].n_tokens == 1
+
+
+def test_nb_seed_classifier_empty_doc_drops(spark):
+    from market_insights_app_spark.operators.quality import nb_seed_classifier
+
+    seeds = spark.createDataFrame([("x", True), ("y", False)], ["text", "is_positive"])
+    corpus = spark.createDataFrame([(1, "   "), (2, "x")], ["doc_id", "text"])
+    ids = [r.doc_id for r in nb_seed_classifier(corpus, seeds).collect()]
+    assert ids == [2]
+
+
+def test_nb_quality_staged_parity(spark, duck):
+    """Direct Spark<->DuckDB parity for the r8-STAGED nb_quality pair
+    (plans/textml.staged_r8_q_nb_quality) — the local twin of the
+    driver gate it will face when registered in r8."""
+    from market_insights_app_spark.plans.textml import (
+        STAGED_R8_ORACLES,
+        staged_r8_q_nb_quality,
+    )
+    from tests.test_oracle_parity import canon
+
+    sdf = staged_r8_q_nb_quality(spark, SF_ORACLE)
+    srows = [tuple(r) for r in sdf.collect()]
+    rel = duck.sql(STAGED_R8_ORACLES["nb_quality"])
+    drows = rel.fetchall()
+    dcols = [d[0] for d in rel.description]
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows) > 0
+    assert canon(srows, sdf.columns) == canon(drows, dcols)
+    # driver type hygiene, ahead of registration
+    for col, typ in zip(rel.columns, rel.types):
+        assert str(typ) in {"BIGINT", "DOUBLE", "BOOLEAN"}, (col, str(typ))

@@ -549,3 +549,19 @@ def test_txn_merge_rewrite_plan_prunes_and_broadcasts(spark, tmp_path):
     p = plan_of(kept.unionByName(upd))
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
     assert "SortMergeJoin" not in p
+
+
+def test_nb_classifier_broadcasts_model_single_doc_exchange(spark):
+    """The trained LLR table is vocabulary-sized and must ride a
+    BroadcastHashJoin onto the corpus token stream (never a sort-merge
+    — at 100 TB the corpus side is the whole crawl); the per-doc
+    reduce is the only exchange keyed on corpus data, and the corpus
+    scan prunes to (doc_id, text)."""
+    from market_insights_app_spark.plans.textml import staged_r8_q_nb_quality
+
+    full = plan_of(staged_r8_q_nb_quality(spark, SF_ORACLE))
+    tree = full.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+    sch = [ln for ln in full.split("\n") if "ReadSchema" in ln]
+    assert sch and all("lang" not in ln and "n_chars" not in ln for ln in sch)
