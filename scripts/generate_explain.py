@@ -281,6 +281,16 @@ COMMENTARY = {
         "TakeOrderedAndProject — ranking on the raw ratio keeps the "
         "cut libm-free."
     ),
+    "nb_quality_staged": (
+        "Seed-set Naive Bayes quality filter (r8-staged): the trained "
+        "LLR model is a vocabulary-sized frame riding a "
+        "BroadcastExchange onto the corpus token stream — the crawl "
+        "side never shuffles for the join; class totals and the prior "
+        "are broadcast single rows; the only corpus-keyed Exchange is "
+        "the map-side-combinable per-doc reduce. Train once, broadcast "
+        "against any future corpus: at 100 TB the model build reads "
+        "only the seed sample."
+    ),
 }
 
 # Streaming replay gates: their query functions RUN the availableNow
@@ -414,6 +424,12 @@ def main() -> None:
             _shutil.rmtree(_root, ignore_errors=True)
             out.write(f"\n## {name}\n\n{note}\n\n```\n{buf.getvalue().strip()}\n```\n")
             continue
+        elif name == "nb_quality_staged":
+            from market_insights_app_spark.plans.textml import (
+                staged_r8_q_nb_quality,
+            )
+
+            df = staged_r8_q_nb_quality(spark, sf_dir)
         elif name == "exact_jaccard_pairs":
             from market_insights_app_spark.operators.dedup import exact_jaccard_pairs
             from market_insights_app_spark.sources.tables import load_table

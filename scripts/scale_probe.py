@@ -314,6 +314,19 @@ def main() -> None:
         "ngram novelty (docs vs 1/97 ref)",
         ngram_novelty(train_docs, eval_docs, shingle_n=3),
     )
+
+    from market_insights_app_spark.operators.quality import nb_seed_classifier
+
+    # 1/20 of the corpus is labeled seed (label = a deterministic hash
+    # bit); the trained broadcast LLR model scores the other 95%
+    seeds = docs.filter(F.col("doc_id") % 20 == 0).select(
+        "text", (F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0).alias("is_pos")
+    )
+    t(
+        "NB seed classifier (95% scored)",
+        nb_seed_classifier(docs.filter(F.col("doc_id") % 20 != 0), seeds,
+                           label_col="is_pos"),
+    )
     docs.unpersist()
 
     # --- synthetic embeddings: n_vecs × dim 64, web-scale k ----------------
