@@ -269,3 +269,61 @@ def key_skew(
             "n_keys_total",
         )
     )
+
+
+def corpus_manifest(
+    df: DataFrame,
+    split_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "manifest-v1",
+) -> DataFrame:
+    """Dataset release manifest: one row per split with the integrity
+    facts a reproducible data release publishes alongside the shards —
+    row count, distinct-id count (dup tripwire), payload bytes, id
+    range, and an ORDER-INSENSITIVE content checksum (sum of 32-bit
+    md5 prefixes over the canonical ``salt:id:text`` row string).
+    Re-running the pipeline, re-sharding, or re-ordering rows leaves
+    the manifest bit-identical; any dropped, duplicated, or edited row
+    changes it — the property that lets a 100 TB consumer verify a
+    delivery without re-reading the producer's job logs.
+
+    Scale shape: one scan → one map-side-combinable groupBy(split);
+    every output is a fixed-size aggregate buffer, so the single
+    Exchange carries (n_splits × 7 longs), never rows. The checksum
+    is engine-portable (md5 of UTF-8 bytes, same construction as
+    ``sampling.shard_hash``) and overflow-safe to ~2^31 rows per
+    split; past that, publish per-shard manifests (the natural unit
+    of a release) or widen to the 16-hex-digit prefix.
+
+    Determinism: counts/sums of exact longs only — no doubles
+    anywhere, so there is nothing to round."""
+    row_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt + ":"),
+                    F.col(id_col).cast("string"),
+                    F.lit(":"),
+                    F.coalesce(F.col(text_col), F.lit("")),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.groupBy(F.col(split_col).alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(F.col(id_col)).alias("n_distinct_ids"),
+            F.sum(F.octet_length(F.coalesce(F.col(text_col), F.lit("")))).alias(
+                "n_bytes"
+            ),
+            F.min(F.col(id_col)).alias("min_id"),
+            F.max(F.col(id_col)).alias("max_id"),
+            F.sum(row_hash).alias("content_sum"),
+        )
+    )

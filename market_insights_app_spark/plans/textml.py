@@ -2580,3 +2580,28 @@ STAGED_R8_ORACLES["nb_quality"] = f"""
            round(s + log_prior, 6) > 0.0 AS keep
     FROM per CROSS JOIN prior
 """
+
+
+def staged_r8_q_corpus_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source dataset release manifest: counts, distinct ids,
+    payload bytes, id range, order-insensitive md5-prefix content
+    checksum (operators/profiling.corpus_manifest).  r8-STAGED like
+    staged_r8_q_nb_quality (see the registry's pre-stage note)."""
+    from market_insights_app_spark.operators.profiling import corpus_manifest
+
+    return corpus_manifest(_docs(spark, sf))
+
+
+STAGED_R8_ORACLES["corpus_manifest"] = """
+    SELECT source AS split,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_ids,
+           CAST(sum(strlen(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+           min(doc_id) AS min_id,
+           max(doc_id) AS max_id,
+           CAST(sum(CAST(('0x' || substr(md5('manifest-v1:'
+                         || CAST(doc_id AS VARCHAR) || ':'
+                         || coalesce(text, '')), 1, 8)) AS BIGINT))
+                AS BIGINT) AS content_sum
+    FROM documents GROUP BY source
+"""

@@ -219,3 +219,52 @@ def test_sketch_accuracy_report_all_true(spark):
     assert rows
     for r in rows:
         assert r["distinct_ok"] and r["p50_ok"] and r["p90_ok"], r
+
+
+# --- dataset release manifest (operators/profiling.corpus_manifest) ---------
+
+
+def test_corpus_manifest_order_insensitive_and_edit_sensitive(spark):
+    from market_insights_app_spark.operators.profiling import corpus_manifest
+
+    rows = [(1, "alpha", "s0"), (2, "beta", "s0"), (3, "gamma", "s1")]
+    a = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    b = spark.createDataFrame(list(reversed(rows)), ["doc_id", "text", "source"])
+    ra = sorted(tuple(r) for r in corpus_manifest(a).collect())
+    rb = sorted(tuple(r) for r in corpus_manifest(b).collect())
+    assert ra == rb  # permutation-invariant
+    s0 = next(r for r in ra if r[0] == "s0")
+    assert s0[1] == 2 and s0[2] == 2 and s0[3] == len("alpha") + len("beta")
+    # one-character edit moves the checksum
+    edited = spark.createDataFrame(
+        [(1, "alphA", "s0"), (2, "beta", "s0"), (3, "gamma", "s1")],
+        ["doc_id", "text", "source"],
+    )
+    re_ = sorted(tuple(r) for r in corpus_manifest(edited).collect())
+    assert re_ != ra
+    # a duplicated id is visible in n_rows vs n_distinct_ids
+    dup = spark.createDataFrame(rows + [(1, "alpha", "s0")], ["doc_id", "text", "source"])
+    d0 = next(r for r in sorted(tuple(r) for r in corpus_manifest(dup).collect()) if r[0] == "s0")
+    assert d0[1] == 3 and d0[2] == 2
+
+
+def test_corpus_manifest_staged_parity(spark, duck):
+    """Direct Spark<->DuckDB parity for the r8-STAGED corpus_manifest
+    pair, plus driver type hygiene ahead of registration."""
+    from market_insights_app_spark.plans.textml import (
+        STAGED_R8_ORACLES,
+        staged_r8_q_corpus_manifest,
+    )
+    from tests.conftest import SF_ORACLE
+    from tests.test_oracle_parity import canon
+
+    sdf = staged_r8_q_corpus_manifest(spark, SF_ORACLE)
+    srows = [tuple(r) for r in sdf.collect()]
+    rel = duck.sql(STAGED_R8_ORACLES["corpus_manifest"])
+    drows = rel.fetchall()
+    dcols = [d[0] for d in rel.description]
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows) > 0
+    assert canon(srows, sdf.columns) == canon(drows, dcols)
+    for col, typ in zip(rel.columns, rel.types):
+        assert str(typ) in {"BIGINT", "VARCHAR"}, (col, str(typ))

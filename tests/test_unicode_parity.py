@@ -128,11 +128,27 @@ def uni_duck(uni_dir):
     con.close()
 
 
-@pytest.mark.parametrize("name", _DOC_ORACLES)
+def _query_and_sql(name):
+    if name.startswith("staged_r8:"):
+        from market_insights_app_spark.plans import textml
+
+        short = name.split(":", 1)[1]
+        return getattr(textml, f"staged_r8_q_{short}"), textml.STAGED_R8_ORACLES[short]
+    return QUERIES[name], ORACLES[name]
+
+
+def _staged_names():
+    from market_insights_app_spark.plans.textml import STAGED_R8_ORACLES
+
+    return [f"staged_r8:{n}" for n in sorted(STAGED_R8_ORACLES)]
+
+
+@pytest.mark.parametrize("name", _DOC_ORACLES + _staged_names())
 def test_unicode_corpus_parity(name, spark, uni_dir, uni_duck):
-    sdf = QUERIES[name](spark, uni_dir)
+    fn, sql = _query_and_sql(name)
+    sdf = fn(spark, uni_dir)
     srows = [tuple(r) for r in sdf.collect()]
-    rel = uni_duck.sql(ORACLES[name])
+    rel = uni_duck.sql(sql)
     drows = rel.fetchall()
     dcols = [d[0] for d in rel.description]
     assert sorted(sdf.columns) == sorted(dcols), f"{name}: column sets differ"
