@@ -317,15 +317,26 @@ class TxnTable:
         shutil.rmtree(os.path.join(self.path, rel), ignore_errors=True)
 
     def _read_dirs(self, dirs: list[str], schema_json: str | None) -> DataFrame:
-        if not dirs:
-            from pyspark.sql.types import StructType
+        from pyspark.sql.types import StructType
 
+        if not dirs:
             if schema_json is None:
                 raise ValueError("empty table with no recorded schema")
             return self.spark.createDataFrame(
                 [], StructType.fromJson(json.loads(schema_json))
             )
-        return self.spark.read.parquet(*(os.path.join(self.path, d) for d in dirs))
+        paths = [os.path.join(self.path, d) for d in dirs]
+        if schema_json is not None:
+            # read under the SNAPSHOT's recorded schema: after a
+            # schema-evolving merge, directories written before the
+            # evolution lack the new columns — the explicit schema
+            # null-fills them (per-file pruning still applies), and
+            # time travel to a pre-evolution version keeps the old
+            # schema because its snapshot records the old JSON
+            return self.spark.read.schema(
+                StructType.fromJson(json.loads(schema_json))
+            ).parquet(*paths)
+        return self.spark.read.parquet(*paths)
 
     def read(self, version: int | None = None) -> DataFrame:
         """The table as a DataFrame at `version` (default latest) —
@@ -346,6 +357,7 @@ class TxnTable:
         on_stale=None,  # add_entries -> None: reclaim snapshot-dependent data
         schema_json: str | None = None,  # fallback when the table is new
         txn: tuple[str, int] | None = None,  # (app, id) idempotence marker
+        schema_from=None,  # () -> json | None: evolved schema set by build
     ) -> int:
         """Shared optimistic-concurrency loop.  `build` runs against a
         fresh snapshot and returns the rewrite; on a lost publish the
@@ -364,7 +376,11 @@ class TxnTable:
                 "read_version": snap.version,
                 "add": add,
                 "remove": remove,
-                "schema": snap.schema_json or schema_json,
+                "schema": (
+                    (schema_from() if schema_from is not None else None)
+                    or snap.schema_json
+                    or schema_json
+                ),
                 "ts": time.time(),
                 "writer": f"{os.getpid()}-{uuid.uuid4().hex[:8]}",
             }
@@ -379,7 +395,16 @@ class TxnTable:
                     winner = self._read_commit(version)
                 except FileNotFoundError:
                     winner = None  # publish failed without a visible winner
-                if winner is not None and rebase_safe((add, remove), winner):
+                if (
+                    winner is not None
+                    # a winner that changed the recorded schema (e.g. an
+                    # evolve_schema merge) must NOT be rebased over: our
+                    # payload would stamp the stale schema back onto the
+                    # log and hide the winner's new columns — rebuild
+                    # against a fresh snapshot instead
+                    and winner.get("schema") == payload["schema"]
+                    and rebase_safe((add, remove), winner)
+                ):
                     version += 1
                     payload = {**payload, "version": version}
                     continue
@@ -458,6 +483,7 @@ class TxnTable:
         bump_col: str | None = None,
         max_retries: int = 10,
         txn: tuple[str, int] | None = None,
+        evolve_schema: bool = False,
     ) -> int | None:
         """Transactional update-else-insert (D5, reference db.py:166-201):
         rows matching `updates` on `key_cols` are replaced, the rest
@@ -481,7 +507,16 @@ class TxnTable:
         re-merging).  Ids must be monotone per app, which Spark's
         micro-batch ids are; the check-then-commit window assumes one
         live writer per app — exactly a streaming query's checkpoint
-        contract."""
+        contract.
+
+        `evolve_schema=True` (the Delta ``mergeSchema`` analog):
+        columns present only in `updates` are ADDED to the table —
+        untouched directories stay on disk as-is and read back with
+        the new columns null-filled via the snapshot's recorded
+        schema; the evolved schema rides this commit's `schema`
+        field, so time travel to earlier versions keeps the old
+        shape.  Default False: a wider update frame is a hard
+        AnalysisException, never a silent column drop."""
         if txn is not None:
             applied = self.last_txn(txn[0])
             if applied is not None and applied >= txn[1]:
@@ -514,12 +549,35 @@ class TxnTable:
         def build(snap: Snapshot):
             touched = [d for d in snap.dirs if overlaps(snap.files[d])]
             state["touched"] = set(touched)
+            if evolve_schema and snap.schema_json is not None:
+                from pyspark.sql.types import StructType
+
+                base = StructType.fromJson(json.loads(snap.schema_json))
+                upd_names = {f.name for f in upd_df.schema.fields}
+                missing = [f.name for f in base.fields if f.name not in upd_names]
+                if missing:
+                    # this merge REPLACES whole rows: an update frame
+                    # lacking existing columns would silently null them
+                    raise ValueError(
+                        "evolve_schema merge only ADDS columns; updates "
+                        f"frame is missing existing columns {missing}"
+                    )
+                # evolved schema = Spark's own union promotion of
+                # (target, updates) — shared columns may widen (e.g.
+                # int→long); untouched directories' narrower files
+                # read back widened (Spark 4 parquet type widening)
+                empty_tgt = self.spark.createDataFrame([], base)
+                state["schema_json"] = empty_tgt.unionByName(
+                    upd_df, allowMissingColumns=True
+                ).schema.json()
             if touched:
                 tgt = self._read_dirs(touched, snap.schema_json)
                 kept = tgt.join(
                     upd_df.select(*key_cols).distinct(), on=key_cols, how="left_anti"
                 )
-                out = kept.unionByName(upd_df)
+                out = kept.unionByName(
+                    upd_df, allowMissingColumns=evolve_schema
+                )
             else:
                 out = upd_df
             entry = self._write_data(out, k0)
@@ -554,7 +612,7 @@ class TxnTable:
             return self._commit_loop(
                 "merge", build, rebase_safe, max_retries,
                 on_stale=on_stale, schema_json=updates.schema.json(),
-                txn=txn,
+                txn=txn, schema_from=lambda: state.get("schema_json"),
             )
         finally:
             self._drop_data(upd_entry["dir"])  # staging only, never referenced

@@ -398,3 +398,54 @@ def test_streaming_merge_sink(spark, tmp_path):
     )
     q.awaitTermination()
     assert _rows(t.read()) == [(1, "s1"), (2, "s2"), (9, "keep")]
+
+
+def test_merge_evolve_schema_adds_column(spark, table):
+    table.append(_mk(spark, [(1, "a"), (2, "b")]), stats_col="id")
+    upd = spark.createDataFrame([(2, "B", 9.5), (3, "c", 7.0)],
+                                ["id", "val", "score"])
+    v = table.merge(upd, ["id"], evolve_schema=True)
+    got = {r.id: (r.val, r.score) for r in table.read().collect()}
+    # untouched row null-fills the new column; merged rows carry it
+    assert got == {1: ("a", None), 2: ("B", 9.5), 3: ("c", 7.0)}
+    # time travel to pre-evolution keeps the old 2-column shape
+    old = table.read(version=v - 1)
+    assert old.columns == ["id", "val"]
+    assert _rows(old) == [(1, "a"), (2, "b")]
+
+
+def test_merge_wider_frame_without_flag_raises(spark, table):
+    from pyspark.errors import AnalysisException
+
+    table.append(_mk(spark, [(1, "a")]), stats_col="id")
+    upd = spark.createDataFrame([(1, "A", 1.0)], ["id", "val", "score"])
+    with pytest.raises(AnalysisException):
+        table.merge(upd, ["id"])
+
+
+def test_merge_evolve_rejects_missing_existing_columns(spark, table):
+    table.append(_mk(spark, [(1, "a")]), stats_col="id")
+    narrower = spark.createDataFrame([(1, 2.0)], ["id", "score"])
+    with pytest.raises(ValueError, match="missing existing columns"):
+        table.merge(narrower, ["id"], evolve_schema=True)
+
+
+def test_merge_evolve_keeps_pruning(spark, table):
+    """Directory stats keep pruning after an evolution: a key-confined
+    merge still rewrites only the overlapping directory."""
+    table.append(_mk(spark, [(i, f"v{i}") for i in range(100)]), stats_col="id")
+    table.append(_mk(spark, [(i, f"v{i}") for i in range(1000, 1100)]),
+                 stats_col="id")
+    wide = spark.createDataFrame([(5, "W", 1.0)], ["id", "val", "score"])
+    table.merge(wide, ["id"], evolve_schema=True)
+    before = set(table.snapshot().dirs)
+    low = spark.createDataFrame([(6, "X", 2.0)], ["id", "val", "score"])
+    table.merge(low, ["id"], evolve_schema=True)
+    after = table.snapshot()
+    # the 1000-range directory survived both merges untouched
+    untouched = [d for d in before & set(after.dirs)
+                 if after.files[d].get("stats", {}).get("min") == 1000]
+    assert untouched
+    got = {r.id: (r.val, r.score) for r in table.read().collect()}
+    assert got[5] == ("W", 1.0) and got[6] == ("X", 2.0)
+    assert got[1000] == ("v1000", None)
