@@ -723,7 +723,8 @@ class TxnTable:
 
 def streaming_merge_sink(table: TxnTable, key_cols: list[str],
                          bump_col: str | None = None,
-                         app: str | None = None):
+                         app: str | None = None,
+                         evolve_schema: bool = False):
     """foreachBatch body running each micro-batch as one ACID MERGE —
     the transactional upgrade of streaming/ingest.py's lock-sentinel
     `latest_wins_batch` (D4).  With `app` set, the (app, batch_id)
@@ -736,6 +737,7 @@ def streaming_merge_sink(table: TxnTable, key_cols: list[str],
         table.merge(
             batch, key_cols, bump_col=bump_col,
             txn=(app, batch_id) if app is not None else None,
+            evolve_schema=evolve_schema,
         )
 
     return sink

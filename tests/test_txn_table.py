@@ -449,3 +449,30 @@ def test_merge_evolve_keeps_pruning(spark, table):
     got = {r.id: (r.val, r.score) for r in table.read().collect()}
     assert got[5] == ("W", 1.0) and got[6] == ("X", 2.0)
     assert got[1000] == ("v1000", None)
+
+
+def test_streaming_merge_sink_evolves_schema(spark, tmp_path):
+    """A producer that starts emitting a new column mid-stream evolves
+    the sink table instead of killing the query."""
+    src = tmp_path / "src_evo"
+    spark.createDataFrame([(1, "s1", 0.5)], ["id", "val", "conf"]).write.parquet(
+        str(src)
+    )
+    t = TxnTable(spark, str(tmp_path / "sink_evo"))
+    t.append(_mk(spark, [(1, "old"), (2, "keep")]).select(
+        F.col("id").cast("long").alias("id"), "val"
+    ))
+    stream = spark.readStream.schema("id LONG, val STRING, conf DOUBLE").parquet(
+        str(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            streaming_merge_sink(t, ["id"], evolve_schema=True)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_evo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.id: (r.val, r.conf) for r in t.read().collect()}
+    assert got == {1: ("s1", 0.5), 2: ("keep", None)}
