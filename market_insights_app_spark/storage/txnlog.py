@@ -549,27 +549,39 @@ class TxnTable:
         def build(snap: Snapshot):
             touched = [d for d in snap.dirs if overlaps(snap.files[d])]
             state["touched"] = set(touched)
-            if evolve_schema and snap.schema_json is not None:
+            if snap.schema_json is not None:
                 from pyspark.sql.types import StructType
 
                 base = StructType.fromJson(json.loads(snap.schema_json))
+                base_names = {f.name for f in base.fields}
                 upd_names = {f.name for f in upd_df.schema.fields}
                 missing = [f.name for f in base.fields if f.name not in upd_names]
                 if missing:
                     # this merge REPLACES whole rows: an update frame
                     # lacking existing columns would silently null them
+                    # (with or without evolution)
                     raise ValueError(
-                        "evolve_schema merge only ADDS columns; updates "
-                        f"frame is missing existing columns {missing}"
+                        "merge updates frame is missing existing table "
+                        f"columns {missing}"
                     )
-                # evolved schema = Spark's own union promotion of
-                # (target, updates) — shared columns may widen (e.g.
-                # int→long); untouched directories' narrower files
-                # read back widened (Spark 4 parquet type widening)
-                empty_tgt = self.spark.createDataFrame([], base)
-                state["schema_json"] = empty_tgt.unionByName(
-                    upd_df, allowMissingColumns=True
-                ).schema.json()
+                if not evolve_schema and upd_names - base_names:
+                    # checked HERE (not left to unionByName) so a
+                    # key-range that happens to touch no directory
+                    # cannot smuggle a wider frame into the table
+                    raise ValueError(
+                        "updates frame has columns the table lacks "
+                        f"{sorted(upd_names - base_names)}; pass "
+                        "evolve_schema=True to add them"
+                    )
+                if evolve_schema:
+                    # evolved schema = Spark's own union promotion of
+                    # (target, updates) — shared columns may widen (e.g.
+                    # int→long); untouched directories' narrower files
+                    # read back widened (Spark 4 parquet type widening)
+                    empty_tgt = self.spark.createDataFrame([], base)
+                    state["schema_json"] = empty_tgt.unionByName(
+                        upd_df, allowMissingColumns=True
+                    ).schema.json()
             if touched:
                 tgt = self._read_dirs(touched, snap.schema_json)
                 kept = tgt.join(

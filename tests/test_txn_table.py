@@ -415,18 +415,21 @@ def test_merge_evolve_schema_adds_column(spark, table):
 
 
 def test_merge_wider_frame_without_flag_raises(spark, table):
-    from pyspark.errors import AnalysisException
-
     table.append(_mk(spark, [(1, "a")]), stats_col="id")
     upd = spark.createDataFrame([(1, "A", 1.0)], ["id", "val", "score"])
-    with pytest.raises(AnalysisException):
+    with pytest.raises(ValueError, match="evolve_schema=True"):
         table.merge(upd, ["id"])
+    # ...including when the update keys touch NO existing directory
+    # (the untouched path must not smuggle a wider frame in)
+    far = spark.createDataFrame([(10_000, "z", 1.0)], ["id", "val", "score"])
+    with pytest.raises(ValueError, match="evolve_schema=True"):
+        table.merge(far, ["id"])
 
 
 def test_merge_evolve_rejects_missing_existing_columns(spark, table):
     table.append(_mk(spark, [(1, "a")]), stats_col="id")
     narrower = spark.createDataFrame([(1, 2.0)], ["id", "score"])
-    with pytest.raises(ValueError, match="missing existing columns"):
+    with pytest.raises(ValueError, match="missing existing table columns"):
         table.merge(narrower, ["id"], evolve_schema=True)
 
 
@@ -476,3 +479,27 @@ def test_streaming_merge_sink_evolves_schema(spark, tmp_path):
     q.awaitTermination()
     got = {r.id: (r.val, r.conf) for r in t.read().collect()}
     assert got == {1: ("s1", 0.5), 2: ("keep", None)}
+
+
+def test_post_evolution_ops_keep_consistency(spark, table):
+    """After a schema evolution, every other operation keeps working on
+    the widened table: merges, deletes, OPTIMIZE re-clustering (which
+    rewrites null-filled rows), and time travel across the shapes."""
+    table.append(_mk(spark, [(1, "a"), (2, "b"), (3, "c")]), stats_col="id")
+    wide = spark.createDataFrame([(2, "B", 1.5)], ["id", "val", "score"])
+    v_evolve = table.merge(wide, ["id"], evolve_schema=True)
+    # ordinary merge at the evolved width
+    table.merge(
+        spark.createDataFrame([(4, "d", 2.5)], ["id", "val", "score"]), ["id"]
+    )
+    # the pre-evolution width is now a hard error, not a silent null
+    with pytest.raises(ValueError, match="missing existing table columns"):
+        table.merge(_mk(spark, [(5, "e")]), ["id"])
+    table.delete_where(F.col("id") == 1)
+    table.optimize("id", target_dirs=2)
+    got = {r.id: (r.val, r.score) for r in table.read().collect()}
+    assert got == {2: ("B", 1.5), 3: ("c", None), 4: ("d", 2.5)}
+    # time travel: pre-evolution versions keep the 2-column shape
+    pre = table.read(version=v_evolve - 1)
+    assert pre.columns == ["id", "val"]
+    assert dict(_rows(pre)) == {1: "a", 2: "b", 3: "c"}
