@@ -163,11 +163,15 @@ _CHANGED_SINCE_ROW: list[str] = [
 # the 49 — removing it directly frees a slot; ngram_jaccard_bigram
 # and hybrid_search free future-round load.
 #
-# Pre-built r8 candidate, already twin-tested locally at sf0.001 and
-# sf0.01: plans/textml.staged_r8_q_nb_quality + STAGED_R8_ORACLES
-# ["nb_quality"] (seed-set Naive Bayes quality filter).  To register:
-# rename to q_nb_quality, move the oracle into TEXTML_ORACLES, add
-# "nb_quality" to _NEW_THIS_ROUND.
+# Pre-built r8 candidates, already twin-tested locally at sf0.001,
+# sf0.01 AND the unicode corpus (tests/test_unicode_parity.py), plus
+# empty/single-row/constant-dup degenerate sweeps:
+#   plans/textml.staged_r8_q_nb_quality      (seed-set NB quality filter)
+#   plans/textml.staged_r8_q_corpus_manifest (release-manifest checksums)
+# To register: rename to q_<name>, move the STAGED_R8_ORACLES entry
+# into TEXTML_ORACLES, add the name to _NEW_THIS_ROUND.  Registering
+# BOTH needs two slots: the one free slot plus the one freed by the
+# sanctioned near_dedup_corpus consolidation above.
 
 _unknown = (
     set(_LAST_SWEPT) | set(_NEW_THIS_ROUND) | set(_CHANGED_SINCE_ROW)
