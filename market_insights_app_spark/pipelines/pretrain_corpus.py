@@ -1,0 +1,103 @@
+"""End-to-end pretraining-corpus construction: the full path a
+training-data team runs nightly, composed from this repo's operator
+modules — the integration proof that the pieces snap together into one
+lazy Spark plan chain.
+
+Stages (each one linear in the corpus, shuffle inventory in the
+docstring of :func:`build_pretraining_corpus`):
+
+1. quality gate   — Gopher-style repetition thresholds
+                    (operators/quality.repetition_gate)
+2. exact dedup    — content-fingerprint first-wins
+                    (operators/dedup.dedup_exact_content)
+3. near dedup     — MinHash-LSH → connected components → min-id
+                    representative (operators/dedup.dedup_corpus)
+4. decontaminate  — n-gram overlap against a held-out eval set
+                    (operators/dedup.decontaminate)
+5. split          — deterministic hash-fraction train/val assignment
+                    (operators/sampling.hash_fraction)
+6. shard          — reproducible global shuffle order
+                    (operators/sampling.shard_assign)
+7. manifest       — per-split release manifest with order-insensitive
+                    content checksums (operators/profiling.corpus_manifest)
+
+Everything is hash-deterministic: same inputs → identical corpus,
+splits, shard order, and manifest, across reruns, partitionings and
+cluster sizes (the per-stage determinism tests live with each
+operator; the pipeline test pins the composition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from market_insights_app_spark.operators.dedup import (
+    decontaminate,
+    dedup_corpus,
+    dedup_exact_content,
+)
+from market_insights_app_spark.operators.profiling import corpus_manifest
+from market_insights_app_spark.operators.quality import repetition_gate
+from market_insights_app_spark.operators.sampling import (
+    hash_fraction,
+    shard_assign,
+)
+from market_insights_app_spark.sources.tables import load_table
+
+
+def build_pretraining_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    eval_mod: int = 97,
+    val_fraction: float = 0.1,
+    n_shards: int = 8,
+    near_dup_threshold: float = 0.5,
+    salt: str = "pretrain-v1",
+) -> dict[str, DataFrame]:
+    """Run the whole pipeline over ``{sf_dir}/documents.parquet``;
+    the held-out eval set is the deterministic ``doc_id % eval_mod``
+    slice (stand-in for a benchmark suite).  Returns lazy frames:
+    ``corpus`` (with ``split``, ``shard``, ``pos``), ``eval_set``,
+    and ``manifest`` (one row per split).
+
+    Shuffle inventory at 100 TB — every stage is linear, nothing is
+    quadratic in the corpus: the quality gate shuffles twice on doc_id
+    (token and bigram stats); exact dedup once on the fingerprint;
+    near dedup is the bucketed LSH family (band-keyed exchanges, CC on
+    the pair graph, never all-pairs); decontamination broadcasts the
+    eval grams so training rows never shuffle for the probe; split is
+    a pure per-row hash (no exchange); sharding is the one
+    hash-partition the training writer needs anyway; the manifest is a
+    single map-side-combinable groupBy whose exchange carries
+    fixed-size buffers."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % eval_mod == 0)
+    train_in = docs.filter(F.col("doc_id") % eval_mod != 0)
+
+    gated = repetition_gate(train_in)
+    exact = dedup_exact_content(gated)
+    near = dedup_corpus(exact, threshold=near_dup_threshold, portable=True)
+    clean = decontaminate(near, eval_set)
+    stages = {
+        "input": train_in,
+        "quality_gate": gated,
+        "exact_dedup": exact,
+        "near_dedup": near,
+        "decontaminate": clean,
+    }
+
+    split = F.when(
+        hash_fraction("doc_id", salt + ":split") < F.lit(val_fraction), "val"
+    ).otherwise("train")
+    with_split = clean.withColumn("split", split)
+    corpus = shard_assign(with_split, n_shards=n_shards, salt=salt + ":shuffle")
+    manifest = corpus_manifest(corpus, split_col="split", salt=salt + ":manifest")
+    return {
+        "corpus": corpus,
+        "eval_set": eval_set,
+        "manifest": manifest,
+        # lazy per-stage frames for funnel reporting (counting them
+        # forces extra actions — ask only when diagnosing attrition)
+        "stages": stages,
+    }
