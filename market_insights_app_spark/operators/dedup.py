@@ -1309,3 +1309,83 @@ def decontaminate_bloom(
         .distinct()
     )
     return train.join(contaminated, on=id_col, how="left_anti")
+
+
+def split_leakage_report(
+    df: DataFrame,
+    split_col: str = "split",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Cross-split contamination audit: duplicate (rule='exact', md5
+    content fingerprint) and near-duplicate (rule='near', MinHash-LSH +
+    exact-Jaccard verify at ``threshold``) pairs whose two documents
+    sit in DIFFERENT splits — the leak that silently inflates eval
+    numbers when a train/val/test partition is cut AFTER imperfect
+    dedup.  One row per (rule, split_a, split_b) with the pair count
+    and a deterministic example pair (the id-min pair).
+
+    Within-split duplicates are NOT reported (they are a dedup-quality
+    matter, not leakage).  An empty result is the pass condition; by
+    construction, a corpus deduplicated by ``dedup_corpus`` at
+    threshold t and split afterwards reports zero rows at the same t
+    (the law pinned by the pipeline test).
+
+    Scale shape: the exact lane self-joins on the fingerprint (groups
+    are duplicate-cluster-sized); the near lane reuses the bucketed
+    LSH machinery (band-keyed, never all-pairs); split labels join
+    back on the id; the report aggregate is group-count-sized."""
+    from market_insights_app_spark.functions.text import md5_fingerprint
+
+    sp = df.select(
+        F.col(id_col).alias("__sid"), F.col(split_col).alias("__split")
+    )
+
+    fp = df.select(
+        F.col(id_col).alias("__sid"),
+        md5_fingerprint(F.col(text_col)).alias("__fp"),
+    ).join(sp, "__sid")
+    x, y = fp.alias("x"), fp.alias("y")
+    exact = (
+        x.join(
+            y,
+            (F.col("x.__fp") == F.col("y.__fp"))
+            & (F.col("x.__sid") < F.col("y.__sid")),
+        )
+        .select(
+            F.lit("exact").alias("rule"),
+            F.col("x.__sid").alias("a"),
+            F.col("y.__sid").alias("b"),
+            F.col("x.__split").alias("sa"),
+            F.col("y.__split").alias("sb"),
+        )
+    )
+
+    pairs = minhash_near_dupes(
+        df, id_col=id_col, text_col=text_col, threshold=threshold,
+        **minhash_kwargs,
+    )
+    near = (
+        pairs.join(sp.withColumnRenamed("__sid", "a"), "a")
+        .withColumnRenamed("__split", "sa")
+        .join(sp.withColumnRenamed("__sid", "b"), "b")
+        .withColumnRenamed("__split", "sb")
+        # an exact duplicate is a Jaccard-1.0 near duplicate; report it
+        # once, under the stronger rule
+        .join(exact.select("a", "b"), ["a", "b"], "left_anti")
+        .select(F.lit("near").alias("rule"), "a", "b", "sa", "sb")
+    )
+
+    both = exact.unionByName(near).filter(F.col("sa") != F.col("sb"))
+    norm = both.select(
+        "rule", "a", "b",
+        F.least("sa", "sb").alias("split_a"),
+        F.greatest("sa", "sb").alias("split_b"),
+    )
+    return norm.groupBy("rule", "split_a", "split_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min(F.struct("a", "b")).getField("a").alias("example_a"),
+        F.min(F.struct("a", "b")).getField("b").alias("example_b"),
+    )

@@ -81,3 +81,54 @@ def test_pipeline_composition_deterministic_across_parallelism(spark, built):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert again == manifest
+
+
+# --- cross-split leakage auditor (operators/dedup.split_leakage_report) -----
+
+
+def test_split_leakage_report_golden(spark):
+    from market_insights_app_spark.operators.dedup import split_leakage_report
+
+    docs = spark.createDataFrame(
+        [
+            # exact dup ACROSS splits (1,2) + exact dup WITHIN train (1,3)
+            (1, "alpha beta gamma delta epsilon", "train"),
+            (2, "alpha beta gamma delta epsilon", "val"),
+            (3, "alpha beta gamma delta epsilon", "train"),
+            # near dup across splits: one word changed out of eight
+            (4, "one two three four five six seven eight", "train"),
+            (5, "one two three four five six seven NINE", "val"),
+            # unrelated
+            (6, "totally different content lives here", "val"),
+        ],
+        ["doc_id", "text", "split"],
+    )
+    got = {
+        (r.rule, r.split_a, r.split_b): r
+        for r in split_leakage_report(docs, threshold=0.4, portable=True).collect()
+    }
+    ex = got[("exact", "train", "val")]
+    assert ex.n_pairs == 2  # (1,2) and (2,3) cross; (1,3) is within-split
+    assert (ex.example_a, ex.example_b) == (1, 2)
+    near = got[("near", "train", "val")]
+    # exact pairs report once, under the stronger rule — near is (4,5) only
+    assert near.n_pairs == 1 and (near.example_a, near.example_b) == (4, 5)
+    # nothing else leaks
+    assert set(got) == {("exact", "train", "val"), ("near", "train", "val")}
+
+
+def test_pipeline_output_has_zero_leakage(spark, built):
+    """The law: dedup_corpus at threshold t + split afterwards ⇒ the
+    leakage audit at the same t is EMPTY (exact dups are a subset of
+    near dups at any threshold)."""
+    from market_insights_app_spark.operators.dedup import split_leakage_report
+
+    corpus, _, _ = built
+    docs = spark.createDataFrame(
+        [(r.doc_id, r.text, r.split) for r in corpus],
+        ["doc_id", "text", "split"],
+    )
+    rows = split_leakage_report(
+        docs, threshold=0.5, portable=True
+    ).collect()
+    assert rows == []
