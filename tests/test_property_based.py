@@ -1035,3 +1035,65 @@ def test_chunk_tokens_matches_python_model(spark, doc_lens, chunk_size, overlap)
         last = starts[-1]
         assert last + chunk_size >= n or last + len(toks[last:last + chunk_size]) >= n
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# nb_seed_classifier vs a pure-Python NB model (independent of BOTH the
+# Spark plan and its DuckDB twin — guards against shared-formula bugs)
+# ---------------------------------------------------------------------------
+
+_nb_word = st.sampled_from(["apple", "banana", "cherry", "kiwi", "plum"])
+_nb_text = st.lists(_nb_word, min_size=1, max_size=6).map(" ".join)
+
+
+def _py_nb(corpus, seeds):
+    """Laplace NB log-odds, straight from the published formula."""
+    c_pos: dict[str, int] = {}
+    c_neg: dict[str, int] = {}
+    d_pos = d_neg = 0
+    for text, pos in seeds:
+        if pos:
+            d_pos += 1
+        else:
+            d_neg += 1
+        for w in text.split():
+            (c_pos if pos else c_neg)[w] = (c_pos if pos else c_neg).get(w, 0) + 1
+            (c_neg if pos else c_pos).setdefault(w, 0)
+    n_pos, n_neg = sum(c_pos.values()), sum(c_neg.values())
+    v = len(set(c_pos) | set(c_neg))
+    prior = math.log((d_pos + 1) / (d_neg + 1))
+    out = {}
+    for i, text in corpus:
+        toks = text.split()
+        if not toks:
+            continue
+        s = prior
+        for w in toks:
+            s += math.log((c_pos.get(w, 0) + 1) / (n_pos + v))
+            s -= math.log((c_neg.get(w, 0) + 1) / (n_neg + v))
+        out[i] = (len(toks), s)
+    return out
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.tuples(_nb_text, st.booleans()), min_size=2, max_size=8).filter(
+        lambda s: any(p for _, p in s) and any(not p for _, p in s)
+    ),
+    st.lists(_nb_text, min_size=1, max_size=8),
+)
+def test_nb_classifier_matches_python_model(spark, seeds, texts):
+    from market_insights_app_spark.operators.quality import nb_seed_classifier
+
+    corpus = list(enumerate(texts))
+    sdf = spark.createDataFrame(seeds, "text string, is_positive boolean")
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.nb_score, r.keep)
+           for r in nb_seed_classifier(cdf, sdf).collect()}
+    want = _py_nb(corpus, seeds)
+    assert set(got) == set(want)
+    for i, (n, s) in want.items():
+        gn, gs, gk = got[i]
+        assert gn == n
+        assert gs == pytest.approx(s, abs=5e-6)
+        assert gk == (gs > 0)
