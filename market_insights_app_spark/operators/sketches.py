@@ -239,3 +239,41 @@ def hll_profile(
 
     del rsd  # profile_table uses the engine-default rsd; kept for API
     return profile_table(df, columns=columns, approximate=True)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    k: int = 20,
+    max_items_tracked: int = 10_000,
+) -> DataFrame:
+    """Approximate top-k frequent items over an arbitrarily large key
+    stream — the Misra-Gries/frequent-items sketch behind Spark 4's
+    ``approx_top_k``, ridden JVM-side (one aggregate, fixed-size
+    mergeable summaries across the exchange; nothing per-key ever
+    shuffles).
+
+    Output: (item string, est_count long), descending by estimate.
+
+    Error contract (frequent-items sketch): while the number of
+    distinct keys stays within ``max_items_tracked`` the counts are
+    EXACT; past that, every key with true frequency > n/max_items_
+    tracked is still reported and its estimate sits within
+    n/max_items_tracked of the truth — the bound the exact-regime and
+    overflow-regime tests in test_sketches.py assert against a full
+    groupBy count.  The exact sibling (``pagination.top_k_per_group``
+    / plain groupBy-orderBy-limit) sorts corpus-sized counts; this
+    lane is what a 100 TB url/domain/token frequency pass actually
+    runs."""
+    item = F.expr(
+        f"approx_top_k(CAST({key_col} AS STRING), {int(k)}, "
+        f"{int(max_items_tracked)})"
+    ).alias("__tk")
+    return (
+        df.agg(item)
+        .select(F.explode("__tk").alias("e"))
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").alias("est_count"),
+        )
+    )

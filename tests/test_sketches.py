@@ -268,3 +268,37 @@ def test_corpus_manifest_staged_parity(spark, duck):
     assert canon(srows, sdf.columns) == canon(drows, dcols)
     for col, typ in zip(rel.columns, rel.types):
         assert str(typ) in {"BIGINT", "VARCHAR"}, (col, str(typ))
+
+
+# --- heavy hitters (sketches.heavy_hitters / approx_top_k) -------------------
+
+
+def test_heavy_hitters_exact_regime(spark):
+    """Distinct keys within max_items_tracked -> counts are exact and
+    the top-k set matches a full groupBy."""
+    from market_insights_app_spark.operators.sketches import heavy_hitters
+
+    rows = [(f"k{i % 7}",) for i in range(500)] + [("hot",)] * 300
+    df = spark.createDataFrame(rows, ["key"])
+    got = {r.item: r.est_count for r in heavy_hitters(df, "key", k=8).collect()}
+    exact = {r.key: r.n for r in df.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert got == exact  # 8 distinct keys, all tracked, all exact
+
+
+def test_heavy_hitters_overflow_regime_bounds(spark):
+    """Distinct keys far beyond max_items_tracked: every key with true
+    frequency > n/max_tracked is reported, within the MG error bound."""
+    from market_insights_app_spark.operators.sketches import heavy_hitters
+
+    hot = [("hot_a",)] * 4000 + [("hot_b",)] * 2500
+    tail = [(f"t{i}",) for i in range(3000)]
+    df = spark.createDataFrame(hot + tail, ["key"]).repartition(8)
+    n = len(hot) + len(tail)
+    max_tracked = 64
+    err = n / max_tracked  # ~148
+    got = {r.item: r.est_count for r in heavy_hitters(
+        df, "key", k=10, max_items_tracked=max_tracked).collect()}
+    for key, true in (("hot_a", 4000), ("hot_b", 2500)):
+        assert key in got, key
+        assert abs(got[key] - true) <= err, (key, got[key], true, err)
