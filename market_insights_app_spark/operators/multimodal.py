@@ -13,11 +13,12 @@ Decode kernels come in two lanes behind one switch (``fake``):
   byte-scaled samples for audio) exercising the full Spark plumbing —
   schema, batching, partitioning — which IS real, tested, and DuckDB
   oracle-gated.
-- ``fake=False`` — REAL kernels behind lazy import guards:
-  PIL for images (this container lacks PIL, so the guard raises
-  NotImplementedError at execution time; with pillow installed the
-  same plan decodes real JPEG/PNG), stdlib ``wave`` for WAV/PCM audio
-  (LIVE here — unit-tested against generated WAV bytes).
+- ``fake=False`` — REAL kernels: PIL when installed, else stdlib
+  lanes that are LIVE in this container — the zlib+struct PNG decoder
+  below, the numpy baseline-JPEG codec (functions/jpegcodec — encoder
+  AND decoder, roundtrip/invariant/PSNR-tested), and stdlib ``wave``
+  for WAV/PCM audio.  Only genuinely library-bound codecs
+  (progressive JPEG, webp, mp3/ogg) raise NotImplementedError.
 """
 
 from __future__ import annotations
@@ -352,22 +353,31 @@ def _decode_png_stdlib(payload: bytes):
 
 def real_decode_image(payload: bytes, width=None, height=None):
     """REAL image decode: PIL (imported lazily, executor-side) when
-    present → (h, w, 3) uint8 RGB, else the stdlib PNG lane
-    (:func:`_decode_png_stdlib`) — so the real image path is LIVE in
-    this container for PNG payloads, exactly like audio's stdlib-wave
-    lane.  width/height, when given, resize (PIL's resampler on the
-    PIL branch, :func:`bilinear_resize` on the stdlib branch — the two
-    branches may differ at interpolated pixels; decode itself is
-    identical).  Raises NotImplementedError only for non-PNG payloads
-    without PIL — the honest boundary the fake kernel stands in for
-    (reference ships bytes to its vision endpoint,
-    app/main.py:702-707)."""
+    present → (h, w, 3) uint8 RGB, else the stdlib lanes — PNG via
+    :func:`_decode_png_stdlib`, baseline JPEG via
+    ``functions.jpegcodec.decode_baseline_jpeg`` — so the real image
+    path is LIVE in this container for PNG *and* baseline-JPEG
+    payloads, exactly like audio's stdlib-wave lane.  width/height,
+    when given, resize (PIL's resampler on the PIL branch,
+    :func:`bilinear_resize` on the stdlib branch — the two branches
+    may differ at interpolated pixels; decode itself is identical up
+    to codec rounding).  Raises NotImplementedError for other codecs
+    (progressive JPEG, webp, …) without PIL — the honest boundary the
+    fake kernel stands in for (reference ships bytes to its vision
+    endpoint, app/main.py:702-707)."""
     import numpy as np
 
     try:
         from PIL import Image
     except ImportError:
-        rgb = _decode_png_stdlib(payload)
+        if payload[:2] == b"\xff\xd8":  # JPEG SOI
+            from market_insights_app_spark.functions.jpegcodec import (
+                decode_baseline_jpeg,
+            )
+
+            rgb = decode_baseline_jpeg(payload)
+        else:
+            rgb = _decode_png_stdlib(payload)
         if width and height and not (pd.isna(width) or pd.isna(height)):
             rgb = bilinear_resize(rgb, int(height), int(width))
         return rgb
