@@ -263,17 +263,23 @@ def encode_baseline_jpeg(
     img: np.ndarray,
     quality: int = 90,
     quant_override: tuple[np.ndarray, np.ndarray] | None = None,
+    subsampling: str = "444",
 ) -> bytes:
     """Encode a (h, w, 3) uint8 RGB or (h, w) uint8 grayscale array as
-    a baseline JFIF JPEG (4:4:4, per-image canonical Huffman tables).
-    ``quant_override`` swaps in explicit (luma, chroma) quantization
-    matrices — unit matrices give the near-lossless roundtrip the
-    tests use."""
+    a baseline JFIF JPEG (per-image canonical Huffman tables).
+    ``subsampling``: '444' (no chroma subsampling) or '420' (2x2-mean
+    chroma downsample, the dominant wild format — luma sampling factor
+    2x2, interleaved 4-Y + Cb + Cr MCUs).  ``quant_override`` swaps in
+    explicit (luma, chroma) quantization matrices — unit matrices give
+    the near-lossless roundtrip the tests use."""
     img = np.asarray(img)
     gray = img.ndim == 2
     h, w = img.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    if subsampling not in ("444", "420"):
+        raise NotImplementedError("subsampling must be '444' or '420'")
+    sub420 = subsampling == "420" and not gray
     if quant_override is not None:
         ql, qc = (np.asarray(q, dtype=np.int32) for q in quant_override)
     else:
@@ -285,26 +291,48 @@ def encode_baseline_jpeg(
     )
     qts = [ql] if gray else [ql, qc, qc]
     tids = [0] if gray else [0, 1, 1]
+    samps = [0x11] if gray else ([0x22, 0x11, 0x11] if sub420 else [0x11] * 3)
 
-    # pad to 8 via edge replication, block, DCT, quantize
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    # pad via edge replication (to 16 on luma for 4:2:0 so the chroma
+    # halves land on whole blocks), downsample chroma, DCT, quantize
+    unit = 16 if sub420 else 8
+    ph, pw = -(-h // unit) * unit, -(-w // unit) * unit
     coefs = []
-    for plane, qt in zip(planes, qts):
-        p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
-        blocks = p.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+    for ci, (plane, qt) in enumerate(zip(planes, qts)):
+        p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+        if sub420 and ci > 0:  # 2x2 mean chroma downsample
+            p = p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        p = p - 128.0
+        hh, ww = p.shape
+        blocks = p.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
         f = np.einsum("ij,abjk,lk->abil", DCT_M, blocks, DCT_M)
         coefs.append(np.round(f / qt).astype(np.int32))
 
+    # MCU block order: per MCU, each component contributes its
+    # (v x h) sampling-factor blocks in raster order (T.81 A.2.3)
+    if sub420:
+        mcuy, mcux = ph // 16, pw // 16
+        def mcu_blocks(my, mx):
+            for by in range(2):
+                for bx in range(2):
+                    yield 0, 2 * my + by, 2 * mx + bx
+            yield 1, my, mx
+            yield 2, my, mx
+    else:
+        mcuy, mcux = ph // 8, pw // 8
+        def mcu_blocks(my, mx):
+            for ci in range(len(coefs)):
+                yield ci, my, mx
+
     # symbol streams (shared Huffman tables across components)
-    nby, nbx = ph // 8, pw // 8
     dc_syms: list[int] = []
     ac_syms: list[int] = []
     tokens: list[tuple] = []  # ("dc", size, bits) / ("ac", sym, bits, size)
     prev_dc = [0] * len(coefs)
-    for by in range(nby):
-        for bx in range(nbx):
-            for ci, cf in enumerate(coefs):
-                block = cf[by, bx].ravel()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, by, bx in mcu_blocks(my, mx):
+                block = coefs[ci][by, bx].ravel()
                 zz = block[ZIGZAG]
                 diff = int(zz[0]) - prev_dc[ci]
                 prev_dc[ci] = int(zz[0])
@@ -376,7 +404,7 @@ def encode_baseline_jpeg(
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += struct.pack(">BBB", ci + 1, 0x11, tids[ci])
+        sof += struct.pack(">BBB", ci + 1, samps[ci], tids[ci])
     out += seg(0xC0, sof)
     out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
     out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
@@ -437,11 +465,13 @@ def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
             at = 6
             for _ in range(nc):
                 cid, samp, tq_id = body[at], body[at + 1], body[at + 2]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError(
-                        "stdlib jpeg lane supports 1x1 sampling (4:4:4) only"
+                        "stdlib jpeg lane supports sampling factors 1-2 "
+                        f"(4:4:4 / 4:2:0 / 4:2:2); got {hi}x{vi}"
                     )
-                comps.append({"id": cid, "tq": tq_id})
+                comps.append({"id": cid, "tq": tq_id, "h": hi, "v": vi})
                 at += 3
         elif marker == 0xC4:
             at = 0
@@ -486,42 +516,60 @@ def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
                 return sym
         raise EOFError("invalid huffman code")
 
-    nby, nbx = -(-h // 8), -(-w // 8)
-    planes = [np.zeros((nby * 8, nbx * 8)) for _ in comps]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcuy, mcux = -(-h // (8 * vmax)), -(-w // (8 * hmax))
+    planes = [
+        np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"])) for c in comps
+    ]
     prev_dc = [0] * len(comps)
     order = []
     for cid, tdc, tac in scan_comps:
         ci = next(i for i, c in enumerate(comps) if c["id"] == cid)
-        order.append((ci, huff[(0, tdc)], huff[(1, tac)], qt[comps[ci]["tq"]]))
-    for by in range(nby):
-        for bx in range(nbx):
+        order.append(
+            (ci, huff[(0, tdc)], huff[(1, tac)], qt[comps[ci]["tq"]])
+        )
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci, dct_l, act_l, q in order:
-                zz = np.zeros(64, dtype=np.int32)
-                size = read_symbol(dct_l)
-                diff = _receive_extend(br.read_bits(size), size)
-                prev_dc[ci] += diff
-                zz[0] = prev_dc[ci]
-                i = 1
-                while i < 64:
-                    sym = read_symbol(act_l)
-                    if sym == 0x00:
-                        break
-                    run, size = sym >> 4, sym & 0x0F
-                    if size == 0 and run == 15:
-                        i += 16
-                        continue
-                    i += run
-                    if i > 63:
-                        raise EOFError("AC run escapes block")
-                    zz[i] = _receive_extend(br.read_bits(size), size)
-                    i += 1
-                block = np.zeros(64, dtype=np.float64)
-                block[ZIGZAG] = zz
-                block = block.reshape(8, 8) * q
-                pix = DCT_M.T @ block @ DCT_M + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
-    planes = [p[:h, :w] for p in planes]
-    if len(planes) == 1:
-        y = np.clip(planes[0].round(), 0, 255).astype(np.uint8)
+                # each component contributes its (v x h) blocks per MCU,
+                # raster order (T.81 A.2.3)
+                for sub_y in range(comps[ci]["v"]):
+                    for sub_x in range(comps[ci]["h"]):
+                        zz = np.zeros(64, dtype=np.int32)
+                        size = read_symbol(dct_l)
+                        diff = _receive_extend(br.read_bits(size), size)
+                        prev_dc[ci] += diff
+                        zz[0] = prev_dc[ci]
+                        i = 1
+                        while i < 64:
+                            sym = read_symbol(act_l)
+                            if sym == 0x00:
+                                break
+                            run, size = sym >> 4, sym & 0x0F
+                            if size == 0 and run == 15:
+                                i += 16
+                                continue
+                            i += run
+                            if i > 63:
+                                raise EOFError("AC run escapes block")
+                            zz[i] = _receive_extend(br.read_bits(size), size)
+                            i += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[ZIGZAG] = zz
+                        block = block.reshape(8, 8) * q
+                        pix = DCT_M.T @ block @ DCT_M + 128.0
+                        py = (my * comps[ci]["v"] + sub_y) * 8
+                        px = (mx * comps[ci]["h"] + sub_x) * 8
+                        planes[ci][py : py + 8, px : px + 8] = pix
+    # upsample subsampled components by replication, crop to (h, w)
+    full = []
+    for c, p in zip(comps, planes):
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        y = np.clip(full[0].round(), 0, 255).astype(np.uint8)
         return np.repeat(y[:, :, None], 3, axis=2)
-    return ycbcr_to_rgb(np.stack(planes, axis=-1))
+    return ycbcr_to_rgb(np.stack(full, axis=-1))

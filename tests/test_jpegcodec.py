@@ -140,3 +140,62 @@ def test_pil_cross_check():
     buf = io.BytesIO()
     Image.fromarray(img).save(buf, format="JPEG", quality=90, subsampling=0)
     assert _psnr(img, decode_baseline_jpeg(buf.getvalue())) > 30
+
+
+# --- 4:2:0 chroma subsampling ------------------------------------------------
+
+
+def test_roundtrip_420_quality_floor():
+    img = _gradient_img(64, 48)
+    out = decode_baseline_jpeg(encode_baseline_jpeg(img, quality=90,
+                                                    subsampling="420"))
+    assert out.shape == img.shape
+    assert _psnr(img, out) > 30  # chroma halved: floor below the 444 one
+    # luma must stay sharp: compare Y channels specifically
+    from market_insights_app_spark.functions.jpegcodec import rgb_to_ycbcr
+
+    y_in, y_out = rgb_to_ycbcr(img)[..., 0], rgb_to_ycbcr(out)[..., 0]
+    assert _psnr(y_in, y_out) > 34
+
+
+def test_roundtrip_420_odd_sizes():
+    # sizes that are neither multiples of 16 nor 8 exercise both the
+    # luma-16 padding and the chroma crop
+    for h, w in ((13, 21), (17, 33), (8, 8), (15, 15)):
+        img = _gradient_img(h, w)
+        out = decode_baseline_jpeg(
+            encode_baseline_jpeg(img, quality=92, subsampling="420")
+        )
+        assert out.shape == (h, w, 3), (h, w)
+        assert _psnr(img, out) > 26, (h, w, _psnr(img, out))
+
+
+def test_420_flat_color_near_exact():
+    img = np.full((32, 32, 3), 90, dtype=np.uint8)
+    out = decode_baseline_jpeg(encode_baseline_jpeg(img, quality=90,
+                                                    subsampling="420"))
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_420_is_actually_smaller_on_chroma_noise():
+    rng = np.random.default_rng(5)
+    base = _gradient_img(64, 64).astype(np.int32)
+    noise = rng.integers(-20, 21, base.shape)
+    img = np.clip(base + noise, 0, 255).astype(np.uint8)
+    full = len(encode_baseline_jpeg(img, quality=85, subsampling="444"))
+    sub = len(encode_baseline_jpeg(img, quality=85, subsampling="420"))
+    assert sub < full
+
+
+def test_pil_cross_check_420():
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    img = _gradient_img(40, 40)
+    payload = encode_baseline_jpeg(img, quality=90, subsampling="420")
+    theirs = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    assert _psnr(theirs, decode_baseline_jpeg(payload)) > 35
+    # and the wild default: PIL's own 4:2:0 output through our decoder
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=90)
+    assert _psnr(img, decode_baseline_jpeg(buf.getvalue())) > 28
