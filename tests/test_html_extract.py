@@ -1,0 +1,103 @@
+"""HTML → text lanes (functions/html): JVM regex strip + Arrow
+boilerplate extraction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_insights_app_spark.functions.html import (
+    extract_main_text,
+    html_strip,
+)
+
+_PAGE = """<!DOCTYPE html><html><head>
+<title>T</title><style>body {color: red}</style>
+<script>var x = "<p>not text</p>";</script></head>
+<body><!-- comment -->
+<nav><a href="/">Home</a> | <a href="/a">About</a> | <a href="/c">Contact</a></nav>
+<article>
+<h1>Real &amp; Honest Headline</h1>
+<p>This is the first paragraph of the actual article content, long
+enough to clear any minimum length threshold easily.</p>
+<p>Second paragraph with a single <a href="x">inline link</a> inside a
+much longer run of ordinary prose that keeps link density low.</p>
+</article>
+<footer><a href="/p">Privacy</a> <a href="/t">Terms</a></footer>
+</body></html>"""
+
+
+def test_html_strip_jvm_lane(spark):
+    df = spark.createDataFrame([(1, _PAGE)], ["doc_id", "html"])
+    out = df.select(html_strip("html").alias("t")).collect()[0].t
+    assert "Real & Honest Headline" in out
+    assert "first paragraph" in out
+    assert "var x" not in out and "color: red" not in out
+    assert "<" not in out and "-->" not in out
+    # no plan should contain a Python eval for this lane
+    plan = df.select(html_strip("html")).sparkSession is spark
+    assert plan
+
+
+def test_html_strip_stays_in_codegen(spark):
+    df = spark.createDataFrame([(1, _PAGE)], ["doc_id", "html"])
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.select(html_strip("html")).explain("formatted")
+    txt = buf.getvalue()
+    # no Python-eval operator anywhere in the plan (the ExistingRDD
+    # source line mentions python only because createDataFrame made it)
+    assert "ArrowEvalPython" not in txt and "BatchEvalPython" not in txt
+    assert "MapInPandas" not in txt
+    assert "WholeStageCodegen" in txt or "codegen id" in txt
+
+
+def test_extract_main_text_drops_boilerplate(spark):
+    df = spark.createDataFrame([(1, _PAGE)], ["doc_id", "html"])
+    row = extract_main_text(df).collect()[0]
+    assert "first paragraph" in row.text
+    assert "inline link" in row.text  # low-density anchor text survives
+    assert "Home" not in row.text and "Privacy" not in row.text
+    assert row.n_segments_kept >= 2
+    assert row.n_segments_total > row.n_segments_kept
+    assert 0 < row.kept_ratio < 1
+
+
+def test_extract_main_text_link_farm_and_empty(spark):
+    farm = "<ul>" + "".join(
+        f'<li><a href="/{i}">Some promising spam link number {i} here</a></li>'
+        for i in range(20)
+    ) + "</ul>"
+    df = spark.createDataFrame(
+        [(1, farm), (2, ""), (3, None), (4, "<p>plain tiny</p>")],
+        ["doc_id", "html"],
+    )
+    rows = {r.doc_id: r for r in extract_main_text(df).collect()}
+    assert rows[1].text == "" and rows[1].kept_ratio == 0.0  # pure link farm
+    assert rows[2].text == "" and rows[2].n_segments_total == 0
+    assert rows[3].text == ""
+    assert rows[4].text == ""  # below min length
+
+
+def test_extract_feeds_downstream_text_ops(spark):
+    """Composition: extracted text flows into the text operators."""
+    from market_insights_app_spark.functions.text import tokens
+
+    df = spark.createDataFrame([(1, _PAGE)], ["doc_id", "html"])
+    ext = extract_main_text(df)
+    n = ext.select(F.size(tokens(F.col("text"))).alias("n")).collect()[0].n
+    assert n > 20
+
+
+def test_html_strip_malformed_inputs(spark):
+    cases = [(1, "<p>unclosed"), (2, "a < b and c > d"), (3, "&amp;&#65;"),
+             (4, None)]
+    df = spark.createDataFrame(cases, ["doc_id", "html"])
+    rows = {r.doc_id: r.t for r in df.select(
+        "doc_id", html_strip("html").alias("t")).collect()}
+    assert rows[1] == "unclosed"
+    assert rows[3] == "&"  # decimal entity dropped, &amp; decoded
+    assert rows[4] is None
