@@ -484,3 +484,46 @@ def ohlc_agg(
             "n_ticks",
         )
     )
+
+
+def windowed_heavy_hitters(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    duration: str = "30 minutes",
+    k: int = 10,
+    max_items_tracked: int = 10_000,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-event-time-window top-k frequent keys on a stream — the
+    trending-keys readout (hot urls / symbols / event types per
+    window), riding Spark 4's ``approx_top_k`` frequent-items sketch
+    INSIDE a watermarked streaming aggregate: the sketch is a
+    fixed-size mergeable buffer, so the state store holds one summary
+    per open window regardless of key cardinality, and windows emit
+    finalized (append mode) once the watermark passes.  Same error
+    contract as the batch ``sketches.heavy_hitters`` twin: exact while
+    distinct keys fit ``max_items_tracked``, MG-bounded past it.
+
+    Output: one row per (window, rank): window_start, window_end,
+    rank (1-based by estimate), item, est_count."""
+    topk = F.expr(
+        f"approx_top_k(CAST({key_col} AS STRING), {int(k)}, "
+        f"{int(max_items_tracked)})"
+    ).alias("__tk")
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), duration))
+        .agg(topk)
+    )
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        F.posexplode("__tk").alias("__pos", "e"),
+    ).select(
+        "window_start",
+        "window_end",
+        (F.col("__pos") + 1).cast("int").alias("rank"),
+        F.col("e.item").alias("item"),
+        F.col("e.count").alias("est_count"),
+    )

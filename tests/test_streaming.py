@@ -613,3 +613,44 @@ def test_streaming_ohlc_matches_batch_operator(spark, stream):
     for k, v in got.items():
         assert want[k] == v
     assert len(got) >= len(want) * 0.9
+
+
+def test_windowed_heavy_hitters_replay_matches_batch(spark, tmp_path):
+    """availableNow replay of the streaming per-window top-k sketch ==
+    a batch groupBy count in the exact (no-overflow) regime."""
+    import datetime as dt
+
+    from market_insights_app_spark.streaming.ingest import (
+        run_available_now_to_memory,
+        windowed_heavy_hitters,
+    )
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    # window 1: a x5, b x3, c x1 ; window 2: c x4, a x2
+    for i, key in enumerate(["a"] * 5 + ["b"] * 3 + ["c"]):
+        rows.append((i, base + dt.timedelta(minutes=i), key, 1.0))
+    for i, key in enumerate(["c"] * 4 + ["a"] * 2):
+        rows.append((100 + i, base + dt.timedelta(minutes=30 + i), key, 1.0))
+    # sentinel far in the future: pushes the watermark past both real
+    # windows so append mode finalizes them (its own window stays open)
+    rows.append((999, base + dt.timedelta(hours=6), "zz", 1.0))
+    src = tmp_path / "hh_src"
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    df.write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, event_type string, value double"
+    ).parquet(str(src))
+    out = windowed_heavy_hitters(
+        stream, duration="30 minutes", k=2, watermark="1 minute"
+    )
+    run_available_now_to_memory(out, "hh_replay")
+    got = {
+        (r.window_start.minute, r.rank): (r.item, r.est_count)
+        for r in spark.sql("select * from hh_replay").collect()
+    }
+    assert got[(0, 1)] == ("a", 5) and got[(0, 2)] == ("b", 3)
+    assert got[(30, 1)] == ("c", 4) and got[(30, 2)] == ("a", 2)
+    assert len(got) == 4  # k=2 per window, c/x cut from window 1
