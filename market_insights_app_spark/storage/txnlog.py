@@ -428,6 +428,28 @@ class TxnTable:
         attempts = 0
         while attempts < max_retries:
             snap = self.snapshot()
+            if snap.schema_json is not None and snap.schema_json != schema_json:
+                # the module contract is fail-loud on divergence: an
+                # unchecked mismatched append would commit fine and
+                # _read_dirs' explicit-schema read would then silently
+                # null-fill missing columns and drop extra ones
+                from pyspark.sql.types import StructType
+
+                base = StructType.fromJson(json.loads(snap.schema_json))
+                # name->type sets (parquet + explicit-schema read matches
+                # by NAME, so column order is harmless; nullability is
+                # advisory in parquet and Spark frames flip it freely)
+                shape = lambda st: sorted(  # noqa: E731
+                    ((f.name, f.dataType) for f in st.fields),
+                    key=lambda t: t[0],
+                )
+                if shape(df.schema) != shape(base):
+                    self._drop_data(entry["dir"])
+                    raise ValueError(
+                        "append frame schema diverges from the table's "
+                        f"recorded schema: table {shape(base)}, frame "
+                        f"{shape(df.schema)}"
+                    )
             version = snap.version + 1
             payload = {
                 "version": version,
@@ -641,7 +663,10 @@ class TxnTable:
             if snap.version < 0:
                 raise ValueError("delete_where on an empty table")
             tgt = self._read_dirs(snap.dirs, snap.schema_json)
-            out = tgt.filter(~predicate)
+            # SQL/Delta DELETE removes only predicate-TRUE rows; a bare
+            # ~predicate would also delete rows where the predicate is
+            # NULL (e.g. col('status')=='expired' on a NULL status)
+            out = tgt.filter(~F.coalesce(predicate, F.lit(False)))
             entry = self._write_data(out, None)
             state["touched"] = set(snap.dirs)
             return [entry], snap.dirs

@@ -43,6 +43,34 @@ def test_append_read_roundtrip(spark, table):
     assert _rows(table.read()) == [(1, "a"), (2, "b"), (3, "c")]
 
 
+def test_delete_where_null_predicate_keeps_row(spark, table):
+    """SQL/Delta DELETE removes only predicate-TRUE rows; a NULL
+    predicate value (here: status IS NULL) must KEEP the row."""
+    df = spark.createDataFrame(
+        [(1, "expired"), (2, "active"), (3, None)],
+        "id INT, status STRING",
+    )
+    table.append(df, stats_col="id")
+    table.delete_where(F.col("status") == "expired")
+    assert _rows(table.read()) == [(2, "active"), (3, None)]
+
+
+def test_append_schema_mismatch_fails_loudly(spark, table):
+    table.append(_mk(spark, [(1, "a")]), stats_col="id")
+    wrong_cols = spark.createDataFrame([(2, 3.5)], "id INT, price DOUBLE")
+    with pytest.raises(ValueError, match="diverges"):
+        table.append(wrong_cols, stats_col="id")
+    wrong_type = spark.createDataFrame([("2", "b")], "id STRING, val STRING")
+    with pytest.raises(ValueError, match="diverges"):
+        table.append(wrong_type, stats_col="id")
+    # reordered columns with identical name->type shape are fine (the
+    # explicit-schema read matches parquet columns by name), and the
+    # failed attempts must not have committed or leaked rows
+    reordered = spark.createDataFrame([("b", 2)], "val STRING, id INT")
+    table.append(reordered)
+    assert _rows(table.read()) == [(1, "a"), (2, "b")]
+
+
 def test_merge_update_else_insert(spark, table):
     table.append(_mk(spark, [(1, "a"), (2, "b")]), stats_col="id")
     v = table.merge(_mk(spark, [(2, "B"), (4, "d")]), ["id"])
