@@ -132,9 +132,17 @@ def _build_huffman(freqs: dict[int, int]) -> tuple[list[int], list[int]]:
     if not syms:
         return [0] * 16, []
     if len(syms) == 1:
+        # code "0" at length 1; "1" (the all-1s codeword) stays unassigned
         return [1] + [0] * 15, syms
-    # heap of (weight, tiebreak, node); node = symbol or (l, r)
+    # heap of (weight, tiebreak, node); node = symbol or (l, r).
+    # The K.2 dummy symbol 256 reserves the all-1s codeword (T.81: 1-fill
+    # padding must never decode as a valid symbol): weight 1 with
+    # tiebreak -1 means it is popped FIRST, and the first two nodes
+    # merged are siblings at the final tree's maximum depth — so the
+    # dummy always carries the longest code, sorts last (256 > any real
+    # symbol), takes the all-1s codeword, and is dropped at the end.
     heap = [(freqs[s], i, s) for i, s in enumerate(syms)]
+    heap.append((1, -1, 256))
     heapq.heapify(heap)
     uid = len(syms)
     while len(heap) > 1:
@@ -173,6 +181,14 @@ def _build_huffman(freqs: dict[int, int]) -> tuple[list[int], list[int]]:
     for _ln, cnt in enumerate(bits, start=1):
         for _ in range(cnt):
             out_syms.append(next(it))
+    # drop the dummy: it is the last code of the longest length — the
+    # all-1s codeword — so removing it leaves that code point reserved
+    assert out_syms[-1] == 256, "K.2 dummy must carry the all-1s code"
+    out_syms.pop()
+    for ln in range(15, -1, -1):
+        if bits[ln]:
+            bits[ln] -= 1
+            break
     return bits, out_syms
 
 

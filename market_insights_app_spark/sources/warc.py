@@ -28,15 +28,24 @@ _SCHEMA = (
 
 
 def _gunzip_members(data: bytes) -> bytes:
-    """Decompress concatenated gzip members into one byte stream."""
+    """Decompress concatenated gzip members into one byte stream.
+
+    A corrupt member (bad CRC, garbled deflate stream — not merely a
+    truncated tail) keeps the bytes decompressed so far and stops the
+    scan, matching the record loop's desync containment: one bad
+    member loses the records from that point on, never the whole
+    Spark task."""
     import zlib
 
     out = bytearray()
     rest = data
     while rest[:2] == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=31)
-        out += d.decompress(rest)
-        out += d.flush()
+        try:
+            out += d.decompress(rest)
+            out += d.flush()
+        except zlib.error:
+            break
         rest = d.unused_data
     return bytes(out)
 

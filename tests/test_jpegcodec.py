@@ -57,6 +57,10 @@ def test_huffman_canonical_and_prefix_free():
             for p in seen:
                 assert not bitstr.startswith(p) and not p.startswith(bitstr)
             seen.add(bitstr)
+        # T.81 / K.2: the all-1s codeword is RESERVED so that 1-fill
+        # padding can never decode as a valid symbol — no assigned
+        # codeword may consist solely of 1-bits
+        assert all(code != (1 << ln) - 1 for code, ln in codes.values())
 
 
 def test_quality_scaling_monotone():

@@ -88,6 +88,25 @@ def test_parse_warc_gzip_members_and_truncation():
     assert len(recs_plain) == 5
 
 
+def test_parse_warc_corrupt_gzip_member_contained():
+    """A corrupt (not merely truncated) gzip member must lose only the
+    records from that member on — never raise out of the task."""
+    good = gzip.compress(_record(
+        "response", "http://ex.com/a", _http_response(_HTML),
+        "application/http; msgtype=response"))
+    tail = gzip.compress(_record(
+        "resource", "http://ex.com/r.txt", b"raw resource", "text/plain"))
+    # flip bytes inside the second member's deflate stream AND its CRC
+    bad = bytearray(tail)
+    for i in range(12, min(len(bad) - 4, 40)):
+        bad[i] ^= 0xFF
+    recs = parse_warc_bytes(good + bytes(bad) + good)
+    assert [r["record_type"] for r in recs] == ["response"]
+    assert recs[0]["payload"] == _HTML
+    # corrupt FIRST member: zero records, still no exception
+    assert parse_warc_bytes(bytes(bad) + good) == []
+
+
 def test_read_warc_spark_and_compose(spark, tmp_path):
     (tmp_path / "a.warc").write_bytes(_warc_bytes())
     (tmp_path / "b.warc.gz").write_bytes(gzip.compress(_warc_bytes()))
