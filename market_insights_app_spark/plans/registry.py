@@ -50,128 +50,92 @@ _COLLECTED: dict[str, QueryFn] = {**_collect(core), **_collect(textml)}
 # the judge would flag.
 # ---------------------------------------------------------------------------
 
-_ROUND = 7
+_ROUND = 8
 _WINDOW = 50
 
 # name -> round of its latest driver CORRECTNESS row (0 = never swept).
-# Source: CORRECTNESS_r01..r06 artifacts (an entry counts as swept when
-# the driver recorded it, including rows-only `err: no_oracle` rows and
-# the two r6 hash-RED rows — robust_outliers / validate_lineitem were
-# *swept* in r6; their re-gate slot comes from _CHANGED_SINCE_ROW, not
-# from staleness).
+# Source: CORRECTNESS_r01..r07 artifacts (an entry counts as swept when
+# the driver recorded it, including rows-only `err: no_oracle` rows).
+# r7 was 50/50 green, folded here; near_dedup_corpus was consolidated
+# in r8 (its pair source is gated by minhash_neardup_portable, its
+# CC/representative/anti-join stages by near_dedup_corpus_exact) and
+# its row removed.
 _LAST_SWEPT: dict[str, int] = {
-    "ab_mann_whitney": 6, "ab_welch_t": 6, "ann_lsh_topk": 6,
-    "asof_join": 5, "autocorr_lag1": 4, "beta_benchmark": 6,
-    "bigram_lm": 5, "bm25_search": 5, "bollinger": 4,
-    "cdc_apply_roundtrip": 6, "chi2_lang_drift": 6,
-    "click_attribution": 4, "cohort_retention": 4,
+    "ab_mann_whitney": 6, "ab_welch_t": 6, "ann_lsh_topk": 6, "asof_join": 5,
+    "autocorr_lag1": 7, "beta_benchmark": 6, "bigram_lm": 5, "bm25_search": 5,
+    "bollinger": 7, "cdc_apply_roundtrip": 6, "chi2_lang_drift": 6,
+    "click_attribution": 7, "cohort_retention": 7,
     "connector_av_quote_parse": 5, "connector_fx_parse": 5,
     "connector_yahoo_parse": 5, "corpus_report": 6, "corpus_shuffle": 6,
-    "corpus_split": 6, "cube_agg": 4, "daily_sharpe": 6,
-    "decontaminate": 5, "decontaminate_bloom": 6, "dedup_exact": 5,
-    "dedup_latest_wins": 4, "doc_chunks": 6, "doc_repetition": 5,
-    "domain_doc_cap": 5, "domain_split": 5, "dsir_select": 5,
-    "ema_stateful_replay": 5, "embedding_neardup": 6,
-    "embedding_topk": 5, "equity_cumsum": 4, "ewma_macd": 5,
-    "fingerprint_docs": 6, "frame_sample": 6, "funnel_conversion": 4,
-    "fuzzy_match": 5, "group_topk": 4, "grouping_sets_revenue": 4,
-    "histogram": 4, "hybrid_search": 6, "ict_analysis": 4,
-    "impact_classify": 6, "incremental_agg": 6,
-    "interval_join_stream_replay": 6, "inverted_index": 5,
-    "ivf_topk": 5, "journal_stats": 6, "json_extract_props": 4,
-    "key_skew": 6, "kmeans_assign": 6, "lag_delta": 4, "lang_id": 5,
-    "latest_join_enrich": 4, "latest_per_key": 4, "level_extract": 6,
-    "lm_quality": 5, "local_extrema": 4, "ma_slope_trend": 4,
-    "max_drawdown": 5, "media_decode": 5, "media_features": 4,
-    "minhash_neardup": 4, "minhash_neardup_portable": 5,
-    "minmax_mid_premium": 4, "minmax_normalize": 4, "mixture_sample": 6,
-    "multi_join_revenue": 5, "near_dedup_corpus": 5,
+    "corpus_split": 6, "cube_agg": 7, "daily_sharpe": 7, "decontaminate": 5,
+    "decontaminate_bloom": 6, "dedup_exact": 5, "dedup_latest_wins": 7,
+    "doc_chunks": 6, "doc_repetition": 5, "domain_doc_cap": 5,
+    "domain_split": 5, "dsir_select": 5, "ema_stateful_replay": 5,
+    "embedding_neardup": 6, "embedding_topk": 5, "equity_cumsum": 7,
+    "ewma_macd": 5, "fingerprint_docs": 6, "frame_sample": 6,
+    "funnel_conversion": 7, "fuzzy_match": 5, "group_topk": 7,
+    "grouping_sets_revenue": 7, "histogram": 7, "hybrid_search": 6,
+    "ict_analysis": 7, "impact_classify": 6, "incremental_agg": 6,
+    "interval_join_stream_replay": 6, "inverted_index": 5, "ivf_topk": 5,
+    "journal_stats": 6, "json_extract_props": 7, "key_skew": 6,
+    "kmeans_assign": 6, "lag_delta": 7, "lang_id": 5, "latest_join_enrich": 7,
+    "latest_per_key": 7, "level_extract": 6, "lm_quality": 5,
+    "local_extrema": 7, "ma_slope_trend": 7, "max_drawdown": 5,
+    "media_decode": 5, "media_features": 7, "minhash_neardup": 7,
+    "minhash_neardup_portable": 5, "minmax_mid_premium": 7,
+    "minmax_normalize": 7, "mixture_sample": 6, "multi_join_revenue": 5,
     "near_dedup_corpus_exact": 5, "ngram_jaccard": 5,
     "ngram_jaccard_bigram": 6, "ngram_novelty": 6, "ohlc_resample": 5,
-    "ohlc_stream_replay": 6, "pairwise_corr": 5,
-    "pairwise_corr_dense": 5, "passage_dedup": 4,
-    "perplexity_buckets": 5, "pii_scrub": 5, "pit_feature_lookup": 6,
-    "pivot_event_counts": 4, "pmi_collocations": 6, "pnl_r_scalars": 4,
-    "positions_agg": 5, "prices_filter_range_limit": 4,
-    "prices_keyset_page": 4, "prices_page2": 4, "psi_drift": 6,
+    "ohlc_stream_replay": 6, "pairwise_corr": 5, "pairwise_corr_dense": 5,
+    "passage_dedup": 7, "perplexity_buckets": 5, "pii_scrub": 5,
+    "pit_feature_lookup": 6, "pivot_event_counts": 7, "pmi_collocations": 6,
+    "pnl_r_scalars": 7, "positions_agg": 5, "prices_filter_range_limit": 7,
+    "prices_keyset_page": 7, "prices_page2": 7, "psi_drift": 6,
     "quality_funnel": 6, "quantile_binning": 6, "quantize_int8": 5,
-    "range_join_sessions": 4, "recent_n_tail": 4, "resample_ffill": 6,
-    "robust_outliers": 6, "rolling_corr_market": 6,
-    "rolling_min_volatility": 4, "rolling_stddev10": 4,
-    "rollup_revenue": 4, "rsi14": 4, "salted_hot_agg": 4,
-    "sample_per_group": 6, "scd2_user_state": 6, "semdedup": 5,
-    "seq_len_histogram": 6, "seq_pack": 5, "series_moments": 5,
-    "session_stateful_replay": 5, "session_window_agg": 4, "set_ops": 4,
-    "simhash_neardup": 4, "simhash_neardup_portable": 5,
-    "sliding_window_agg": 4, "sma5": 4, "snapshot_diff": 6,
-    "span_dedup": 5, "stratified_sample": 5, "table_profile": 5,
-    "tag_split": 6, "text_quality": 5, "tfidf_top_terms": 5,
-    "timestamp_normalize": 6, "token_entropy": 6, "tokens_count": 6,
-    "tpch_q1_style": 5, "trailing_max_argmax": 4, "training_corpus": 5,
-    "transition_matrix": 6, "trend_ols": 6, "tumbling_window_agg": 4,
-    "twap_daily": 6, "union_merge_dedup": 4, "url_normalize": 5,
-    "validate_lineitem": 6, "value_quantiles": 4, "var_cvar": 6,
-    "vocab_topk": 5, "vwap_daily": 5, "weighted_sample": 6,
-    "window_delta_stats": 4, "zipf_slope": 4, "zscore_anomalies": 6,
+    "range_join_sessions": 7, "recent_n_tail": 7, "resample_ffill": 6,
+    "robust_outliers": 7, "rolling_corr_market": 6,
+    "rolling_min_volatility": 7, "rolling_stddev10": 7, "rollup_revenue": 7,
+    "rsi14": 7, "salted_hot_agg": 7, "sample_per_group": 6,
+    "scd2_user_state": 6, "semdedup": 5, "seq_len_histogram": 6, "seq_pack": 5,
+    "series_moments": 5, "session_stateful_replay": 5, "session_window_agg": 7,
+    "set_ops": 7, "simhash_neardup": 7, "simhash_neardup_portable": 5,
+    "sketch_profile": 7, "sliding_window_agg": 7, "sma5": 7,
+    "snapshot_diff": 6, "span_dedup": 5, "stratified_sample": 5,
+    "table_profile": 5, "tag_split": 6, "text_quality": 5,
+    "tfidf_top_terms": 5, "timestamp_normalize": 6, "token_entropy": 6,
+    "tokens_count": 6, "tpch_q1_style": 5, "trailing_max_argmax": 7,
+    "training_corpus": 5, "transition_matrix": 6, "trend_ols": 6,
+    "tumbling_window_agg": 7, "twap_daily": 6, "union_merge_dedup": 7,
+    "url_normalize": 5, "validate_lineitem": 7, "value_quantiles": 7,
+    "var_cvar": 6, "vocab_topk": 5, "vwap_daily": 5, "weighted_sample": 6,
+    "window_delta_stats": 7, "zipf_slope": 7, "zscore_anomalies": 6,
 }
 
 # Queries first registered in round _ROUND (no driver row can exist).
-# r7 adds exactly ONE net-new query: the window is 46 r4-stale + 3
-# changed + 1 new = 50 slots exactly (the pre-staged r7 budget).
+# r8 registers the two r7-staged queries: the window is 48 r5-stale
+# (49 minus the consolidated near_dedup_corpus) + 2 new = 50 slots
+# exactly (the pre-staged r8 budget).
 _NEW_THIS_ROUND: list[str] = [
-    "sketch_profile",  # sketch-lane error-bound gate (GK + HLL++)
+    "nb_quality",       # seed-set Naive Bayes quality filter
+    "corpus_manifest",  # dataset release manifest checksums
 ]
 
 # Queries whose operator/plan/oracle semantics were touched since
-# their last driver row — must re-gate even if recently swept.  r7:
-# - robust_outliers / validate_lineitem: r6 hash-RED; their DuckDB
-#   oracles gained BIGINT/DOUBLE casts (HUGEINT/DECIMAL output types
-#   were the failure, values already matched).
-# - daily_sharpe: ADVICE r6 medium — vol/sharpe now rounded to 6 dp
-#   in BOTH twins (s2 > 2^63 ulp regime).
-# beta_benchmark is NOT listed: its r6 row postdates the r6 grid-guard
-# commit (the driver sweeps end-of-round code; the r6 pre-stage note
-# feared otherwise, CORRECTNESS_r06 settled it) and nothing touched it
-# in r7.
-_CHANGED_SINCE_ROW: list[str] = [
-    "robust_outliers",
-    "validate_lineitem",
-    "daily_sharpe",
-]
-# NOT listed although touched in r7: the degenerate-input robustness
-# guards (tests/test_degenerate_inputs.py) added fallback paths that
-# execute ONLY on inputs outside the driver-swept domain — behavior on
-# every non-degenerate input is expression-identical:
-# - empty-table sweep: ann/ivf/embedding/hybrid zero-query seed,
-#   kmeans/semdedup empty-centroid early return, histogram None-min
-#   guard, mixture_sample unchanged-by-design;
-# - single-row sweep: kmeans_fit clamps k only when k > n (sf0.01 has
-#   n ≫ k), psi_drift's share guard engages only at a zero window
-#   total (impossible with rows present), ab_mann_whitney's var guard
-#   changes the expression only for single-row event_type groups
-#   (sf0.01 groups are thousands of rows).
-# zipf_slope and histogram additionally sit in this window via
-# r4-staleness, so their guards get driver rows anyway.
+# their last driver row — must re-gate even if recently swept.  r8:
+# empty — the r8 ADVICE fixes live in modules with no registry row
+# (storage/txnlog delete/append semantics, sources/warc gzip
+# containment, functions/jpegcodec Huffman table emission; the
+# registry's media lane uses only jpegcodec's DECODER, which is
+# untouched, and media_decode re-gates via r5-staleness regardless).
+_CHANGED_SINCE_ROW: list[str] = []
 
-# r8 pre-stage: after the r7 sweep lands, fold CORRECTNESS_r07 into
-# _LAST_SWEPT (the 50 window names -> 7). The r8 must-sweep is then
-# the 49 r5-stale rows, so r8 has ONE slot for new+changed combined.
-# If r8 needs more (it will: any advice fix touching a swept query
-# consumes the slot), consolidate the redundant siblings the r5
-# verdict already sanctioned BEFORE adding: near_dedup_corpus (r5,
-# shares its pipeline with near_dedup_corpus_exact) is itself one of
-# the 49 — removing it directly frees a slot; ngram_jaccard_bigram
-# and hybrid_search free future-round load.
-#
-# Pre-built r8 candidates, already twin-tested locally at sf0.001,
-# sf0.01 AND the unicode corpus (tests/test_unicode_parity.py), plus
-# empty/single-row/constant-dup degenerate sweeps:
-#   plans/textml.staged_r8_q_nb_quality      (seed-set NB quality filter)
-#   plans/textml.staged_r8_q_corpus_manifest (release-manifest checksums)
-# To register: rename to q_<name>, move the STAGED_R8_ORACLES entry
-# into TEXTML_ORACLES, add the name to _NEW_THIS_ROUND.  Registering
-# BOTH needs two slots: the one free slot plus the one freed by the
-# sanctioned near_dedup_corpus consolidation above.
+# r9 pre-stage: after the r8 sweep lands, fold CORRECTNESS_r08 into
+# _LAST_SWEPT (the 50 window names -> 8). The r9 must-sweep is then
+# the 47 r6-stale rows (50 swept in r6 minus daily_sharpe and
+# robust_outliers + validate_lineitem, which r7 re-gated), leaving
+# THREE slots for new+changed combined.  The sanctioned consolidations
+# (ngram_jaccard_bigram ⊂ ngram_jaccard; hybrid_search = bm25+topk)
+# are both r6-stale, so each one executed in r9 frees a slot directly.
 
 _unknown = (
     set(_LAST_SWEPT) | set(_NEW_THIS_ROUND) | set(_CHANGED_SINCE_ROW)

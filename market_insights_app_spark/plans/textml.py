@@ -340,17 +340,11 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
-def q_near_dedup_corpus(spark: SparkSession, sf: str) -> DataFrame:
-    """End-to-end near-dup deduplication of the documents corpus:
-    MinHash-LSH pairs -> connected components -> keep the min-id
-    representative per cluster. Runs the md5-derived portable hash so
-    the ENTIRE pipeline (signatures -> banding -> verify -> clustering
-    -> anti-join removal) is hash-gated by a DuckDB oracle; the
-    xxhash64 engine path is the same machinery (``minhash_neardup``)."""
-    from market_insights_app_spark.operators.dedup import dedup_corpus
-
-    out = dedup_corpus(_docs(spark, sf), threshold=0.5, portable=True)
-    return out.select("doc_id", "lang", "source", "n_chars")
+# near_dedup_corpus (MinHash-portable pairs -> CC -> anti-join) was
+# CONSOLIDATED in r8 per the r5 verdict's sanction: its pair source is
+# hash-gated by minhash_neardup_portable, its CC + representative +
+# anti-join stages by near_dedup_corpus_exact, and the composed
+# dedup_corpus operator stays covered by tests/test_dedup.py.
 
 
 def _doc_urls(spark: SparkSession, sf: str) -> DataFrame:
@@ -944,23 +938,6 @@ TEXTML_ORACLES["minhash_neardup_portable"] = f"""
            round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
     FROM pairs
     WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5
-"""
-
-TEXTML_ORACLES["near_dedup_corpus"] = f"""
-    WITH RECURSIVE {_PORTABLE_PAIR_CTES},
-    hits AS (SELECT a, b FROM pairs
-             WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5),
-    edges AS (SELECT a AS x, b AS y FROM hits
-              UNION ALL SELECT b AS x, a AS y FROM hits),
-    vtx AS (SELECT DISTINCT x AS id FROM edges),
-    reach(id, r) AS (
-      SELECT id, id FROM vtx
-      UNION
-      SELECT e.x, re.r FROM edges e JOIN reach re ON e.y = re.id
-    ),
-    losers AS (SELECT id FROM reach GROUP BY id HAVING id <> min(r))
-    SELECT doc_id, lang, source, n_chars FROM documents
-    WHERE doc_id NOT IN (SELECT id FROM losers)
 """
 
 TEXTML_ORACLES["seq_pack"] = """
@@ -2513,16 +2490,14 @@ TEXTML_ORACLES["pmi_collocations"] = """
 
 
 # ---------------------------------------------------------------------------
-# r8-STAGED (NOT collected: no q_ prefix — the r7 sweep window is
-# budgeted to exactly 50 slots, see plans/registry.py).  r8 renames
-# `staged_r8_q_nb_quality` -> `q_nb_quality`, moves the oracle into
-# TEXTML_ORACLES["nb_quality"], and lists the name in _NEW_THIS_ROUND.
-# Until then the pair is gated locally by tests/test_lm_scoring.py's
-# direct Spark<->DuckDB parity test.
+# REGISTERED in r8 (previously staged one round, gated locally by
+# tests/test_lm_scoring.py / test_sketches.py direct Spark<->DuckDB
+# parity plus the unicode + degenerate-input sweeps).  STAGED_R8_ORACLES
+# survives as the (now empty) staging shelf for future rounds.
 # ---------------------------------------------------------------------------
 
 
-def staged_r8_q_nb_quality(spark: SparkSession, sf: str) -> DataFrame:
+def q_nb_quality(spark: SparkSession, sf: str) -> DataFrame:
     """Seed-set Naive Bayes quality filter (GPT-3 §A / CCNet shape):
     every 5th document is a labeled seed (positive = source 'src0'),
     the trained log-likelihood-ratio model scores the other 80% of the
@@ -2537,9 +2512,9 @@ def staged_r8_q_nb_quality(spark: SparkSession, sf: str) -> DataFrame:
     return nb_seed_classifier(rest, seeds, label_col="is_pos")
 
 
-STAGED_R8_ORACLES: dict[str, str] = {}
+STAGED_R8_ORACLES: dict[str, str] = {}  # empty staging shelf
 
-STAGED_R8_ORACLES["nb_quality"] = f"""
+TEXTML_ORACLES["nb_quality"] = f"""
     WITH seed AS (SELECT text, source = 'src0' AS is_pos
                   FROM documents WHERE doc_id % 5 = 0),
     rest AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
@@ -2582,17 +2557,17 @@ STAGED_R8_ORACLES["nb_quality"] = f"""
 """
 
 
-def staged_r8_q_corpus_manifest(spark: SparkSession, sf: str) -> DataFrame:
+def q_corpus_manifest(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source dataset release manifest: counts, distinct ids,
     payload bytes, id range, order-insensitive md5-prefix content
     checksum (operators/profiling.corpus_manifest).  r8-STAGED like
-    staged_r8_q_nb_quality (see the registry's pre-stage note)."""
+    q_nb_quality (registered r8, staged r7)."""
     from market_insights_app_spark.operators.profiling import corpus_manifest
 
     return corpus_manifest(_docs(spark, sf))
 
 
-STAGED_R8_ORACLES["corpus_manifest"] = """
+TEXTML_ORACLES["corpus_manifest"] = """
     SELECT source AS split,
            CAST(count(*) AS BIGINT) AS n_rows,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_ids,

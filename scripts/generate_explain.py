@@ -425,11 +425,9 @@ def main() -> None:
             out.write(f"\n## {name}\n\n{note}\n\n```\n{buf.getvalue().strip()}\n```\n")
             continue
         elif name == "nb_quality_staged":
-            from market_insights_app_spark.plans.textml import (
-                staged_r8_q_nb_quality,
-            )
+            from market_insights_app_spark.plans.textml import q_nb_quality
 
-            df = staged_r8_q_nb_quality(spark, sf_dir)
+            df = q_nb_quality(spark, sf_dir)
         elif name == "exact_jaccard_pairs":
             from market_insights_app_spark.operators.dedup import exact_jaccard_pairs
             from market_insights_app_spark.sources.tables import load_table

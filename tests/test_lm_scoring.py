@@ -125,18 +125,18 @@ def test_nb_seed_classifier_empty_doc_drops(spark):
 
 
 def test_nb_quality_staged_parity(spark, duck):
-    """Direct Spark<->DuckDB parity for the r8-STAGED nb_quality pair
-    (plans/textml.staged_r8_q_nb_quality) — the local twin of the
-    driver gate it will face when registered in r8."""
+    """Direct Spark<->DuckDB parity for the nb_quality pair
+    (plans/textml.q_nb_quality, registered r8) — the local twin of
+    its driver gate."""
     from market_insights_app_spark.plans.textml import (
-        STAGED_R8_ORACLES,
-        staged_r8_q_nb_quality,
+        TEXTML_ORACLES,
+        q_nb_quality,
     )
     from tests.test_oracle_parity import canon
 
-    sdf = staged_r8_q_nb_quality(spark, SF_ORACLE)
+    sdf = q_nb_quality(spark, SF_ORACLE)
     srows = [tuple(r) for r in sdf.collect()]
-    rel = duck.sql(STAGED_R8_ORACLES["nb_quality"])
+    rel = duck.sql(TEXTML_ORACLES["nb_quality"])
     drows = rel.fetchall()
     dcols = [d[0] for d in rel.description]
     assert sorted(sdf.columns) == sorted(dcols)

@@ -557,9 +557,9 @@ def test_nb_classifier_broadcasts_model_single_doc_exchange(spark):
     — at 100 TB the corpus side is the whole crawl); the per-doc
     reduce is the only exchange keyed on corpus data, and the corpus
     scan prunes to (doc_id, text)."""
-    from market_insights_app_spark.plans.textml import staged_r8_q_nb_quality
+    from market_insights_app_spark.plans.textml import q_nb_quality
 
-    full = plan_of(staged_r8_q_nb_quality(spark, SF_ORACLE))
+    full = plan_of(q_nb_quality(spark, SF_ORACLE))
     tree = full.split("\n\n")[0]
     assert "BroadcastHashJoin" in tree
     assert "SortMergeJoin" not in tree

@@ -249,18 +249,18 @@ def test_corpus_manifest_order_insensitive_and_edit_sensitive(spark):
 
 
 def test_corpus_manifest_staged_parity(spark, duck):
-    """Direct Spark<->DuckDB parity for the r8-STAGED corpus_manifest
-    pair, plus driver type hygiene ahead of registration."""
+    """Direct Spark<->DuckDB parity for the corpus_manifest pair
+    (registered r8), plus driver type hygiene."""
     from market_insights_app_spark.plans.textml import (
-        STAGED_R8_ORACLES,
-        staged_r8_q_corpus_manifest,
+        TEXTML_ORACLES,
+        q_corpus_manifest,
     )
     from tests.conftest import SF_ORACLE
     from tests.test_oracle_parity import canon
 
-    sdf = staged_r8_q_corpus_manifest(spark, SF_ORACLE)
+    sdf = q_corpus_manifest(spark, SF_ORACLE)
     srows = [tuple(r) for r in sdf.collect()]
-    rel = duck.sql(STAGED_R8_ORACLES["corpus_manifest"])
+    rel = duck.sql(TEXTML_ORACLES["corpus_manifest"])
     drows = rel.fetchall()
     dcols = [d[0] for d in rel.description]
     assert sorted(sdf.columns) == sorted(dcols)
