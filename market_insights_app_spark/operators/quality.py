@@ -599,3 +599,64 @@ def nb_seed_classifier(
         score.alias("nb_score"),
         (score > F.lit(0.0)).alias("keep"),
     )
+
+
+def readability_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch reading-ease readability as a corpus quality signal
+    (Flesch 1948; the classic 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words) formula), with the standard automatable
+    approximations: sentences = runs of ``[.!?]`` (floored at 1 so a
+    headline-only doc is one sentence), syllables = vowel-group runs
+    ``[aeiouyAEIOUY]+`` (the case CLASS, not lower() — locale-sensitive
+    case folding diverges across engines).
+
+    Everything is a scan-stage JVM expression — two regexp counts and
+    a token count per row, no shuffle, no UDF; at 100 TB this rides
+    the same single pass as the other per-row quality features.  The
+    score is plain double arithmetic on integer counts with one fixed
+    expression shape, so Spark and DuckDB produce bit-identical
+    doubles — emitted UNROUNDED (rounding a derived double can land on
+    a true half-way point and diverge between engines; identical bits
+    never do).  Empty documents (zero words) get a NULL score and
+    band; NULL text counts as empty.
+
+    Bands follow the conventional Flesch table, collapsed to four:
+    >= 90 very_easy, >= 60 standard, >= 30 difficult, else
+    very_confusing.
+
+    Returns (``id_col``, n_words, n_sentences, n_syllable_groups,
+    flesch, band).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))  # NULL text = empty doc
+    n_words = F.size(tokens(t)).cast("long")
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), 0)),
+        F.lit(1),
+    ).cast("long")
+    n_syl = F.size(
+        F.regexp_extract_all(t, F.lit(r"[aeiouyAEIOUY]+"), 0)
+    ).cast("long")
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sent.cast("double"))
+        - F.lit(84.6) * (n_syl.cast("double") / n_words.cast("double"))
+    )
+    flesch = F.when(n_words > 0, score)  # UNROUNDED: bit-identical doubles
+    band = F.when(n_words == 0, F.lit(None).cast("string")).otherwise(
+        F.when(flesch >= 90.0, F.lit("very_easy"))
+        .when(flesch >= 60.0, F.lit("standard"))
+        .when(flesch >= 30.0, F.lit("difficult"))
+        .otherwise(F.lit("very_confusing"))
+    )
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllable_groups"),
+        flesch.alias("flesch"),
+        band.alias("band"),
+    )

@@ -610,3 +610,68 @@ def semdedup(
         a.join(dupes, "id", "left_anti")
         .select(F.col("id").alias(id_col), "cluster")
     )
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination: flag every training vector
+    whose cosine similarity to ANY eval-set vector reaches
+    ``threshold`` — the semantic complement of the n-gram
+    ``decontaminate`` lane (operators/dedup.py), catching paraphrased
+    or lightly-rewritten benchmark leakage that exact n-gram overlap
+    misses (the contamination audit shape of GPT-3 §C / PaLM app. E).
+
+    Scale shape: eval suites are small (10³–10⁵ vectors) while the
+    corpus is the whole crawl, so the eval side is BROADCAST and the
+    corpus is scanned exactly once; per (train, eval) pair the work is
+    one index-ordered dot fold (each side's norm is precomputed before
+    the join — the cosine_self_join_neardup trick).  The per-train
+    reduction is an order-insensitive ``max(struct)`` aggregate
+    (map-side combinable — no window sort over the pair stream):
+    lexicographic max of (cosine, -eval_id) = highest cosine,
+    ties to the LOWEST eval id, deterministically.
+
+    A zero-norm vector's cosine is undefined; both this operator and
+    its DuckDB twin coalesce it to the sentinel -2.0 (below any real
+    cosine), so such rows surface as contaminated=false rather than
+    vanishing or raising.
+
+    Returns one row per train vector: (``id_col``, nearest_eval_id,
+    max_cosine, contaminated).
+    """
+    tr = train.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    ev = evalset.select(
+        F.col(id_col).alias("eid"), _as_double(F.col(vec_col)).alias("ev")
+    ).withColumn("enrm", norm(F.col("ev")))
+    pair_cos = F.coalesce(
+        F.round(
+            dot(F.col("v"), F.col("ev"))
+            / F.nullif(F.col("nrm") * F.col("enrm"), F.lit(0.0)),
+            6,
+        ),
+        F.lit(-2.0),
+    )
+    best = (
+        tr.crossJoin(F.broadcast(ev))
+        .select(
+            "id",
+            F.struct(
+                pair_cos.alias("c"), (-F.col("eid")).alias("negid")
+            ).alias("ce"),
+        )
+        .groupBy("id")
+        .agg(F.max("ce").alias("m"))
+    )
+    return best.select(
+        F.col("id").alias(id_col),
+        (-F.col("m.negid")).alias("nearest_eval_id"),
+        F.col("m.c").alias("max_cosine"),
+        (F.col("m.c") >= F.lit(threshold)).alias("contaminated"),
+    )

@@ -136,6 +136,16 @@ _CHANGED_SINCE_ROW: list[str] = []
 # THREE slots for new+changed combined.  The sanctioned consolidations
 # (ngram_jaccard_bigram ⊂ ngram_jaccard; hybrid_search = bm25+topk)
 # are both r6-stale, so each one executed in r9 frees a slot directly.
+#
+# Pre-built r9 candidates (plans/textml.py STAGED_ORACLES), each
+# twin-tested at sf0.001 + sf0.01, on the unicode corpus, and through
+# the empty/single-row/constant-dup degenerate sweeps:
+#   staged_q_pagerank_links          (integer-grid PageRank, graph.py)
+#   staged_q_semantic_decontaminate  (embedding-space contamination)
+#   staged_q_readability             (Flesch reading-ease signal)
+# To register: rename to q_<name>, move the STAGED_ORACLES entry into
+# TEXTML_ORACLES, list in _NEW_THIS_ROUND. All three fit the 3 free
+# slots without consuming a consolidation.
 
 _unknown = (
     set(_LAST_SWEPT) | set(_NEW_THIS_ROUND) | set(_CHANGED_SINCE_ROW)

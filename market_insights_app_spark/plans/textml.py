@@ -2492,8 +2492,8 @@ TEXTML_ORACLES["pmi_collocations"] = """
 # ---------------------------------------------------------------------------
 # REGISTERED in r8 (previously staged one round, gated locally by
 # tests/test_lm_scoring.py / test_sketches.py direct Spark<->DuckDB
-# parity plus the unicode + degenerate-input sweeps).  STAGED_R8_ORACLES
-# survives as the (now empty) staging shelf for future rounds.
+# parity plus the unicode + degenerate-input sweeps).  The staging
+# shelf for future rounds is STAGED_ORACLES (end of this module).
 # ---------------------------------------------------------------------------
 
 
@@ -2511,8 +2511,6 @@ def q_nb_quality(spark: SparkSession, sf: str) -> DataFrame:
     rest = docs.filter(F.col("doc_id") % 5 != 0)
     return nb_seed_classifier(rest, seeds, label_col="is_pos")
 
-
-STAGED_R8_ORACLES: dict[str, str] = {}  # empty staging shelf
 
 TEXTML_ORACLES["nb_quality"] = f"""
     WITH seed AS (SELECT text, source = 'src0' AS is_pos
@@ -2579,4 +2577,166 @@ TEXTML_ORACLES["corpus_manifest"] = """
                          || coalesce(text, '')), 1, 8)) AS BIGINT))
                 AS BIGINT) AS content_sum
     FROM documents GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# r9-STAGED (NOT collected: no q_ prefix — the r8 sweep window is
+# budgeted to exactly 50 slots, see plans/registry.py).  Each pair is
+# gated NOW by direct Spark<->DuckDB parity tests plus the unicode and
+# degenerate-input sweeps; r9 renames `staged_q_<name>` -> `q_<name>`,
+# moves the oracle into TEXTML_ORACLES, and lists the name in
+# _NEW_THIS_ROUND (3 slots are free in r9 — registry pre-stage note).
+# ---------------------------------------------------------------------------
+
+STAGED_ORACLES: dict[str, str] = {}
+
+
+def staged_q_pagerank_links(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank over the deterministic skewed link graph
+    (operators/graph.py): 10 integer-grid iterations, damping 0.85.
+    Every iteration is exact int64 arithmetic (contribution =
+    rank div outdeg, damped sum = 85·Σ div 100), so rank_grid is
+    bit-identical across engines — the DuckDB twin replays the same
+    integers through 10 unrolled CTEs."""
+    from market_insights_app_spark.operators.graph import (
+        pagerank,
+        synthetic_link_graph,
+    )
+
+    return pagerank(synthetic_link_graph(_docs(spark, sf)), iterations=10)
+
+
+def _pagerank_oracle(iters: int = 10) -> str:
+    grid, damp = 1_000_000_000, 85
+    tel = f"(CAST({100 - damp} AS BIGINT) * {grid}) // (100 * m)"
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+    pr{k} AS (
+      SELECT nd.node,
+             CAST({tel} + coalesce(({damp} * c.s) // 100, 0) AS BIGINT)
+               AS rank_grid
+      FROM nodes nd CROSS JOIN m_t
+      LEFT JOIN (SELECT e.dst, sum(p.rank_grid // o.outd) AS s
+                 FROM edges e
+                 JOIN pr{k - 1} p ON e.src = p.node
+                 JOIN outdeg o ON o.src = e.src
+                 GROUP BY e.dst) c ON c.dst = nd.node
+    )""")
+    return f"""
+    WITH n_t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    raw AS (
+      SELECT doc_id AS src, (doc_id * doc_id + 1) % n AS dst
+      FROM documents CROSS JOIN n_t
+      UNION ALL
+      SELECT doc_id, (doc_id * 31 + 7) % n FROM documents CROSS JOIN n_t
+      UNION ALL
+      SELECT doc_id, doc_id % greatest(n // 50, 1)
+      FROM documents CROSS JOIN n_t
+    ),
+    edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS outd
+               FROM edges GROUP BY src),
+    m_t AS (SELECT CAST(count(*) AS BIGINT) AS m FROM nodes),
+    pr0 AS (SELECT node, CAST({grid} // m AS BIGINT) AS rank_grid
+            FROM nodes CROSS JOIN m_t),{",".join(steps)}
+    SELECT node, rank_grid,
+           rank_grid / CAST({grid} AS DOUBLE) AS pagerank
+    FROM pr{iters}
+"""
+
+
+STAGED_ORACLES["pagerank_links"] = _pagerank_oracle()
+
+
+def staged_q_semantic_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space decontamination (operators/similarity.py):
+    every 20th vector is the 'eval suite', the rest is the training
+    corpus; flag train vectors whose best cosine vs the broadcast eval
+    set reaches 0.40 (fixture-calibrated like embedding_neardup — the
+    synthetic embeddings are near-orthogonal, so the production-style
+    0.95 would make the gate vacuous)."""
+    from market_insights_app_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    emb = _emb(spark, sf)
+    ev = emb.filter(F.col("vec_id") % 20 == 0)
+    tr = emb.filter(F.col("vec_id") % 20 != 0)
+    return semantic_decontaminate(tr, ev, threshold=0.40)
+
+
+STAGED_ORACLES["semantic_decontaminate"] = """
+    WITH ev AS (SELECT vec_id AS eid,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings WHERE vec_id % 20 = 0),
+    tr AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id % 20 <> 0),
+    pairs AS (
+      SELECT t.vec_id, e.eid,
+             coalesce(
+               round(
+                 list_reduce(list_transform(list_zip(t.v, e.v),
+                                            p -> p[1] * p[2]),
+                             (a, b) -> a + b)
+                 / NULLIF(
+                     sqrt(list_reduce(list_transform(t.v, x -> x * x),
+                                      (a, b) -> a + b))
+                     * sqrt(list_reduce(list_transform(e.v, x -> x * x),
+                                        (a, b) -> a + b)), 0), 6),
+               CAST(-2 AS DOUBLE)) AS cosine
+      FROM tr t CROSS JOIN ev e),
+    best AS (SELECT vec_id, eid, cosine,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cosine DESC, eid ASC) AS rn
+             FROM pairs)
+    SELECT vec_id, eid AS nearest_eval_id, cosine AS max_cosine,
+           cosine >= CAST(0.4 AS DOUBLE) AS contaminated
+    FROM best WHERE rn = 1
+"""
+
+
+def staged_q_readability(spark: SparkSession, sf: str) -> DataFrame:
+    """Flesch reading-ease quality signal (operators/quality.py
+    readability_report): scan-stage regexp counts + one fixed double
+    expression, emitted unrounded (bit-identical across engines)."""
+    from market_insights_app_spark.operators.quality import readability_report
+
+    return readability_report(_docs(spark, sf))
+
+
+STAGED_ORACLES["readability"] = """
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(
+                    trim(coalesce(text, '')), '\\s+'), x -> x <> ''))
+                  AS BIGINT) AS n_words,
+             CAST(greatest(len(regexp_extract_all(
+                    coalesce(text, ''), '[.!?]+')), 1) AS BIGINT)
+               AS n_sentences,
+             CAST(len(regexp_extract_all(
+                    coalesce(text, ''), '[aeiouyAEIOUY]+')) AS BIGINT)
+               AS n_syllable_groups
+      FROM documents),
+    s AS (
+      SELECT *,
+             CASE WHEN n_words > 0 THEN
+               CAST(206.835 AS DOUBLE)
+               - CAST(1.015 AS DOUBLE)
+                 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+               - CAST(84.6 AS DOUBLE)
+                 * (CAST(n_syllable_groups AS DOUBLE)
+                    / CAST(n_words AS DOUBLE))
+             END AS flesch
+      FROM c)
+    SELECT doc_id, n_words, n_sentences, n_syllable_groups, flesch,
+           CASE WHEN n_words = 0 THEN NULL
+                WHEN flesch >= CAST(90 AS DOUBLE) THEN 'very_easy'
+                WHEN flesch >= CAST(60 AS DOUBLE) THEN 'standard'
+                WHEN flesch >= CAST(30 AS DOUBLE) THEN 'difficult'
+                ELSE 'very_confusing' END AS band
+    FROM s
 """

@@ -30,8 +30,8 @@ def _staged():
     from market_insights_app_spark.plans import textml
 
     return {
-        f"staged_r8:{n}": getattr(textml, f"staged_r8_q_{n}")
-        for n in textml.STAGED_R8_ORACLES
+        f"staged:{n}": getattr(textml, f"staged_q_{n}")
+        for n in textml.STAGED_ORACLES
     }
 
 

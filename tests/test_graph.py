@@ -1,0 +1,126 @@
+"""Graph analytics (operators/graph.py): PageRank against an
+independent pure-Python integer reference, edge-case containment, and
+direct Spark<->DuckDB parity for the r9-staged pagerank_links pair."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from market_insights_app_spark.operators.graph import (
+    pagerank,
+    synthetic_link_graph,
+)
+
+GRID = 10**9
+
+
+def _ref_pagerank(edges, iters=10, damping_pct=85, grid=GRID):
+    """Pure-Python replica of the integer-grid iteration."""
+    es = sorted({(s, d) for s, d in edges if s != d})
+    nodes = sorted({x for p in es for x in p})
+    if not nodes:
+        return {}
+    out: dict[int, int] = {}
+    for s, _ in es:
+        out[s] = out.get(s, 0) + 1
+    n = len(nodes)
+    tel = ((100 - damping_pct) * grid) // (100 * n)
+    pr = {v: grid // n for v in nodes}
+    for _ in range(iters):
+        acc = {v: 0 for v in nodes}
+        for a, b in es:
+            acc[b] += pr[a] // out[a]
+        pr = {v: tel + (damping_pct * acc[v]) // 100 for v in nodes}
+    return pr
+
+
+def test_pagerank_matches_reference_golden(spark):
+    edges = [(0, 1), (1, 2), (2, 0), (2, 1), (3, 2), (0, 2)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank_grid for r in pagerank(e, iterations=10).collect()}
+    assert got == _ref_pagerank(edges)
+
+
+def test_pagerank_random_graphs_match_reference(spark):
+    rng = random.Random(13)
+    for trial in range(3):
+        n = rng.randint(5, 30)
+        edges = sorted(
+            {
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(rng.randint(n, 4 * n))
+            }
+        )
+        e = spark.createDataFrame(edges, "src long, dst long")
+        iters = rng.choice([3, 7, 10])
+        got = {
+            r.node: r.rank_grid
+            for r in pagerank(e, iterations=iters).collect()
+        }
+        assert got == _ref_pagerank(edges, iters=iters), (trial, n, iters)
+
+
+def test_pagerank_drops_self_loops_and_parallel_edges(spark):
+    # duplicates + self-loops must not change the result
+    edges = [(0, 1), (1, 0)]
+    noisy = edges + [(0, 1), (0, 0), (1, 1), (1, 0)]
+    e = spark.createDataFrame(noisy, "src long, dst long")
+    got = {r.node: r.rank_grid for r in pagerank(e, iterations=5).collect()}
+    assert got == _ref_pagerank(edges, iters=5)
+
+
+def test_pagerank_dangling_mass_evaporates(spark):
+    # node 2 has no out-edges: totals sum below grid but stay positive
+    e = spark.createDataFrame([(0, 2), (1, 2), (0, 1)], "src long, dst long")
+    rows = pagerank(e, iterations=10).collect()
+    got = {r.node: r.rank_grid for r in rows}
+    assert got == _ref_pagerank([(0, 2), (1, 2), (0, 1)])
+    assert 0 < sum(got.values()) < GRID
+
+
+def test_pagerank_empty_edges(spark):
+    e = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(e, iterations=3).collect() == []
+
+
+def test_pagerank_double_column_consistent(spark):
+    e = spark.createDataFrame([(0, 1), (1, 0), (2, 0)], "src long, dst long")
+    for r in pagerank(e, iterations=4).collect():
+        assert r.pagerank == r.rank_grid / float(GRID)
+
+
+def test_synthetic_link_graph_is_skewed(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ranks = [
+        r.rank_grid
+        for r in pagerank(synthetic_link_graph(docs), iterations=10).collect()
+    ]
+    assert len(ranks) > 100
+    # the hub arm concentrates rank: max far above min, many distinct
+    assert max(ranks) > 10 * min(ranks)
+    assert len(set(ranks)) > 50
+
+
+def test_pagerank_links_staged_parity(spark, duck):
+    """Direct Spark<->DuckDB parity for the r9-staged pagerank_links
+    pair — the local twin of the driver gate it will face."""
+    from market_insights_app_spark.plans.textml import (
+        STAGED_ORACLES,
+        staged_q_pagerank_links,
+    )
+    from tests.conftest import SF_ORACLE
+    from tests.test_oracle_parity import canon
+
+    sdf = staged_q_pagerank_links(spark, SF_ORACLE)
+    srows = [tuple(r) for r in sdf.collect()]
+    rel = duck.sql(STAGED_ORACLES["pagerank_links"])
+    drows = rel.fetchall()
+    dcols = [d[0] for d in rel.description]
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows) > 0
+    assert canon(srows, sdf.columns) == canon(drows, dcols)
+    # driver type hygiene
+    for col, typ in zip(rel.columns, rel.types):
+        assert str(typ) in {"BIGINT", "DOUBLE"}, (col, str(typ))

@@ -1,0 +1,158 @@
+"""r9-staged operators: semantic decontamination (similarity.py) and
+Flesch readability (quality.py) — goldens vs hand-computed values,
+edge-case containment, and direct Spark<->DuckDB parity for the staged
+pairs (pagerank's twin lives in test_graph.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from market_insights_app_spark.operators.quality import readability_report
+from market_insights_app_spark.operators.similarity import (
+    semantic_decontaminate,
+)
+from tests.conftest import SF_ORACLE
+from tests.test_oracle_parity import canon
+
+
+def _vecdf(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def test_semantic_decontaminate_golden(spark):
+    ev = _vecdf(spark, [(0, [1.0, 0.0]), (20, [0.0, 1.0])])
+    tr = _vecdf(
+        spark,
+        [
+            (1, [1.0, 0.0]),       # exact dup of eval 0
+            (2, [1.0, 1.0]),       # cos 1/sqrt(2) to both -> nearest eid 0
+            (3, [-1.0, 0.0]),      # cos -1 / 0 -> nearest is eval 20 at 0
+        ],
+    )
+    out = {
+        r.vec_id: r
+        for r in semantic_decontaminate(tr, ev, threshold=0.9).collect()
+    }
+    assert out[1].nearest_eval_id == 0 and out[1].max_cosine == 1.0
+    assert out[1].contaminated is True
+    assert out[2].nearest_eval_id == 0  # tie on cosine -> LOWEST eval id
+    assert out[2].max_cosine == round(1 / math.sqrt(2), 6)
+    assert out[2].contaminated is False
+    assert out[3].nearest_eval_id == 20 and out[3].max_cosine == 0.0
+
+
+def test_semantic_decontaminate_zero_norm_sentinel(spark):
+    ev = _vecdf(spark, [(0, [1.0, 0.0])])
+    tr = _vecdf(spark, [(1, [0.0, 0.0])])
+    row = semantic_decontaminate(tr, ev, threshold=0.5).collect()[0]
+    assert row.max_cosine == -2.0 and row.contaminated is False
+
+
+def test_semantic_decontaminate_empty_eval_set(spark):
+    ev = _vecdf(spark, [])
+    tr = _vecdf(spark, [(1, [1.0, 0.0])])
+    # nothing to compare against -> no verdict rows (not a crash)
+    assert semantic_decontaminate(tr, ev).collect() == []
+
+
+def test_readability_goldens(spark):
+    docs = spark.createDataFrame(
+        [
+            # 4 words, 2 sentences, 4 vowel groups (to, be, or, not:
+            # o/e/o/o) -> w/s=2, syl/w=1
+            (0, "to be. or not!"),
+            (1, ""),                 # empty -> NULL score and band
+            (2, None),               # NULL text counts as empty
+            (3, "xz qrst"),          # no vowels (y counts!): 2 w, 0 syl
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in readability_report(docs).collect()}
+    r0 = out[0]
+    assert (r0.n_words, r0.n_sentences, r0.n_syllable_groups) == (4, 2, 4)
+    assert r0.flesch == 206.835 - 1.015 * 2.0 - 84.6 * 1.0
+    assert r0.band == "very_easy"
+    for i in (1, 2):
+        assert out[i].n_words == 0
+        assert out[i].flesch is None and out[i].band is None
+    r3 = out[3]
+    assert r3.n_syllable_groups == 0
+    assert r3.flesch == 206.835 - 1.015 * 2.0
+    assert r3.band == "very_easy"
+
+
+def test_readability_band_thresholds(spark):
+    # craft word/sentence/syllable counts that land in each band:
+    # flesch = 206.835 - 1.015*w - 84.6*(syl/w) with 1 sentence
+    docs = spark.createDataFrame(
+        [(0, "aa aa aa"), (1, "aaaa eeee iiii oooo a e i o")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in readability_report(docs).collect()}
+    # doc 0: w=3, s=1, syl=3 -> 206.835 - 3.045 - 84.6 = 119.19 very_easy
+    assert out[0].band == "very_easy"
+    # doc 1: w=8, s=1, syl=8 -> 206.835 - 8.12 - 84.6 = 114.115 very_easy
+    assert out[1].band == "very_easy"
+    heavy = " ".join(["strengths"] * 30) + "."
+    d2 = spark.createDataFrame([(2, heavy)], "doc_id long, text string")
+    r2 = readability_report(d2).collect()[0]
+    # w=30, s=1, syl=30 -> 206.835 - 30.45 - 84.6 = 91.785 -> very_easy;
+    # long sentences alone push the score down through the bands
+    assert r2.flesch < 100
+
+
+def test_staged_parity_semantic_decontaminate(spark, duck):
+    from market_insights_app_spark.plans.textml import (
+        STAGED_ORACLES,
+        staged_q_semantic_decontaminate,
+    )
+
+    sdf = staged_q_semantic_decontaminate(spark, SF_ORACLE)
+    srows = [tuple(r) for r in sdf.collect()]
+    rel = duck.sql(STAGED_ORACLES["semantic_decontaminate"])
+    drows = rel.fetchall()
+    dcols = [d[0] for d in rel.description]
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows) > 0
+    assert canon(srows, sdf.columns) == canon(drows, dcols)
+    for col, typ in zip(rel.columns, rel.types):
+        assert str(typ) in {"BIGINT", "DOUBLE", "BOOLEAN"}, (col, str(typ))
+    # the gate discriminates: both verdicts present at the oracle SF
+    flags = {r[3] for r in drows}
+    assert flags == {True, False}
+
+
+def test_staged_parity_readability(spark, duck):
+    from market_insights_app_spark.plans.textml import (
+        STAGED_ORACLES,
+        staged_q_readability,
+    )
+
+    sdf = staged_q_readability(spark, SF_ORACLE)
+    srows = [tuple(r) for r in sdf.collect()]
+    rel = duck.sql(STAGED_ORACLES["readability"])
+    drows = rel.fetchall()
+    dcols = [d[0] for d in rel.description]
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows) > 0
+    assert canon(srows, sdf.columns) == canon(drows, dcols)
+    for col, typ in zip(rel.columns, rel.types):
+        assert str(typ) in {"BIGINT", "DOUBLE", "VARCHAR"}, (col, str(typ))
+
+
+def test_semantic_decontaminate_is_broadcast_no_shuffle_on_corpus(spark):
+    """The corpus side must not sort or shuffle for the pair stage: the
+    eval set rides a broadcast nested-loop join and the per-train
+    reduce is one hash aggregate."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    ev = emb.filter(F.col("vec_id") % 20 == 0)
+    tr = emb.filter(F.col("vec_id") % 20 != 0)
+    plan = semantic_decontaminate(
+        tr, ev, threshold=0.4
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -129,18 +129,18 @@ def uni_duck(uni_dir):
 
 
 def _query_and_sql(name):
-    if name.startswith("staged_r8:"):
+    if name.startswith("staged:"):
         from market_insights_app_spark.plans import textml
 
         short = name.split(":", 1)[1]
-        return getattr(textml, f"staged_r8_q_{short}"), textml.STAGED_R8_ORACLES[short]
+        return getattr(textml, f"staged_q_{short}"), textml.STAGED_ORACLES[short]
     return QUERIES[name], ORACLES[name]
 
 
 def _staged_names():
-    from market_insights_app_spark.plans.textml import STAGED_R8_ORACLES
+    from market_insights_app_spark.plans.textml import STAGED_ORACLES
 
-    return [f"staged_r8:{n}" for n in sorted(STAGED_R8_ORACLES)]
+    return [f"staged:{n}" for n in sorted(STAGED_ORACLES)]
 
 
 @pytest.mark.parametrize("name", _DOC_ORACLES + _staged_names())
