@@ -281,8 +281,8 @@ COMMENTARY = {
         "TakeOrderedAndProject — ranking on the raw ratio keeps the "
         "cut libm-free."
     ),
-    "nb_quality_staged": (
-        "Seed-set Naive Bayes quality filter (r8-staged): the trained "
+    "nb_quality": (
+        "Seed-set Naive Bayes quality filter (registered r8): the trained "
         "LLR model is a vocabulary-sized frame riding a "
         "BroadcastExchange onto the corpus token stream — the crawl "
         "side never shuffles for the join; class totals and the prior "
@@ -290,6 +290,34 @@ COMMENTARY = {
         "the map-side-combinable per-doc reduce. Train once, broadcast "
         "against any future corpus: at 100 TB the model build reads "
         "only the seed sample."
+    ),
+    "staged:pagerank_links": (
+        "Integer-grid PageRank (r9-staged): per iteration ONE "
+        "equi-join of the rank frame onto the edge list (pre-"
+        "partitioned by src once — every iteration reuses the layout) "
+        "and ONE map-side-combinable sum keyed on dst; the teleport "
+        "re-base is a scan-stage projection. All arithmetic is int64 "
+        "(rank div outdeg, 85*sum div 100) so the plan carries longs, "
+        "never doubles, and the result is partitioning-invariant. "
+        "Eager localCheckpoint every 4 iterations caps the plan depth "
+        "— the formatted plan below shows the final stanza, not 10 "
+        "stacked copies."
+    ),
+    "staged:semantic_decontaminate": (
+        "Embedding decontamination (r9-staged): the eval set rides a "
+        "BroadcastExchange into a BroadcastNestedLoopJoin against the "
+        "corpus scan (eval suites are small; the corpus never "
+        "shuffles for the pair stage); per-pair cost is one dot fold "
+        "over precomputed norms, and the per-train argmax is an "
+        "order-insensitive max(struct) HashAggregate — map-side "
+        "combinable, no window sort over the pair stream."
+    ),
+    "staged:readability": (
+        "Flesch readability (r9-staged): a single scan-stage project "
+        "— two regexp counts, a token count and one fixed double "
+        "expression inside WholeStageCodegen; zero Exchanges, "
+        "ReadSchema pruned to (doc_id, text). The classic shape every "
+        "per-row quality feature should compile to."
     ),
 }
 
@@ -424,10 +452,12 @@ def main() -> None:
             _shutil.rmtree(_root, ignore_errors=True)
             out.write(f"\n## {name}\n\n{note}\n\n```\n{buf.getvalue().strip()}\n```\n")
             continue
-        elif name == "nb_quality_staged":
-            from market_insights_app_spark.plans.textml import q_nb_quality
+        elif name.startswith("staged:"):
+            from market_insights_app_spark.plans import textml
 
-            df = q_nb_quality(spark, sf_dir)
+            df = getattr(textml, f"staged_q_{name.split(':', 1)[1]}")(
+                spark, sf_dir
+            )
         elif name == "exact_jaccard_pairs":
             from market_insights_app_spark.operators.dedup import exact_jaccard_pairs
             from market_insights_app_spark.sources.tables import load_table
