@@ -2678,23 +2678,22 @@ STAGED_ORACLES["semantic_decontaminate"] = """
     pairs AS (
       SELECT t.vec_id, e.eid,
              coalesce(
-               round(
-                 list_reduce(list_transform(list_zip(t.v, e.v),
-                                            p -> p[1] * p[2]),
-                             (a, b) -> a + b)
-                 / NULLIF(
-                     sqrt(list_reduce(list_transform(t.v, x -> x * x),
-                                      (a, b) -> a + b))
-                     * sqrt(list_reduce(list_transform(e.v, x -> x * x),
-                                        (a, b) -> a + b)), 0), 6),
-               CAST(-2 AS DOUBLE)) AS cosine
+               list_reduce(list_transform(list_zip(t.v, e.v),
+                                          p -> p[1] * p[2]),
+                           (a, b) -> a + b)
+               / NULLIF(
+                   sqrt(list_reduce(list_transform(t.v, x -> x * x),
+                                    (a, b) -> a + b))
+                   * sqrt(list_reduce(list_transform(e.v, x -> x * x),
+                                      (a, b) -> a + b)), 0),
+               CAST(-2 AS DOUBLE)) AS raw
       FROM tr t CROSS JOIN ev e),
-    best AS (SELECT vec_id, eid, cosine,
+    best AS (SELECT vec_id, eid, raw,
                     row_number() OVER (PARTITION BY vec_id
-                                       ORDER BY cosine DESC, eid ASC) AS rn
+                                       ORDER BY raw DESC, eid ASC) AS rn
              FROM pairs)
-    SELECT vec_id, eid AS nearest_eval_id, cosine AS max_cosine,
-           cosine >= CAST(0.4 AS DOUBLE) AS contaminated
+    SELECT vec_id, eid AS nearest_eval_id, round(raw, 6) AS max_cosine,
+           round(raw, 6) >= CAST(0.4 AS DOUBLE) AS contaminated
     FROM best WHERE rn = 1
 """
 

@@ -144,6 +144,41 @@ def test_staged_parity_readability(spark, duck):
         assert str(typ) in {"BIGINT", "DOUBLE", "VARCHAR"}, (col, str(typ))
 
 
+def test_semantic_decontaminate_lanes_bit_equal(spark):
+    """The dense Arrow lane accumulates dots in dimension order — the
+    exact IEEE operation sequence of the JVM fold — so both lanes must
+    agree BIT FOR BIT, including on engineered ties (duplicate eval
+    vectors: argmax must break to the lowest eval id in both) and the
+    zero-norm sentinel."""
+    import random
+
+    rng = random.Random(99)
+    dim = 16
+    tr_rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(60)
+    ] + [(60, [0.0] * dim)]
+    shared = [rng.uniform(-1, 1) for _ in range(dim)]
+    ev_rows = [
+        (100, shared),
+        (101, shared),  # exact duplicate: tie -> eid 100 must win
+        (102, [rng.uniform(-1, 1) for _ in range(dim)]),
+        (103, [0.0] * dim),  # zero-norm eval: sentinel pair
+    ]
+    tr, ev = _vecdf(spark, tr_rows), _vecdf(spark, ev_rows)
+    a = sorted(
+        tuple(r)
+        for r in semantic_decontaminate(tr, ev, 0.5, dense=False).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in semantic_decontaminate(tr, ev, 0.5, dense=True).collect()
+    )
+    assert a == b
+    assert all(r[1] != 101 for r in a)  # dup tie never picks the higher id
+    zero = [r for r in a if r[0] == 60][0]
+    assert zero.count(-2.0) == 1  # zero-norm train row carries the sentinel
+
+
 def test_semantic_decontaminate_is_broadcast_no_shuffle_on_corpus(spark):
     """The corpus side must not sort or shuffle for the pair stage: the
     eval set rides a broadcast nested-loop join and the per-train
