@@ -134,6 +134,7 @@ def extract_main_text(
     html_col: str = "html",
     max_link_density: float = 0.33,
     min_segment_chars: int = 25,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Boilerplate-removing main-text extraction: block segments with
     link density ≤ ``max_link_density`` and at least
@@ -142,10 +143,31 @@ def extract_main_text(
     (id, text, n_segments_kept, n_segments_total, kept_ratio) —
     the ratio doubles as a page-quality signal (link-farm pages keep
     ~nothing).  Zero-surviving-segment documents still emit a row with
-    empty text so ingestion counts reconcile."""
-    out_schema = (
-        f"{id_col} long, text string, n_segments_kept int, "
-        "n_segments_total int, kept_ratio double"
+    empty text so ingestion counts reconcile.
+
+    ``keep_cols`` passes input columns through the Arrow batch
+    untouched (appended after the extraction columns, original types)
+    — the crawl pipeline carries the page URI this way instead of
+    re-parsing the WARC for a self-join."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    base_fields = [
+        StructField(id_col, LongType()),
+        StructField("text", StringType()),
+        StructField("n_segments_kept", IntegerType()),
+        StructField("n_segments_total", IntegerType()),
+        StructField("kept_ratio", DoubleType()),
+    ]
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(
+        base_fields + [in_fields[c] for c in keep_cols]
     )
 
     def run(batches):
@@ -153,7 +175,7 @@ def extract_main_text(
 
         for pdf in batches:
             rows = []
-            for i, html in zip(pdf[id_col], pdf[html_col]):
+            for idx, (i, html) in enumerate(zip(pdf[id_col], pdf[html_col])):
                 segs = _segments(html or "")
                 kept = [
                     t for (t, tot, anch) in segs
@@ -168,13 +190,15 @@ def extract_main_text(
                         len(segs),
                         (len(kept) / len(segs)) if segs else 0.0,
                     )
+                    + tuple(pdf[c].iloc[idx] for c in keep_cols)
                 )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     id_col, "text", "n_segments_kept",
-                    "n_segments_total", "kept_ratio",
+                    "n_segments_total", "kept_ratio", *keep_cols,
                 ],
             )
 
-    return df.select(id_col, html_col).mapInPandas(run, schema=out_schema)
+    cols = [id_col, html_col, *keep_cols]
+    return df.select(*cols).mapInPandas(run, schema=out_schema)

@@ -54,8 +54,12 @@ def build_pretraining_corpus(
     n_shards: int = 8,
     near_dup_threshold: float = 0.5,
     salt: str = "pretrain-v1",
+    docs: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
-    """Run the whole pipeline over ``{sf_dir}/documents.parquet``;
+    """Run the whole pipeline over ``{sf_dir}/documents.parquet`` — or
+    over an explicit documents-schema ``docs`` frame (e.g. the output
+    of pipelines/crawl_corpus.warc_to_documents, which makes this the
+    back half of a WARC→training-corpus path);
     the held-out eval set is the deterministic ``doc_id % eval_mod``
     slice (stand-in for a benchmark suite).  Returns lazy frames:
     ``corpus`` (with ``split``, ``shard``, ``pos``), ``eval_set``,
@@ -71,7 +75,8 @@ def build_pretraining_corpus(
     hash-partition the training writer needs anyway; the manifest is a
     single map-side-combinable groupBy whose exchange carries
     fixed-size buffers."""
-    docs = load_table(spark, sf_dir, "documents")
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
     eval_set = docs.filter(F.col("doc_id") % eval_mod == 0)
     train_in = docs.filter(F.col("doc_id") % eval_mod != 0)
 
