@@ -418,17 +418,38 @@ class TxnTable:
         )
 
     def append(self, df: DataFrame, stats_col: str | None = None,
-               max_retries: int = 20) -> int:
+               max_retries: int = 20, evolve_schema: bool = False) -> int:
         """Blind INSERT: no table read, conflicts never invalidate the
         write — every lost race simply rebases to the next version.
         The add carries the DataFrame's own schema so the first commit
-        defines the table."""
+        defines the table.
+
+        ``evolve_schema=True`` (the Delta ``mergeSchema`` write
+        analog): a frame with NEW columns widens the recorded schema
+        (Spark's own union promotion — shared columns may widen, e.g.
+        int→long; earlier directories read back null-filled/widened
+        under the explicit-schema read), and a frame MISSING nullable
+        table columns commits with those columns null-filled on read.
+        Recomputed per retry against the fresh snapshot, so a lost
+        race against another schema-changing writer still evolves
+        from the winning schema."""
         entry = self._write_data(df, stats_col)
         schema_json = df.schema.json()
         attempts = 0
         while attempts < max_retries:
             snap = self.snapshot()
-            if snap.schema_json is not None and snap.schema_json != schema_json:
+            evolved_json: str | None = None
+            if (evolve_schema and snap.schema_json is not None
+                    and snap.schema_json != schema_json):
+                from pyspark.sql.types import StructType
+
+                base = StructType.fromJson(json.loads(snap.schema_json))
+                evolved_json = (
+                    self.spark.createDataFrame([], base)
+                    .unionByName(df.limit(0), allowMissingColumns=True)
+                    .schema.json()
+                )
+            elif snap.schema_json is not None and snap.schema_json != schema_json:
                 # the module contract is fail-loud on divergence: an
                 # unchecked mismatched append would commit fine and
                 # _read_dirs' explicit-schema read would then silently
@@ -457,7 +478,7 @@ class TxnTable:
                 "read_version": snap.version,
                 "add": [entry],
                 "remove": [],
-                "schema": snap.schema_json or schema_json,
+                "schema": evolved_json or snap.schema_json or schema_json,
                 "ts": time.time(),
                 "writer": f"{os.getpid()}-{uuid.uuid4().hex[:8]}",
             }

@@ -1097,3 +1097,28 @@ def test_nb_classifier_matches_python_model(spark, seeds, texts):
         assert gn == n
         assert gs == pytest.approx(s, abs=5e-6)
         assert gk == (gs > 0)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(1, 8),
+)
+def test_pagerank_matches_python_integer_model(spark, edges, iters):
+    """PageRank's integer-grid iteration vs the pure-Python replica:
+    exact rank_grid equality for ANY random multigraph (self-loops and
+    parallel edges included — both must be normalized away) and any
+    iteration count, across Spark's partitioning."""
+    from market_insights_app_spark.operators.graph import pagerank
+    from tests.test_graph import _ref_pagerank
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.rank_grid
+        for r in pagerank(e, iterations=iters).collect()
+    }
+    assert got == _ref_pagerank(edges, iters=iters)

@@ -71,6 +71,26 @@ def test_append_schema_mismatch_fails_loudly(spark, table):
     assert _rows(table.read()) == [(1, "a"), (2, "b")]
 
 
+def test_append_evolve_schema_widens_and_null_fills(spark, table):
+    """append(evolve_schema=True) is the Delta mergeSchema write
+    analog: a wider frame evolves the recorded schema (old directories
+    read back null-filled), a narrower frame commits with the missing
+    column null-filled, and the strict default still refuses both."""
+    table.append(_mk(spark, [(1, "a")]), stats_col="id")
+    wider = spark.createDataFrame([(2, "b", 9.5)], "id INT, val STRING, score DOUBLE")
+    with pytest.raises(ValueError, match="diverges"):
+        table.append(wider)
+    table.append(wider, evolve_schema=True)
+    got = {r["id"]: (r["val"], r["score"]) for r in table.read().collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
+    narrow = spark.createDataFrame([(3,)], "id INT")
+    with pytest.raises(ValueError, match="diverges"):
+        table.append(narrow)
+    table.append(narrow, evolve_schema=True)
+    got = {r["id"]: (r["val"], r["score"]) for r in table.read().collect()}
+    assert got[3] == (None, None) and len(got) == 3
+
+
 def test_merge_update_else_insert(spark, table):
     table.append(_mk(spark, [(1, "a"), (2, "b")]), stats_col="id")
     v = table.merge(_mk(spark, [(2, "B"), (4, "d")]), ["id"])
