@@ -33,25 +33,18 @@ from pyspark.sql import functions as F
 from market_insights_app_spark.functions.html import extract_main_text
 from market_insights_app_spark.functions.text import lang_id
 from market_insights_app_spark.functions.urls import registered_domain
-from market_insights_app_spark.sources.warc import read_warc
+from market_insights_app_spark.sources.warc import read_warc, read_warc_stream
 
 
-def warc_to_documents(
-    spark: SparkSession,
-    path: str,
-    min_chars: int = 50,
-    langs: tuple[str, ...] | None = None,
-    max_link_density: float = 0.33,
+def _documents_from_records(
+    recs: DataFrame,
+    min_chars: int,
+    langs: tuple[str, ...] | None,
+    max_link_density: float,
 ) -> DataFrame:
-    """Read WARC files under ``path`` into a documents-schema frame.
-
-    ``min_chars`` drops pages whose extracted main text is shorter
-    (boilerplate-only pages extract to near-empty); ``langs`` keeps
-    only the listed language codes (None keeps everything, including
-    'und').  Output columns match the testdata ``documents`` table:
-    (doc_id long, text string, lang string, source string,
-    n_chars long)."""
-    recs = read_warc(spark, path, record_types=("response",))
+    """records → documents-schema transform shared by the batch and
+    streaming lanes (every stage is stateless, so it composes onto a
+    streaming frame unchanged)."""
     pages = recs.filter(
         (F.col("http_status") == 200)
         & F.col("content_type").startswith("text/html")
@@ -77,3 +70,45 @@ def warc_to_documents(
     if langs is not None:
         docs = docs.filter(F.col("lang").isin(list(langs)))
     return docs
+
+
+def warc_to_documents(
+    spark: SparkSession,
+    path: str,
+    min_chars: int = 50,
+    langs: tuple[str, ...] | None = None,
+    max_link_density: float = 0.33,
+) -> DataFrame:
+    """Read WARC files under ``path`` into a documents-schema frame.
+
+    ``min_chars`` drops pages whose extracted main text is shorter
+    (boilerplate-only pages extract to near-empty); ``langs`` keeps
+    only the listed language codes (None keeps everything, including
+    'und').  Output columns match the testdata ``documents`` table:
+    (doc_id long, text string, lang string, source string,
+    n_chars long)."""
+    recs = read_warc(spark, path, record_types=("response",))
+    return _documents_from_records(recs, min_chars, langs, max_link_density)
+
+
+def warc_to_documents_stream(
+    spark: SparkSession,
+    path: str,
+    min_chars: int = 50,
+    langs: tuple[str, ...] | None = None,
+    max_link_density: float = 0.33,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Continuous-crawl twin of :func:`warc_to_documents`: the WARC
+    directory as a file-stream source, each micro-batch turning
+    newly-arrived archives into documents rows through the SAME
+    stateless transform — so the stream's cumulative output equals the
+    batch lane over the same files (pinned by
+    tests/test_crawl_pipeline.py).  Sink it with foreachBatch into the
+    ACID table (streaming/ingest.idempotent_append_batch keyed on
+    doc_id) for an always-current corpus."""
+    recs = read_warc_stream(
+        spark, path, record_types=("response",),
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    return _documents_from_records(recs, min_chars, langs, max_link_density)

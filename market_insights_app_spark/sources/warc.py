@@ -118,25 +118,9 @@ def parse_warc_bytes(data: bytes, warc_file: str = "") -> list[dict]:
     return records
 
 
-def read_warc(
-    spark: SparkSession,
-    path: str,
-    record_types: tuple[str, ...] = ("response",),
-) -> DataFrame:
-    """Read WARC files (plain or .gz) into one row per record.
-
-    Output: (warc_file, record_type, target_uri, warc_date,
-    content_type, http_status, payload binary) — for HTTP response
-    records the payload is the entity body with the HTTP headers
-    peeled, http_status carries the response code, and content_type
-    is the HTTP one (the WARC envelope's otherwise).
-    ``record_types`` filters early (responses by default — request /
-    metadata / warcinfo records are ingest noise for a text corpus);
-    pass ``()`` to keep everything."""
-    import pandas as pd  # noqa: F401
-
-    files = spark.read.format("binaryFile").load(path)
-    keep = tuple(record_types)
+def _record_mapper(keep: tuple[str, ...]):
+    """mapInPandas batch function shared by the batch and streaming
+    readers: (path, content) binaryFile rows → one row per record."""
 
     def run(batches):
         import pandas as pd
@@ -156,4 +140,54 @@ def read_warc(
                 ],
             )
 
-    return files.select("path", "content").mapInPandas(run, schema=_SCHEMA)
+    return run
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple[str, ...] = ("response",),
+) -> DataFrame:
+    """Read WARC files (plain or .gz) into one row per record.
+
+    Output: (warc_file, record_type, target_uri, warc_date,
+    content_type, http_status, payload binary) — for HTTP response
+    records the payload is the entity body with the HTTP headers
+    peeled, http_status carries the response code, and content_type
+    is the HTTP one (the WARC envelope's otherwise).
+    ``record_types`` filters early (responses by default — request /
+    metadata / warcinfo records are ingest noise for a text corpus);
+    pass ``()`` to keep everything."""
+    files = spark.read.format("binaryFile").load(path)
+    return files.select("path", "content").mapInPandas(
+        _record_mapper(tuple(record_types)), schema=_SCHEMA
+    )
+
+
+def read_warc_stream(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple[str, ...] = ("response",),
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming twin of :func:`read_warc`: the WARC directory as a
+    file-stream source (continuous crawl ingestion — new archives
+    appear, each micro-batch parses the newly-arrived files; the
+    parse itself is the SAME stateless Arrow mapper as the batch
+    lane, so stream output == batch output over the same files).
+    Drain with availableNow for on-demand catch-up, or a processing-
+    time trigger for a live crawl tail."""
+    files = (
+        spark.readStream.format("binaryFile")
+        # streaming file sources demand an explicit schema; binaryFile's
+        # is fixed by the format
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+    )
+    return files.select("path", "content").mapInPandas(
+        _record_mapper(tuple(record_types)), schema=_SCHEMA
+    )

@@ -120,3 +120,59 @@ def test_crawl_feeds_pretraining_pipeline(spark, tmp_path):
     assert len(corpus) == 12 - n_eval > 0
     assert set(manifest) <= {"train", "val"}
     assert sum(r.n_rows for r in manifest.values()) == len(corpus)
+
+
+def test_streaming_crawl_matches_batch_and_sinks_idempotently(spark, tmp_path):
+    """Continuous-crawl lane: the WARC directory as a file stream.
+    With maxFilesPerTrigger=1 the availableNow drain crosses real
+    micro-batch boundaries, and the cumulative stream output must
+    equal the batch lane over the same files; re-draining into the
+    idempotent foreachBatch sink must not duplicate rows."""
+    from market_insights_app_spark.pipelines.crawl_corpus import (
+        warc_to_documents,
+        warc_to_documents_stream,
+    )
+    from market_insights_app_spark.streaming.ingest import (
+        idempotent_append_batch,
+    )
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    for f in range(3):
+        uris = [f"http://s{f}.com/p{i}" for i in range(4)]
+        body = ("<html><body><p>"
+                + " ".join(f"f{f}w{i}tok{j}" for i in range(1) for j in range(30))
+                + ".</p></body></html>").encode()
+        (crawl / f"{f}.warc").write_bytes(_warc(uris, body=body))
+    path = str(crawl / "*.warc")
+    batch = sorted(tuple(r) for r in warc_to_documents(spark, path).collect())
+    assert len(batch) == 12
+
+    stream = warc_to_documents_stream(spark, path, max_files_per_trigger=1)
+    target = str(tmp_path / "docs_table")
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, _i: idempotent_append_batch(b, target, ["doc_id"])
+        )
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(tuple(r) for r in spark.read.parquet(target).collect())
+    assert got == batch
+
+    # second drain from a FRESH checkpoint replays every file; the
+    # idempotent sink must keep the table identical
+    q2 = (
+        warc_to_documents_stream(spark, path, max_files_per_trigger=1)
+        .writeStream.foreachBatch(
+            lambda b, _i: idempotent_append_batch(b, target, ["doc_id"])
+        )
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    again = sorted(tuple(r) for r in spark.read.parquet(target).collect())
+    assert again == batch
