@@ -146,6 +146,19 @@ _CHANGED_SINCE_ROW: list[str] = []
 # To register: rename to q_<name>, move the STAGED_ORACLES entry into
 # TEXTML_ORACLES, list in _NEW_THIS_ROUND. All three fit the 3 free
 # slots without consuming a consolidation.
+#
+# CEILING WARNING (computed, not guessed): registering all three puts
+# N = 150 = 3W exactly — the invariant's hard boundary.  From there
+# the rotation is a perfectly periodic 3-cycle (each round's window =
+# precisely the cohort swept 3 rounds earlier: r10 must-sweep is the
+# 50 r7-swept rows, r11 the r8 cohort, …) with ZERO slots for new or
+# changed queries, forever.  Any future registration OR any advice
+# fix that touches a swept query's semantics REQUIRES removing a
+# query first.  Recommended: execute the two sanctioned
+# consolidations in r9 anyway (ngram_jaccard_bigram ⊂ ngram_jaccard,
+# hybrid_search = bm25+topk — both sit in r9's must-sweep cohort, so
+# each removal also frees an r9 slot) → N = 148, leaving 2 permanent
+# slack slots per cycle for _CHANGED_SINCE_ROW re-gates.
 
 _unknown = (
     set(_LAST_SWEPT) | set(_NEW_THIS_ROUND) | set(_CHANGED_SINCE_ROW)

@@ -101,3 +101,22 @@ def test_html_strip_malformed_inputs(spark):
     assert rows[1] == "unclosed"
     assert rows[3] == "&"  # decimal entity dropped, &amp; decoded
     assert rows[4] is None
+
+
+def test_extract_main_text_keep_cols_passthrough(spark):
+    """keep_cols rides arbitrary input columns through the Arrow batch
+    untouched — original values, original types, appended after the
+    extraction columns."""
+    df = spark.createDataFrame(
+        [(1, _PAGE, "http://a.com/x", 7), (2, None, "http://b.org/y", None)],
+        "doc_id long, html string, uri string, fetch_rank int",
+    )
+    out = extract_main_text(df, keep_cols=("uri", "fetch_rank"))
+    assert out.columns == [
+        "doc_id", "text", "n_segments_kept", "n_segments_total",
+        "kept_ratio", "uri", "fetch_rank",
+    ]
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].uri == "http://a.com/x" and rows[1].fetch_rank == 7
+    assert rows[2].uri == "http://b.org/y" and rows[2].fetch_rank is None
+    assert rows[2].text == ""  # NULL html still emits a reconciled row
