@@ -221,22 +221,45 @@ def cosine_self_join_neardup(
     threshold: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dense: bool | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within a coarse bucket (e.g. a
     cluster label, an LSH signature): equi-join on the bucket then exact
     cosine. The bucket key bounds the pair blow-up; never a full cross
     join. Output (a, b, cosine).
 
-    The per-row norm is computed once on each side before the join, so
-    the per-PAIR work is a single dot fold instead of three array folds
-    — dot/(nrm_l·nrm_r) multiplies the exact same doubles cosine()
-    would, leaving the 6 dp rounding unchanged (same trick as
-    semdedup's screen; ~3× on the quadratic stage)."""
+    Two lanes, BIT-IDENTICAL by construction (the semantic_decontaminate
+    pattern):
+
+    - expression lane (``dense=False``; auto below 2 560 vectors): the
+      per-row norm is computed once on each side before the join, so
+      per-PAIR work is a single dot fold — dot/(nrm_l·nrm_r)
+      multiplies the exact same doubles cosine() would.
+    - dense Arrow lane (``dense=True``; auto at ≥ 2 560 vectors): one
+      shuffle groups each bucket onto an executor, the in-bucket pair
+      dots run as d vectorized row-block multiply-adds accumulated IN
+      DIMENSION ORDER — the JVM fold's exact IEEE sequence — and only
+      pairs with raw ≥ threshold − 1e-6 leave Arrow (the margin covers
+      the 6 dp rounding boundary); Spark applies the SAME F.round and
+      the exact ≥ threshold filter, so emitted values and survivors
+      match the expression lane bit for bit.  Row-blocked (1 024 rows)
+      so a hot bucket's g×g panel never materializes whole.
+
+    A zero-norm pair's cosine is undefined: the expression lane's
+    NULL fails the filter, the dense lane excludes denom == 0 — same
+    survivors."""
     slim = df.select(
         F.col(id_col).alias("id"),
         F.col(bucket_col).alias("bk"),
         _as_double(F.col(vec_col)).alias("v"),
     ).withColumn("nrm", norm(F.col("v")))
+    if dense is None:
+        dense = df.count() >= 2_560  # one bounded driver scalar
+    if dense:
+        raw = _neardup_dense_pairs(slim, threshold)
+        return raw.select(
+            "a", "b", F.round(F.col("raw"), 6).alias("cosine")
+        ).filter(F.col("cosine") >= threshold)
     l, r = slim.alias("l"), slim.alias("r")
     pair_cos = F.round(
         dot(F.col("l.v"), F.col("r.v"))
@@ -251,6 +274,60 @@ def cosine_self_join_neardup(
         pair_cos.alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+def _neardup_dense_pairs(slim: DataFrame, threshold: float) -> DataFrame:
+    """Arrow lane for cosine_self_join_neardup: per bucket, all i<j
+    pair dots via dimension-ordered row-block multiply-adds
+    (bit-identical to the JVM fold); emits (a, b, raw) for pairs with
+    raw ≥ threshold − 1e-6 — a superset of the rounded-filter
+    survivors, finalized JVM-side."""
+    import numpy as np
+    import pandas as pd
+
+    margin = threshold - 1e-6
+    cols = ["a", "b", "raw"]
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = len(pdf)
+        if g < 2:
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in
+                                 zip(cols, ("int64", "int64", "float64"))})
+        pdf = pdf.sort_values("id")  # i<j in index order == a<b by id
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+        d = X.shape[1]
+        out_a, out_b, out_raw = [], [], []
+        block = 1024
+        for lo in range(0, g, block):
+            hi = min(lo + block, g)
+            acc = np.zeros((hi - lo, g))
+            for k in range(d):
+                acc += X[lo:hi, k : k + 1] * X[None, :, k]
+            denom = nrm[lo:hi, None] * nrm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                raw = acc / denom
+            ok = (denom > 0) & (raw >= margin)
+            # strict upper triangle: j > global row index
+            ii, jj = np.nonzero(ok)
+            keep = jj > (ii + lo)
+            ii, jj = ii[keep], jj[keep]
+            out_a.append(ids[ii + lo])
+            out_b.append(ids[jj])
+            out_raw.append(raw[ii, jj])
+        return pd.DataFrame(
+            {
+                "a": np.concatenate(out_a) if out_a else np.array([], np.int64),
+                "b": np.concatenate(out_b) if out_b else np.array([], np.int64),
+                "raw": np.concatenate(out_raw)
+                if out_raw else np.array([], np.float64),
+            }
+        )
+
+    return slim.groupBy("bk").applyInPandas(
+        per_bucket, schema="a long, b long, raw double"
+    )
 
 
 def ivf_topk(

@@ -128,6 +128,13 @@ _NEW_THIS_ROUND: list[str] = [
 # registry's media lane uses only jpegcodec's DECODER, which is
 # untouched, and media_decode re-gates via r5-staleness regardless).
 _CHANGED_SINCE_ROW: list[str] = []
+# NOT listed although touched in r8 (the degenerate-guard precedent:
+# expression-identical on the swept domain): embedding_neardup's
+# cosine_self_join_neardup gained a dense Arrow lane that auto-engages
+# only at ≥ 2 560 vectors — the sf0.01 sweep domain (500 vectors) runs
+# the byte-identical expression lane; the lanes are additionally
+# bit-equality property-tested, and the query sits in r9's must-sweep
+# cohort (r6-swept) so it re-gates next round regardless.
 
 # r9 pre-stage: after the r8 sweep lands, fold CORRECTNESS_r08 into
 # _LAST_SWEPT (the 50 window names -> 8). The r9 must-sweep is then

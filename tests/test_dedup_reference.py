@@ -241,6 +241,44 @@ def test_embedding_neardup_bucketed(spark):
     assert all(a_b not in pairs for a_b in [(0, 3), (1, 3)])  # cross-bucket excluded
 
 
+def test_embedding_neardup_lanes_bit_equal(spark):
+    """The dense Arrow lane (dimension-ordered row-block accumulation,
+    raw pre-filter with a rounding margin, JVM-side round+filter) must
+    match the expression lane bit for bit — including zero-norm pairs
+    (dropped in both) and near-threshold cosines."""
+    import random
+
+    from market_insights_app_spark.operators.similarity import (
+        cosine_self_join_neardup,
+    )
+
+    rng = random.Random(31)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], i % 3) for i in range(80)
+    ]
+    rows.append((80, [0.0] * 8, 0))          # zero-norm: no pairs
+    rows.append((81, rows[0][1], 0))          # exact dup: cosine 1.0 pair
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    for thr in (0.2, 0.8):
+        a = sorted(
+            tuple(r)
+            for r in cosine_self_join_neardup(
+                df, "label", thr, dense=False
+            ).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in cosine_self_join_neardup(
+                df, "label", thr, dense=True
+            ).collect()
+        )
+        assert a == b and len(a) > 0, thr
+        assert all(x[0] != 80 and x[1] != 80 for x in a)  # zero-norm out
+        assert any(x[:2] == (0, 81) for x in a)           # dup pair found
+
+
 def test_merge_upsert(spark):
     from market_insights_app_spark.operators.dedup import merge_upsert
 
