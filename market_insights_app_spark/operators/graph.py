@@ -78,7 +78,12 @@ def pagerank(
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out"))
     # one edge-list frame carrying the out-degree, partitioned by the
-    # join key once so all `iterations` joins reuse the layout
+    # join key once so all `iterations` joins reuse the layout.
+    # persist(), deliberately NOT localCheckpoint: a checkpointed
+    # RDD-backed frame loses size statistics and the planner demotes
+    # every iteration's join to a sorted SMJ — measured 3.7 s → 9.7 s
+    # at 1M nodes / 10 iterations.  The cache-residency trade is
+    # bounded (edges × ~3 longs) and freed on session end.
     elist = (
         e.join(outdeg, "src")
         .repartition(e.sparkSession.sparkContext.defaultParallelism, "src")
