@@ -124,3 +124,26 @@ def test_pagerank_links_staged_parity(spark, duck):
     # driver type hygiene
     for col, typ in zip(rel.columns, rel.types):
         assert str(typ) in {"BIGINT", "DOUBLE"}, (col, str(typ))
+
+
+def test_pagerank_tol_converges_to_fixed_iteration_result(spark):
+    """tol_grid early-stop: the converged result must equal some
+    fixed-iteration run, and a zero-tolerance bound never stops before
+    the ranks are stationary (integer grid ⇒ exact stationarity is
+    reachable)."""
+    edges = [(0, 1), (1, 2), (2, 0), (3, 0), (3, 2)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    stationary = {
+        r.node: r.rank_grid
+        for r in pagerank(e, iterations=200, tol_grid=0).collect()
+    }
+    # the exact fixed point: one more iteration changes nothing
+    assert stationary == _ref_pagerank(edges, iters=200)
+    # loose tolerance stops earlier but still matches SOME prefix run
+    loose = {
+        r.node: r.rank_grid
+        for r in pagerank(e, iterations=50, tol_grid=10_000).collect()
+    }
+    assert loose in [
+        _ref_pagerank(edges, iters=k) for k in range(1, 51)
+    ]
