@@ -369,3 +369,37 @@ def sample_n_per_group(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    alpha: float,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "temp-mix-v1",
+) -> DataFrame:
+    """Temperature-based mixture resampling: target proportions
+    ∝ |group|^alpha — the multilingual/domain sampling-temperature
+    knob (mT5 / XLM-R style).  alpha = 1 reproduces the natural
+    distribution (keeps everything); alpha = 0 targets the uniform
+    mixture; in between, low-resource groups are up-weighted RELATIVE
+    to their size while the corpus stays as large as the binding
+    group allows (the ``mixture_sample`` contract — this operator just
+    derives the weight vector from the data instead of taking it as
+    input).
+
+    The group-count collect is bounded by group cardinality (sources /
+    languages — the k-means-k class of driver scalar).  Everything
+    downstream is ``mixture_sample``'s hash-predicate machinery:
+    deterministic across engines, reruns, and repartitioning."""
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    weights = {
+        r[group_col]: float(r["n"]) ** alpha for r in counts if r["n"] > 0
+    }
+    if not weights:
+        return df.limit(0)
+    return mixture_sample(
+        df, weights, group_col=group_col, id_col=id_col, salt=salt
+    )

@@ -749,3 +749,53 @@ def test_profile_table_counts(spark):
     # approximate path keeps the same schema
     approx = {r["column"]: r for r in profile_table(df, approximate=True).collect()}
     assert set(approx) == {"id", "s"}
+
+
+def test_temperature_mixture_alpha_extremes_and_midpoint(spark):
+    """alpha=1 → natural distribution (everything kept); alpha=0 →
+    uniform target (each group's expected share equal, smallest group
+    binding); 0<alpha<1 up-weights the small group relative to its
+    size. Deterministic across reruns (hash predicate, no RNG)."""
+    from market_insights_app_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    rows = (
+        [(i, "big") for i in range(3000)]
+        + [(10_000 + i, "small") for i in range(300)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    # alpha=1: weights ∝ sizes → every rate is 1.0, nothing dropped
+    assert temperature_mixture(df, alpha=1.0).count() == 3300
+
+    # alpha=0: uniform target; small (300) binds → expect ~300 of big
+    by0 = {
+        r["source"]: r["count"]
+        for r in temperature_mixture(df, alpha=0.0)
+        .groupBy("source")
+        .count()
+        .collect()
+    }
+    assert by0["small"] == 300
+    assert abs(by0["big"] - 300) < 4 * (300 * 0.9) ** 0.5
+
+    # alpha=0.5: small's share rises above natural (300/3300 ≈ 9.1%)
+    # toward the √-scaled target 1/(1+√10) ≈ 24%
+    mid = temperature_mixture(df, alpha=0.5)
+    bym = {
+        r["source"]: r["count"]
+        for r in mid.groupBy("source").count().collect()
+    }
+    share = bym["small"] / (bym["small"] + bym["big"])
+    assert 0.15 < share < 0.35, share
+    # determinism
+    assert sorted(r["doc_id"] for r in mid.collect()) == sorted(
+        r["doc_id"] for r in temperature_mixture(df, alpha=0.5).collect()
+    )
+
+    # degenerate inputs: empty frame, negative alpha
+    empty = spark.createDataFrame([], "doc_id long, source string")
+    assert temperature_mixture(empty, alpha=0.5).count() == 0
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mixture(df, alpha=-1.0)
