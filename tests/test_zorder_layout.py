@@ -5,6 +5,7 @@ baseline prunes only its own."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from market_insights_app_spark.operators.layout import (
@@ -37,8 +38,6 @@ def test_zorder_value_matches_python_interleave(spark):
 
 def test_zorder_value_guards(spark):
     df = spark.createDataFrame([(1, 1)], "x long, y long")
-    import pytest
-
     with pytest.raises(ValueError, match="fit a long"):
         zorder_value(df, ["x", "y"], bits=32)
     # constant column + NULLs scale to 0 instead of dividing by zero
@@ -107,3 +106,55 @@ def test_zorder_files_are_disjoint_z_ranges(spark):
     spans = sorted((r.lo, r.hi) for r in zr)
     for (l1, h1), (l2, h2) in zip(spans, spans[1:]):
         assert h1 <= l2, spans
+
+
+def test_bloom_file_index_no_false_negatives_and_skips(spark):
+    """Equality skipping: a value present in exactly one file must
+    never be skipped from THAT file (no false negatives), and with
+    16 bits/value the other files are almost all skipped; an absent
+    value skips ~everything."""
+    from market_insights_app_spark.operators.layout import (
+        bloom_file_index,
+        bloom_skipped_fraction,
+    )
+
+    n, files = 64_000, 16
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.pmod(F.xxhash64("id"), F.lit(10_000)).alias("x"),
+    )
+    laid = linear_assign(df, "doc_id", files)  # ids disjoint per file
+    idx = bloom_file_index(laid, "doc_id").cache()
+    assert idx.count() == files
+    # which file holds doc_id 12345?
+    home = laid.filter(F.col("doc_id") == 12_345).select("__file").first()[0]
+    rows = {r["__file"]: r for r in idx.collect()}
+    import numpy as np
+
+    m, k = rows[home]["m_bits"], rows[home]["n_hashes"]
+    probe = spark.range(1).select(
+        *[
+            F.xxhash64(F.lit(12_345).cast("bigint"), F.lit(i))
+            .bitwiseAND(F.lit(m - 1))
+            .alias(f"p{i}")
+            for i in range(k)
+        ]
+    ).first()
+    b = np.frombuffer(rows[home]["bits"], dtype=np.uint8)
+    assert all(b[p >> 3] & (1 << (p & 7)) for p in (probe[f"p{i}"] for i in range(k)))
+    # present value: skipped fraction counts every file EXCEPT the
+    # home file (plus rare false positives)
+    frac = bloom_skipped_fraction(idx, 12_345)
+    assert frac >= (files - 2) / files, frac
+    # absent value: essentially everything skipped
+    assert bloom_skipped_fraction(idx, 10_000_000) >= (files - 2) / files
+    # NULL equality is a contract error, not a silent zero
+    with pytest.raises(ValueError, match="NULL"):
+        bloom_skipped_fraction(idx, None)
+
+
+def test_bloom_file_index_empty_frame(spark):
+    from market_insights_app_spark.operators.layout import bloom_file_index
+
+    empty = spark.createDataFrame([], "doc_id long, __file int")
+    assert bloom_file_index(empty, "doc_id").collect() == []
