@@ -1,0 +1,78 @@
+"""Crawl front-door throughput probe: synthetic gzipped WARC archives
+through warc_to_documents (parse → HTTP peel → boilerplate extraction
+→ lang/length gates), batch and streaming lanes.  Records go to
+SCALE_NOTES.md by hand.
+
+    python scripts/crawl_probe.py [n_files] [pages_per_file]
+"""
+
+from __future__ import annotations
+
+import gzip
+import shutil
+import sys
+import tempfile
+import time
+
+
+def _record(uri: str, body: bytes) -> bytes:
+    http = (
+        f"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+    head = (
+        f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: {uri}\r\n"
+        f"WARC-Date: 2026-08-15T00:00:00Z\r\n"
+        f"Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode()
+    return head + http + b"\r\n\r\n"
+
+
+def main() -> None:
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    pages = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+
+    sys.path.insert(0, ".")
+    from market_insights_app_spark.pipelines.crawl_corpus import (
+        warc_to_documents,
+    )
+    from market_insights_app_spark.session import get_spark
+
+    root = tempfile.mkdtemp(prefix="crawl_probe_")
+    para = ("<p>" + "the quick brown fox jumps over the lazy dog and "
+            "keeps going with enough words to look like an article "
+            "paragraph of ordinary english text. " * 3 + "</p>")
+    nav = "<div>" + "".join(f"<a href='/{i}'>link{i}</a>" for i in range(20)) + "</div>"
+    total_bytes = 0
+    for f in range(n_files):
+        buf = bytearray()
+        for p in range(pages):
+            body = (f"<html><body>{nav}{para}<p>page f{f}p{p} marker "
+                    f"token{p % 97} body text continues here with more "
+                    f"filler words for realism.</p>{para}</body></html>"
+                    ).encode()
+            buf += gzip.compress(_record(f"http://site{f}.com/p{p}", body))
+        path = f"{root}/{f:05d}.warc.gz"
+        with open(path, "wb") as fh:
+            fh.write(buf)
+        total_bytes += len(buf)
+
+    spark = get_spark(app_name="mias-crawl-probe")
+    n_pages = n_files * pages
+    print(f"{n_files} gzipped WARCs, {n_pages:,} pages, "
+          f"{total_bytes / 1e6:.1f} MB compressed")
+    for run in (1, 2):
+        t0 = time.perf_counter()
+        out = warc_to_documents(spark, f"{root}/*.warc.gz")
+        n = out.count()
+        dt = time.perf_counter() - t0
+        print(f"run {run}: {n:,} docs in {dt:6.2f} s "
+              f"({n_pages / dt:,.0f} pages/s, "
+              f"{total_bytes / 1e6 / dt:.1f} MB/s compressed)")
+    spark.stop()
+    shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
