@@ -415,3 +415,32 @@ def temperature_mixture(
     return mixture_sample(
         df, weights, group_col=group_col, id_col=id_col, salt=salt
     )
+
+
+def kfold_column(
+    id_col: Column | str,
+    k: int,
+    salt: str = "kfold-v1",
+) -> Column:
+    """Cross-validation fold id in [0, k): the md5-hash analog of
+    ``split_column`` for k-fold CV — deterministic, engine-portable,
+    uniform in expectation, and stable under repartitioning/reruns.
+    Key it on a DOMAIN/group column instead of the row id (exactly like
+    ``q_domain_split``) and every page of a site lands in one fold —
+    the leakage-safe construction: near-duplicate members of a group
+    can never straddle a fold boundary and leak train into eval.
+
+    NULL keys hash as the string 'NULL-key' (one deterministic fold)
+    rather than producing a NULL fold id."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.md5(
+        F.concat(
+            F.lit(salt + ":"),
+            F.coalesce(c.cast("string"), F.lit("NULL-key")),
+        )
+    )
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(k)
+    ).cast("int").alias("fold")

@@ -799,3 +799,37 @@ def test_temperature_mixture_alpha_extremes_and_midpoint(spark):
     assert temperature_mixture(empty, alpha=0.5).count() == 0
     with pytest.raises(ValueError, match="alpha"):
         temperature_mixture(df, alpha=-1.0)
+
+
+def test_kfold_column_uniform_stable_and_group_keyed(spark):
+    """k-fold assignment: every fold populated and roughly uniform,
+    identical across reruns/repartitioning, leakage-safe when keyed on
+    a group column (all rows of a group share one fold), NULL keys get
+    a deterministic fold, k=1 puts everything in fold 0."""
+    from market_insights_app_spark.operators.sampling import kfold_column
+
+    df = spark.createDataFrame(
+        [(i, f"dom{i % 37}") for i in range(5000)] + [(9999, None)],
+        "doc_id long, domain string",
+    )
+    folds = df.select("doc_id", kfold_column("doc_id", 5))
+    by = {r["fold"]: r["count"] for r in folds.groupBy("fold").count().collect()}
+    assert set(by) == {0, 1, 2, 3, 4}
+    assert all(abs(v - 1000) < 5 * (1000 * 0.8) ** 0.5 for v in by.values()), by
+    # stability under repartitioning
+    a = sorted(tuple(r) for r in folds.collect())
+    b = sorted(
+        tuple(r)
+        for r in df.repartition(13)
+        .select("doc_id", kfold_column("doc_id", 5))
+        .collect()
+    )
+    assert a == b
+    # group-keyed: one fold per domain
+    gf = df.select("domain", kfold_column("domain", 4)).distinct()
+    per_domain = gf.groupBy("domain").count().collect()
+    assert all(r["count"] == 1 for r in per_domain)
+    # k=1 and the k<1 guard
+    assert df.select(kfold_column("doc_id", 1)).distinct().collect()[0][0] == 0
+    with pytest.raises(ValueError, match="k must be"):
+        kfold_column("doc_id", 0)
