@@ -778,25 +778,39 @@ def semantic_decontaminate(
     )
 
 
-def _decontaminate_dense(tr: DataFrame, ev_rows: list) -> DataFrame:
+def _decontaminate_dense(
+    tr: DataFrame, ev_rows: list, eval_chunk: int = 8_192
+) -> DataFrame:
     """Arrow lane for semantic_decontaminate: per corpus batch, all
     (train, eval) dots via ``d`` vectorized multiply-adds accumulated
     in dimension order — bit-identical to the JVM fold (same IEEE ops,
-    same order), at numpy speed.  Returns (id, eid, raw)."""
+    same order), at numpy speed.  Returns (id, eid, raw).
+
+    The eval side is processed in ``eval_chunk``-column panels so the
+    per-batch score matrix stays bounded (batch × eval_chunk doubles ≈
+    0.6 GB at 10k × 8k) no matter how large the eval suite grows; the
+    running (best, eid) pair is folded ACROSS panels in ascending-eid
+    order, so chunking cannot change the winner (strict > keeps the
+    earliest eid on ties, exactly as within one panel)."""
     import numpy as np
     import pandas as pd
 
-    eids = [int(e) for e, _ in ev_rows]
-    evecs = [[float(x) for x in v] for _, v in ev_rows]
+    # ascending eid once, globally: the cross-panel fold then sees
+    # candidates in eid order and strict > preserves the lowest-eid
+    # tie-break across panel boundaries
+    ev_sorted = sorted(((int(e), [float(x) for x in v]) for e, v in ev_rows),
+                       key=lambda t: t[0])
+    eids = [e for e, _ in ev_sorted]
+    evecs = [v for _, v in ev_sorted]
 
     def run(batches):
-        E = np.asarray(evecs, dtype=np.float64)  # (m, d)
-        eid_arr = np.asarray(eids, dtype=np.int64)
-        m, d = E.shape if E.size else (0, 0)
-        enrm = np.zeros(m)
+        E_all = np.asarray(evecs, dtype=np.float64)  # (m, d)
+        eid_all = np.asarray(eids, dtype=np.int64)
+        m, d = E_all.shape if E_all.size else (0, 0)
+        enrm_all = np.zeros(m)
         for i in range(d):
-            enrm += E[:, i] * E[:, i]
-        enrm = np.sqrt(enrm)
+            enrm_all += E_all[:, i] * E_all[:, i]
+        enrm_all = np.sqrt(enrm_all)
         for pdf in batches:
             if not len(pdf) or m == 0:
                 yield pd.DataFrame(
@@ -809,24 +823,26 @@ def _decontaminate_dense(tr: DataFrame, ev_rows: list) -> DataFrame:
                 [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
             )  # (b, d)
             tnrm = np.asarray(pdf["nrm"], dtype=np.float64)
-            acc = np.zeros((len(X), m))
-            for i in range(d):
-                acc += X[:, i : i + 1] * E[None, :, i]
-            denom = tnrm[:, None] * enrm[None, :]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                raw = acc / denom
-            raw[denom == 0.0] = -2.0  # the zero-norm sentinel
-            # argmax on the unrounded (bit-identical) value, ties to
-            # the LOWEST eval id: scan eval columns in ascending-eid
-            # order, strict > keeps the earliest winner
-            order = np.argsort(eid_arr, kind="stable")
             best_val = np.full(len(X), -np.inf)
             best_eid = np.zeros(len(X), dtype=np.int64)
-            for j in order:
-                col = raw[:, j]
-                upd = col > best_val
-                best_val[upd] = col[upd]
-                best_eid[upd] = eid_arr[j]
+            for lo in range(0, m, eval_chunk):
+                hi = min(lo + eval_chunk, m)
+                E = E_all[lo:hi]
+                acc = np.zeros((len(X), hi - lo))
+                for i in range(d):
+                    acc += X[:, i : i + 1] * E[None, :, i]
+                denom = tnrm[:, None] * enrm_all[None, lo:hi]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    raw = acc / denom
+                raw[denom == 0.0] = -2.0  # the zero-norm sentinel
+                # argmax on the unrounded (bit-identical) value, ties
+                # to the LOWEST eval id: eval columns arrive in
+                # ascending-eid order, strict > keeps the earliest
+                for j in range(hi - lo):
+                    col = raw[:, j]
+                    upd = col > best_val
+                    best_val[upd] = col[upd]
+                    best_eid[upd] = eid_all[lo + j]
             yield pd.DataFrame(
                 {
                     "id": np.asarray(pdf["id"], dtype=np.int64),

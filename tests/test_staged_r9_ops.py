@@ -177,6 +177,29 @@ def test_semantic_decontaminate_lanes_bit_equal(spark):
     assert all(r[1] != 101 for r in a)  # dup tie never picks the higher id
     zero = [r for r in a if r[0] == 60][0]
     assert zero.count(-2.0) == 1  # zero-norm train row carries the sentinel
+    # eval-panel chunking must not change anything — force panels
+    # SMALLER than the eval set so the running fold crosses panel
+    # boundaries, including the duplicate-eval tie pair split check
+    import market_insights_app_spark.operators.similarity as sim
+
+    best = sim._decontaminate_dense(
+        tr.select(
+            F.col("vec_id").alias("id"),
+            sim._as_double(F.col("embedding")).alias("v"),
+        ).withColumn("nrm", sim.norm(F.col("v"))),
+        [(r[0], list(r[1])) for r in ev.select("vec_id", "embedding").collect()],
+        eval_chunk=1,
+    )
+    chunked = sorted(
+        tuple(r)
+        for r in best.select(
+            F.col("id").alias("vec_id"),
+            F.col("eid").alias("nearest_eval_id"),
+            F.round(F.col("raw"), 6).alias("max_cosine"),
+            (F.round(F.col("raw"), 6) >= F.lit(0.5)).alias("contaminated"),
+        ).collect()
+    )
+    assert chunked == a
 
 
 def test_semantic_decontaminate_is_broadcast_no_shuffle_on_corpus(spark):
