@@ -158,3 +158,18 @@ def test_bloom_file_index_empty_frame(spark):
 
     empty = spark.createDataFrame([], "doc_id long, __file int")
     assert bloom_file_index(empty, "doc_id").collect() == []
+
+
+def test_zorder_value_three_columns(spark):
+    """The interleave is dimension-generic: 3 columns x 3 bits against
+    the pure-Python reference (identity scaling via full-range data)."""
+    bits = 3
+    rows = [(x, y, w) for x in range(8) for y in range(8) for w in range(8)]
+    df = spark.createDataFrame(rows, "x long, y long, w long")
+    joined, z = zorder_value(df, ["x", "y", "w"], bits=bits)
+    got = {
+        (r.x, r.y, r.w): r.z
+        for r in joined.select("x", "y", "w", z.alias("z")).collect()
+    }
+    for x, y, w in rows:
+        assert got[(x, y, w)] == _interleave([x, y, w], bits), (x, y, w)
