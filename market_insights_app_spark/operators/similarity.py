@@ -800,12 +800,19 @@ def _decontaminate_dense(
     # tie-break across panel boundaries
     ev_sorted = sorted(((int(e), [float(x) for x in v]) for e, v in ev_rows),
                        key=lambda t: t[0])
-    eids = [e for e, _ in ev_sorted]
-    evecs = [v for _, v in ev_sorted]
+    eid_np = np.asarray([e for e, _ in ev_sorted], dtype=np.int64)
+    ev_np = (
+        np.asarray([v for _, v in ev_sorted], dtype=np.float64)
+        if ev_sorted else np.zeros((0, 0))
+    )
+    # TorrentBroadcast of the packed float64 matrix — NOT closure
+    # capture: pickled-per-task Python lists would ship ~25 bytes per
+    # float (2.4 GB of objects at a 10^5 x 10^3 eval suite) where the
+    # broadcast moves the 8-byte-per-value array once per executor
+    bc = tr.sparkSession.sparkContext.broadcast((eid_np, ev_np))
 
     def run(batches):
-        E_all = np.asarray(evecs, dtype=np.float64)  # (m, d)
-        eid_all = np.asarray(eids, dtype=np.int64)
+        eid_all, E_all = bc.value
         m, d = E_all.shape if E_all.size else (0, 0)
         enrm_all = np.zeros(m)
         for i in range(d):
