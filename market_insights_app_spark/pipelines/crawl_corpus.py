@@ -18,7 +18,15 @@ Stages (one lazy chain, all linear):
                             xxhash64(file, uri, date) — stable across
                             reruns and partitionings; duplicate
                             fetches of one page collide on purpose and
-                            fall to the exact-dedup stage downstream
+                            fall to the exact-dedup stage downstream.
+                            Honest birthday math: cross-page collisions
+                            run ≈ n²/2⁶⁵ (10⁹ pages → ~2.7 %, each
+                            silently merging two distinct pages at
+                            dedup); a full-crawl-scale run should widen
+                            to a 2-column 128-bit id (second xxhash64
+                            with a different seed) before dedup — the
+                            documents schema pins one long here because
+                            that is the testdata contract
 
 At 100 TB this parallelizes per WARC file with no shuffle anywhere —
 the first exchange of the whole crawl→corpus path is the downstream
