@@ -52,6 +52,26 @@ def main() -> None:
             f"y-box {skipped_fraction(stats, box_y):6.1%}  "
             f"xy-box {skipped_fraction(stats, box_xy):6.1%}"
         )
+
+    # equality complement: per-file Bloom index on a unique id column
+    from market_insights_app_spark.operators.layout import (
+        bloom_file_index,
+        bloom_skipped_fraction,
+    )
+
+    ids = df.withColumn("doc_id", F.monotonically_increasing_id())
+    laid = linear_assign(ids, "x", files)
+    t0 = time.perf_counter()
+    idx = bloom_file_index(laid, "doc_id").cache()
+    nf = idx.count()
+    t_idx = time.perf_counter() - t0
+    mb = idx.select(F.sum(F.length("bits"))).first()[0] / 1e6
+    present = laid.select("doc_id").first()[0]
+    print(
+        f"bloom index: {nf} files built in {t_idx:.2f} s, {mb:.1f} MB "
+        f"metadata; equality skip present {bloom_skipped_fraction(idx, present):6.1%} "
+        f"absent {bloom_skipped_fraction(idx, -1):6.1%}"
+    )
     spark.stop()
 
 
