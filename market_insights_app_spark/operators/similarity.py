@@ -861,3 +861,70 @@ def _decontaminate_dense(
     return tr.select("id", "v", "nrm").mapInPandas(
         run, schema="id long, eid long, raw double"
     )
+
+
+def hard_negatives(
+    pool: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every anchor,
+    the ``k`` most-cosine-similar pool vectors with a DIFFERENT label
+    (and a different id) — the "confusable but wrong" examples a
+    retrieval/embedding trainer wants beside each positive (DPR /
+    SimCSE-style mining).
+
+    Scale shape: the anchor set is the SMALL side (a training batch or
+    a per-epoch sample), so anchors ride a broadcast into one pool
+    scan — the semantic_decontaminate join geometry — and the per-
+    anchor top-k is a row_number window keyed on the anchor (the
+    top_k_per_group pattern: one shuffle of the candidate pairs, AQE
+    handles skew).  Per-pair cost is a single index-ordered dot fold
+    over precomputed norms.  Deterministic: ties break on the lower
+    pool id; cosines round to 6 dp on emit.
+
+    Returns (anchor_id, rank, ``id_col``, ``label_col``, cosine) —
+    ``rank`` 1..k, hardest first.
+    """
+    from pyspark.sql.window import Window
+
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("a_label"),
+        _as_double(F.col(vec_col)).alias("av"),
+    ).withColumn("anrm", norm(F.col("av")))
+    p = pool.select(
+        F.col(id_col).alias("pid"),
+        F.col(label_col).alias("p_label"),
+        _as_double(F.col(vec_col)).alias("pv"),
+    ).withColumn("pnrm", norm(F.col("pv")))
+    pair_cos = F.round(
+        dot(F.col("av"), F.col("pv"))
+        / F.nullif(F.col("anrm") * F.col("pnrm"), F.lit(0.0)),
+        6,
+    )
+    pairs = (
+        p.crossJoin(F.broadcast(a))
+        .filter(
+            (F.col("p_label") != F.col("a_label"))
+            & (F.col("pid") != F.col("anchor_id"))
+        )
+        .select(
+            "anchor_id",
+            F.col("pid").alias(id_col),
+            F.col("p_label").alias(label_col),
+            pair_cos.alias("cosine"),
+        )
+        .filter(F.col("cosine").isNotNull())
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "rank", id_col, label_col, "cosine")
+    )

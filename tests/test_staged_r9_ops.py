@@ -214,3 +214,39 @@ def test_semantic_decontaminate_is_broadcast_no_shuffle_on_corpus(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_hard_negatives_mining(spark):
+    """Hard negatives: per anchor the k nearest DIFFERENT-label pool
+    vectors, hardest first, same-id and same-label excluded, zero-norm
+    pairs dropped, deterministic tie-break on the lower pool id."""
+    from market_insights_app_spark.operators.similarity import hard_negatives
+
+    def vl(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+
+    pool = vl(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.99, 0.1], 1),   # closest wrong-label to anchor 0
+            (2, [0.9, 0.3], 1),
+            (3, [0.0, 1.0], 1),    # orthogonal
+            (4, [1.0, 0.0], 0),    # same label: never a negative for 0
+            (5, [0.99, 0.1], 1),   # exact dup of 1: tie -> id 1 first
+            (6, [0.0, 0.0], 1),    # zero norm: dropped
+        ]
+    )
+    anchors = vl([(0, [1.0, 0.0], 0)])
+    got = hard_negatives(pool, anchors, k=3).collect()
+    assert [(r.rank, r.vec_id) for r in got] == [(1, 1), (2, 5), (3, 2)]
+    assert all(r.label == 1 for r in got)
+    assert got[0].cosine == got[1].cosine  # the engineered tie
+    # anchor present in the pool: its own id is excluded even though
+    # the label filter alone would already drop it here
+    pool2 = pool.union(anchors)
+    got2 = hard_negatives(pool2, anchors, k=10).collect()
+    assert all(r.vec_id != 0 for r in got2)
+    # empty anchor set -> empty result, not a crash
+    assert hard_negatives(pool, vl([]), k=3).collect() == []
