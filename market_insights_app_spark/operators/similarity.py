@@ -870,6 +870,7 @@ def hard_negatives(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    dense: bool | None = None,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: for every anchor,
     the ``k`` most-cosine-similar pool vectors with a DIFFERENT label
@@ -880,51 +881,160 @@ def hard_negatives(
     Scale shape: the anchor set is the SMALL side (a training batch or
     a per-epoch sample), so anchors ride a broadcast into one pool
     scan — the semantic_decontaminate join geometry — and the per-
-    anchor top-k is a row_number window keyed on the anchor (the
-    top_k_per_group pattern: one shuffle of the candidate pairs, AQE
-    handles skew).  Per-pair cost is a single index-ordered dot fold
-    over precomputed norms.  Deterministic: ties break on the lower
-    pool id; cosines round to 6 dp on emit.
+    anchor top-k is a ranked window on the anchor key (one shuffle of
+    the surviving candidates, AQE handles skew).  Two lanes,
+    BIT-IDENTICAL by construction (the decontaminate pattern):
+
+    - expression lane (auto below 2 560 pool vectors): one
+      index-ordered dot fold per pair over precomputed norms;
+    - dense Arrow lane (auto above): dimension-ordered vectorized
+      panels, and each pool batch pre-reduces to its LOCAL top-k per
+      anchor under the same (raw desc, id asc) order — a superset of
+      the global winners present in that batch — so the window ranks
+      k·batches candidates per anchor instead of the whole pool.
+
+    Ranking happens on the UNROUNDED cosine in both lanes (identical
+    doubles → identical order), ties to the lower pool id; the emitted
+    cosine rounds to 6 dp once.  Same-id, same-label and zero-norm
+    pairs are excluded.
 
     Returns (anchor_id, rank, ``id_col``, ``label_col``, cosine) —
     ``rank`` 1..k, hardest first.
     """
     from pyspark.sql.window import Window
 
-    a = anchors.select(
-        F.col(id_col).alias("anchor_id"),
-        F.col(label_col).alias("a_label"),
-        _as_double(F.col(vec_col)).alias("av"),
-    ).withColumn("anrm", norm(F.col("av")))
     p = pool.select(
         F.col(id_col).alias("pid"),
         F.col(label_col).alias("p_label"),
         _as_double(F.col(vec_col)).alias("pv"),
     ).withColumn("pnrm", norm(F.col("pv")))
-    pair_cos = F.round(
-        dot(F.col("av"), F.col("pv"))
-        / F.nullif(F.col("anrm") * F.col("pnrm"), F.lit(0.0)),
-        6,
-    )
-    pairs = (
-        p.crossJoin(F.broadcast(a))
-        .filter(
-            (F.col("p_label") != F.col("a_label"))
-            & (F.col("pid") != F.col("anchor_id"))
+    if dense is None:
+        dense = pool.count() >= 2_560  # one bounded driver scalar
+    if dense:
+        a_rows = anchors.select(id_col, label_col, vec_col).collect()
+        pairs = _hard_negative_candidates(p, a_rows, k)
+    else:
+        a = anchors.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(label_col).alias("a_label"),
+            _as_double(F.col(vec_col)).alias("av"),
+        ).withColumn("anrm", norm(F.col("av")))
+        pair_raw = dot(F.col("av"), F.col("pv")) / F.nullif(
+            F.col("anrm") * F.col("pnrm"), F.lit(0.0)
         )
-        .select(
-            "anchor_id",
-            F.col("pid").alias(id_col),
-            F.col("p_label").alias(label_col),
-            pair_cos.alias("cosine"),
+        pairs = (
+            p.crossJoin(F.broadcast(a))
+            .filter(
+                (F.col("p_label") != F.col("a_label"))
+                & (F.col("pid") != F.col("anchor_id"))
+            )
+            .select(
+                "anchor_id",
+                "pid",
+                F.col("p_label").alias("__lbl"),
+                pair_raw.alias("raw"),
+            )
+            .filter(F.col("raw").isNotNull())
         )
-        .filter(F.col("cosine").isNotNull())
-    )
     w = Window.partitionBy("anchor_id").orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
+        F.col("raw").desc(), F.col("pid").asc()
     )
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("anchor_id", "rank", id_col, label_col, "cosine")
+        .select(
+            "anchor_id",
+            "rank",
+            F.col("pid").alias(id_col),
+            F.col("__lbl").alias(label_col),
+            F.round(F.col("raw"), 6).alias("cosine"),
+        )
+    )
+
+
+def _hard_negative_candidates(p: DataFrame, a_rows: list, k: int) -> DataFrame:
+    """Arrow lane for hard_negatives: per pool batch, dimension-ordered
+    cosine panels against the broadcast anchor matrix, then a LOCAL
+    per-anchor top-k under the exact global order (raw desc, pid asc)
+    — any global winner present in the batch survives its batch's
+    local cut, so the downstream window sees a correct superset.
+    Returns (anchor_id, pid, __lbl, raw)."""
+    import numpy as np
+    import pandas as pd
+
+    a_sorted = sorted(
+        ((int(r[0]), r[1], [float(x) for x in r[2]]) for r in a_rows),
+        key=lambda t: t[0],
+    )
+    aid_np = np.asarray([i for i, _, _ in a_sorted], dtype=np.int64)
+    albl = [l for _, l, _ in a_sorted]
+    av_np = (
+        np.asarray([v for _, _, v in a_sorted], dtype=np.float64)
+        if a_sorted else np.zeros((0, 0))
+    )
+    bc = p.sparkSession.sparkContext.broadcast((aid_np, albl, av_np))
+
+    def run(batches):
+        aid, albl_v, A = bc.value
+        m, d = A.shape if A.size else (0, 0)
+        anrm = np.zeros(m)
+        for i in range(d):
+            anrm += A[:, i] * A[:, i]
+        anrm = np.sqrt(anrm)
+        empty = pd.DataFrame(
+            {"anchor_id": pd.Series([], dtype="int64"),
+             "pid": pd.Series([], dtype="int64"),
+             "__lbl": pd.Series([], dtype="object"),
+             "raw": pd.Series([], dtype="float64")}
+        )
+        for pdf in batches:
+            if not len(pdf) or m == 0:
+                yield empty
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["pv"]])
+            pnrm = np.asarray(pdf["pnrm"], dtype=np.float64)
+            pids = np.asarray(pdf["pid"], dtype=np.int64)
+            plbl = pdf["p_label"].to_numpy()
+            acc = np.zeros((len(X), m))
+            for i in range(d):
+                acc += X[:, i : i + 1] * A[None, :, i]
+            denom = pnrm[:, None] * anrm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                raw = acc / denom
+            rows_a, rows_p, rows_l, rows_r = [], [], [], []
+            for j in range(m):
+                ok = (
+                    (denom[:, j] > 0)
+                    & (pids != aid[j])
+                    & (plbl != albl_v[j])
+                    & np.isfinite(raw[:, j])
+                )
+                idx = np.nonzero(ok)[0]
+                if not len(idx):
+                    continue
+                # local top-k under the global order (raw desc, pid asc)
+                order = np.lexsort((pids[idx], -raw[idx, j]))[:k]
+                sel = idx[order]
+                rows_a.append(np.full(len(sel), aid[j], dtype=np.int64))
+                rows_p.append(pids[sel])
+                rows_l.append(plbl[sel])
+                rows_r.append(raw[sel, j])
+            if not rows_a:
+                yield empty
+                continue
+            yield pd.DataFrame(
+                {
+                    "anchor_id": np.concatenate(rows_a),
+                    "pid": np.concatenate(rows_p),
+                    "__lbl": pd.Series(
+                        np.concatenate(rows_l), dtype="object"
+                    ),
+                    "raw": np.concatenate(rows_r),
+                }
+            )
+
+    lbl_type = dict(p.dtypes)["p_label"]
+    return p.select("pid", "p_label", "pv", "pnrm").mapInPandas(
+        run,
+        schema=f"anchor_id long, pid long, __lbl {lbl_type}, raw double",
     )

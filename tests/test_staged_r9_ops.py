@@ -250,3 +250,48 @@ def test_hard_negatives_mining(spark):
     assert all(r.vec_id != 0 for r in got2)
     # empty anchor set -> empty result, not a crash
     assert hard_negatives(pool, vl([]), k=3).collect() == []
+
+
+def test_hard_negatives_lanes_bit_equal(spark):
+    """Both mining lanes must agree bit for bit: dimension-ordered
+    panels + local per-anchor top-k under the exact global order is a
+    superset of the winners, and ranking runs on unrounded raw cosines
+    in both lanes."""
+    import random
+
+    from market_insights_app_spark.operators.similarity import hard_negatives
+
+    rng = random.Random(7)
+    dim = 12
+    pool_rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)], i % 4)
+        for i in range(200)
+    ] + [(200, [0.0] * dim, 1)]
+    shared = [rng.uniform(-1, 1) for _ in range(dim)]
+    pool_rows += [(201, shared, 2), (202, shared, 2)]  # engineered tie
+    anchors_rows = [
+        (300 + j, [rng.uniform(-1, 1) for _ in range(dim)], j % 4)
+        for j in range(7)
+    ] + [(310, shared, 3)]  # anchor equal to the dup pair: cosine 1 ties
+    pool = spark.createDataFrame(
+        pool_rows, "vec_id long, embedding array<float>, label int"
+    )
+    anchors = spark.createDataFrame(
+        anchors_rows, "vec_id long, embedding array<float>, label int"
+    )
+    for kk in (1, 4, 13):
+        a = sorted(
+            tuple(r)
+            for r in hard_negatives(pool, anchors, k=kk, dense=False).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in hard_negatives(pool, anchors, k=kk, dense=True).collect()
+        )
+        assert a == b and len(a) > 0, kk
+    # the dup-pair tie for anchor 310: id 201 must rank before 202
+    got = {
+        (r.anchor_id, r.rank): r.vec_id
+        for r in hard_negatives(pool, anchors, k=2, dense=True).collect()
+    }
+    assert got[(310, 1)] == 201 and got[(310, 2)] == 202
