@@ -1002,11 +1002,20 @@ def _hard_negative_candidates(p: DataFrame, a_rows: list, k: int) -> DataFrame:
             with np.errstate(divide="ignore", invalid="ignore"):
                 raw = acc / denom
             rows_a, rows_p, rows_l, rows_r = [], [], [], []
+            # SQL != is NULL-excluding on BOTH sides: a NULL-label pool
+            # row is never a negative, and a NULL-label anchor gets no
+            # negatives at all (numpy's None != x would say True, and
+            # Arrow hands a nullable int column to pandas as NaN —
+            # isna() catches both encodings)
+            pool_lbl_ok = ~pdf["p_label"].isna().to_numpy()
             for j in range(m):
+                if albl_v[j] is None:
+                    continue
                 ok = (
                     (denom[:, j] > 0)
                     & (pids != aid[j])
                     & (plbl != albl_v[j])
+                    & pool_lbl_ok
                     & np.isfinite(raw[:, j])
                 )
                 idx = np.nonzero(ok)[0]

@@ -295,3 +295,22 @@ def test_hard_negatives_lanes_bit_equal(spark):
         for r in hard_negatives(pool, anchors, k=2, dense=True).collect()
     }
     assert got[(310, 1)] == 201 and got[(310, 2)] == 202
+
+
+def test_hard_negatives_null_labels_sql_semantics(spark):
+    """SQL != is NULL-excluding: NULL-label pool rows are never
+    negatives and NULL-label anchors get none — in BOTH lanes."""
+    from market_insights_app_spark.operators.similarity import hard_negatives
+
+    pool = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [1.0, 0.1], None), (2, [1.0, 0.2], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    anchors = spark.createDataFrame(
+        [(10, [1.0, 0.0], 0), (11, [1.0, 0.0], None)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    for lane in (False, True):
+        got = hard_negatives(pool, anchors, k=5, dense=lane).collect()
+        assert {r.anchor_id for r in got} == {10}, lane
+        assert all(r.vec_id == 2 for r in got), lane
