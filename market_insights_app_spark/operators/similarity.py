@@ -20,6 +20,7 @@ partition-pruned probe of a small fraction of cells.
 from __future__ import annotations
 
 import math
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -736,14 +737,19 @@ def semantic_decontaminate(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("nrm", norm(F.col("v")))
     if dense is None:
-        # one driver scalar on the SMALL side (it is collected for the
-        # broadcast/dense lane anyway) — same bound as a k-means k
-        dense = evalset.count() >= 256
-    if dense:
+        # lane gate from the SMALL side's one collect (it is the
+        # broadcast side either way — no separate count() action)
         ev_rows = [
             (r[0], list(r[1]))
             for r in evalset.select(id_col, vec_col).collect()
         ]
+        dense = len(ev_rows) >= 256
+    elif dense:
+        ev_rows = [
+            (r[0], list(r[1]))
+            for r in evalset.select(id_col, vec_col).collect()
+        ]
+    if dense:
         best = _decontaminate_dense(tr, ev_rows)
     else:
         ev = evalset.select(
@@ -871,6 +877,7 @@ def hard_negatives(
     vec_col: str = "embedding",
     label_col: str = "label",
     dense: bool | None = None,
+    anchor_chunk: int = 65_536,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: for every anchor,
     the ``k`` most-cosine-similar pool vectors with a DIFFERENT label
@@ -878,16 +885,22 @@ def hard_negatives(
     retrieval/embedding trainer wants beside each positive (DPR /
     SimCSE-style mining).
 
-    Scale shape: the anchor set is the SMALL side (a training batch or
-    a per-epoch sample), so anchors ride a broadcast into one pool
-    scan — the semantic_decontaminate join geometry — and the per-
-    anchor top-k is a ranked window on the anchor key (one shuffle of
-    the surviving candidates, AQE handles skew).  Two lanes,
-    BIT-IDENTICAL by construction (the decontaminate pattern):
+    Scale shape: anchors ride a broadcast into one pool scan — the
+    semantic_decontaminate join geometry — and the per-anchor top-k is
+    a ranked window on the anchor key (one shuffle of the surviving
+    candidates, AQE handles skew).  Lane choice NEVER runs an action
+    over the pool (the unbounded side): the dense Arrow lane is the
+    default, and full-corpus mining (anchors ≈ the training set) is
+    handled by streaming the anchor side to the driver in bounded
+    chunks of ``anchor_chunk`` rows (``toLocalIterator`` — never an
+    unbounded collect), one broadcast panel per chunk; each anchor
+    lands in exactly one chunk, so the per-anchor window still sees
+    its complete candidate superset.  Two lanes, BIT-IDENTICAL by
+    construction (the decontaminate pattern):
 
-    - expression lane (auto below 2 560 pool vectors): one
+    - expression lane (``dense=False`` — the oracle-twin lane): one
       index-ordered dot fold per pair over precomputed norms;
-    - dense Arrow lane (auto above): dimension-ordered vectorized
+    - dense Arrow lane (default): dimension-ordered vectorized
       panels, and each pool batch pre-reduces to its LOCAL top-k per
       anchor under the same (raw desc, id asc) order — a superset of
       the global winners present in that batch — so the window ranks
@@ -908,11 +921,20 @@ def hard_negatives(
         F.col(label_col).alias("p_label"),
         _as_double(F.col(vec_col)).alias("pv"),
     ).withColumn("pnrm", norm(F.col("pv")))
-    if dense is None:
-        dense = pool.count() >= 2_560  # one bounded driver scalar
-    if dense:
-        a_rows = anchors.select(id_col, label_col, vec_col).collect()
-        pairs = _hard_negative_candidates(p, a_rows, k)
+    if dense is None or dense:
+        # dense lane (default): stream anchors in bounded chunks —
+        # no action over the pool, no unbounded driver collect
+        sel = anchors.select(id_col, label_col, vec_col)
+        chunk_dfs: list[DataFrame] = []
+        buf: list = []
+        for row in sel.toLocalIterator():
+            buf.append(row)
+            if len(buf) >= anchor_chunk:
+                chunk_dfs.append(_hard_negative_candidates(p, buf, k))
+                buf = []
+        if buf or not chunk_dfs:
+            chunk_dfs.append(_hard_negative_candidates(p, buf, k))
+        pairs = reduce(DataFrame.unionByName, chunk_dfs)
     else:
         a = anchors.select(
             F.col(id_col).alias("anchor_id"),

@@ -50,122 +50,116 @@ _COLLECTED: dict[str, QueryFn] = {**_collect(core), **_collect(textml)}
 # the judge would flag.
 # ---------------------------------------------------------------------------
 
-_ROUND = 8
+_ROUND = 9
 _WINDOW = 50
 
 # name -> round of its latest driver CORRECTNESS row (0 = never swept).
-# Source: CORRECTNESS_r01..r07 artifacts (an entry counts as swept when
+# Source: CORRECTNESS_r01..r08 artifacts (an entry counts as swept when
 # the driver recorded it, including rows-only `err: no_oracle` rows).
-# r7 was 50/50 green, folded here; near_dedup_corpus was consolidated
-# in r8 (its pair source is gated by minhash_neardup_portable, its
-# CC/representative/anti-join stages by near_dedup_corpus_exact) and
-# its row removed.
+# r8 was 50/50 green, folded here; the two sanctioned consolidations
+# were executed in r9 and their rows removed: ngram_jaccard_bigram
+# (same ngram_jaccard_vs_query path as ★ngram_jaccard, n=2 vs n=1;
+# n∈{1,2,3} unit-gated in tests/test_dedup_reference.py) and
+# hybrid_search (pure RRF arithmetic over the independently gated
+# ★bm25_search + ★embedding_topk inputs; exact golden kept in
+# tests/test_retrieval_clustering.py).
 _LAST_SWEPT: dict[str, int] = {
-    "ab_mann_whitney": 6, "ab_welch_t": 6, "ann_lsh_topk": 6, "asof_join": 5,
-    "autocorr_lag1": 7, "beta_benchmark": 6, "bigram_lm": 5, "bm25_search": 5,
+    "ab_mann_whitney": 6, "ab_welch_t": 6, "ann_lsh_topk": 6, "asof_join": 8,
+    "autocorr_lag1": 7, "beta_benchmark": 6, "bigram_lm": 8, "bm25_search": 8,
     "bollinger": 7, "cdc_apply_roundtrip": 6, "chi2_lang_drift": 6,
     "click_attribution": 7, "cohort_retention": 7,
-    "connector_av_quote_parse": 5, "connector_fx_parse": 5,
-    "connector_yahoo_parse": 5, "corpus_report": 6, "corpus_shuffle": 6,
-    "corpus_split": 6, "cube_agg": 7, "daily_sharpe": 7, "decontaminate": 5,
-    "decontaminate_bloom": 6, "dedup_exact": 5, "dedup_latest_wins": 7,
-    "doc_chunks": 6, "doc_repetition": 5, "domain_doc_cap": 5,
-    "domain_split": 5, "dsir_select": 5, "ema_stateful_replay": 5,
-    "embedding_neardup": 6, "embedding_topk": 5, "equity_cumsum": 7,
-    "ewma_macd": 5, "fingerprint_docs": 6, "frame_sample": 6,
-    "funnel_conversion": 7, "fuzzy_match": 5, "group_topk": 7,
-    "grouping_sets_revenue": 7, "histogram": 7, "hybrid_search": 6,
+    "connector_av_quote_parse": 8, "connector_fx_parse": 8,
+    "connector_yahoo_parse": 8, "corpus_manifest": 8, "corpus_report": 6,
+    "corpus_shuffle": 6, "corpus_split": 6, "cube_agg": 7, "daily_sharpe": 7,
+    "decontaminate": 8, "decontaminate_bloom": 6, "dedup_exact": 8,
+    "dedup_latest_wins": 7, "doc_chunks": 6, "doc_repetition": 8,
+    "domain_doc_cap": 8, "domain_split": 8, "dsir_select": 8,
+    "ema_stateful_replay": 8, "embedding_neardup": 6, "embedding_topk": 8,
+    "equity_cumsum": 7, "ewma_macd": 8, "fingerprint_docs": 6,
+    "frame_sample": 6, "funnel_conversion": 7, "fuzzy_match": 8,
+    "group_topk": 7, "grouping_sets_revenue": 7, "histogram": 7,
     "ict_analysis": 7, "impact_classify": 6, "incremental_agg": 6,
-    "interval_join_stream_replay": 6, "inverted_index": 5, "ivf_topk": 5,
+    "interval_join_stream_replay": 6, "inverted_index": 8, "ivf_topk": 8,
     "journal_stats": 6, "json_extract_props": 7, "key_skew": 6,
-    "kmeans_assign": 6, "lag_delta": 7, "lang_id": 5, "latest_join_enrich": 7,
-    "latest_per_key": 7, "level_extract": 6, "lm_quality": 5,
-    "local_extrema": 7, "ma_slope_trend": 7, "max_drawdown": 5,
-    "media_decode": 5, "media_features": 7, "minhash_neardup": 7,
-    "minhash_neardup_portable": 5, "minmax_mid_premium": 7,
-    "minmax_normalize": 7, "mixture_sample": 6, "multi_join_revenue": 5,
-    "near_dedup_corpus_exact": 5, "ngram_jaccard": 5,
-    "ngram_jaccard_bigram": 6, "ngram_novelty": 6, "ohlc_resample": 5,
-    "ohlc_stream_replay": 6, "pairwise_corr": 5, "pairwise_corr_dense": 5,
-    "passage_dedup": 7, "perplexity_buckets": 5, "pii_scrub": 5,
-    "pit_feature_lookup": 6, "pivot_event_counts": 7, "pmi_collocations": 6,
-    "pnl_r_scalars": 7, "positions_agg": 5, "prices_filter_range_limit": 7,
+    "kmeans_assign": 6, "lag_delta": 7, "lang_id": 8, "latest_join_enrich": 7,
+    "latest_per_key": 7, "level_extract": 6, "lm_quality": 8,
+    "local_extrema": 7, "ma_slope_trend": 7, "max_drawdown": 8,
+    "media_decode": 8, "media_features": 7, "minhash_neardup": 7,
+    "minhash_neardup_portable": 8, "minmax_mid_premium": 7,
+    "minmax_normalize": 7, "mixture_sample": 6, "multi_join_revenue": 8,
+    "nb_quality": 8, "near_dedup_corpus_exact": 8, "ngram_jaccard": 8,
+    "ngram_novelty": 6, "ohlc_resample": 8, "ohlc_stream_replay": 6,
+    "pairwise_corr": 8, "pairwise_corr_dense": 8, "passage_dedup": 7,
+    "perplexity_buckets": 8, "pii_scrub": 8, "pit_feature_lookup": 6,
+    "pivot_event_counts": 7, "pmi_collocations": 6, "pnl_r_scalars": 7,
+    "positions_agg": 8, "prices_filter_range_limit": 7,
     "prices_keyset_page": 7, "prices_page2": 7, "psi_drift": 6,
-    "quality_funnel": 6, "quantile_binning": 6, "quantize_int8": 5,
+    "quality_funnel": 6, "quantile_binning": 6, "quantize_int8": 8,
     "range_join_sessions": 7, "recent_n_tail": 7, "resample_ffill": 6,
     "robust_outliers": 7, "rolling_corr_market": 6,
     "rolling_min_volatility": 7, "rolling_stddev10": 7, "rollup_revenue": 7,
     "rsi14": 7, "salted_hot_agg": 7, "sample_per_group": 6,
-    "scd2_user_state": 6, "semdedup": 5, "seq_len_histogram": 6, "seq_pack": 5,
-    "series_moments": 5, "session_stateful_replay": 5, "session_window_agg": 7,
-    "set_ops": 7, "simhash_neardup": 7, "simhash_neardup_portable": 5,
+    "scd2_user_state": 6, "semdedup": 8, "seq_len_histogram": 6, "seq_pack": 8,
+    "series_moments": 8, "session_stateful_replay": 8, "session_window_agg": 7,
+    "set_ops": 7, "simhash_neardup": 7, "simhash_neardup_portable": 8,
     "sketch_profile": 7, "sliding_window_agg": 7, "sma5": 7,
-    "snapshot_diff": 6, "span_dedup": 5, "stratified_sample": 5,
-    "table_profile": 5, "tag_split": 6, "text_quality": 5,
-    "tfidf_top_terms": 5, "timestamp_normalize": 6, "token_entropy": 6,
-    "tokens_count": 6, "tpch_q1_style": 5, "trailing_max_argmax": 7,
-    "training_corpus": 5, "transition_matrix": 6, "trend_ols": 6,
+    "snapshot_diff": 6, "span_dedup": 8, "stratified_sample": 8,
+    "table_profile": 8, "tag_split": 6, "text_quality": 8,
+    "tfidf_top_terms": 8, "timestamp_normalize": 6, "token_entropy": 6,
+    "tokens_count": 6, "tpch_q1_style": 8, "trailing_max_argmax": 7,
+    "training_corpus": 8, "transition_matrix": 6, "trend_ols": 6,
     "tumbling_window_agg": 7, "twap_daily": 6, "union_merge_dedup": 7,
-    "url_normalize": 5, "validate_lineitem": 7, "value_quantiles": 7,
-    "var_cvar": 6, "vocab_topk": 5, "vwap_daily": 5, "weighted_sample": 6,
+    "url_normalize": 8, "validate_lineitem": 7, "value_quantiles": 7,
+    "var_cvar": 6, "vocab_topk": 8, "vwap_daily": 8, "weighted_sample": 6,
     "window_delta_stats": 7, "zipf_slope": 7, "zscore_anomalies": 6,
 }
 
 # Queries first registered in round _ROUND (no driver row can exist).
-# r8 registers the two r7-staged queries: the window is 48 r5-stale
-# (49 minus the consolidated near_dedup_corpus) + 2 new = 50 slots
-# exactly (the pre-staged r8 budget).
+# r9 registers the three r8-staged queries; the window is 45 r6-stale
+# rows + 3 new = 48 slots, leaving 2 slack slots that the stalest-first
+# tier-2 ordering spends on the oldest r7 rows.
 _NEW_THIS_ROUND: list[str] = [
-    "nb_quality",       # seed-set Naive Bayes quality filter
-    "corpus_manifest",  # dataset release manifest checksums
+    "pagerank_links",          # integer-grid PageRank over the link graph
+    "semantic_decontaminate",  # embedding-space eval-set contamination
+    "readability",             # Flesch reading-ease quality signal
 ]
 
 # Queries whose operator/plan/oracle semantics were touched since
-# their last driver row — must re-gate even if recently swept.  r8:
-# empty — the r8 ADVICE fixes live in modules with no registry row
-# (storage/txnlog delete/append semantics, sources/warc gzip
-# containment, functions/jpegcodec Huffman table emission; the
-# registry's media lane uses only jpegcodec's DECODER, which is
-# untouched, and media_decode re-gates via r5-staleness regardless).
+# their last driver row — must re-gate even if recently swept.  r9:
+# empty — this round's ADVICE fixes live in operators with no registry
+# row or off the swept lane: temperature_mixture NULL-group contract
+# (sampling.py, unit-gated only), synthetic_link_graph id-bound
+# arithmetic (graph.py — feeds pagerank_links, which is NEW this round
+# and re-gates anyway), pagerank edge-list unpersist (resource
+# lifecycle, not semantics), bloom_file_index m_bits cap (layout.py,
+# unit/probe-gated only), and the hard_negatives lane-gate rework
+# (similarity.py, unit-gated; its oracle twin is staged for r10).
 _CHANGED_SINCE_ROW: list[str] = []
-# NOT listed although touched in r8 (the degenerate-guard precedent:
-# expression-identical on the swept domain): embedding_neardup's
-# cosine_self_join_neardup gained a dense Arrow lane that auto-engages
-# only at ≥ 2 560 vectors — the sf0.01 sweep domain (500 vectors) runs
-# the byte-identical expression lane; the lanes are additionally
-# bit-equality property-tested, and the query sits in r9's must-sweep
-# cohort (r6-swept) so it re-gates next round regardless.
 
-# r9 pre-stage: after the r8 sweep lands, fold CORRECTNESS_r08 into
-# _LAST_SWEPT (the 50 window names -> 8). The r9 must-sweep is then
-# the 47 r6-stale rows (50 swept in r6 minus daily_sharpe and
-# robust_outliers + validate_lineitem, which r7 re-gated), leaving
-# THREE slots for new+changed combined.  The sanctioned consolidations
-# (ngram_jaccard_bigram ⊂ ngram_jaccard; hybrid_search = bm25+topk)
-# are both r6-stale, so each one executed in r9 frees a slot directly.
-#
-# Pre-built r9 candidates (plans/textml.py STAGED_ORACLES), each
+# r10 pre-stage: after the r9 sweep lands, fold CORRECTNESS_r09 into
+# _LAST_SWEPT (the 50 window names -> 9).  The r10 must-sweep is then
+# the ~48 r7-stale rows (50 swept in r7 minus the ~2 the r9 slack
+# slots pulled forward), leaving ~2 slots for new+changed combined.
+# Pre-built r10 candidates (plans/textml.py STAGED_ORACLES), each
 # twin-tested at sf0.001 + sf0.01, on the unicode corpus, and through
-# the empty/single-row/constant-dup degenerate sweeps:
-#   staged_q_pagerank_links          (integer-grid PageRank, graph.py)
-#   staged_q_semantic_decontaminate  (embedding-space contamination)
-#   staged_q_readability             (Flesch reading-ease signal)
+# the degenerate-input sweeps:
+#   staged_q_hard_negatives      (contrastive mining, similarity.py)
+#   staged_q_kfold_column        (leakage-safe k-fold CV, sampling.py)
+#   staged_q_temperature_mixture (temperature sampling, sampling.py)
 # To register: rename to q_<name>, move the STAGED_ORACLES entry into
-# TEXTML_ORACLES, list in _NEW_THIS_ROUND. All three fit the 3 free
-# slots without consuming a consolidation.
+# TEXTML_ORACLES, list in _NEW_THIS_ROUND — and keep N ≤ 3W − 2 (the
+# permanent-slack design below), consolidating first if needed.
 #
-# CEILING WARNING (computed, not guessed): registering all three puts
-# N = 150 = 3W exactly — the invariant's hard boundary.  From there
-# the rotation is a perfectly periodic 3-cycle (each round's window =
-# precisely the cohort swept 3 rounds earlier: r10 must-sweep is the
-# 50 r7-swept rows, r11 the r8 cohort, …) with ZERO slots for new or
-# changed queries, forever.  Any future registration OR any advice
-# fix that touches a swept query's semantics REQUIRES removing a
-# query first.  Recommended: execute the two sanctioned
-# consolidations in r9 anyway (ngram_jaccard_bigram ⊂ ngram_jaccard,
-# hybrid_search = bm25+topk — both sit in r9's must-sweep cohort, so
-# each removal also frees an r9 slot) → N = 148, leaving 2 permanent
-# slack slots per cycle for _CHANGED_SINCE_ROW re-gates.
+# CEILING (computed, not guessed): N = 148 = 3W − 2.  The 2 slack
+# slots per 3-round cycle are what lets _CHANGED_SINCE_ROW re-gates
+# and new registrations happen at all; registering past 148 without a
+# matching consolidation re-creates the zero-slack treadmill the r9
+# consolidations were executed to avoid.  The assert below pins it.
+assert len(_COLLECTED) <= 3 * _WINDOW - 2, (
+    f"registry at {len(_COLLECTED)} queries exceeds the 3W-2 = "
+    f"{3 * _WINDOW - 2} permanent-slack ceiling: consolidate before "
+    "registering"
+)
 
 _unknown = (
     set(_LAST_SWEPT) | set(_NEW_THIS_ROUND) | set(_CHANGED_SINCE_ROW)

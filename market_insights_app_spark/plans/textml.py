@@ -818,11 +818,11 @@ TEXTML_ORACLES = {
 }
 
 
-def q_ngram_jaccard_bigram(spark: SparkSession, sf: str) -> DataFrame:
-    """Word-bigram (n=2) Jaccard vs doc_id=0 — exercises the O(n)
-    shifted-slice shingle construction against an oracle."""
-    docs = _docs(spark, sf)
-    return ngram_jaccard_vs_query(docs, docs.filter(F.col("doc_id") == 0), n=2)
+# q_ngram_jaccard_bigram retired in r9 (sanctioned consolidation,
+# registry.py pre-stage note): it was ngram_jaccard with n=2 instead of
+# n=1 — the same ngram_jaccard_vs_query code path, whose shingle
+# construction stays oracle-gated via ★ngram_jaccard and covered at
+# n∈{1,2,3} by tests/test_dedup_reference.py.
 
 
 def q_timestamp_normalize(spark: SparkSession, sf: str) -> DataFrame:
@@ -846,24 +846,6 @@ def q_timestamp_normalize(spark: SparkSession, sf: str) -> DataFrame:
         "event_id", ts_us(normalize_timestamp("raw")).alias("ts_us")
     )
 
-
-TEXTML_ORACLES["ngram_jaccard_bigram"] = f"""
-    WITH norm AS (SELECT doc_id,
-           list_filter(string_split_regex({_NORM_SQL}, '\\s+'), x -> x <> '') AS toks
-         FROM documents),
-    g AS (SELECT doc_id,
-           list_distinct(list_transform(range(1, len(toks)),
-                                        i -> toks[i] || ' ' || toks[i+1])) AS grams
-         FROM norm),
-    d AS (SELECT doc_id, unnest(grams) AS g FROM g),
-    q AS (SELECT DISTINCT unnest(grams) AS g FROM g WHERE doc_id = 0),
-    qs AS (SELECT COUNT(*) AS qn FROM q),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY 1),
-    inter AS (SELECT d.doc_id, COUNT(*) AS i FROM d JOIN q USING (g) GROUP BY 1)
-    SELECT s.doc_id,
-           round(COALESCE(i, 0) / (sz + qn - COALESCE(i, 0)), 6) AS jaccard
-    FROM sizes s LEFT JOIN inter USING (doc_id) CROSS JOIN qs
-"""
 
 TEXTML_ORACLES["corpus_split"] = """
     WITH s AS (
@@ -1605,10 +1587,7 @@ TEXTML_ORACLES["ivf_topk"] = f"""
 
 from market_insights_app_spark.operators.clustering import kmeans_assign  # noqa: E402
 from market_insights_app_spark.operators.quality import unigram_logprob  # noqa: E402
-from market_insights_app_spark.operators.retrieval import (  # noqa: E402
-    bm25_topk,
-    rrf_fuse,
-)
+from market_insights_app_spark.operators.retrieval import bm25_topk  # noqa: E402
 from market_insights_app_spark.operators.sampling import shard_assign  # noqa: E402
 
 # 'dup' is the one rare term in the synthetic vocabulary (~29 hits vs
@@ -1624,14 +1603,11 @@ def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
     return bm25_topk(_docs(spark, sf), _BM25_QUERY, k=20)
 
 
-def q_hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
-    """Hybrid RAG retrieval: reciprocal-rank fusion (k=60) of the BM25
-    top-50 and the embedding-cosine top-50 (doc_id ≡ vec_id in the
-    synthetic corpus)."""
-    docs = _docs(spark, sf)
-    lex = bm25_topk(docs, _BM25_QUERY, k=50)
-    sem = cosine_topk(_emb(spark, sf), _query_vec(spark, sf), k=50)
-    return rrf_fuse(lex, sem, k=20)
+# q_hybrid_search retired in r9 (sanctioned consolidation, registry.py
+# pre-stage note): it was rrf_fuse(bm25_topk top-50, cosine_topk top-50)
+# — both inputs stay independently oracle-gated (★bm25_search,
+# ★embedding_topk) and the RRF fusion arithmetic keeps its exact golden
+# (tests/test_retrieval_clustering.py::test_rrf_fusion_known_case).
 
 
 def q_corpus_shuffle(spark: SparkSession, sf: str) -> DataFrame:
@@ -1759,33 +1735,6 @@ TEXTML_ORACLES["bm25_search"] = f"""
     SELECT doc_id, bm25 FROM bm25
     ORDER BY bm25 DESC, doc_id ASC LIMIT 20
 """
-
-TEXTML_ORACLES["hybrid_search"] = f"""
-    WITH {_BM25_CTES_SQL},
-    lex50 AS (SELECT doc_id, bm25 FROM bm25
-              ORDER BY bm25 DESC, doc_id ASC LIMIT 50),
-    lexr AS (SELECT doc_id,
-                    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
-                         AS INT) AS r_lex
-             FROM lex50),
-    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
-          FROM embeddings),
-    q AS (SELECT ev AS qv FROM e WHERE vec_id = 0),
-    sem50 AS (SELECT vec_id, round({_cos_sql('ev', 'qv')}, 6) AS cosine
-              FROM e CROSS JOIN q
-              ORDER BY cosine DESC, vec_id ASC LIMIT 50),
-    semr AS (SELECT vec_id,
-                    CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC)
-                         AS INT) AS r_sem
-             FROM sem50)
-    SELECT COALESCE(l.doc_id, s.vec_id) AS doc_id,
-           r_lex, r_sem,
-           round(COALESCE(1.0 / (60 + r_lex), 0.0)
-                 + COALESCE(1.0 / (60 + r_sem), 0.0), 6) AS rrf
-    FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.vec_id
-    ORDER BY rrf DESC, doc_id ASC LIMIT 20
-"""
-
 
 def _kmeans_d2_sql(a: str, b: str) -> str:
     return (
@@ -2581,18 +2530,14 @@ TEXTML_ORACLES["corpus_manifest"] = """
 
 
 # ---------------------------------------------------------------------------
-# r9-STAGED (NOT collected: no q_ prefix — the r8 sweep window is
-# budgeted to exactly 50 slots, see plans/registry.py).  Each pair is
-# gated NOW by direct Spark<->DuckDB parity tests plus the unicode and
-# degenerate-input sweeps; r9 renames `staged_q_<name>` -> `q_<name>`,
-# moves the oracle into TEXTML_ORACLES, and lists the name in
-# _NEW_THIS_ROUND (3 slots are free in r9 — registry pre-stage note).
+# r9 registrations: the three r8-staged pairs (pagerank_links,
+# semantic_decontaminate, readability), promoted per the registry
+# pre-stage plan, paid for by the two sanctioned consolidations
+# (ngram_jaccard_bigram, hybrid_search) -> N = 148 < 3W.
 # ---------------------------------------------------------------------------
 
-STAGED_ORACLES: dict[str, str] = {}
 
-
-def staged_q_pagerank_links(spark: SparkSession, sf: str) -> DataFrame:
+def q_pagerank_links(spark: SparkSession, sf: str) -> DataFrame:
     """PageRank over the deterministic skewed link graph
     (operators/graph.py): 10 integer-grid iterations, damping 0.85.
     Every iteration is exact int64 arithmetic (contribution =
@@ -2648,10 +2593,10 @@ def _pagerank_oracle(iters: int = 10) -> str:
 """
 
 
-STAGED_ORACLES["pagerank_links"] = _pagerank_oracle()
+TEXTML_ORACLES["pagerank_links"] = _pagerank_oracle()
 
 
-def staged_q_semantic_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+def q_semantic_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-space decontamination (operators/similarity.py):
     every 20th vector is the 'eval suite', the rest is the training
     corpus; flag train vectors whose best cosine vs the broadcast eval
@@ -2668,7 +2613,7 @@ def staged_q_semantic_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     return semantic_decontaminate(tr, ev, threshold=0.40)
 
 
-STAGED_ORACLES["semantic_decontaminate"] = """
+TEXTML_ORACLES["semantic_decontaminate"] = """
     WITH ev AS (SELECT vec_id AS eid,
                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                 FROM embeddings WHERE vec_id % 20 = 0),
@@ -2698,7 +2643,7 @@ STAGED_ORACLES["semantic_decontaminate"] = """
 """
 
 
-def staged_q_readability(spark: SparkSession, sf: str) -> DataFrame:
+def q_readability(spark: SparkSession, sf: str) -> DataFrame:
     """Flesch reading-ease quality signal (operators/quality.py
     readability_report): scan-stage regexp counts + one fixed double
     expression, emitted unrounded (bit-identical across engines)."""
@@ -2707,7 +2652,7 @@ def staged_q_readability(spark: SparkSession, sf: str) -> DataFrame:
     return readability_report(_docs(spark, sf))
 
 
-STAGED_ORACLES["readability"] = """
+TEXTML_ORACLES["readability"] = """
     WITH c AS (
       SELECT doc_id,
              CAST(len(list_filter(string_split_regex(
@@ -2739,3 +2684,15 @@ STAGED_ORACLES["readability"] = """
                 ELSE 'very_confusing' END AS band
     FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# r10-STAGED (NOT collected: no q_ prefix — registry N = 148 leaves two
+# permanent slack slots per 3-round cycle, see plans/registry.py).  Each
+# pair is gated NOW by direct Spark<->DuckDB parity tests plus the
+# unicode and degenerate-input sweeps; a future round renames
+# `staged_q_<name>` -> `q_<name>`, moves the oracle into TEXTML_ORACLES,
+# and lists the name in _NEW_THIS_ROUND.
+# ---------------------------------------------------------------------------
+
+STAGED_ORACLES: dict[str, str] = {}

@@ -1,6 +1,6 @@
 """Graph analytics (operators/graph.py): PageRank against an
 independent pure-Python integer reference, edge-case containment, and
-direct Spark<->DuckDB parity for the r9-staged pagerank_links pair."""
+direct Spark<->DuckDB parity for the pagerank_links pair (registered r9)."""
 
 from __future__ import annotations
 
@@ -103,19 +103,19 @@ def test_synthetic_link_graph_is_skewed(spark):
     assert len(set(ranks)) > 50
 
 
-def test_pagerank_links_staged_parity(spark, duck):
-    """Direct Spark<->DuckDB parity for the r9-staged pagerank_links
-    pair — the local twin of the driver gate it will face."""
+def test_pagerank_links_parity(spark, duck):
+    """Direct Spark<->DuckDB parity for the pagerank_links
+    pair (registered r9) — the local twin of its driver gate."""
     from market_insights_app_spark.plans.textml import (
-        STAGED_ORACLES,
-        staged_q_pagerank_links,
+        TEXTML_ORACLES,
+        q_pagerank_links,
     )
     from tests.conftest import SF_ORACLE
     from tests.test_oracle_parity import canon
 
-    sdf = staged_q_pagerank_links(spark, SF_ORACLE)
+    sdf = q_pagerank_links(spark, SF_ORACLE)
     srows = [tuple(r) for r in sdf.collect()]
-    rel = duck.sql(STAGED_ORACLES["pagerank_links"])
+    rel = duck.sql(TEXTML_ORACLES["pagerank_links"])
     drows = rel.fetchall()
     dcols = [d[0] for d in rel.description]
     assert sorted(sdf.columns) == sorted(dcols)

@@ -1,7 +1,7 @@
-"""r9-staged operators: semantic decontamination (similarity.py) and
-Flesch readability (quality.py) — goldens vs hand-computed values,
-edge-case containment, and direct Spark<->DuckDB parity for the staged
-pairs (pagerank's twin lives in test_graph.py)."""
+"""r9-registered operators: semantic decontamination (similarity.py)
+and Flesch readability (quality.py) — goldens vs hand-computed values,
+edge-case containment, and direct Spark<->DuckDB parity for both pairs
+(pagerank's twin lives in test_graph.py)."""
 
 from __future__ import annotations
 
@@ -105,15 +105,15 @@ def test_readability_band_thresholds(spark):
     assert r2.flesch < 100
 
 
-def test_staged_parity_semantic_decontaminate(spark, duck):
+def test_parity_semantic_decontaminate(spark, duck):
     from market_insights_app_spark.plans.textml import (
-        STAGED_ORACLES,
-        staged_q_semantic_decontaminate,
+        TEXTML_ORACLES,
+        q_semantic_decontaminate,
     )
 
-    sdf = staged_q_semantic_decontaminate(spark, SF_ORACLE)
+    sdf = q_semantic_decontaminate(spark, SF_ORACLE)
     srows = [tuple(r) for r in sdf.collect()]
-    rel = duck.sql(STAGED_ORACLES["semantic_decontaminate"])
+    rel = duck.sql(TEXTML_ORACLES["semantic_decontaminate"])
     drows = rel.fetchall()
     dcols = [d[0] for d in rel.description]
     assert sorted(sdf.columns) == sorted(dcols)
@@ -126,15 +126,15 @@ def test_staged_parity_semantic_decontaminate(spark, duck):
     assert flags == {True, False}
 
 
-def test_staged_parity_readability(spark, duck):
+def test_parity_readability(spark, duck):
     from market_insights_app_spark.plans.textml import (
-        STAGED_ORACLES,
-        staged_q_readability,
+        TEXTML_ORACLES,
+        q_readability,
     )
 
-    sdf = staged_q_readability(spark, SF_ORACLE)
+    sdf = q_readability(spark, SF_ORACLE)
     srows = [tuple(r) for r in sdf.collect()]
-    rel = duck.sql(STAGED_ORACLES["readability"])
+    rel = duck.sql(TEXTML_ORACLES["readability"])
     drows = rel.fetchall()
     dcols = [d[0] for d in rel.description]
     assert sorted(sdf.columns) == sorted(dcols)
@@ -314,3 +314,58 @@ def test_hard_negatives_null_labels_sql_semantics(spark):
         got = hard_negatives(pool, anchors, k=5, dense=lane).collect()
         assert {r.anchor_id for r in got} == {10}, lane
         assert all(r.vec_id == 2 for r in got), lane
+
+
+def test_hard_negatives_lane_gate_runs_no_pool_action(spark, monkeypatch):
+    """The default lane must never run an action over the pool (the
+    unbounded side) just to pick a lane — r8 gated on pool.count().
+    Anchors may act (they are the bounded, chunk-streamed side)."""
+    from pyspark.sql import DataFrame
+
+    from market_insights_app_spark.operators.similarity import hard_negatives
+
+    counted = []
+    orig = DataFrame.count
+
+    def spy(self):
+        counted.append(self)
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "count", spy)
+    pool = spark.createDataFrame(
+        [(i, [1.0, float(i)], i % 2) for i in range(10)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    anchors = spark.createDataFrame(
+        [(100, [1.0, 0.0], 0)], "vec_id long, embedding array<float>, label int"
+    )
+    df = hard_negatives(pool, anchors, k=2)  # default lane, plan built
+    assert not counted, "lane gate ran DataFrame.count()"
+    assert df.count() > 0  # the result itself still executes
+
+
+def test_hard_negatives_anchor_chunking_matches_single_panel(spark):
+    """Full-corpus mining shape: chunked anchor panels (anchor_chunk
+    smaller than the anchor count) must reproduce the single-panel
+    result exactly — each anchor lives in exactly one chunk, so its
+    window sees the complete candidate superset."""
+    import random
+
+    from market_insights_app_spark.operators.similarity import hard_negatives
+
+    rng = random.Random(11)
+    pool = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(6)], i % 3) for i in range(60)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    anchors = spark.createDataFrame(
+        [(100 + j, [rng.uniform(-1, 1) for _ in range(6)], j % 3)
+         for j in range(7)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    one = sorted(tuple(r) for r in hard_negatives(pool, anchors, k=4).collect())
+    chunked = sorted(
+        tuple(r)
+        for r in hard_negatives(pool, anchors, k=4, anchor_chunk=2).collect()
+    )
+    assert one == chunked and len(one) > 0
