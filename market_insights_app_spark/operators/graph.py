@@ -33,7 +33,8 @@ Dangling nodes (out-degree 0) keep receiving rank but forward none —
 their outbound mass evaporates instead of being redistributed (the
 "remove dangling mass" PageRank variant; totals then sum to < 1).
 This keeps every iteration one join + one aggregate; the
-redistribution variant needs an extra global scalar per iteration.
+redistribution variant (``redistribute_dangling=True``) pays an extra
+global scalar + eager lineage cut per iteration to conserve mass.
 """
 
 from __future__ import annotations
@@ -52,6 +53,7 @@ def pagerank(
     damping_pct: int = 85,
     grid: int = 10**9,
     tol_grid: int | None = None,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list.
 
@@ -71,6 +73,20 @@ def pagerank(
     scalar per iteration; ``iterations`` stays the hard cap, so the
     result equals the fixed-iteration run with however many rounds
     convergence actually took.
+
+    ``redistribute_dangling`` opts into the mass-conserving variant:
+    each iteration adds the dangling nodes' rank mass back uniformly
+    (``new = teleport + (damping_pct · (s + D div n)) div 100`` with
+    ``D`` = Σ rank over out-degree-0 nodes), so ranks sum to ~1·grid
+    up to integer-division dust — what host-ranking consumers usually
+    expect.  Cost: ONE extra global scalar (and an eager lineage cut)
+    per iteration, exactly the trade the default avoids; the default
+    (False) keeps the evaporating-mass variant the registered oracle
+    replays.
+
+    The edge-list cache is dropped (``unpersist``) before returning:
+    the returned frame is cut from the iteration lineage, so repeated
+    calls in one session don't accumulate executor cache residency.
     """
     e = (
         edges.select(
@@ -100,6 +116,7 @@ def pagerank(
     )
     n = nodes.count()  # one driver scalar, same bound as a k-means k
     if n == 0:
+        elist.unpersist(blocking=False)
         return nodes.select(
             F.col("node"),
             F.lit(0).cast("long").alias("rank_grid"),
@@ -109,7 +126,23 @@ def pagerank(
     pr = nodes.select(
         "node", F.lit(grid // n).cast("long").alias("rank_grid")
     )
+    dangling = (
+        nodes.join(elist.select(F.col("src").alias("node")), "node", "left_anti")
+        if redistribute_dangling
+        else None
+    )
     for i in range(iterations):
+        if redistribute_dangling:
+            # the documented per-iteration cost of the mass-conserving
+            # variant: one eager lineage cut + one global scalar
+            pr = pr.localCheckpoint(eager=True)
+            d_mass = (
+                pr.join(dangling, "node").agg(F.sum("rank_grid")).first()[0]
+                or 0
+            )
+            share = d_mass // n
+        else:
+            share = 0
         contribs = (
             elist.join(pr, elist["src"] == pr["node"])
             .select(
@@ -126,8 +159,8 @@ def pagerank(
                 "node",
                 (
                     F.lit(teleport)
-                    + F.coalesce(
-                        F.expr(f"({damping_pct} * s) div 100"), F.lit(0)
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(s, 0) + {share})) div 100"
                     )
                 ).cast("long").alias("rank_grid"),
             )
@@ -148,6 +181,16 @@ def pagerank(
             )
             if delta is not None and delta <= tol_grid:
                 break
+    # cut the returned frame from the iteration lineage, then drop the
+    # edge-list cache: repeated pagerank() calls in one session must
+    # not accumulate executor cache blocks (the persist is an
+    # iteration-internal working set, not part of the result).
+    # blocking=True makes the release deterministic — the checkpoint
+    # above already paid the materialization, so there is no work to
+    # overlap with, and the guard test can assert the exact residue
+    # (one checkpointed result RDD, nothing else).
+    pr = pr.localCheckpoint(eager=True)
+    elist.unpersist(blocking=True)
     out = pr.select(
         "node",
         "rank_grid",
@@ -162,11 +205,19 @@ def synthetic_link_graph(docs: DataFrame) -> DataFrame:
     """Deterministic, SKEWED link graph over the documents table.
 
     Three arms per doc ``i`` (n = corpus size): a quadratic arm
-    ``(i² + 1) mod n`` (residue collisions vary in-degree), a
+    ``((i mod n)² + 1) mod n`` (residue collisions vary in-degree), a
     permutation arm ``(i · 31 + 7) mod n`` (keeps every node
     reachable), and a hub arm ``i mod max(n/50, 1)`` (the first ~2 %
     of ids collect ~50 in-links each — the power-law head a real link
-    graph has).  Self-loops are dropped by :func:`pagerank`.  At
+    graph has).
+
+    Id bound (the bit-identical cross-engine contract): the quadratic
+    arm reduces ``i`` mod n BEFORE squaring, so it stays exact int64
+    for any ids as long as the corpus COUNT n ≤ ~3.04e9 ((n-1)² <
+    2^63); past that, Spark would wrap silently while DuckDB raises on
+    BIGINT overflow, so the twin contract breaks — a 128-bit modmul
+    would be needed in both engines.  The permutation arm's ``i·31``
+    is exact for ids up to ~2.97e17.  Self-loops are dropped by :func:`pagerank`.  At
     sf0.01 the resulting ranks span ~100× min-to-max with hundreds of
     distinct values, so the PageRank gate is actually discriminating
     (a permutation-only graph yields the uniform vector — a vacuous
@@ -179,7 +230,10 @@ def synthetic_link_graph(docs: DataFrame) -> DataFrame:
     arms = [
         base.select(
             "src",
-            ((F.col("src") * F.col("src") + 1) % F.col("n")).alias("dst"),
+            (
+                ((F.col("src") % F.col("n")) * (F.col("src") % F.col("n")) + 1)
+                % F.col("n")
+            ).alias("dst"),
         ),
         base.select(
             "src", ((F.col("src") * 31 + 7) % F.col("n")).alias("dst")

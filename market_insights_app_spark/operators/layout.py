@@ -142,6 +142,7 @@ def bloom_file_index(
     col: str,
     bits_per_value: int = 16,
     n_hashes: int = 4,
+    max_m_bits: int = 1 << 27,
 ) -> DataFrame:
     """Per-file Bloom skipping index — the EQUALITY complement of the
     min/max stats: range predicates prune via :func:`layout_stats` /
@@ -161,6 +162,18 @@ def bloom_file_index(
     from the LARGEST file's row count), so index rows are uniform and
     the probe needs no per-row geometry.
 
+    Memory bound: each file's filter is ONE m/8-byte buffer, held in
+    the Arrow group pass and in the returned metadata row, where
+    ``m = min(max_m_bits, next_pow2(bits_per_value · max_file_rows))``
+    (the pow2 rounding can reach ~2× the bits_per_value target).
+    ``max_m_bits`` caps it — default 2²⁷ bits = 16 MB/file, which
+    holds the full 16-bit/value budget up to ~8.4 M rows/file; files
+    beyond the cap keep working with a gracefully higher
+    false-positive rate ((1 − e^(−k·rows/m))^k) instead of an
+    unbounded buffer (at 1e8 rows/file the uncapped build would
+    allocate 256 MB per file).  No false negatives ever — the cap
+    trades skip RATE, never correctness.
+
     Returns one row per file: (__file, m_bits long, n_hashes int,
     col_type string, bits binary) — m/8 bytes per file of metadata.
     The indexed column's Spark type rides along because xxhash64 is
@@ -170,6 +183,8 @@ def bloom_file_index(
     import numpy as np
     import pandas as pd
 
+    if max_m_bits < 1024 or max_m_bits & (max_m_bits - 1):
+        raise ValueError("max_m_bits must be a power of two >= 1024")
     col_type = dict(df_with_file.dtypes)[col]
     max_rows = (
         df_with_file.groupBy("__file")
@@ -184,6 +199,7 @@ def bloom_file_index(
             "bits binary",
         )
     m_bits = 1 << max(10, (bits_per_value * int(max_rows) - 1).bit_length())
+    m_bits = min(m_bits, max_m_bits)  # bound the per-file buffer
     mask = m_bits - 1
     m_bytes = m_bits >> 3
 

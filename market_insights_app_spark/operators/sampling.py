@@ -403,10 +403,22 @@ def temperature_mixture(
     The group-count collect is bounded by group cardinality (sources /
     languages — the k-means-k class of driver scalar).  Everything
     downstream is ``mixture_sample``'s hash-predicate machinery:
-    deterministic across engines, reruns, and repartitioning."""
+    deterministic across engines, reruns, and repartitioning.
+
+    NULL-group rows are DROPPED, never a crash: they could not survive
+    anyway (``mixture_sample`` joins on the group key, and a SQL
+    equi-join never matches NULL), so they are excluded from the
+    count-derived weight vector up front — the same NULL contract as
+    ``kfold_column``'s explicit 'NULL-key' handling, resolved here by
+    exclusion because a NULL group has no meaningful size weight."""
     if alpha < 0:
         raise ValueError("alpha must be >= 0")
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    counts = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
     weights = {
         r[group_col]: float(r["n"]) ** alpha for r in counts if r["n"] > 0
     }

@@ -2572,7 +2572,8 @@ def _pagerank_oracle(iters: int = 10) -> str:
     return f"""
     WITH n_t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
     raw AS (
-      SELECT doc_id AS src, (doc_id * doc_id + 1) % n AS dst
+      SELECT doc_id AS src,
+             ((doc_id % n) * (doc_id % n) + 1) % n AS dst
       FROM documents CROSS JOIN n_t
       UNION ALL
       SELECT doc_id, (doc_id * 31 + 7) % n FROM documents CROSS JOIN n_t
@@ -2696,3 +2697,110 @@ TEXTML_ORACLES["readability"] = """
 # ---------------------------------------------------------------------------
 
 STAGED_ORACLES: dict[str, str] = {}
+
+
+def staged_q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py hard_negatives):
+    labels are vec_id mod 7, every 50th vector is an anchor (the
+    training-batch side), the rest is the candidate pool; k=5 hardest
+    different-label negatives per anchor.  Generalizes the reference's
+    "most similar but different" top-K-per-group ranking semantics
+    (static/main.js:1101-1103 family) to the contrastive-mining shape.
+    Both lanes rank on UNROUNDED cosines with ties to the lower pool
+    id — exactly the twin's row_number order."""
+    from market_insights_app_spark.operators.similarity import hard_negatives
+
+    emb = _emb(spark, sf).select(
+        "vec_id", "embedding", (F.col("vec_id") % 7).alias("label")
+    )
+    anchors = emb.filter(F.col("vec_id") % 50 == 0)
+    pool = emb.filter(F.col("vec_id") % 50 != 0)
+    return hard_negatives(pool, anchors, k=5)
+
+
+STAGED_ORACLES["hard_negatives"] = """
+    WITH e AS (SELECT vec_id, vec_id % 7 AS label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    a AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+    p AS (SELECT * FROM e WHERE vec_id % 50 <> 0),
+    pairs AS (
+      SELECT a.vec_id AS anchor_id, p.vec_id AS pid, p.label AS label,
+             list_reduce(list_transform(list_zip(p.v, a.v),
+                                        q -> q[1] * q[2]),
+                         (x, y) -> x + y)
+             / NULLIF(
+                 sqrt(list_reduce(list_transform(p.v, x -> x * x),
+                                  (x, y) -> x + y))
+                 * sqrt(list_reduce(list_transform(a.v, x -> x * x),
+                                    (x, y) -> x + y)), 0) AS raw
+      FROM p CROSS JOIN a
+      WHERE p.label <> a.label AND p.vec_id <> a.vec_id),
+    ranked AS (SELECT anchor_id, pid, label, raw,
+                      row_number() OVER (PARTITION BY anchor_id
+                                         ORDER BY raw DESC, pid ASC) AS rnk
+               FROM pairs WHERE raw IS NOT NULL)
+    SELECT anchor_id, CAST(rnk AS INT) AS rank, pid AS vec_id, label,
+           round(raw, 6) AS cosine
+    FROM ranked WHERE rnk <= 5
+"""
+
+
+def staged_q_kfold_column(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe k-fold CV assignment (operators/sampling.py
+    kfold_column): fold_by_source keys the hash on the GROUP column so
+    near-duplicate members of one source can never straddle a fold
+    boundary (the domain_split construction restated for CV);
+    fold_by_doc is the row-keyed shape.  Pure md5 predicates — portable
+    by construction, stable under repartitioning."""
+    from market_insights_app_spark.operators.sampling import kfold_column
+
+    docs = _docs(spark, sf)
+    return docs.select(
+        "doc_id",
+        "source",
+        kfold_column("source", k=5).alias("fold_by_source"),
+        kfold_column("doc_id", k=5, salt="kfold-doc-v1").alias("fold_by_doc"),
+    )
+
+
+STAGED_ORACLES["kfold_column"] = """
+    SELECT doc_id, source,
+           CAST(CAST(('0x' || substr(md5('kfold-v1:'
+                 || coalesce(CAST(source AS VARCHAR), 'NULL-key')), 1, 8))
+                AS BIGINT) % 5 AS INT) AS fold_by_source,
+           CAST(CAST(('0x' || substr(md5('kfold-doc-v1:'
+                 || coalesce(CAST(doc_id AS VARCHAR), 'NULL-key')), 1, 8))
+                AS BIGINT) % 5 AS INT) AS fold_by_doc
+    FROM documents
+"""
+
+
+def staged_q_temperature_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based mixture resampling (operators/sampling.py
+    temperature_mixture, alpha=0.5): target proportions ∝ √|source| —
+    the mT5/XLM-R sampling-temperature knob over the corpus's own
+    counts, landing on mixture_sample's hash-predicate machinery.
+    Returns the surviving rows so the differential hash covers the
+    exact selection."""
+    from market_insights_app_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    docs = _docs(spark, sf)
+    return temperature_mixture(docs, alpha=0.5).select("doc_id", "source")
+
+
+STAGED_ORACLES["temperature_mixture"] = """
+    WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS gn
+               FROM documents WHERE source IS NOT NULL GROUP BY 1),
+    j AS (SELECT source, gn, pow(CAST(gn AS DOUBLE), 0.5) AS w
+          FROM c WHERE gn > 0),
+    n AS (SELECT min(CAST(floor(gn / w) AS BIGINT)) AS N FROM j),
+    r AS (SELECT j.source, least(1.0, n.N * j.w / j.gn) AS rate FROM j, n)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r USING (source)
+    WHERE CAST(('0x' || substr(md5('temp-mix-v1:'
+               || CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) / 4294967296.0 < r.rate
+"""

@@ -291,8 +291,8 @@ COMMENTARY = {
         "against any future corpus: at 100 TB the model build reads "
         "only the seed sample."
     ),
-    "staged:pagerank_links": (
-        "Integer-grid PageRank (r9-staged): per iteration ONE "
+    "pagerank_links": (
+        "Integer-grid PageRank (registered r9): per iteration ONE "
         "equi-join of the rank frame onto the edge list (pre-"
         "partitioned by src once — every iteration reuses the layout) "
         "and ONE map-side-combinable sum keyed on dst; the teleport "
@@ -303,8 +303,8 @@ COMMENTARY = {
         "— the formatted plan below shows the final stanza, not 10 "
         "stacked copies."
     ),
-    "staged:semantic_decontaminate": (
-        "Embedding decontamination (r9-staged): the eval set rides a "
+    "semantic_decontaminate": (
+        "Embedding decontamination (registered r9): the eval set rides a "
         "BroadcastExchange into a BroadcastNestedLoopJoin against the "
         "corpus scan (eval suites are small; the corpus never "
         "shuffles for the pair stage); per-pair cost is one dot fold "
@@ -312,8 +312,8 @@ COMMENTARY = {
         "order-insensitive max(struct) HashAggregate — map-side "
         "combinable, no window sort over the pair stream."
     ),
-    "staged:readability": (
-        "Flesch readability (r9-staged): a single scan-stage project "
+    "readability": (
+        "Flesch readability (registered r9): a single scan-stage project "
         "— two regexp counts, a token count and one fixed double "
         "expression inside WholeStageCodegen; zero Exchanges, "
         "ReadSchema pruned to (doc_id, text). The classic shape every "

@@ -833,3 +833,31 @@ def test_kfold_column_uniform_stable_and_group_keyed(spark):
     assert df.select(kfold_column("doc_id", 1)).distinct().collect()[0][0] == 0
     with pytest.raises(ValueError, match="k must be"):
         kfold_column("doc_id", 0)
+
+
+def test_temperature_mixture_null_groups_dropped_not_crash(spark):
+    """ADVICE r8: a NULL group key must not crash the weight-vector
+    build — NULL-group rows are dropped (they can never match the
+    mixture_sample equi-join anyway) and the non-NULL groups sample
+    exactly as they would without the NULL rows."""
+    from market_insights_app_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    rows = [(i, "a") for i in range(300)] + [(i + 1000, "b") for i in range(100)]
+    clean = spark.createDataFrame(rows, "doc_id long, source string")
+    dirty = clean.union(
+        spark.createDataFrame(
+            [(9000 + i, None) for i in range(50)], "doc_id long, source string"
+        )
+    )
+    got = sorted(
+        (r.doc_id, r.source)
+        for r in temperature_mixture(dirty, alpha=0.5).collect()
+    )
+    want = sorted(
+        (r.doc_id, r.source)
+        for r in temperature_mixture(clean, alpha=0.5).collect()
+    )
+    assert got == want and len(got) > 0
+    assert all(s is not None for _, s in got)

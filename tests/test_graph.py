@@ -147,3 +147,81 @@ def test_pagerank_tol_converges_to_fixed_iteration_result(spark):
     assert loose in [
         _ref_pagerank(edges, iters=k) for k in range(1, 51)
     ]
+
+
+def _ref_pagerank_conserving(edges, iters=10, damping_pct=85, grid=GRID):
+    """Python replica of the mass-conserving (dangling-redistribution)
+    integer-grid variant: each iteration adds D div n uniformly, D =
+    dangling nodes' rank mass at iteration start."""
+    es = sorted({(s, d) for s, d in edges if s != d})
+    nodes = sorted({x for p in es for x in p})
+    if not nodes:
+        return {}
+    out: dict[int, int] = {}
+    for s, _ in es:
+        out[s] = out.get(s, 0) + 1
+    n = len(nodes)
+    tel = ((100 - damping_pct) * grid) // (100 * n)
+    pr = {v: grid // n for v in nodes}
+    for _ in range(iters):
+        d_mass = sum(pr[v] for v in nodes if v not in out)
+        share = d_mass // n
+        acc = {v: 0 for v in nodes}
+        for a, b in es:
+            acc[b] += pr[a] // out[a]
+        pr = {v: tel + (damping_pct * (acc[v] + share)) // 100 for v in nodes}
+    return pr
+
+
+def test_pagerank_redistribute_dangling_matches_reference(spark):
+    # nodes 2 and 4 are dangling; mass must be conserved (up to the
+    # integer-division dust: <= n grid units per division site/iter)
+    edges = [(0, 2), (1, 2), (0, 1), (3, 4), (1, 3)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.rank_grid
+        for r in pagerank(
+            e, iterations=10, redistribute_dangling=True
+        ).collect()
+    }
+    assert got == _ref_pagerank_conserving(edges)
+    total = sum(got.values())
+    n = len(got)
+    # conservation: within integer-floor dust of the full grid
+    assert GRID - total < 100 * n * 10, total
+    # and strictly more mass retained than the evaporating default
+    evap = sum(
+        r.rank_grid for r in pagerank(e, iterations=10).collect()
+    )
+    assert total > evap
+
+
+def test_pagerank_redistribute_no_dangling_equals_default(spark):
+    # without dangling nodes the two variants are the same fixed point
+    edges = [(0, 1), (1, 2), (2, 0)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    a = {r.node: r.rank_grid for r in pagerank(e, iterations=6).collect()}
+    b = {
+        r.node: r.rank_grid
+        for r in pagerank(
+            e, iterations=6, redistribute_dangling=True
+        ).collect()
+    }
+    assert a == b
+
+
+def test_pagerank_unpersists_edge_cache(spark):
+    """ADVICE r8: repeated pagerank() calls must not accumulate
+    executor cache blocks.  The call's only persistent residue is the
+    final checkpointed RESULT (localCheckpoint caches by design, and
+    the ContextCleaner reclaims it when the frame is dropped); the
+    edge-list working-set persist must be gone at return — asserted
+    by ID set difference so caches owned by other tests can't skew
+    the count."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    before = set(jmap.keySet().toArray())
+    e = spark.createDataFrame([(0, 1), (1, 0), (2, 1)], "src long, dst long")
+    pagerank(e, iterations=4).collect()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    new = set(jmap.keySet().toArray()) - before
+    assert len(new) <= 1, new  # the checkpointed result, never the edges

@@ -120,3 +120,91 @@ def test_extract_main_text_keep_cols_passthrough(spark):
     assert rows[1].uri == "http://a.com/x" and rows[1].fetch_rank == 7
     assert rows[2].uri == "http://b.org/y" and rows[2].fetch_rank is None
     assert rows[2].text == ""  # NULL html still emits a reconciled row
+
+
+# --- segmenter-engine lanes (r9: the crawl probe's swap-for-C point) ---
+
+_GOLDEN_PAGES = [
+    # well-formed article page: title + nav link farm + prose + footer
+    (
+        "<html><head><title>T</title></head><body>"
+        "<nav><a href='/'>Home</a> <a href='/x'>X</a> <a href='/y'>Y</a></nav>"
+        "<article><h1>Headline words here</h1>"
+        "<p>This is the long-form article prose that easily clears the "
+        "minimum segment length and has zero anchors.</p>"
+        "<p>Second paragraph with a single <a href='z'>link</a> inside "
+        "plenty of surrounding prose so density stays low.</p></article>"
+        "<footer><a href='/about'>About</a></footer></body></html>"
+    ),
+    # tables + lists + entities
+    (
+        "<html><body><table><tr><td>cell one with enough text to count "
+        "as real content here</td></tr></table>"
+        "<ul><li>alpha &amp; beta &lt;gamma&gt;</li><li>delta</li></ul>"
+        "<pre>preformatted   block   text that is long enough to keep"
+        "</pre></body></html>"
+    ),
+    # script/style/comment containment
+    (
+        "<html><body><script>var x = 'never extracted';</script>"
+        "<style>.a{color:red}</style><!-- a comment -->"
+        "<p>Visible paragraph content that survives the extraction "
+        "gates without any trouble at all.</p></body></html>"
+    ),
+]
+
+
+def test_engine_stdlib_is_default_fallback(spark):
+    """engine='auto' must fall back to the stdlib kernel where
+    resiliparse is absent and produce the documented output; an
+    explicit engine='resiliparse' must fail FAST (driver-side) there;
+    an unknown engine is a contract error."""
+    from market_insights_app_spark.functions.html import (
+        _pick_segmenter,
+        _segments,
+        extract_main_text,
+    )
+
+    try:
+        import resiliparse  # noqa: F401
+
+        has_lib = True
+    except ImportError:
+        has_lib = False
+    if not has_lib:
+        assert _pick_segmenter("auto") is _segments
+        with pytest.raises(ImportError):
+            _pick_segmenter("resiliparse")
+    with pytest.raises(ValueError, match="unknown segmenter engine"):
+        _pick_segmenter("lxml")
+    df = spark.createDataFrame(
+        [(0, _GOLDEN_PAGES[0])], "doc_id long, html string"
+    )
+    rows = extract_main_text(df, engine="auto").collect()
+    assert len(rows) == 1 and "article prose" in rows[0].text
+    assert rows[0].text == extract_main_text(df, engine="stdlib").collect()[0].text
+
+
+def test_resiliparse_kernel_golden_page_parity(spark):
+    """Guarded-lane parity (the PIL cross-check pattern): where
+    resiliparse IS installed, the C kernel must reproduce the stdlib
+    kernel's segments — text, totals and anchor accounting — on
+    well-formed golden pages, and the full mapInPandas output must
+    match row for row."""
+    pytest.importorskip("resiliparse")
+    from market_insights_app_spark.functions.html import (
+        _segments,
+        _segments_resiliparse,
+        extract_main_text,
+    )
+
+    for page in _GOLDEN_PAGES:
+        assert _segments_resiliparse(page) == _segments(page)
+    df = spark.createDataFrame(
+        list(enumerate(_GOLDEN_PAGES)), "doc_id long, html string"
+    )
+    a = sorted(tuple(r) for r in extract_main_text(df, engine="stdlib").collect())
+    b = sorted(
+        tuple(r) for r in extract_main_text(df, engine="resiliparse").collect()
+    )
+    assert a == b

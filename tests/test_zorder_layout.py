@@ -173,3 +173,46 @@ def test_zorder_value_three_columns(spark):
     }
     for x, y, w in rows:
         assert got[(x, y, w)] == _interleave([x, y, w], bits), (x, y, w)
+
+
+def test_bloom_file_index_m_bits_cap_bounds_memory(spark):
+    """ADVICE r8: the per-file buffer is bounded by max_m_bits — an
+    oversized file gets a capped (higher-FPR) filter, never an
+    unbounded allocation, and equality probes still have NO false
+    negatives under the cap."""
+    from market_insights_app_spark.operators.layout import (
+        bloom_file_index,
+        bloom_skipped_fraction,
+    )
+
+    n, files = 8_000, 4
+    df = spark.range(n).select(F.col("id").alias("doc_id"))
+    laid = linear_assign(df, "doc_id", files)
+    # uncapped target would be next_pow2(16 * 2000) = 32768 bits; cap at 4096
+    idx = bloom_file_index(laid, "doc_id", max_m_bits=4096).cache()
+    rows = idx.collect()
+    assert all(r["m_bits"] == 4096 for r in rows)
+    assert all(len(r["bits"]) == 4096 // 8 for r in rows)
+    # no false negatives: a present value is never skipped from its file
+    home = laid.filter(F.col("doc_id") == 4_321).select("__file").first()[0]
+    import numpy as np
+
+    r = {x["__file"]: x for x in rows}[home]
+    probe = spark.range(1).select(
+        *[
+            F.xxhash64(F.lit(4_321).cast("bigint"), F.lit(i))
+            .bitwiseAND(F.lit(4096 - 1))
+            .alias(f"p{i}")
+            for i in range(r["n_hashes"])
+        ]
+    ).first()
+    b = np.frombuffer(r["bits"], dtype=np.uint8)
+    assert all(
+        b[p >> 3] & (1 << (p & 7))
+        for p in (probe[f"p{i}"] for i in range(r["n_hashes"]))
+    )
+    # probing through the public path agrees (home file never skipped)
+    assert bloom_skipped_fraction(idx, 4_321) <= (files - 1) / files
+    # non-power-of-two cap is a contract error
+    with pytest.raises(ValueError, match="power of two"):
+        bloom_file_index(laid, "doc_id", max_m_bits=5000)
