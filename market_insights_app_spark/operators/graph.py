@@ -14,9 +14,10 @@ out-edge list, key = src) followed by one map-side-combinable groupBy
 set — no RDDs, no driver-side graph.  At scale the edge list is
 pre-partitioned by ``src`` ONCE and every iteration reuses that
 partitioning for its join; only the contribution sum shuffles.  The
-rank frame is a handful of longs per node.  Lineage across iterations
-is cut with eager ``localCheckpoint`` every few rounds (the same
-pattern as the connected-components loop, dedup.py).
+rank frame is a handful of longs per node.  Lineage is cut with an
+eager ``localCheckpoint`` EVERY iteration (see the note above
+``pagerank``) — the same lineage-cutting idea as the
+connected-components loop (dedup.py), at a cadence measurement chose.
 
 Cross-engine determinism: ranks live on an INTEGER grid (parts per
 ``grid``, default 1e9 — the same 10⁻⁹ fixed-point contract as the
@@ -42,7 +43,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_CHECKPOINT_EVERY = 4  # cut join+agg lineage like the CC loop
+# Eager lineage cut EVERY iteration: counter-intuitively ~2× faster
+# end-to-end than batching 4 iterations into one plan (measured 20.0 s
+# → 10.5 s at 1M nodes / 3M edges / 10 iters, SCALE_NOTES r9) — a
+# deep iterated join plan pays superlinear planning + sort cost, while
+# per-iteration checkpoints keep each job flat over a materialized
+# rank frame of 2 longs/node.
 
 
 def pagerank(
@@ -100,6 +106,17 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        # persisted like elist: ``nodes`` anchors EVERY iteration's
+        # left join, and unpersisted it re-runs its 2·|E|-row distinct
+        # once per iteration inside each action — measured 19.6 s →
+        # 15.5 s end-to-end at 1M nodes / 3M edges / 10 iters
+        # (SCALE_NOTES r9).  Partitioned by the join key once so the
+        # per-iteration join reuses the layout; dropped with elist
+        # before return.
+        .repartition(
+            edges.sparkSession.sparkContext.defaultParallelism, "node"
+        )
+        .persist()
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out"))
     # one edge-list frame carrying the out-degree, partitioned by the
@@ -117,6 +134,7 @@ def pagerank(
     n = nodes.count()  # one driver scalar, same bound as a k-means k
     if n == 0:
         elist.unpersist(blocking=False)
+        nodes.unpersist(blocking=False)
         return nodes.select(
             F.col("node"),
             F.lit(0).cast("long").alias("rank_grid"),
@@ -133,8 +151,10 @@ def pagerank(
     )
     for i in range(iterations):
         if redistribute_dangling:
-            # the documented per-iteration cost of the mass-conserving
-            # variant: one eager lineage cut + one global scalar
+            # the mass-conserving variant's extra cost is ONE global
+            # scalar per iteration; the lineage cut below doubles as
+            # the loop's standard per-iteration checkpoint (the
+            # end-of-loop one is skipped on this lane)
             pr = pr.localCheckpoint(eager=True)
             d_mass = (
                 pr.join(dangling, "node").agg(F.sum("rank_grid")).first()[0]
@@ -165,7 +185,7 @@ def pagerank(
                 ).cast("long").alias("rank_grid"),
             )
         )
-        if (i + 1) % _CHECKPOINT_EVERY == 0 and i + 1 < iterations:
+        if not redistribute_dangling and i + 1 < iterations:
             pr = pr.localCheckpoint(eager=True)
         if tol_grid is not None and i + 1 < iterations:
             pr = pr.localCheckpoint(eager=True)  # reused by delta + next
@@ -191,6 +211,7 @@ def pagerank(
     # (one checkpointed result RDD, nothing else).
     pr = pr.localCheckpoint(eager=True)
     elist.unpersist(blocking=True)
+    nodes.unpersist(blocking=True)
     out = pr.select(
         "node",
         "rank_grid",

@@ -974,6 +974,12 @@ def hard_negatives(
     )
 
 
+# in-kernel anchor panel width: keeps the per-batch score block
+# (arrow_batch × block) cache-sized — measured optimum ~512-1024 at
+# dim 64 / 10k-row Arrow batches (SCALE_NOTES r9)
+_HN_PANEL_BLOCK = 1_024
+
+
 def _hard_negative_candidates(p: DataFrame, a_rows: list, k: int) -> DataFrame:
     """Arrow lane for hard_negatives: per pool batch, dimension-ordered
     cosine panels against the broadcast anchor matrix, then a LOCAL
@@ -1017,12 +1023,6 @@ def _hard_negative_candidates(p: DataFrame, a_rows: list, k: int) -> DataFrame:
             pnrm = np.asarray(pdf["pnrm"], dtype=np.float64)
             pids = np.asarray(pdf["pid"], dtype=np.int64)
             plbl = pdf["p_label"].to_numpy()
-            acc = np.zeros((len(X), m))
-            for i in range(d):
-                acc += X[:, i : i + 1] * A[None, :, i]
-            denom = pnrm[:, None] * anrm[None, :]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                raw = acc / denom
             rows_a, rows_p, rows_l, rows_r = [], [], [], []
             # SQL != is NULL-excluding on BOTH sides: a NULL-label pool
             # row is never a negative, and a NULL-label anchor gets no
@@ -1030,26 +1030,53 @@ def _hard_negative_candidates(p: DataFrame, a_rows: list, k: int) -> DataFrame:
             # Arrow hands a nullable int column to pandas as NaN —
             # isna() catches both encodings)
             pool_lbl_ok = ~pdf["p_label"].isna().to_numpy()
-            for j in range(m):
-                if albl_v[j] is None:
-                    continue
-                ok = (
-                    (denom[:, j] > 0)
-                    & (pids != aid[j])
-                    & (plbl != albl_v[j])
-                    & pool_lbl_ok
-                    & np.isfinite(raw[:, j])
-                )
-                idx = np.nonzero(ok)[0]
-                if not len(idx):
-                    continue
-                # local top-k under the global order (raw desc, pid asc)
-                order = np.lexsort((pids[idx], -raw[idx, j]))[:k]
-                sel = idx[order]
-                rows_a.append(np.full(len(sel), aid[j], dtype=np.int64))
-                rows_p.append(pids[sel])
-                rows_l.append(plbl[sel])
-                rows_r.append(raw[sel, j])
+            # anchor panels are BLOCKED inside the one pool scan: a
+            # (batch × m) score matrix at m = thousands thrashes cache
+            # (measured 2.4× slower than 1 024-wide panels at m = 4 096,
+            # SCALE_NOTES r9).  Blocking keeps the working set
+            # cache-sized WITHOUT extra pool scans — the chunked-anchor
+            # path (anchor_chunk) remains only the broadcast-size bound.
+            for blo in range(0, m, _HN_PANEL_BLOCK):
+                bhi = min(blo + _HN_PANEL_BLOCK, m)
+                acc = np.zeros((len(X), bhi - blo))
+                for i in range(d):
+                    acc += X[:, i : i + 1] * A[None, blo:bhi, i]
+                denom = pnrm[:, None] * anrm[None, blo:bhi]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    raw = acc / denom
+                for j in range(blo, bhi):
+                    if albl_v[j] is None:
+                        continue
+                    jb = j - blo
+                    ok = (
+                        (denom[:, jb] > 0)
+                        & (pids != aid[j])
+                        & (plbl != albl_v[j])
+                        & pool_lbl_ok
+                        & np.isfinite(raw[:, jb])
+                    )
+                    idx = np.nonzero(ok)[0]
+                    if not len(idx):
+                        continue
+                    # local top-k under the global order (raw desc, pid
+                    # asc).  O(b) threshold partition first, exact
+                    # lexsort only on the survivors: a full per-anchor
+                    # lexsort of the batch was the other measured panel
+                    # bottleneck (~2×, SCALE_NOTES r9).  The >=
+                    # threshold keeps EVERY boundary tie, so the exact
+                    # sort sees all potential winners — bit-identical
+                    # selection.
+                    rj = raw[idx, jb]
+                    if len(idx) > k:
+                        thresh = np.partition(rj, len(rj) - k)[len(rj) - k]
+                        keep = rj >= thresh
+                        idx, rj = idx[keep], rj[keep]
+                    order = np.lexsort((pids[idx], -rj))[:k]
+                    sel = idx[order]
+                    rows_a.append(np.full(len(sel), aid[j], dtype=np.int64))
+                    rows_p.append(pids[sel])
+                    rows_l.append(plbl[sel])
+                    rows_r.append(raw[sel, jb])
             if not rows_a:
                 yield empty
                 continue

@@ -149,6 +149,16 @@ _CHANGED_SINCE_ROW: list[str] = []
 # To register: rename to q_<name>, move the STAGED_ORACLES entry into
 # TEXTML_ORACLES, list in _NEW_THIS_ROUND — and keep N ≤ 3W − 2 (the
 # permanent-slack design below), consolidating first if needed.
+# Sanctioned r10 consolidation candidates (one retirement per
+# registration, same standard as the r9 pair):
+#   pairwise_corr_dense — the blocked-BLAS lane of ★pairwise_corr,
+#     bit-equality property-tested against it; the exact-DECIMAL row
+#     stays as the oracle gate, the lane keeps its pinned tests.
+#   minhash_neardup — rows-only row (xxhash64 ∉ DuckDB); its full
+#     pipeline is already hash-gated via ★minhash_neardup_portable and
+#     its CC/representative stages via ★near_dedup_corpus_exact.
+#   simhash_neardup — same structure: hash-gated twin is
+#     ★simhash_neardup_portable.
 #
 # CEILING (computed, not guessed): N = 148 = 3W − 2.  The 2 slack
 # slots per 3-round cycle are what lets _CHANGED_SINCE_ROW re-gates

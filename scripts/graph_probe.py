@@ -28,9 +28,15 @@ def main() -> None:
 
     spark = get_spark(app_name="mias-graph-probe")
 
-    def t(label, df):
+    def t(label, fn):
+        # fn CONSTRUCTS and writes inside the timer: pagerank's eager
+        # localCheckpoints run at construction time, so timing only the
+        # final noop write (the r8 version of this probe) undercounts
+        # by the checkpointed iterations — the r8 "10 iters 3.66 s"
+        # record measured just iterations 9-10 (see SCALE_NOTES r9
+        # correction).
         t0 = time.perf_counter()
-        df.write.mode("overwrite").format("noop").save()
+        fn().write.mode("overwrite").format("noop").save()
         print(f"{label:45s} {time.perf_counter() - t0:7.2f} s")
 
     # --- PageRank: 3 deterministic arms per node (same shape as the
@@ -49,7 +55,8 @@ def main() -> None:
     )
     print(f"pagerank: {n_nodes:,} nodes, ~{3 * n_nodes:,} edges")
     for iters in (5, 10):
-        t(f"pagerank {iters} iterations", pagerank(edges, iterations=iters))
+        t(f"pagerank {iters} iterations",
+          lambda iters=iters: pagerank(edges, iterations=iters))
 
     # --- semantic decontamination: n_train corpus vs 1k-eval broadcast
     def vecs(n, salt):
@@ -68,7 +75,8 @@ def main() -> None:
     tr = vecs(n_train, 1)
     ev = vecs(1_000, 2)
     print(f"semantic_decontaminate: {n_train:,} train x 1,000 eval, dim {dim}")
-    t("semantic_decontaminate", semantic_decontaminate(tr, ev, threshold=0.9))
+    t("semantic_decontaminate",
+      lambda: semantic_decontaminate(tr, ev, threshold=0.9))
 
     spark.stop()
 

@@ -210,18 +210,37 @@ def test_pagerank_redistribute_no_dangling_equals_default(spark):
     assert a == b
 
 
-def test_pagerank_unpersists_edge_cache(spark):
+def test_pagerank_unpersists_edge_cache(spark, monkeypatch):
     """ADVICE r8: repeated pagerank() calls must not accumulate
-    executor cache blocks.  The call's only persistent residue is the
-    final checkpointed RESULT (localCheckpoint caches by design, and
-    the ContextCleaner reclaims it when the frame is dropped); the
-    edge-list working-set persist must be gone at return — asserted
-    by ID set difference so caches owned by other tests can't skew
-    the count."""
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    before = set(jmap.keySet().toArray())
+    executor cache blocks.  Asserted at the MECHANISM level: every
+    ``persist()`` the call makes (edge list + node set — the O(|E|)
+    working set) gets a matching ``unpersist()`` before return.
+    Checkpointed rank frames (2 longs/node) are localCheckpoint
+    residue the ContextCleaner reclaims when the result is dropped —
+    deliberately out of scope here, so this can't flake on cleaner
+    timing."""
+    # patch the CONCRETE class: pyspark 4 dispatches through
+    # pyspark.sql.classic.dataframe.DataFrame, so patching the abstract
+    # base never intercepts
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # older pyspark: single concrete class
+        from pyspark.sql import DataFrame
+
+    persisted, released = [], []
+    orig_p, orig_u = DataFrame.persist, DataFrame.unpersist
+
+    def spy_p(self, *a, **kw):
+        persisted.append(id(self))
+        return orig_p(self, *a, **kw)
+
+    def spy_u(self, *a, **kw):
+        released.append(id(self))
+        return orig_u(self, *a, **kw)
+
+    monkeypatch.setattr(DataFrame, "persist", spy_p)
+    monkeypatch.setattr(DataFrame, "unpersist", spy_u)
     e = spark.createDataFrame([(0, 1), (1, 0), (2, 1)], "src long, dst long")
     pagerank(e, iterations=4).collect()
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    new = set(jmap.keySet().toArray()) - before
-    assert len(new) <= 1, new  # the checkpointed result, never the edges
+    assert persisted, "expected the working-set caches to register"
+    assert set(persisted) == set(released), (persisted, released)

@@ -320,7 +320,13 @@ def test_hard_negatives_lane_gate_runs_no_pool_action(spark, monkeypatch):
     """The default lane must never run an action over the pool (the
     unbounded side) just to pick a lane — r8 gated on pool.count().
     Anchors may act (they are the bounded, chunk-streamed side)."""
-    from pyspark.sql import DataFrame
+    # patch the CONCRETE class (pyspark 4 dispatches through
+    # pyspark.sql.classic.dataframe.DataFrame; patching the abstract
+    # base makes the spy vacuous)
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:
+        from pyspark.sql import DataFrame
 
     from market_insights_app_spark.operators.similarity import hard_negatives
 
