@@ -980,7 +980,9 @@ def hard_negatives(
 _HN_PANEL_BLOCK = 1_024
 
 
-def _hard_negative_candidates(p: DataFrame, a_rows: list, k: int) -> DataFrame:
+def _hard_negative_candidates(
+    p: DataFrame, a_rows: list, k: int, panel_block: int | None = None
+) -> DataFrame:
     """Arrow lane for hard_negatives: per pool batch, dimension-ordered
     cosine panels against the broadcast anchor matrix, then a LOCAL
     per-anchor top-k under the exact global order (raw desc, pid asc)
@@ -1001,6 +1003,11 @@ def _hard_negative_candidates(p: DataFrame, a_rows: list, k: int) -> DataFrame:
         if a_sorted else np.zeros((0, 0))
     )
     bc = p.sparkSession.sparkContext.broadcast((aid_np, albl, av_np))
+    # resolved driver-side and captured BY VALUE in the closure: a
+    # module-global read inside ``run`` would resolve on the executor
+    # to whatever the re-imported module holds, silently ignoring
+    # driver-side overrides (incl. the boundary-crossing test's)
+    block = panel_block if panel_block is not None else _HN_PANEL_BLOCK
 
     def run(batches):
         aid, albl_v, A = bc.value
@@ -1036,8 +1043,8 @@ def _hard_negative_candidates(p: DataFrame, a_rows: list, k: int) -> DataFrame:
             # SCALE_NOTES r9).  Blocking keeps the working set
             # cache-sized WITHOUT extra pool scans — the chunked-anchor
             # path (anchor_chunk) remains only the broadcast-size bound.
-            for blo in range(0, m, _HN_PANEL_BLOCK):
-                bhi = min(blo + _HN_PANEL_BLOCK, m)
+            for blo in range(0, m, block):
+                bhi = min(blo + block, m)
                 acc = np.zeros((len(X), bhi - blo))
                 for i in range(d):
                     acc += X[:, i : i + 1] * A[None, blo:bhi, i]

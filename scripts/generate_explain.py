@@ -299,9 +299,10 @@ COMMENTARY = {
         "re-base is a scan-stage projection. All arithmetic is int64 "
         "(rank div outdeg, 85*sum div 100) so the plan carries longs, "
         "never doubles, and the result is partitioning-invariant. "
-        "Eager localCheckpoint every 4 iterations caps the plan depth "
-        "— the formatted plan below shows the final stanza, not 10 "
-        "stacked copies."
+        "Eager localCheckpoint EVERY iteration caps the plan depth "
+        "(measured 2x over every-4 batching, SCALE_NOTES r9) — the "
+        "formatted plan below is the final checkpointed stanza, not "
+        "10 stacked copies."
     ),
     "semantic_decontaminate": (
         "Embedding decontamination (registered r9): the eval set rides a "

@@ -375,3 +375,50 @@ def test_hard_negatives_anchor_chunking_matches_single_panel(spark):
         for r in hard_negatives(pool, anchors, k=4, anchor_chunk=2).collect()
     )
     assert one == chunked and len(one) > 0
+
+
+def test_hard_negatives_panel_blocking_bit_equal_across_boundaries(
+    spark, monkeypatch
+):
+    """The in-kernel anchor panel blocking must be invisible: shrink
+    the block width so the anchor set spans MULTIPLE panels (including
+    a ragged last panel) and assert bit-equality with the expression
+    lane — anchors at panel edges, duplicate-cosine ties and NULL
+    labels included."""
+    import random
+
+    import market_insights_app_spark.operators.similarity as sim
+
+    monkeypatch.setattr(sim, "_HN_PANEL_BLOCK", 3)  # 8 anchors -> 3 panels
+    rng = random.Random(23)
+    dim = 8
+    shared = [rng.uniform(-1, 1) for _ in range(dim)]
+    pool_rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)], i % 3)
+        for i in range(120)
+    ] + [(120, shared, 1), (121, shared, 1)]  # engineered tie pair
+    anchor_rows = [
+        (300 + j, [rng.uniform(-1, 1) for _ in range(dim)], j % 3)
+        for j in range(7)
+    ] + [(310, shared, 0)]  # tie anchor lands in the ragged last panel
+    pool = spark.createDataFrame(
+        pool_rows, "vec_id long, embedding array<float>, label int"
+    )
+    anchors = spark.createDataFrame(
+        anchor_rows, "vec_id long, embedding array<float>, label int"
+    )
+    for kk in (1, 5):
+        a = sorted(
+            tuple(r)
+            for r in sim.hard_negatives(pool, anchors, k=kk, dense=False).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in sim.hard_negatives(pool, anchors, k=kk, dense=True).collect()
+        )
+        assert a == b and len(a) > 0, kk
+    got = {
+        (r.anchor_id, r.rank): r.vec_id
+        for r in sim.hard_negatives(pool, anchors, k=2, dense=True).collect()
+    }
+    assert got[(310, 1)] == 120 and got[(310, 2)] == 121
