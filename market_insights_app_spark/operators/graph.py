@@ -102,6 +102,7 @@ def pagerank(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+    default_parts = edges.sparkSession.sparkContext.defaultParallelism
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -113,11 +114,31 @@ def pagerank(
         # (SCALE_NOTES r9).  Partitioned by the join key once so the
         # per-iteration join reuses the layout; dropped with elist
         # before return.
-        .repartition(
-            edges.sparkSession.sparkContext.defaultParallelism, "node"
-        )
+        .repartition(default_parts, "node")
         .persist()
     )
+    n = nodes.count()  # one driver scalar, same bound as a k-means k
+    if n == 0:
+        nodes.unpersist(blocking=False)
+        return nodes.select(
+            F.col("node"),
+            F.lit(0).cast("long").alias("rank_grid"),
+            F.lit(0.0).alias("pagerank"),
+        )
+    # DATA-ADAPTIVE partition count for the iteration working set: at
+    # small graph sizes the 10-iteration loop is pure task-scheduling
+    # overhead, and full-width layouts more than double it (sf0.1
+    # fixture: 32 parts 6.3 s vs 8 parts 2.8 s best-of-2, SCALE_NOTES
+    # r9).  ≥ ~10k nodes/partition before going wide; big graphs keep
+    # every core (parts = defaultParallelism) and pay NOTHING extra —
+    # the relayout branch below only runs when the graph is small,
+    # i.e. exactly when the extra tiny shuffle is free.
+    parts = max(1, min(default_parts, n // 10_000))
+    if parts < default_parts:
+        slim = nodes.repartition(parts, "node").persist()
+        slim.count()  # materialize before dropping the wide layout
+        nodes.unpersist(blocking=False)
+        nodes = slim
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out"))
     # one edge-list frame carrying the out-degree, partitioned by the
     # join key once so all `iterations` joins reuse the layout.
@@ -128,18 +149,9 @@ def pagerank(
     # bounded (edges × ~3 longs) and freed on session end.
     elist = (
         e.join(outdeg, "src")
-        .repartition(e.sparkSession.sparkContext.defaultParallelism, "src")
+        .repartition(parts, "src")
         .persist()
     )
-    n = nodes.count()  # one driver scalar, same bound as a k-means k
-    if n == 0:
-        elist.unpersist(blocking=False)
-        nodes.unpersist(blocking=False)
-        return nodes.select(
-            F.col("node"),
-            F.lit(0).cast("long").alias("rank_grid"),
-            F.lit(0.0).alias("pagerank"),
-        )
     teleport = ((100 - damping_pct) * grid) // (100 * n)
     pr = nodes.select(
         "node", F.lit(grid // n).cast("long").alias("rank_grid")

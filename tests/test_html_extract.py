@@ -208,3 +208,97 @@ def test_resiliparse_kernel_golden_page_parity(spark):
         tuple(r) for r in extract_main_text(df, engine="resiliparse").collect()
     )
     assert a == b
+
+
+def test_resiliparse_walk_logic_via_mock_dom(monkeypatch):
+    """The resiliparse kernel's DOM traversal (drop-tag containment,
+    anchor-char accounting, block flush ordering) is real logic that
+    would otherwise only execute where the C lib is installed.  Drive
+    it here through a mock `resiliparse.parse.html` module whose tree
+    is built from the stdlib event parser — the walk must reproduce
+    the stdlib kernel's segments exactly on well-formed pages."""
+    import sys
+    import types
+    from html.parser import HTMLParser
+
+    class _Node:
+        def __init__(self, ntype, tag=None, value=None):
+            self.type = ntype
+            self.tag = tag
+            self.value = value
+            self.child_nodes = []
+
+    class _NodeType:
+        ELEMENT = "element"
+        TEXT = "text"
+        COMMENT = "comment"
+
+    _VOID = {"br", "img", "hr", "meta", "link", "input"}
+
+    class _TreeBuilder(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.root = _Node(_NodeType.ELEMENT, tag="document")
+            self.stack = [self.root]
+
+        def handle_starttag(self, tag, attrs):
+            node = _Node(_NodeType.ELEMENT, tag=tag)
+            self.stack[-1].child_nodes.append(node)
+            if tag not in _VOID:
+                self.stack.append(node)
+
+        def handle_endtag(self, tag):
+            for i in range(len(self.stack) - 1, 0, -1):
+                if self.stack[i].tag == tag:
+                    del self.stack[i:]
+                    break
+
+        def handle_data(self, data):
+            self.stack[-1].child_nodes.append(
+                _Node(_NodeType.TEXT, value=data)
+            )
+
+        def handle_comment(self, data):
+            self.stack[-1].child_nodes.append(
+                _Node(_NodeType.COMMENT, value=data)
+            )
+
+    class _Tree:
+        def __init__(self, root):
+            self.document = root
+
+        @staticmethod
+        def parse(html):
+            b = _TreeBuilder()
+            b.feed(html or "")
+            b.close()
+            return _Tree(b.root)
+
+    mod = types.ModuleType("resiliparse.parse.html")
+    mod.HTMLTree = _Tree
+    mod.NodeType = _NodeType
+    pkg = types.ModuleType("resiliparse")
+    parse_pkg = types.ModuleType("resiliparse.parse")
+    monkeypatch.setitem(sys.modules, "resiliparse", pkg)
+    monkeypatch.setitem(sys.modules, "resiliparse.parse", parse_pkg)
+    monkeypatch.setitem(sys.modules, "resiliparse.parse.html", mod)
+
+    from market_insights_app_spark.functions.html import (
+        _pick_segmenter,
+        _segments,
+        _segments_resiliparse,
+    )
+
+    # the guard resolves the C lane now that the module "exists"
+    assert _pick_segmenter("auto") is _segments_resiliparse
+    assert _pick_segmenter("resiliparse") is _segments_resiliparse
+    for page in _GOLDEN_PAGES:
+        assert _segments_resiliparse(page) == _segments(page), page[:60]
+    # drop-tag containment specifically: script INSIDE an anchor
+    tricky = (
+        "<html><body><p>before text that is quite long here indeed"
+        "<a href='x'>link<script>var y;</script>text</a>after</p>"
+        "<ul><li>first item long enough to matter for the gates"
+        "</li><li>second</li></ul></body></html>"
+    )
+    assert _segments_resiliparse(tricky) == _segments(tricky)
