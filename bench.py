@@ -89,6 +89,10 @@ HEADLINE = [
     "quality_funnel",
     "pmi_collocations",
     "ngram_novelty",
+    # round-9 additions (registered this round)
+    "pagerank_links",
+    "semantic_decontaminate",
+    "readability",
 ]
 
 

@@ -732,6 +732,13 @@ def semantic_decontaminate(
 
     Returns one row per train vector: (``id_col``, nearest_eval_id,
     max_cosine, contaminated).
+
+    Resource note: the dense lane's eval broadcast stays resident only
+    while the returned plan is alive — it is captured by the Arrow
+    closure, and Spark's ContextCleaner reclaims the broadcast blocks
+    once the frame is garbage-collected (no session-lifetime leak; an
+    explicit destroy() is impossible while the plan can still
+    execute).
     """
     tr = train.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
@@ -913,6 +920,11 @@ def hard_negatives(
 
     Returns (anchor_id, rank, ``id_col``, ``label_col``, cosine) —
     ``rank`` 1..k, hardest first.
+
+    Resource note: each anchor-panel broadcast lives only as long as
+    the returned plan — captured by its Arrow closure and reclaimed by
+    the ContextCleaner when the frame is dropped (no session-lifetime
+    residency).
     """
     from pyspark.sql.window import Window
 

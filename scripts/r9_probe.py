@@ -85,7 +85,8 @@ def main() -> None:
     )
     for chunk in (n_anchors, 1024):
         t(
-            f"anchor_chunk={chunk} ({max(1, -(-n_anchors // chunk))} panels)",
+            f"anchor_chunk={chunk} "
+            f"({max(1, -(-n_anchors // chunk))} panel(s))",
             lambda chunk=chunk: hard_negatives(
                 pool, anchors, k=8, anchor_chunk=chunk
             ).write.mode("overwrite").format("noop").save(),
