@@ -536,7 +536,9 @@ def q_ema_stateful_replay(spark: SparkSession, sf: str) -> DataFrame:
     # session and memory-sink tables are session-global
     name = f"ema_replay_{uuid.uuid4().hex[:8]}"
     stream = events_file_stream(spark, sf, max_files_per_trigger=10_000)
-    run_available_now_to_memory(ema_stateful(stream), name, "append")
+    run_available_now_to_memory(
+        ema_stateful(stream), name, "append", shuffle_partitions=8
+    )
     out = spark.table(name)
     # one emission per key per micro-batch → keep the final state row
     w = Window.partitionBy("key").orderBy(F.col("n_seen").desc())
@@ -567,7 +569,9 @@ def q_session_stateful_replay(spark: SparkSession, sf: str) -> DataFrame:
 
     name = f"sess_replay_{uuid.uuid4().hex[:8]}"
     stream = events_file_stream(spark, sf, max_files_per_trigger=10_000)
-    run_available_now_to_memory(session_builder_stateful(stream), name, "append")
+    run_available_now_to_memory(
+        session_builder_stateful(stream), name, "append", shuffle_partitions=8
+    )
     return spark.table(name).select(
         F.col("key").alias("user_id"),
         "session_start_us",
@@ -599,7 +603,9 @@ def q_ohlc_stream_replay(spark: SparkSession, sf: str) -> DataFrame:
 
     name = f"ohlc_replay_{uuid.uuid4().hex[:8]}"
     stream = events_file_stream(spark, sf, max_files_per_trigger=10_000)
-    run_available_now_to_memory(ohlc_agg(stream), name, "complete")
+    run_available_now_to_memory(
+        ohlc_agg(stream), name, "complete", shuffle_partitions=8
+    )
     out = spark.table(name)
     return out.select(
         "user_id",
@@ -1596,7 +1602,7 @@ def q_interval_join_stream_replay(spark: SparkSession, sf: str) -> DataFrame:
         within="30 minutes",
     )
     name = f"ivj_replay_{uuid.uuid4().hex[:8]}"
-    run_available_now_to_memory(joined, name, "append")
+    run_available_now_to_memory(joined, name, "append", shuffle_partitions=8)
     return spark.table(name).select(
         "purchase_id",
         "click_id",

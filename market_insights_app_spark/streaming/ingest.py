@@ -147,18 +147,44 @@ def session_agg(
 LAST_REPLAY_QUERY = None
 
 
-def run_available_now_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+def run_available_now_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    shuffle_partitions: int | None = None,
+):
     """Test/driver helper: drain everything currently available into an
-    in-memory table and stop (ST2's on-demand trigger analog)."""
+    in-memory table and stop (ST2's on-demand trigger analog).
+
+    ``shuffle_partitions`` temporarily overrides the session's shuffle
+    width for THIS drain (restored afterwards): a stateful stream
+    builds one state store per shuffle partition per stateful operator,
+    and at replay-fixture scale 32 near-empty stores are pure overhead
+    — measured 5.4 s → 2.2 s on the stream-stream interval join at 8
+    (SCALE_NOTES r9).  Results are partition-invariant (every replay is
+    hash-gated); production streams size state partitions to key
+    cardinality/throughput instead, so only this bounded-fixture drain
+    path narrows.  Replays run sequentially (driver sweep, bench,
+    tests), so the temporary session-conf flip cannot leak into a
+    concurrent query."""
     global LAST_REPLAY_QUERY
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    spark = stream_df.sparkSession
+    prev = None
+    if shuffle_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     LAST_REPLAY_QUERY = q
     return q
 
