@@ -144,9 +144,11 @@ def pagerank(
     # join key once so all `iterations` joins reuse the layout.
     # persist(), deliberately NOT localCheckpoint: a checkpointed
     # RDD-backed frame loses size statistics and the planner demotes
-    # every iteration's join to a sorted SMJ — measured 3.7 s → 9.7 s
-    # at 1M nodes / 10 iterations.  The cache-residency trade is
-    # bounded (edges × ~3 longs) and freed on session end.
+    # every iteration's join to a sorted SMJ — measured ~2.6× slower
+    # at 1M nodes / 10 iterations (r8 probe; its timer undercounted
+    # absolute cost — SCALE_NOTES r9 correction — but both variants
+    # equally, so the relative conclusion stands).  The cache-residency
+    # trade is bounded (edges × ~3 longs) and released before return.
     elist = (
         e.join(outdeg, "src")
         .repartition(parts, "src")
