@@ -126,12 +126,24 @@ def main() -> None:
               "documents", "embeddings"):
         load_table(spark, sf_dir, t).count()
 
+    def gc_hint() -> None:
+        # untimed JVM GC before each query's timed passes: a long
+        # sweep accumulates old-gen garbage from PRIOR queries, and
+        # paying that collection inside some later query's timer made
+        # numbers depend on sweep position (measured r9: pairwise_corr
+        # 3.3 s fresh → 4.6 s after 30 queries → 3.1 s again after a
+        # 0.17 s System.gc()).  The hint drains cross-query garbage so
+        # each number reflects the query's own work; its ~0.2 s cost
+        # stays outside every timer.
+        spark.sparkContext._jvm.System.gc()
+
     # best-of-3: the first run pays per-plan codegen/whole-stage
     # compilation (amortized noise in any steady-state deployment) and
     # one repeat is not always enough to shed it
-    timings = {
-        name: round(min(run(name) for _ in range(3)), 3) for name in HEADLINE
-    }
+    timings = {}
+    for name in HEADLINE:
+        gc_hint()
+        timings[name] = round(min(run(name) for _ in range(3)), 3)
     total = round(sum(timings.values()), 3)
 
     # full-registry sweep: best-of-2 timed passes per query, preceded
@@ -148,6 +160,7 @@ def main() -> None:
                 QUERIES[name](spark, tiny).write.mode("overwrite").format(
                     "noop"
                 ).save()
+            gc_hint()
             full[name] = round(min(run(name), run(name)), 3)
         except Exception as exc:  # a broken plan is a result, not a crash
             full[name] = f"error: {type(exc).__name__}"
@@ -192,6 +205,7 @@ def main() -> None:
     # real, named regression.
     if regressions:
         for name in regressions:
+            gc_hint()
             full[name] = round(min(full[name], run(name), run(name)), 3)
         full_total = round(
             sum(v for v in full.values() if isinstance(v, float)), 3

@@ -52,6 +52,7 @@ def main() -> None:
             ref = json.load(fh).get("full_queries", {})
     for name in names:
         run(name)  # untimed per-plan codegen warmup
+        spark.sparkContext._jvm.System.gc()  # same hygiene as bench.py
         samples = [round(run(name), 3) for _ in range(n)]
         print(json.dumps({
             "query": name,
