@@ -46,13 +46,16 @@ HEADLINE = [
     "union_merge_dedup",
     "session_window_agg",
     "dedup_exact",
-    "minhash_neardup",
+    # r10: minhash_neardup / simhash_neardup registry rows retired (r9
+    # verdict consolidation) — the portable twins time the identical
+    # pipeline shape with the md5 base hash
+    "minhash_neardup_portable",
     "embedding_topk",
     "text_quality",
     "asof_join",
     "ict_analysis",
     "rollup_revenue",
-    "simhash_neardup",
+    "simhash_neardup_portable",
     "sliding_window_agg",
     # LLM-ops batch (round-3 additions, per r02 verdict #6)
     "tfidf_top_terms",
@@ -89,10 +92,14 @@ HEADLINE = [
     "quality_funnel",
     "pmi_collocations",
     "ngram_novelty",
-    # round-9 additions (registered this round)
+    # round-9 additions
     "pagerank_links",
     "semantic_decontaminate",
     "readability",
+    # round-10 additions (registered this round)
+    "hard_negatives",
+    "kfold_column",
+    "temperature_mixture",
 ]
 
 

@@ -230,13 +230,17 @@ def cosine_self_join_neardup(
     join. Output (a, b, cosine).
 
     Two lanes, BIT-IDENTICAL by construction (the semantic_decontaminate
-    pattern):
+    pattern).  Lane choice NEVER runs an action over the corpus (the
+    hard_negatives rule — a count() just to pick a lane is an extra
+    full scan at 100 TB): the dense Arrow lane is the default, and
+    callers that know the buckets are tiny opt into the expression
+    lane with ``dense=False``.
 
-    - expression lane (``dense=False``; auto below 2 560 vectors): the
+    - expression lane (``dense=False``): the
       per-row norm is computed once on each side before the join, so
       per-PAIR work is a single dot fold — dot/(nrm_l·nrm_r)
       multiplies the exact same doubles cosine() would.
-    - dense Arrow lane (``dense=True``; auto at ≥ 2 560 vectors): one
+    - dense Arrow lane (``dense=True``, the default): one
       shuffle groups each bucket onto an executor, the in-bucket pair
       dots run as d vectorized row-block multiply-adds accumulated IN
       DIMENSION ORDER — the JVM fold's exact IEEE sequence — and only
@@ -254,9 +258,7 @@ def cosine_self_join_neardup(
         F.col(bucket_col).alias("bk"),
         _as_double(F.col(vec_col)).alias("v"),
     ).withColumn("nrm", norm(F.col("v")))
-    if dense is None:
-        dense = df.count() >= 2_560  # one bounded driver scalar
-    if dense:
+    if dense is None or dense:
         raw = _neardup_dense_pairs(slim, threshold)
         return raw.select(
             "a", "b", F.round(F.col("raw"), 6).alias("cosine")
@@ -902,8 +904,18 @@ def hard_negatives(
     chunks of ``anchor_chunk`` rows (``toLocalIterator`` — never an
     unbounded collect), one broadcast panel per chunk; each anchor
     lands in exactly one chunk, so the per-anchor window still sees
-    its complete candidate superset.  Two lanes, BIT-IDENTICAL by
-    construction (the decontaminate pattern):
+    its complete candidate superset.  Chunks execute SEQUENTIALLY:
+    as soon as a second chunk exists, the previous chunk's candidate
+    frame is eagerly materialized (``localCheckpoint``) and its panel
+    broadcast destroyed before the next panel is built, so peak panel
+    residency — driver and executors — is O(``anchor_chunk``) vectors,
+    never O(total anchors); what accumulates is only each chunk's
+    already-reduced local top-k candidates (≤ anchors × pool-batches
+    × k rows).  The pool is scanned once PER CHUNK (⌈anchors /
+    anchor_chunk⌉ scans total) — the explicit cost of bounding panel
+    memory; size ``anchor_chunk`` to the executor budget, not smaller.
+    Two lanes, BIT-IDENTICAL by construction (the decontaminate
+    pattern):
 
     - expression lane (``dense=False`` — the oracle-twin lane): one
       index-ordered dot fold per pair over precomputed norms;
@@ -921,10 +933,14 @@ def hard_negatives(
     Returns (anchor_id, rank, ``id_col``, ``label_col``, cosine) —
     ``rank`` 1..k, hardest first.
 
-    Resource note: each anchor-panel broadcast lives only as long as
-    the returned plan — captured by its Arrow closure and reclaimed by
-    the ContextCleaner when the frame is dropped (no session-lifetime
-    residency).
+    Resource note: in the single-chunk case (anchors ≤ ``anchor_chunk``
+    — the common mining batch) the one panel broadcast lives only as
+    long as the returned plan — captured by its Arrow closure and
+    reclaimed by the ContextCleaner when the frame is dropped (no
+    session-lifetime residency).  Multi-chunk plans are partially
+    EAGER: all but the last chunk have already run by the time this
+    returns (their broadcasts destroyed), and the returned frame
+    unions their checkpointed results with the last chunk's lazy scan.
     """
     from pyspark.sql.window import Window
 
@@ -938,14 +954,28 @@ def hard_negatives(
         # no action over the pool, no unbounded driver collect
         sel = anchors.select(id_col, label_col, vec_col)
         chunk_dfs: list[DataFrame] = []
+        last_bc = None
         buf: list = []
+
+        def flush(chunk: list) -> None:
+            # sequential chunk execution: materialize the previous
+            # chunk's (already top-k-reduced) candidates and destroy
+            # its panel broadcast BEFORE building the next panel, so
+            # only one chunk's panel is ever resident anywhere
+            nonlocal last_bc
+            if chunk_dfs:
+                chunk_dfs[-1] = chunk_dfs[-1].localCheckpoint(eager=True)
+                last_bc.destroy()
+            cand, last_bc = _hard_negative_candidates(p, chunk, k)
+            chunk_dfs.append(cand)
+
         for row in sel.toLocalIterator():
             buf.append(row)
             if len(buf) >= anchor_chunk:
-                chunk_dfs.append(_hard_negative_candidates(p, buf, k))
+                flush(buf)
                 buf = []
         if buf or not chunk_dfs:
-            chunk_dfs.append(_hard_negative_candidates(p, buf, k))
+            flush(buf)
         pairs = reduce(DataFrame.unionByName, chunk_dfs)
     else:
         a = anchors.select(
@@ -994,13 +1024,15 @@ _HN_PANEL_BLOCK = 1_024
 
 def _hard_negative_candidates(
     p: DataFrame, a_rows: list, k: int, panel_block: int | None = None
-) -> DataFrame:
+):
     """Arrow lane for hard_negatives: per pool batch, dimension-ordered
     cosine panels against the broadcast anchor matrix, then a LOCAL
     per-anchor top-k under the exact global order (raw desc, pid asc)
     — any global winner present in the batch survives its batch's
     local cut, so the downstream window sees a correct superset.
-    Returns (anchor_id, pid, __lbl, raw)."""
+    Returns (candidates DataFrame of (anchor_id, pid, __lbl, raw),
+    panel broadcast) — the caller owns the broadcast's lifetime so
+    sequential chunking can destroy each panel before the next."""
     import numpy as np
     import pandas as pd
 
@@ -1111,7 +1143,8 @@ def _hard_negative_candidates(
             )
 
     lbl_type = dict(p.dtypes)["p_label"]
-    return p.select("pid", "p_label", "pv", "pnrm").mapInPandas(
+    cand = p.select("pid", "p_label", "pv", "pnrm").mapInPandas(
         run,
         schema=f"anchor_id long, pid long, __lbl {lbl_type}, raw double",
     )
+    return cand, bc

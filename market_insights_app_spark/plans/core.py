@@ -1036,15 +1036,11 @@ def q_series_moments(spark: SparkSession, sf: str) -> DataFrame:
     return moments(_events(spark, sf))
 
 
-def q_pairwise_corr_dense(spark: SparkSession, sf: str) -> DataFrame:
-    """Dense BLAS lane of the correlation matrix (operators/market.
-    pairwise_corr_dense): block-pair applyInPandas Gram matmuls over
-    integer-cent matrices — exact integer-valued float64 arithmetic,
-    descaled like the DECIMAL casts, so it shares ★pairwise_corr's
-    oracle verbatim. The scale path for dense symbol universes."""
-    from market_insights_app_spark.operators.market import pairwise_corr_dense
-
-    return pairwise_corr_dense(_events(spark, sf))
+# r10 consolidation (sanctioned by the r9 verdict): the registry row
+# `pairwise_corr_dense` is RETIRED — the blocked-BLAS Gram lane
+# (operators/market.pairwise_corr_dense) remains the scale path and
+# keeps its bit-equality pins against ★pairwise_corr in
+# tests/test_market_analytics.py and tests/test_property_based.py.
 
 
 def q_resample_ffill(spark: SparkSession, sf: str) -> DataFrame:

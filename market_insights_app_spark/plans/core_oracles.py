@@ -840,9 +840,6 @@ CORE_ORACLES["series_moments"] = """
     FROM m
 """
 
-# the dense BLAS lane reproduces the join lane bit-for-bit — one oracle text
-CORE_ORACLES["pairwise_corr_dense"] = CORE_ORACLES["pairwise_corr"]
-
 CORE_ORACLES["resample_ffill"] = """
     WITH hb AS (
       SELECT user_id, date_trunc('hour', ts) AS h, value,

@@ -50,120 +50,106 @@ _COLLECTED: dict[str, QueryFn] = {**_collect(core), **_collect(textml)}
 # the judge would flag.
 # ---------------------------------------------------------------------------
 
-_ROUND = 9
+_ROUND = 10
 _WINDOW = 50
 
 # name -> round of its latest driver CORRECTNESS row (0 = never swept).
-# Source: CORRECTNESS_r01..r08 artifacts (an entry counts as swept when
+# Source: CORRECTNESS_r01..r09 artifacts (an entry counts as swept when
 # the driver recorded it, including rows-only `err: no_oracle` rows).
-# r8 was 50/50 green, folded here; the two sanctioned consolidations
-# were executed in r9 and their rows removed: ngram_jaccard_bigram
-# (same ngram_jaccard_vs_query path as ★ngram_jaccard, n=2 vs n=1;
-# n∈{1,2,3} unit-gated in tests/test_dedup_reference.py) and
-# hybrid_search (pure RRF arithmetic over the independently gated
-# ★bm25_search + ★embedding_topk inputs; exact golden kept in
-# tests/test_retrieval_clustering.py).
+# r9 was 50/50 green, folded here; the three r9-verdict-sanctioned
+# consolidations were executed in r10 and their rows removed:
+# pairwise_corr_dense (the blocked-BLAS lane of ★pairwise_corr — its
+# bit-equality pins vs the join lane stay in tests/), minhash_neardup
+# and simhash_neardup (both rows-only: xxhash64 ∉ DuckDB; every stage
+# of both pipelines is hash-gated via ★minhash_neardup_portable /
+# ★simhash_neardup_portable, and the engine-hash lanes stay unit-gated
+# vs independent Python references in tests/test_dedup_reference.py).
 _LAST_SWEPT: dict[str, int] = {
-    "ab_mann_whitney": 6, "ab_welch_t": 6, "ann_lsh_topk": 6, "asof_join": 8,
-    "autocorr_lag1": 7, "beta_benchmark": 6, "bigram_lm": 8, "bm25_search": 8,
-    "bollinger": 7, "cdc_apply_roundtrip": 6, "chi2_lang_drift": 6,
+    "ab_mann_whitney": 9, "ab_welch_t": 9, "ann_lsh_topk": 9, "asof_join": 8,
+    "autocorr_lag1": 9, "beta_benchmark": 9, "bigram_lm": 8, "bm25_search": 8,
+    "bollinger": 9, "cdc_apply_roundtrip": 9, "chi2_lang_drift": 9,
     "click_attribution": 7, "cohort_retention": 7,
     "connector_av_quote_parse": 8, "connector_fx_parse": 8,
-    "connector_yahoo_parse": 8, "corpus_manifest": 8, "corpus_report": 6,
-    "corpus_shuffle": 6, "corpus_split": 6, "cube_agg": 7, "daily_sharpe": 7,
-    "decontaminate": 8, "decontaminate_bloom": 6, "dedup_exact": 8,
-    "dedup_latest_wins": 7, "doc_chunks": 6, "doc_repetition": 8,
+    "connector_yahoo_parse": 8, "corpus_manifest": 8, "corpus_report": 9,
+    "corpus_shuffle": 9, "corpus_split": 9, "cube_agg": 7, "daily_sharpe": 7,
+    "decontaminate": 8, "decontaminate_bloom": 9, "dedup_exact": 8,
+    "dedup_latest_wins": 7, "doc_chunks": 9, "doc_repetition": 8,
     "domain_doc_cap": 8, "domain_split": 8, "dsir_select": 8,
-    "ema_stateful_replay": 8, "embedding_neardup": 6, "embedding_topk": 8,
-    "equity_cumsum": 7, "ewma_macd": 8, "fingerprint_docs": 6,
-    "frame_sample": 6, "funnel_conversion": 7, "fuzzy_match": 8,
+    "ema_stateful_replay": 8, "embedding_neardup": 9, "embedding_topk": 8,
+    "equity_cumsum": 7, "ewma_macd": 8, "fingerprint_docs": 9,
+    "frame_sample": 9, "funnel_conversion": 7, "fuzzy_match": 8,
     "group_topk": 7, "grouping_sets_revenue": 7, "histogram": 7,
-    "ict_analysis": 7, "impact_classify": 6, "incremental_agg": 6,
-    "interval_join_stream_replay": 6, "inverted_index": 8, "ivf_topk": 8,
-    "journal_stats": 6, "json_extract_props": 7, "key_skew": 6,
-    "kmeans_assign": 6, "lag_delta": 7, "lang_id": 8, "latest_join_enrich": 7,
-    "latest_per_key": 7, "level_extract": 6, "lm_quality": 8,
+    "ict_analysis": 7, "impact_classify": 9, "incremental_agg": 9,
+    "interval_join_stream_replay": 9, "inverted_index": 8, "ivf_topk": 8,
+    "journal_stats": 9, "json_extract_props": 7, "key_skew": 9,
+    "kmeans_assign": 9, "lag_delta": 7, "lang_id": 8, "latest_join_enrich": 7,
+    "latest_per_key": 7, "level_extract": 9, "lm_quality": 8,
     "local_extrema": 7, "ma_slope_trend": 7, "max_drawdown": 8,
-    "media_decode": 8, "media_features": 7, "minhash_neardup": 7,
-    "minhash_neardup_portable": 8, "minmax_mid_premium": 7,
-    "minmax_normalize": 7, "mixture_sample": 6, "multi_join_revenue": 8,
-    "nb_quality": 8, "near_dedup_corpus_exact": 8, "ngram_jaccard": 8,
-    "ngram_novelty": 6, "ohlc_resample": 8, "ohlc_stream_replay": 6,
-    "pairwise_corr": 8, "pairwise_corr_dense": 8, "passage_dedup": 7,
-    "perplexity_buckets": 8, "pii_scrub": 8, "pit_feature_lookup": 6,
-    "pivot_event_counts": 7, "pmi_collocations": 6, "pnl_r_scalars": 7,
-    "positions_agg": 8, "prices_filter_range_limit": 7,
-    "prices_keyset_page": 7, "prices_page2": 7, "psi_drift": 6,
-    "quality_funnel": 6, "quantile_binning": 6, "quantize_int8": 8,
-    "range_join_sessions": 7, "recent_n_tail": 7, "resample_ffill": 6,
-    "robust_outliers": 7, "rolling_corr_market": 6,
+    "media_decode": 8, "media_features": 7, "minhash_neardup_portable": 8,
+    "minmax_mid_premium": 7, "minmax_normalize": 7, "mixture_sample": 9,
+    "multi_join_revenue": 8, "nb_quality": 8, "near_dedup_corpus_exact": 8,
+    "ngram_jaccard": 8, "ngram_novelty": 9, "ohlc_resample": 8,
+    "ohlc_stream_replay": 9, "pagerank_links": 9, "pairwise_corr": 8,
+    "passage_dedup": 7, "perplexity_buckets": 8, "pii_scrub": 8,
+    "pit_feature_lookup": 9, "pivot_event_counts": 7, "pmi_collocations": 9,
+    "pnl_r_scalars": 7, "positions_agg": 8, "prices_filter_range_limit": 7,
+    "prices_keyset_page": 7, "prices_page2": 7, "psi_drift": 9,
+    "quality_funnel": 9, "quantile_binning": 9, "quantize_int8": 8,
+    "range_join_sessions": 7, "readability": 9, "recent_n_tail": 7,
+    "resample_ffill": 9, "robust_outliers": 7, "rolling_corr_market": 9,
     "rolling_min_volatility": 7, "rolling_stddev10": 7, "rollup_revenue": 7,
-    "rsi14": 7, "salted_hot_agg": 7, "sample_per_group": 6,
-    "scd2_user_state": 6, "semdedup": 8, "seq_len_histogram": 6, "seq_pack": 8,
-    "series_moments": 8, "session_stateful_replay": 8, "session_window_agg": 7,
-    "set_ops": 7, "simhash_neardup": 7, "simhash_neardup_portable": 8,
-    "sketch_profile": 7, "sliding_window_agg": 7, "sma5": 7,
-    "snapshot_diff": 6, "span_dedup": 8, "stratified_sample": 8,
-    "table_profile": 8, "tag_split": 6, "text_quality": 8,
-    "tfidf_top_terms": 8, "timestamp_normalize": 6, "token_entropy": 6,
-    "tokens_count": 6, "tpch_q1_style": 8, "trailing_max_argmax": 7,
-    "training_corpus": 8, "transition_matrix": 6, "trend_ols": 6,
-    "tumbling_window_agg": 7, "twap_daily": 6, "union_merge_dedup": 7,
-    "url_normalize": 8, "validate_lineitem": 7, "value_quantiles": 7,
-    "var_cvar": 6, "vocab_topk": 8, "vwap_daily": 8, "weighted_sample": 6,
-    "window_delta_stats": 7, "zipf_slope": 7, "zscore_anomalies": 6,
+    "rsi14": 7, "salted_hot_agg": 7, "sample_per_group": 9,
+    "scd2_user_state": 9, "semantic_decontaminate": 9, "semdedup": 8,
+    "seq_len_histogram": 9, "seq_pack": 8, "series_moments": 8,
+    "session_stateful_replay": 8, "session_window_agg": 7, "set_ops": 7,
+    "simhash_neardup_portable": 8, "sketch_profile": 7,
+    "sliding_window_agg": 7, "sma5": 7, "snapshot_diff": 9, "span_dedup": 8,
+    "stratified_sample": 8, "table_profile": 8, "tag_split": 9,
+    "text_quality": 8, "tfidf_top_terms": 8, "timestamp_normalize": 9,
+    "token_entropy": 9, "tokens_count": 9, "tpch_q1_style": 8,
+    "trailing_max_argmax": 7, "training_corpus": 8, "transition_matrix": 9,
+    "trend_ols": 9, "tumbling_window_agg": 7, "twap_daily": 9,
+    "union_merge_dedup": 7, "url_normalize": 8, "validate_lineitem": 7,
+    "value_quantiles": 7, "var_cvar": 9, "vocab_topk": 8, "vwap_daily": 8,
+    "weighted_sample": 9, "window_delta_stats": 7, "zipf_slope": 7,
+    "zscore_anomalies": 9,
 }
 
 # Queries first registered in round _ROUND (no driver row can exist).
-# r9 registers the three r8-staged queries; the window is 45 r6-stale
-# rows + 3 new = 48 slots, leaving 2 slack slots that the stalest-first
-# tier-2 ordering spends on the oldest r7 rows.
+# r10 registers the three r9-staged queries (textml.py, promoted from
+# STAGED_ORACLES with their parity/unicode/degenerate gates intact);
+# the window is 46 r7-stale rows + 3 new + 1 changed = 50 slots.
 _NEW_THIS_ROUND: list[str] = [
-    "pagerank_links",          # integer-grid PageRank over the link graph
-    "semantic_decontaminate",  # embedding-space eval-set contamination
-    "readability",             # Flesch reading-ease quality signal
+    "hard_negatives",       # contrastive hard-negative mining
+    "kfold_column",         # leakage-safe k-fold CV assignment
+    "temperature_mixture",  # temperature-based mixture resampling
 ]
 
 # Queries whose operator/plan/oracle semantics were touched since
-# their last driver row — must re-gate even if recently swept.  r9:
-# empty — this round's ADVICE fixes live in operators with no registry
-# row or off the swept lane: temperature_mixture NULL-group contract
-# (sampling.py, unit-gated only), synthetic_link_graph id-bound
-# arithmetic (graph.py — feeds pagerank_links, which is NEW this round
-# and re-gates anyway), pagerank edge-list unpersist (resource
-# lifecycle, not semantics), bloom_file_index m_bits cap (layout.py,
-# unit/probe-gated only), and the hard_negatives lane-gate rework
-# (similarity.py, unit-gated; its oracle twin is staged for r10).
-_CHANGED_SINCE_ROW: list[str] = []
+# their last driver row — must re-gate even if recently swept.  r10:
+# embedding_neardup's lane gate changed (operators/similarity.py
+# cosine_self_join_neardup no longer runs a count() action over the
+# corpus to pick a lane; the default is now the dense Arrow lane with
+# an explicit `dense=` caller override).  The lanes are bit-identical
+# by construction and property-tested, but the default physical plan
+# the driver executes changed, so the row re-gates.
+_CHANGED_SINCE_ROW: list[str] = ["embedding_neardup"]
 
-# r10 pre-stage: after the r9 sweep lands, fold CORRECTNESS_r09 into
-# _LAST_SWEPT (the 50 window names -> 9).  The r10 must-sweep is then
-# the ~48 r7-stale rows (50 swept in r7 minus the ~2 the r9 slack
-# slots pulled forward), leaving ~2 slots for new+changed combined.
-# Pre-built r10 candidates (plans/textml.py STAGED_ORACLES), each
-# twin-tested at sf0.001 + sf0.01, on the unicode corpus, and through
-# the degenerate-input sweeps:
-#   staged_q_hard_negatives      (contrastive mining, similarity.py)
-#   staged_q_kfold_column        (leakage-safe k-fold CV, sampling.py)
-#   staged_q_temperature_mixture (temperature sampling, sampling.py)
+# r11 pre-stage: after the r10 sweep lands, fold CORRECTNESS_r10 into
+# _LAST_SWEPT (the 50 window names -> 10).  The r11 must-sweep is then
+# the 49 r8-stale rows, leaving 1 slot for new+changed combined.
+# Pre-built r11 candidate (plans/textml.py STAGED_ORACLES), twin-tested
+# at sf0.001 + sf0.01 and through the degenerate-input sweeps:
+#   staged_q_split_leakage  (exact-fingerprint split-leakage audit,
+#                            operators/dedup.py split_leakage_report)
 # To register: rename to q_<name>, move the STAGED_ORACLES entry into
 # TEXTML_ORACLES, list in _NEW_THIS_ROUND — and keep N ≤ 3W − 2 (the
 # permanent-slack design below), consolidating first if needed.
-# Sanctioned r10 consolidation candidates (one retirement per
-# registration, same standard as the r9 pair):
-#   pairwise_corr_dense — the blocked-BLAS lane of ★pairwise_corr,
-#     bit-equality property-tested against it; the exact-DECIMAL row
-#     stays as the oracle gate, the lane keeps its pinned tests.
-#   minhash_neardup — rows-only row (xxhash64 ∉ DuckDB); its full
-#     pipeline is already hash-gated via ★minhash_neardup_portable and
-#     its CC/representative stages via ★near_dedup_corpus_exact.
-#   simhash_neardup — same structure: hash-gated twin is
-#     ★simhash_neardup_portable.
 #
 # CEILING (computed, not guessed): N = 148 = 3W − 2.  The 2 slack
 # slots per 3-round cycle are what lets _CHANGED_SINCE_ROW re-gates
 # and new registrations happen at all; registering past 148 without a
-# matching consolidation re-creates the zero-slack treadmill the r9
+# matching consolidation re-creates the zero-slack treadmill the r9/r10
 # consolidations were executed to avoid.  The assert below pins it.
 assert len(_COLLECTED) <= 3 * _WINDOW - 2, (
     f"registry at {len(_COLLECTED)} queries exceeds the 3W-2 = "

@@ -70,15 +70,13 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return ngram_jaccard_vs_query(docs, docs.filter(F.col("doc_id") == 0), n=1)
 
 
-def q_minhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs (rows-only: hash functions are
-    engine-side; verified vs a Python reference in tests)."""
-    return minhash_near_dupes(_docs(spark, sf), threshold=0.5)
-
-
-def q_simhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup pairs, Hamming <= 3 (rows-only)."""
-    return simhash_near_dupes(_docs(spark, sf), max_hamming=3)
+# r10 consolidation (sanctioned by the r9 verdict): the rows-only
+# registry rows `minhash_neardup` / `simhash_neardup` are RETIRED — the
+# xxhash64 engine lanes they exercised remain first-class operators
+# (minhash_near_dupes / simhash_near_dupes, default portable=False),
+# verified vs independent Python references in
+# tests/test_dedup_reference.py, while every pipeline stage is
+# hash-gated via the ★_portable twins below.
 
 
 def q_minhash_neardup_portable(spark: SparkSession, sf: str) -> DataFrame:
@@ -87,7 +85,7 @@ def q_minhash_neardup_portable(spark: SparkSession, sf: str) -> DataFrame:
     md5-derived portable base hash and string band keys, so a DuckDB
     oracle reproduces every stage bit-for-bit — a hard differential
     gate on the whole LSH machinery, complementing the rows-only
-    xxhash64 engine path (``minhash_neardup``)."""
+    xxhash64 engine lane (minhash_near_dupes, unit-gated)."""
     return minhash_near_dupes(_docs(spark, sf), threshold=0.5, portable=True)
 
 
@@ -95,7 +93,7 @@ def q_simhash_neardup_portable(spark: SparkSession, sf: str) -> DataFrame:
     """The FULL SimHash pipeline (32-bit md5-derived bit votes →
     pigeonhole chunk bucketing → Hamming verify) in its engine-portable
     form, hash-gated against a DuckDB oracle (complements the rows-only
-    64-bit xxhash64 engine path)."""
+    64-bit xxhash64 engine lane, simhash_near_dupes, unit-gated)."""
     return simhash_near_dupes(
         _docs(spark, sf), max_hamming=3, bits=32, portable=True
     )
@@ -2688,18 +2686,14 @@ TEXTML_ORACLES["readability"] = """
 
 
 # ---------------------------------------------------------------------------
-# r10-STAGED (NOT collected: no q_ prefix — registry N = 148 leaves two
-# permanent slack slots per 3-round cycle, see plans/registry.py).  Each
-# pair is gated NOW by direct Spark<->DuckDB parity tests plus the
-# unicode and degenerate-input sweeps; a future round renames
-# `staged_q_<name>` -> `q_<name>`, moves the oracle into TEXTML_ORACLES,
-# and lists the name in _NEW_THIS_ROUND.
+# r10 registrations — the r9-staged trio, promoted per the r9 verdict
+# and funded by the three sanctioned consolidations (pairwise_corr_dense,
+# minhash_neardup, simhash_neardup retired from the registry; their
+# operators and bit-equality/unit gates all stay).
 # ---------------------------------------------------------------------------
 
-STAGED_ORACLES: dict[str, str] = {}
 
-
-def staged_q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     """Hard-negative mining (operators/similarity.py hard_negatives):
     labels are vec_id mod 7, every 50th vector is an anchor (the
     training-batch side), the rest is the candidate pool; k=5 hardest
@@ -2718,7 +2712,7 @@ def staged_q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     return hard_negatives(pool, anchors, k=5)
 
 
-STAGED_ORACLES["hard_negatives"] = """
+TEXTML_ORACLES["hard_negatives"] = """
     WITH e AS (SELECT vec_id, vec_id % 7 AS label,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
@@ -2746,7 +2740,7 @@ STAGED_ORACLES["hard_negatives"] = """
 """
 
 
-def staged_q_kfold_column(spark: SparkSession, sf: str) -> DataFrame:
+def q_kfold_column(spark: SparkSession, sf: str) -> DataFrame:
     """Leakage-safe k-fold CV assignment (operators/sampling.py
     kfold_column): fold_by_source keys the hash on the GROUP column so
     near-duplicate members of one source can never straddle a fold
@@ -2764,7 +2758,7 @@ def staged_q_kfold_column(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-STAGED_ORACLES["kfold_column"] = """
+TEXTML_ORACLES["kfold_column"] = """
     SELECT doc_id, source,
            CAST(CAST(('0x' || substr(md5('kfold-v1:'
                  || coalesce(CAST(source AS VARCHAR), 'NULL-key')), 1, 8))
@@ -2776,7 +2770,7 @@ STAGED_ORACLES["kfold_column"] = """
 """
 
 
-def staged_q_temperature_mixture(spark: SparkSession, sf: str) -> DataFrame:
+def q_temperature_mixture(spark: SparkSession, sf: str) -> DataFrame:
     """Temperature-based mixture resampling (operators/sampling.py
     temperature_mixture, alpha=0.5): target proportions ∝ √|source| —
     the mT5/XLM-R sampling-temperature knob over the corpus's own
@@ -2791,7 +2785,7 @@ def staged_q_temperature_mixture(spark: SparkSession, sf: str) -> DataFrame:
     return temperature_mixture(docs, alpha=0.5).select("doc_id", "source")
 
 
-STAGED_ORACLES["temperature_mixture"] = """
+TEXTML_ORACLES["temperature_mixture"] = """
     WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS gn
                FROM documents WHERE source IS NOT NULL GROUP BY 1),
     j AS (SELECT source, gn, pow(CAST(gn AS DOUBLE), 0.5) AS w
@@ -2803,4 +2797,78 @@ STAGED_ORACLES["temperature_mixture"] = """
     WHERE CAST(('0x' || substr(md5('temp-mix-v1:'
                || CAST(d.doc_id AS VARCHAR)), 1, 8))
                AS BIGINT) / 4294967296.0 < r.rate
+"""
+
+
+# ---------------------------------------------------------------------------
+# r11-STAGED (NOT collected: no q_ prefix — registry N = 148 leaves two
+# permanent slack slots per 3-round cycle, see plans/registry.py).  Each
+# pair is gated NOW by direct Spark<->DuckDB parity tests plus the
+# unicode and degenerate-input sweeps; a future round renames
+# `staged_q_<name>` -> `q_<name>`, moves the oracle into TEXTML_ORACLES,
+# and lists the name in _NEW_THIS_ROUND.
+# ---------------------------------------------------------------------------
+
+STAGED_ORACLES: dict[str, str] = {}
+
+
+def staged_q_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-split contamination audit (operators/dedup.py
+    split_leakage_report): documents get the ★corpus_split 90/5/5
+    hash split, then every exact (md5-fingerprint) and near
+    (portable MinHash-LSH + exact-Jaccard ≥ 0.5) duplicate pair whose
+    members straddle splits is reported per (rule, split_a, split_b)
+    with a deterministic example pair — the leak audit a training
+    pipeline runs when the partition was cut after imperfect dedup.
+    The near lane rides the ★minhash_neardup_portable machinery, so
+    every LSH stage of this oracle is already independently
+    hash-gated."""
+    from market_insights_app_spark.operators.dedup import (
+        split_leakage_report,
+    )
+    from market_insights_app_spark.operators.sampling import hash_split
+
+    docs = hash_split(_docs(spark, sf), id_col="doc_id", salt="corpus-v1")
+    return split_leakage_report(docs, threshold=0.5, portable=True)
+
+
+STAGED_ORACLES["split_leakage"] = f"""
+    WITH {_PORTABLE_PAIR_CTES},
+    verified AS (SELECT a, b FROM pairs
+                 WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5),
+    sp AS (SELECT doc_id,
+                  CASE WHEN frac < 0.9 THEN 'train'
+                       WHEN frac < 0.95 THEN 'val'
+                       ELSE 'test' END AS split
+           FROM (SELECT doc_id,
+                        CAST(('0x' || substr(md5('corpus-v1:'
+                              || CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS BIGINT) / 4294967296.0 AS frac
+                 FROM documents)),
+    fp AS (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents),
+    exact AS (SELECT x.doc_id AS a, y.doc_id AS b
+              FROM fp x JOIN fp y
+                ON x.fp = y.fp AND x.doc_id < y.doc_id),
+    united AS (
+      SELECT 'exact' AS rule, a, b FROM exact
+      UNION ALL
+      SELECT 'near' AS rule, v.a, v.b FROM verified v
+      WHERE NOT EXISTS (SELECT 1 FROM exact e
+                        WHERE e.a = v.a AND e.b = v.b)),
+    crossed AS (SELECT u.rule, u.a, u.b,
+                       least(sa.split, sb.split) AS split_a,
+                       greatest(sa.split, sb.split) AS split_b
+                FROM united u
+                JOIN sp sa ON sa.doc_id = u.a
+                JOIN sp sb ON sb.doc_id = u.b
+                WHERE sa.split <> sb.split),
+    ranked AS (SELECT rule, split_a, split_b, a, b,
+                      row_number() OVER (PARTITION BY rule, split_a,
+                                         split_b ORDER BY a, b) AS rn,
+                      COUNT(*) OVER (PARTITION BY rule, split_a,
+                                     split_b) AS n
+               FROM crossed)
+    SELECT rule, split_a, split_b, CAST(n AS BIGINT) AS n_pairs,
+           a AS example_a, b AS example_b
+    FROM ranked WHERE rn = 1
 """

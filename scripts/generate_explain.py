@@ -43,14 +43,17 @@ COMMENTARY = {
         "the key, a single running last_value(ignorenulls) window fills "
         "the payload — no time-range cross-product anywhere in the plan."
     ),
-    "minhash_neardup": (
-        "MinHash-LSH: shingle explode → base-hash → 32 affine "
-        "permutations → groupBy(id) min partials; banding self-join is "
-        "an equi-join on (band, bucket) — candidate pairs only ever "
-        "form inside a bucket."
+    "minhash_neardup_portable": (
+        "MinHash-LSH (portable md5 base hash — the hash-gated twin of "
+        "the xxhash64 engine lane): shingle explode → base-hash → 32 "
+        "affine permutations → groupBy(id) min partials; banding "
+        "self-join is an equi-join on (band, bucket) — candidate pairs "
+        "only ever form inside a bucket."
     ),
-    "simhash_neardup": (
-        "SimHash: explode → 64 bit-vote SUMs in ONE groupBy(id); the "
+    "simhash_neardup_portable": (
+        "SimHash (portable 32-bit md5 bit votes — the hash-gated twin "
+        "of the 64-bit xxhash64 engine lane): explode → bit-vote SUMs "
+        "in ONE groupBy(id); the "
         "(id, h) signature table is persisted so the pigeonhole-chunk "
         "self-join reads it twice without re-aggregating, and the "
         "Hamming filter runs BEFORE the pair-dedup exchange so only "

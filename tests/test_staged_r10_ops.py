@@ -1,9 +1,11 @@
-"""r10-staged query/oracle pairs (plans/textml.py STAGED_ORACLES):
-hard_negatives, kfold_column, temperature_mixture — direct
-Spark<->DuckDB parity at the oracle SF, the local twin of the driver
-gate each will face on registration.  The unicode and degenerate
-sweeps pick the staged names up automatically
-(test_unicode_parity.py / test_degenerate_inputs.py)."""
+"""r10-registered trio (hard_negatives / kfold_column /
+temperature_mixture — promoted from STAGED_ORACLES, now swept by
+test_oracle_parity like every registered pair) keeps its semantic
+shape tests here, plus the r11-staged pair (split_leakage) gets the
+direct Spark<->DuckDB parity gate every staged query faces before
+registration.  The unicode and degenerate sweeps pick the staged
+names up automatically (test_unicode_parity.py /
+test_degenerate_inputs.py)."""
 
 from __future__ import annotations
 
@@ -12,7 +14,7 @@ import pytest
 from tests.conftest import SF_ORACLE
 from tests.test_oracle_parity import canon
 
-STAGED = ["hard_negatives", "kfold_column", "temperature_mixture"]
+STAGED = ["split_leakage"]
 
 
 @pytest.mark.parametrize("name", STAGED)
@@ -34,12 +36,12 @@ def test_staged_parity(name, spark, duck):
     )
 
 
-def test_staged_hard_negatives_shape(spark):
+def test_hard_negatives_shape(spark):
     """Ranks are 1..k dense per anchor and labels always differ from
     the anchor's (anchor label = anchor_id mod 7 by construction)."""
-    from market_insights_app_spark.plans.textml import staged_q_hard_negatives
+    from market_insights_app_spark.plans.textml import q_hard_negatives
 
-    rows = staged_q_hard_negatives(spark, SF_ORACLE).collect()
+    rows = q_hard_negatives(spark, SF_ORACLE).collect()
     assert rows
     by_anchor: dict = {}
     for r in rows:
@@ -51,12 +53,12 @@ def test_staged_hard_negatives_shape(spark):
         assert len(grp) <= 5
 
 
-def test_staged_kfold_uniform_and_group_pure(spark):
+def test_kfold_uniform_and_group_pure(spark):
     """fold_by_source is constant within a source (the leakage-safe
     law) and fold_by_doc spreads across all 5 folds."""
-    from market_insights_app_spark.plans.textml import staged_q_kfold_column
+    from market_insights_app_spark.plans.textml import q_kfold_column
 
-    rows = staged_q_kfold_column(spark, SF_ORACLE).collect()
+    rows = q_kfold_column(spark, SF_ORACLE).collect()
     per_source: dict = {}
     folds = set()
     for r in rows:
@@ -66,15 +68,13 @@ def test_staged_kfold_uniform_and_group_pure(spark):
     assert folds == set(range(5))
 
 
-def test_staged_temperature_mixture_shares(spark):
+def test_temperature_mixture_shares(spark):
     """alpha=0.5 up-weights small sources RELATIVE to their size: the
     surviving share of the smallest source must exceed the share of
     the largest (the temperature contract), and no group is empty."""
     from pyspark.sql import functions as F
 
-    from market_insights_app_spark.plans.textml import (
-        staged_q_temperature_mixture,
-    )
+    from market_insights_app_spark.plans.textml import q_temperature_mixture
 
     docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
     before = {
@@ -82,10 +82,76 @@ def test_staged_temperature_mixture_shares(spark):
         for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
     }
     after: dict = {}
-    for r in staged_q_temperature_mixture(spark, SF_ORACLE).collect():
+    for r in q_temperature_mixture(spark, SF_ORACLE).collect():
         after[r.source] = after.get(r.source, 0) + 1
     assert set(after) == set(before)
     small = min(before, key=before.get)
     large = max(before, key=before.get)
     if before[small] < before[large]:
         assert after[small] / before[small] > after[large] / before[large]
+
+
+def test_neardup_lane_gate_runs_no_action(spark, monkeypatch):
+    """cosine_self_join_neardup's default lane choice must not run a
+    count() (or any action) over the corpus — the r10 fix mirroring
+    hard_negatives': an extra full scan just to pick a lane is real
+    money at 100 TB."""
+    from pyspark.sql import DataFrame
+
+    from market_insights_app_spark.operators.similarity import (
+        cosine_self_join_neardup,
+    )
+
+    counted = []
+    orig = DataFrame.count
+    monkeypatch.setattr(
+        DataFrame, "count", lambda self: counted.append(self) or orig(self)
+    )
+    df = spark.createDataFrame(
+        [(i, i % 3, [1.0, float(i % 5)]) for i in range(12)],
+        "vec_id long, label int, embedding array<float>",
+    )
+    out = cosine_self_join_neardup(df, "label", 0.5)  # default lane
+    assert not counted, "lane gate ran DataFrame.count()"
+    assert out.count() >= 0  # the plan itself still executes
+
+
+def test_hard_negatives_sequential_chunks_release_broadcasts(spark):
+    """Multi-chunk mining must hold at most ONE anchor panel at a time:
+    every broadcast except the last chunk's is destroyed before the
+    plan returns (the r10 ADVICE fix — total panel residency is
+    O(anchor_chunk), not O(total anchors))."""
+    from pyspark.broadcast import Broadcast
+
+    import market_insights_app_spark.operators.similarity as sim
+
+    created: list = []
+    destroyed: list = []
+    orig_bc = sim._hard_negative_candidates
+
+    def spy_candidates(p, a_rows, k, panel_block=None):
+        cand, bc = orig_bc(p, a_rows, k, panel_block)
+        created.append(bc)
+        orig_destroy = bc.destroy
+        bc.destroy = lambda *a, **kw: destroyed.append(bc) or orig_destroy()
+        return cand, bc
+
+    pool = spark.createDataFrame(
+        [(i, [1.0, float(i % 7)], i % 3) for i in range(30)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    anchors = spark.createDataFrame(
+        [(100 + j, [1.0, float(j % 7)], j % 3) for j in range(9)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        sim, "_hard_negative_candidates", spy_candidates
+    ):
+        out = sim.hard_negatives(pool, anchors, k=2, anchor_chunk=3)
+        n_rows = out.count()
+    assert len(created) == 3  # 9 anchors / chunk 3
+    # all but the last panel were destroyed before the plan returned
+    assert destroyed == created[:-1]
+    assert n_rows > 0
