@@ -200,24 +200,63 @@ def _segments_resiliparse(html: str) -> list[tuple[str, int, int]]:
     return segs
 
 
+_HREF_RE = r"""(?i)<a\s[^>]*href\s*=\s*["']?(https?://[^"'\s>#]+)"""
+
+
+def extract_outlinks(col: Column | str) -> Column:
+    """Absolute http(s) outlink URLs from raw HTML, JVM-side only
+    (``regexp_extract_all`` — whole-stage codegen, no Python hop):
+    one ``array<string>`` of distinct href targets per page.  Scheme-
+    relative, relative and fragment-only links are deliberately out —
+    the consumer is the HOST-level link graph (pipelines/crawl_corpus.
+    host_link_graph), where same-host relative links would only add
+    self-loops PageRank drops anyway.  Fragments are cut at ``#``;
+    query strings are kept (registered_domain ignores them)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_distinct(F.regexp_extract_all(c, F.lit(_HREF_RE), 1))
+
+
+# worker-local 'auto' kernel cache: resolved once per Python worker,
+# NOT on the driver — a failed import is not cached by sys.modules, so
+# resolving per call would retry the filesystem probe on every row
+# batch
+_AUTO_KERNEL = None
+
+
+def _segments_auto(html: str) -> list[tuple[str, int, int]]:
+    """Worker-side 'auto' resolution (r9 ADVICE): resiliparse when
+    importable ON THE EXECUTING WORKER, stdlib otherwise.  A
+    driver-side probe alone is unsafe in heterogeneous
+    driver/executor environments — the driver importing resiliparse
+    says nothing about the workers, and shipping
+    ``_segments_resiliparse`` by reference would then die inside
+    mapInPandas with ImportError instead of falling back."""
+    global _AUTO_KERNEL
+    if _AUTO_KERNEL is None:
+        try:
+            from resiliparse.parse.html import HTMLTree  # noqa: F401
+
+            _AUTO_KERNEL = _segments_resiliparse
+        except ImportError:
+            _AUTO_KERNEL = _segments
+    return _AUTO_KERNEL(html)
+
+
 def _pick_segmenter(engine: str = "auto"):
     """Resolve the segmentation kernel: 'stdlib' (always available),
-    'resiliparse' (ImportError where absent), or 'auto' — resiliparse
-    when importable, stdlib otherwise.  Resolution happens driver-side
-    so an explicit 'resiliparse' request fails fast; workers re-import
-    the module-level function by reference."""
+    'resiliparse' (fail-FAST driver-side ImportError where absent —
+    an explicit request must not silently degrade), or 'auto' — a
+    worker-side deferred probe that uses resiliparse where each
+    worker has it and the stdlib kernel everywhere else."""
     if engine == "stdlib":
         return _segments
-    if engine not in ("auto", "resiliparse"):
+    if engine == "auto":
+        return _segments_auto
+    if engine != "resiliparse":
         raise ValueError(f"unknown segmenter engine: {engine!r}")
-    try:
-        from resiliparse.parse.html import HTMLTree  # noqa: F401
+    from resiliparse.parse.html import HTMLTree  # noqa: F401
 
-        return _segments_resiliparse
-    except ImportError:
-        if engine == "resiliparse":
-            raise
-        return _segments
+    return _segments_resiliparse
 
 
 def extract_main_text(

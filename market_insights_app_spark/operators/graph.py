@@ -163,13 +163,19 @@ def pagerank(
         if redistribute_dangling
         else None
     )
+    # exactly ONE eager lineage cut per iteration frame (r9 ADVICE: the
+    # default+tol lane paid two back-to-back localCheckpoints — a full
+    # extra materialization of the rank frame per iteration).  pr_cut
+    # tracks whether the CURRENT pr is already checkpointed.
+    pr_cut = False
     for i in range(iterations):
         if redistribute_dangling:
             # the mass-conserving variant's extra cost is ONE global
-            # scalar per iteration; the lineage cut below doubles as
-            # the loop's standard per-iteration checkpoint (the
-            # end-of-loop one is skipped on this lane)
-            pr = pr.localCheckpoint(eager=True)
+            # scalar per iteration; the lineage cut doubles as the
+            # loop's standard per-iteration checkpoint — skipped when
+            # the tol branch already cut this frame last iteration
+            if not pr_cut:
+                pr = pr.localCheckpoint(eager=True)
             d_mass = (
                 pr.join(dangling, "node").agg(F.sum("rank_grid")).first()[0]
                 or 0
@@ -199,10 +205,16 @@ def pagerank(
                 ).cast("long").alias("rank_grid"),
             )
         )
-        if not redistribute_dangling and i + 1 < iterations:
+        pr_cut = False
+        if i + 1 < iterations and (
+            not redistribute_dangling or tol_grid is not None
+        ):
+            # one cut, reused by the tol delta scan AND the next
+            # iteration's join (and, on the redistribute lane, by the
+            # next iteration's dangling-mass scan)
             pr = pr.localCheckpoint(eager=True)
+            pr_cut = True
         if tol_grid is not None and i + 1 < iterations:
-            pr = pr.localCheckpoint(eager=True)  # reused by delta + next
             delta = (
                 pr.join(
                     prev.select(
@@ -223,7 +235,8 @@ def pagerank(
     # above already paid the materialization, so there is no work to
     # overlap with, and the guard test can assert the exact residue
     # (one checkpointed result RDD, nothing else).
-    pr = pr.localCheckpoint(eager=True)
+    if not pr_cut:
+        pr = pr.localCheckpoint(eager=True)
     elist.unpersist(blocking=True)
     nodes.unpersist(blocking=True)
     out = pr.select(

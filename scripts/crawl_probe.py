@@ -1,6 +1,8 @@
 """Crawl front-door throughput probe: synthetic gzipped WARC archives
 through warc_to_documents (parse → HTTP peel → boilerplate extraction
-→ lang/length gates), batch and streaming lanes.  Records go to
+→ lang/length gates), plus the r10 link-graph quality-prior lanes
+(host_link_graph codegen href scan → host PageRank → broadcast join,
+and the full warc_to_documents_with_rank composition).  Records go to
 SCALE_NOTES.md by hand.
 
     python scripts/crawl_probe.py [n_files] [pages_per_file]
@@ -35,20 +37,33 @@ def main() -> None:
 
     sys.path.insert(0, ".")
     from market_insights_app_spark.pipelines.crawl_corpus import (
+        host_link_graph,
+        host_pagerank,
         warc_to_documents,
+        warc_to_documents_with_rank,
     )
     from market_insights_app_spark.session import get_spark
+    from market_insights_app_spark.sources.warc import read_warc
 
     root = tempfile.mkdtemp(prefix="crawl_probe_")
     para = ("<p>" + "the quick brown fox jumps over the lazy dog and "
             "keeps going with enough words to look like an article "
             "paragraph of ordinary english text. " * 3 + "</p>")
-    nav = "<div>" + "".join(f"<a href='/{i}'>link{i}</a>" for i in range(20)) + "</div>"
+    # half relative (never edges), half absolute cross-host links so the
+    # host graph is real: site f links to sites (f+1..f+10) mod n_files
+    nav = "<div>" + "".join(
+        f"<a href='/{i}'>link{i}</a>" for i in range(10)
+    ) + "{abs_links}</div>"
     total_bytes = 0
     for f in range(n_files):
+        abs_links = "".join(
+            f"<a href='http://site{(f + d) % n_files}.com/p0'>x{d}</a>"
+            for d in range(1, 11)
+        )
+        fnav = nav.format(abs_links=abs_links)
         buf = bytearray()
         for p in range(pages):
-            body = (f"<html><body>{nav}{para}<p>page f{f}p{p} marker "
+            body = (f"<html><body>{fnav}{para}<p>page f{f}p{p} marker "
                     f"token{p % 97} body text continues here with more "
                     f"filler words for realism.</p>{para}</body></html>"
                     ).encode()
@@ -70,6 +85,24 @@ def main() -> None:
         print(f"run {run}: {n:,} docs in {dt:6.2f} s "
               f"({n_pages / dt:,.0f} pages/s, "
               f"{total_bytes / 1e6 / dt:.1f} MB/s compressed)")
+    # link-graph quality-prior lanes
+    for run in (1, 2):
+        t0 = time.perf_counter()
+        recs = read_warc(spark, f"{root}/*.warc.gz",
+                         record_types=("response",))
+        rank = host_pagerank(host_link_graph(recs))
+        n_hosts = rank.count()
+        dt = time.perf_counter() - t0
+        print(f"link lane {run}: {n_hosts:,} host ranks in {dt:6.2f} s "
+              f"(codegen href scan + host PageRank; "
+              f"{n_pages / dt:,.0f} pages/s)")
+    for run in (1, 2):
+        t0 = time.perf_counter()
+        full = warc_to_documents_with_rank(spark, f"{root}/*.warc.gz")
+        n = full.count()
+        dt = time.perf_counter() - t0
+        print(f"full composition {run}: {n:,} ranked docs in {dt:6.2f} s "
+              f"({n_pages / dt:,.0f} pages/s)")
     spark.stop()
     shutil.rmtree(root, ignore_errors=True)
 

@@ -323,6 +323,31 @@ COMMENTARY = {
         "ReadSchema pruned to (doc_id, text). The classic shape every "
         "per-row quality feature should compile to."
     ),
+    "hard_negatives": (
+        "Hard-negative mining (registered r10): the anchor panel rides "
+        "a broadcast INTO one ArrowEvalPython/mapInPandas pool scan "
+        "(the pool — the unbounded side — is scanned once and never "
+        "shuffled for scoring); the kernel pre-reduces each pool batch "
+        "to its local per-anchor top-k, so the only Exchange in the "
+        "plan is the ranked window over surviving candidates keyed on "
+        "anchor_id (k*batches rows per anchor, not the pool). Lane "
+        "choice never runs an action."
+    ),
+    "kfold_column": (
+        "Leakage-safe k-fold assignment (registered r10): a pure "
+        "scan-stage project — two md5/conv/pmod expression chains "
+        "inside WholeStageCodegen, zero Exchanges; keying the hash on "
+        "the GROUP column is what makes the fold leakage-safe, and "
+        "costs nothing over the row-keyed form."
+    ),
+    "temperature_mixture": (
+        "Temperature mixture (registered r10): one map-side-combinable "
+        "group-count aggregate (group-cardinality rows collect to "
+        "derive the ∝|g|^α rates), then the selection is a broadcast "
+        "equi-join of the tiny rate table onto the corpus scan with a "
+        "hash-fraction predicate — deterministic, RNG-free, no corpus "
+        "shuffle."
+    ),
 }
 
 # Streaming replay gates: their query functions RUN the availableNow

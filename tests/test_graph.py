@@ -244,3 +244,38 @@ def test_pagerank_unpersists_edge_cache(spark, monkeypatch):
     pagerank(e, iterations=4).collect()
     assert persisted, "expected the working-set caches to register"
     assert set(persisted) == set(released), (persisted, released)
+
+
+def test_pagerank_one_lineage_cut_per_iteration(spark, monkeypatch):
+    """ADVICE r9: the default lane with tol_grid set used to pay TWO
+    back-to-back eager localCheckpoints per non-final iteration (the
+    per-iteration cut immediately followed by the tol branch's cut) —
+    a second full materialization of the rank frame for no benefit.
+    Pin the exact cut count per lane: one per iteration frame, plus
+    the redistribute lane's initial-frame cut."""
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:
+        from pyspark.sql import DataFrame
+
+    cuts = []
+    orig = DataFrame.localCheckpoint
+
+    def spy(self, *a, **kw):
+        cuts.append(id(self))
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", spy)
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 0), (3, 2)], "src long, dst long"
+    )
+    # tol_grid=-1 never triggers the early stop (delta >= 0), so every
+    # lane runs its full 3 iterations and the counts are deterministic
+    for kwargs, want in [
+        (dict(), 3),                                # (it-1) mid + 1 final
+        (dict(tol_grid=-1), 3),                     # tol cut REUSED, not extra
+        (dict(redistribute_dangling=True, tol_grid=-1), 4),  # + initial frame
+    ]:
+        cuts.clear()
+        pagerank(e, iterations=3, **kwargs).collect()
+        assert len(cuts) == want, (kwargs, len(cuts))

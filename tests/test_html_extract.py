@@ -154,16 +154,21 @@ _GOLDEN_PAGES = [
 ]
 
 
-def test_engine_stdlib_is_default_fallback(spark):
-    """engine='auto' must fall back to the stdlib kernel where
-    resiliparse is absent and produce the documented output; an
-    explicit engine='resiliparse' must fail FAST (driver-side) there;
-    an unknown engine is a contract error."""
+def test_engine_stdlib_is_default_fallback(spark, monkeypatch):
+    """engine='auto' resolves WORKER-side (r9 ADVICE: a driver-only
+    probe is unsafe when executors lack the library) and falls back to
+    the stdlib kernel where resiliparse is absent; an explicit
+    engine='resiliparse' must fail FAST (driver-side) there; an
+    unknown engine is a contract error."""
+    import market_insights_app_spark.functions.html as html_mod
     from market_insights_app_spark.functions.html import (
         _pick_segmenter,
         _segments,
+        _segments_auto,
         extract_main_text,
     )
+
+    monkeypatch.setattr(html_mod, "_AUTO_KERNEL", None)  # fresh probe
 
     try:
         import resiliparse  # noqa: F401
@@ -171,10 +176,16 @@ def test_engine_stdlib_is_default_fallback(spark):
         has_lib = True
     except ImportError:
         has_lib = False
+    # 'auto' always defers to the worker-side probe — never a
+    # driver-resolved kernel reference
+    assert _pick_segmenter("auto") is _segments_auto
     if not has_lib:
-        assert _pick_segmenter("auto") is _segments
         with pytest.raises(ImportError):
             _pick_segmenter("resiliparse")
+        # the worker-side probe lands on (and caches) the stdlib kernel
+        page = _GOLDEN_PAGES[0]
+        assert _segments_auto(page) == _segments(page)
+        assert html_mod._AUTO_KERNEL is _segments
     with pytest.raises(ValueError, match="unknown segmenter engine"):
         _pick_segmenter("lxml")
     df = spark.createDataFrame(
@@ -283,15 +294,23 @@ def test_resiliparse_walk_logic_via_mock_dom(monkeypatch):
     monkeypatch.setitem(sys.modules, "resiliparse.parse", parse_pkg)
     monkeypatch.setitem(sys.modules, "resiliparse.parse.html", mod)
 
+    import market_insights_app_spark.functions.html as html_mod
     from market_insights_app_spark.functions.html import (
         _pick_segmenter,
         _segments,
         _segments_resiliparse,
     )
 
-    # the guard resolves the C lane now that the module "exists"
-    assert _pick_segmenter("auto") is _segments_resiliparse
+    # the worker-side 'auto' probe resolves (and caches) the C lane now
+    # that the module "exists"; reset the cache so an earlier test's
+    # fallback resolution can't leak in
+    monkeypatch.setattr(html_mod, "_AUTO_KERNEL", None)
     assert _pick_segmenter("resiliparse") is _segments_resiliparse
+    assert (
+        html_mod._segments_auto(_GOLDEN_PAGES[0])
+        == _segments(_GOLDEN_PAGES[0])
+    )
+    assert html_mod._AUTO_KERNEL is _segments_resiliparse
     for page in _GOLDEN_PAGES:
         assert _segments_resiliparse(page) == _segments(page), page[:60]
     # drop-tag containment specifically: script INSIDE an anchor
