@@ -1206,3 +1206,81 @@ def test_hard_negatives_lanes_match_python_model(
             ).collect()
         )
         assert got == want, (lane, got, want)
+
+
+# --- crawl outlink scan vs an independent stdlib-parser model ---------------
+
+_href_url = st.builds(
+    lambda scheme, host, path, q: f"{scheme}://h{host}.example{path}"
+    + (f"?q={q}" if q is not None else ""),
+    st.sampled_from(["http", "https"]),
+    st.integers(min_value=0, max_value=9),
+    st.sampled_from(["", "/", "/p1", "/a/b"]),
+    st.one_of(st.none(), st.integers(min_value=0, max_value=99)),
+)
+_href_any = st.one_of(
+    _href_url,
+    st.builds(lambda u, f: f"{u}#s{f}", _href_url,
+              st.integers(min_value=0, max_value=9)),  # fragment → cut
+    st.sampled_from(["/rel", "../up", "//cdn.example/x",
+                     "mailto:a@b.c", "javascript:void(0)", ""]),
+)
+_anchor = st.builds(
+    lambda href, quote, pre: (
+        f"<a {pre}href={quote}{href}{quote}>t</a>"
+        if quote or " " not in href
+        else f"<a {pre}href='{href}'>t</a>"
+    ),
+    _href_any,
+    st.sampled_from(["'", '"', ""]),
+    st.sampled_from(["", "class='c' ", "target='_b' "]),
+)
+_page_html = st.lists(
+    st.one_of(_anchor, st.sampled_from(
+        ["<p>prose text</p>", "<div>block</div>",
+         "<link href='http://css.example/x'>"])),
+    min_size=0, max_size=12,
+).map(lambda parts: "<html><body>" + "".join(parts) + "</body></html>")
+
+
+def _py_outlinks(html: str) -> list[str]:
+    """Independent model of extract_outlinks: stdlib event parser pulls
+    every <a href>, keeps absolute http(s), cuts at '#', dedups."""
+    from html.parser import HTMLParser
+
+    seen: list[str] = []
+
+    class P(HTMLParser):
+        def handle_starttag(self, tag, attrs):
+            if tag != "a":
+                return
+            for k, v in attrs:
+                if k == "href" and v and v.lower().startswith(
+                    ("http://", "https://")
+                ):
+                    u = v.split("#", 1)[0]
+                    if u and u not in seen:
+                        seen.append(u)
+
+    p = P()
+    p.feed(html)
+    p.close()
+    return seen
+
+
+@settings(**SETTINGS)
+@given(pages=st.lists(_page_html, min_size=1, max_size=4))
+def test_extract_outlinks_matches_parser_model(spark, pages):
+    from market_insights_app_spark.functions.html import extract_outlinks
+
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(pages)], "i long, html string"
+    )
+    got = {
+        r.i: sorted(r.links)
+        for r in df.select(
+            "i", extract_outlinks("html").alias("links")
+        ).collect()
+    }
+    for i, h in enumerate(pages):
+        assert got[i] == sorted(_py_outlinks(h)), h
