@@ -139,12 +139,20 @@ _CHANGED_SINCE_ROW: list[str] = ["embedding_neardup"]
 # _LAST_SWEPT (the 50 window names -> 10).  The r11 must-sweep is then
 # the 49 r8-stale rows, leaving 1 slot for new+changed combined.
 # Pre-built r11 candidate (plans/textml.py STAGED_ORACLES), twin-tested
-# at sf0.001 + sf0.01 and through the degenerate-input sweeps:
-#   staged_q_split_leakage  (exact-fingerprint split-leakage audit,
+# at sf0.001 + sf0.01 and through the unicode/degenerate sweeps:
+#   staged_q_split_leakage  (cross-split leakage audit — exact
+#                            fingerprint lane in plain SQL, near lane
+#                            on the proven portable-MinHash CTEs;
 #                            operators/dedup.py split_leakage_report)
 # To register: rename to q_<name>, move the STAGED_ORACLES entry into
 # TEXTML_ORACLES, list in _NEW_THIS_ROUND — and keep N ≤ 3W − 2 (the
-# permanent-slack design below), consolidating first if needed.
+# permanent-slack design below), consolidating first.  Sanctioned r11
+# consolidation candidate (same one-retirement-per-registration
+# standard as r9/r10):
+#   rolling_stddev10 — its full computation (the W2/A6 window stddev)
+#     is the INNER stage of ★rolling_min_volatility's oracle (W3 is a
+#     rolling min OVER the W2 stddev), so the stronger row hash-gates
+#     every stage of the weaker one; the W2 golden tests stay.
 #
 # CEILING (computed, not guessed): N = 148 = 3W − 2.  The 2 slack
 # slots per 3-round cycle are what lets _CHANGED_SINCE_ROW re-gates
