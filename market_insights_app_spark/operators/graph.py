@@ -167,6 +167,23 @@ def pagerank(
     # default+tol lane paid two back-to-back localCheckpoints — a full
     # extra materialization of the rank frame per iteration).  pr_cut
     # tracks whether the CURRENT pr is already checkpointed.
+    #
+    # DATA-ADAPTIVE cut cadence (r10, values unaffected — checkpoint
+    # placement is resource lifecycle): at big widths the per-iteration
+    # cut is load-bearing (1M nodes: cadence-1 10.5 s vs cadence-2
+    # 14.2 s — plan depth costs superlinear planning + sort there,
+    # SCALE_NOTES r9), but in the collapsed-to-1-partition regime the
+    # loop is pure job-scheduling overhead and stacking 3 iterations
+    # per cut is measurably cheaper (sf0.1 fixture best-of-3: cadence-1
+    # 3.25 s, cadence-3 2.78 s, cadence-10 worse again — SCALE_NOTES
+    # r10).  Lanes that run a per-iteration ACTION on pr (tol delta,
+    # dangling-mass scalar) stay at cadence 1: an un-cut pr would
+    # recompute its whole stacked chain inside every such action.
+    cut_every = (
+        3
+        if parts == 1 and tol_grid is None and not redistribute_dangling
+        else 1
+    )
     pr_cut = False
     for i in range(iterations):
         if redistribute_dangling:
@@ -206,8 +223,10 @@ def pagerank(
             )
         )
         pr_cut = False
-        if i + 1 < iterations and (
-            not redistribute_dangling or tol_grid is not None
+        if (
+            i + 1 < iterations
+            and (not redistribute_dangling or tol_grid is not None)
+            and (i + 1) % cut_every == 0
         ):
             # one cut, reused by the tol delta scan AND the next
             # iteration's join (and, on the redistribute lane, by the

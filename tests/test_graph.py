@@ -270,12 +270,18 @@ def test_pagerank_one_lineage_cut_per_iteration(spark, monkeypatch):
         [(0, 1), (1, 2), (2, 0), (3, 0), (3, 2)], "src long, dst long"
     )
     # tol_grid=-1 never triggers the early stop (delta >= 0), so every
-    # lane runs its full 3 iterations and the counts are deterministic
-    for kwargs, want in [
-        (dict(), 3),                                # (it-1) mid + 1 final
-        (dict(tol_grid=-1), 3),                     # tol cut REUSED, not extra
-        (dict(redistribute_dangling=True, tol_grid=-1), 4),  # + initial frame
+    # lane runs its full iterations and the counts are deterministic.
+    # This 5-node graph collapses to 1 partition, so the plain lane
+    # runs the tiny-regime cadence (cut every 3rd iteration frame);
+    # the per-iteration-ACTION lanes (tol, redistribute) stay at
+    # cadence 1 — an un-cut pr would recompute its stacked chain
+    # inside every delta/mass scan.
+    for kwargs, iters, want in [
+        (dict(), 3, 1),                 # cadence-3: no mid cut + 1 final
+        (dict(), 4, 2),                 # mid cut at i+1=3, + 1 final
+        (dict(tol_grid=-1), 3, 3),      # cadence-1, tol cut REUSED not extra
+        (dict(redistribute_dangling=True, tol_grid=-1), 3, 4),  # + initial
     ]:
         cuts.clear()
-        pagerank(e, iterations=3, **kwargs).collect()
-        assert len(cuts) == want, (kwargs, len(cuts))
+        pagerank(e, iterations=iters, **kwargs).collect()
+        assert len(cuts) == want, (kwargs, iters, len(cuts))
