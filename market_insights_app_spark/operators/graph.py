@@ -50,6 +50,12 @@ from pyspark.sql import functions as F
 # per-iteration checkpoints keep each job flat over a materialized
 # rank frame of 2 longs/node.
 
+# Cut cadence in the collapsed-to-1-partition regime, where the loop is
+# job-scheduling-bound and stacking a few iterations per cut beats the
+# at-width rule above (paired A/B in SCALE_NOTES r10).  Module-level so
+# probes/tests can pair the two cadences inside one session.
+_TINY_CUT_EVERY = 3
+
 
 def pagerank(
     edges: DataFrame,
@@ -180,7 +186,7 @@ def pagerank(
     # dangling-mass scalar) stay at cadence 1: an un-cut pr would
     # recompute its whole stacked chain inside every such action.
     cut_every = (
-        3
+        _TINY_CUT_EVERY
         if parts == 1 and tol_grid is None and not redistribute_dangling
         else 1
     )
