@@ -6,6 +6,9 @@ lazy Spark plan chain.
 Stages (each one linear in the corpus, shuffle inventory in the
 docstring of :func:`build_pretraining_corpus`):
 
+0. authority prior (optional) — crawl-link-graph host PageRank floor
+                    (pipelines/crawl_corpus.attach_host_rank; NULL
+                    prior passes — unknown is not a verdict)
 1. quality gate   — Gopher-style repetition thresholds
                     (operators/quality.repetition_gate)
 2. exact dedup    — content-fingerprint first-wins
@@ -55,6 +58,8 @@ def build_pretraining_corpus(
     near_dup_threshold: float = 0.5,
     salt: str = "pretrain-v1",
     docs: DataFrame | None = None,
+    host_rank: DataFrame | None = None,
+    min_host_rank: float | None = None,
 ) -> dict[str, DataFrame]:
     """Run the whole pipeline over ``{sf_dir}/documents.parquet`` — or
     over an explicit documents-schema ``docs`` frame (e.g. the output
@@ -64,6 +69,16 @@ def build_pretraining_corpus(
     slice (stand-in for a benchmark suite).  Returns lazy frames:
     ``corpus`` (with ``split``, ``shard``, ``pos``), ``eval_set``,
     and ``manifest`` (one row per split).
+
+    ``host_rank`` (optional) is a (host, host_pagerank) authority
+    table — pipelines/crawl_corpus.host_pagerank over the crawl's own
+    link graph — broadcast-joined on ``source`` as a quality prior
+    alongside the content gates.  With ``min_host_rank`` set,
+    documents from hosts RANKED BELOW the floor are dropped before
+    anything else runs; hosts outside the link graph (NULL prior)
+    are KEPT — an unknown prior is missing evidence, not a verdict.
+    The prior column itself is dropped after the gate so the corpus
+    schema (and every downstream hash gate) is unchanged.
 
     Shuffle inventory at 100 TB — every stage is linear, nothing is
     quadratic in the corpus: the quality gate shuffles twice on doc_id
@@ -77,6 +92,19 @@ def build_pretraining_corpus(
     fixed-size buffers."""
     if docs is None:
         docs = load_table(spark, sf_dir, "documents")
+    if host_rank is not None:
+        from market_insights_app_spark.pipelines.crawl_corpus import (
+            attach_host_rank,
+        )
+
+        in_cols = docs.columns  # the join fronts the key; restore order
+        ranked = attach_host_rank(docs, host_rank)
+        if min_host_rank is not None:
+            ranked = ranked.filter(
+                F.col("host_pagerank").isNull()
+                | (F.col("host_pagerank") >= min_host_rank)
+            )
+        docs = ranked.select(*in_cols)
     eval_set = docs.filter(F.col("doc_id") % eval_mod == 0)
     train_in = docs.filter(F.col("doc_id") % eval_mod != 0)
 

@@ -279,3 +279,58 @@ def test_crawl_host_rank_prior_batch_and_stream_twin(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in out.collect())
     assert got == want and len(got) == 5
+
+
+def test_host_rank_prior_gates_pretraining_corpus(spark, tmp_path):
+    """Stage-0 authority prior: with a min_host_rank floor, documents
+    from hosts ranked below it drop BEFORE the content gates; hosts
+    outside the link graph (NULL prior) pass; the corpus schema (and
+    so every downstream hash gate) is unchanged."""
+    from market_insights_app_spark.pipelines.crawl_corpus import (
+        host_link_graph,
+        host_pagerank,
+        warc_to_documents,
+    )
+    from market_insights_app_spark.pipelines.pretrain_corpus import (
+        build_pretraining_corpus,
+    )
+    from market_insights_app_spark.sources.warc import read_warc
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    # b.com collects both in-links (top rank); a.com only c.com's
+    # (low rank); e.com has no links either way (NULL prior)
+    site = {
+        "a.com": ["http://b.com/x"],
+        "c.com": ["http://b.com/y", "http://a.com/z"],
+        "b.com": [],
+        "e.com": [],
+    }
+    warc = b""
+    for i, (host, hrefs) in enumerate(sorted(site.items())):
+        # distinct vocab per page so dedup/decontamination keep them
+        warc += _warc([f"http://{host}/p"], body=_page(f"g{i}w", hrefs))
+    (crawl / "a.warc").write_bytes(warc)
+    path = str(crawl / "a.warc")
+
+    docs = warc_to_documents(spark, path)
+    recs = read_warc(spark, path, record_types=("response",))
+    rank = host_pagerank(host_link_graph(recs))
+    ranks = {r.host: r.host_pagerank for r in rank.collect()}
+    assert ranks["b.com"] > ranks["a.com"]  # 2 in-links vs 1
+    floor = (ranks["a.com"] + ranks["b.com"]) / 2
+
+    base = build_pretraining_corpus(
+        spark, sf_dir="unused", docs=docs, eval_mod=10**9, n_shards=2
+    )["corpus"]
+    gated = build_pretraining_corpus(
+        spark, sf_dir="unused", docs=docs, eval_mod=10**9, n_shards=2,
+        host_rank=rank, min_host_rank=floor,
+    )["corpus"]
+    assert gated.columns == base.columns  # prior column never leaks
+    base_hosts = {r.source for r in base.collect()}
+    got_hosts = {r.source for r in gated.collect()}
+    assert "e.com" in base_hosts
+    # a.com and c.com rank below the floor and drop; b.com survives
+    # the floor; e.com (no prior) passes
+    assert got_hosts == {"b.com", "e.com"}
