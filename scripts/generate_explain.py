@@ -302,10 +302,12 @@ COMMENTARY = {
         "re-base is a scan-stage projection. All arithmetic is int64 "
         "(rank div outdeg, 85*sum div 100) so the plan carries longs, "
         "never doubles, and the result is partitioning-invariant. "
-        "Eager localCheckpoint EVERY iteration caps the plan depth "
-        "(measured 2x over every-4 batching, SCALE_NOTES r9) — the "
-        "formatted plan below is the final checkpointed stanza, not "
-        "10 stacked copies."
+        "Eager localCheckpoint lineage cuts cap the plan depth — every "
+        "iteration at width (measured 2x over every-4 batching, "
+        "SCALE_NOTES r9), every 3rd frame in the collapsed-to-1-"
+        "partition regime where job scheduling dominates (paired "
+        "A/B, SCALE_NOTES r10) — so the formatted plan below is "
+        "the final checkpointed stanza, not 10 stacked copies."
     ),
     "semantic_decontaminate": (
         "Embedding decontamination (registered r9): the eval set rides a "
