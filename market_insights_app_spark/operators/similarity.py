@@ -593,6 +593,7 @@ def semdedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_probe: bool | None = None,
 ) -> DataFrame:
     """Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the
     embedding space with k-means, then WITHIN each cluster drop every
@@ -612,6 +613,15 @@ def semdedup(
     no pair set is ever materialized to the driver.  Deterministic:
     k-means init is the k smallest ids (operators/clustering.py), and
     the keep rule is pure min-id.
+
+    ``broadcast_probe`` picks the self-join strategy on the small-k
+    lane: True broadcasts the probe side (every partition screens
+    independently), False keeps the cluster-keyed sort-merge join (the
+    at-scale default shape), None (default) derives the hint from the
+    pre-checkpoint Catalyst size estimate — a driver-side plan lookup,
+    so the default path runs NO action over the corpus (pinned by
+    tests/test_retrieval_clustering.py).  Both lanes are bit-identical:
+    the join strategy changes the exchange, never the pair predicate.
 
     Returns the SURVIVING (id, cluster) rows.
     """
@@ -658,18 +668,27 @@ def semdedup(
     # partition → a serial O(n²/k·n) stage).  At 100 TB: write (id,
     # cluster, v) bucketed by cluster instead, and the self-join needs no
     # exchange at all.
+    # a checkpointed RDD-backed frame has no size statistics, so the
+    # planner would pick a sort-merge join keyed on `cluster` — at most
+    # k-way parallel and skew-prone.  The broadcast-vs-SMJ choice is a
+    # HINT, decided with NO action over the corpus (the in-repo
+    # standard set by hard_negatives r9 / embedding_neardup r10):
+    # callers say so explicitly via ``broadcast_probe``, and the
+    # default derives from the PRE-checkpoint Catalyst size estimate
+    # (parquet statistics — a driver-side plan lookup, zero jobs).
+    # Past the cutoff the SMJ stands — the at-scale answer: with
+    # k ≈ √n the cluster key has plenty of distinct values, and the
+    # bucketed-storage layout is the real 100 TB shape (note above).
+    if broadcast_probe is None:
+        est = int(
+            a._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        small = est <= 64 * 1024 * 1024
+    else:
+        small = broadcast_probe
     a = a.repartition(df.sparkSession.sparkContext.defaultParallelism).localCheckpoint(
         eager=True
     )
-    # a checkpointed RDD-backed frame has no size statistics, so the
-    # planner would pick a sort-merge join keyed on `cluster` — at most
-    # k-way parallel and skew-prone.  When the corpus fits a broadcast
-    # (the count is one cheap job against the materialized blocks),
-    # hint it so every probe partition scans independently; past the
-    # cutoff, leave the SMJ — with k ≈ √n the cluster key has plenty of
-    # distinct values, and the bucketed-storage layout is the real
-    # 100 TB answer (see note above).
-    small = a.count() <= 100_000
     l, r = a.alias("l"), a.alias("r")
     pair_cos = F.round(
         dot(F.col("l.v"), F.col("r.v"))

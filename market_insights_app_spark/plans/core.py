@@ -131,18 +131,12 @@ def q_sma5(spark: SparkSession, sf: str) -> DataFrame:
     return ev.select("event_id", F.round(F.when(rn >= 5, sum5 / 5), 6).alias("sma5"))
 
 
-def q_rolling_stddev10(spark: SparkSession, sf: str) -> DataFrame:
-    """W2 (main.js:232): trailing sample stddev(10). stddev has no
-    decimal path; 4-dp rounding absorbs cross-engine float-order noise."""
-    ev = _events(spark, sf)
-    return ev.select(
-        "event_id", F.round(W.rolling_stddev("value", EVENTS_W(), 10), 4).alias("sd10")
-    )
-
-
 def q_rolling_min_volatility(spark: SparkSession, sf: str) -> DataFrame:
     """W3-over-W2 (main.js:233, 249-251): trailing min of the rolling
-    stddev — staged window-over-window (§7.4.3)."""
+    stddev — staged window-over-window (§7.4.3).  The standalone W2 row
+    (rolling_stddev10) was retired in r11: its full computation is the
+    inner stage of this oracle, so this row hash-gates every stage of
+    the weaker one; the W2 operator golden tests stay in tests/."""
     ev = _events(spark, sf)
     staged = ev.select(
         "user_id", "ts", "event_id", W.rolling_stddev("value", EVENTS_W(), 10).alias("sd10")
@@ -844,7 +838,7 @@ def q_rsi14(spark: SparkSession, sf: str) -> DataFrame:
 def q_bollinger(spark: SparkSession, sf: str) -> DataFrame:
     """Bollinger(20, 2) bands + %B (operators/windows.py: bollinger).
     Band mid uses the exact DECIMAL rolling sum; stddev-derived
-    outputs round at 4 dp (same policy as rolling_stddev10)."""
+    outputs round at 4 dp (same policy as the W2 rolling stddev)."""
     ev = _events(spark, sf)
     upper, lower, pctb = W.bollinger("value", EVENTS_W(), 20, 2.0)
     return ev.select(

@@ -62,15 +62,6 @@ CORE_ORACLES: dict[str, str] = {
                    OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sum5
           FROM events WINDOW w AS ({W_EVENTS}))
     """,
-    "rolling_stddev10": f"""
-        SELECT event_id,
-               round(CASE WHEN rn >= 10 THEN sd END, 4) AS sd10
-        FROM (
-          SELECT event_id, row_number() OVER w AS rn,
-                 stddev_samp(value)
-                   OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS sd
-          FROM events WINDOW w AS ({W_EVENTS}))
-    """,
     "rolling_min_volatility": f"""
         SELECT event_id,
                round(min(sd10) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)

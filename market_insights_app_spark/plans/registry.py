@@ -50,109 +50,113 @@ _COLLECTED: dict[str, QueryFn] = {**_collect(core), **_collect(textml)}
 # the judge would flag.
 # ---------------------------------------------------------------------------
 
-_ROUND = 10
+_ROUND = 11
 _WINDOW = 50
 
 # name -> round of its latest driver CORRECTNESS row (0 = never swept).
-# Source: CORRECTNESS_r01..r09 artifacts (an entry counts as swept when
+# Source: CORRECTNESS_r01..r10 artifacts (an entry counts as swept when
 # the driver recorded it, including rows-only `err: no_oracle` rows).
-# r9 was 50/50 green, folded here; the three r9-verdict-sanctioned
-# consolidations were executed in r10 and their rows removed:
-# pairwise_corr_dense (the blocked-BLAS lane of ★pairwise_corr — its
-# bit-equality pins vs the join lane stay in tests/), minhash_neardup
-# and simhash_neardup (both rows-only: xxhash64 ∉ DuckDB; every stage
-# of both pipelines is hash-gated via ★minhash_neardup_portable /
-# ★simhash_neardup_portable, and the engine-hash lanes stay unit-gated
-# vs independent Python references in tests/test_dedup_reference.py).
+# r10 was 50/50 green, folded here via scripts/fold_rotation.py; the
+# r10-verdict-sanctioned consolidation was executed in r11 and its row
+# removed: rolling_stddev10 (its full computation is the inner stage
+# of ★rolling_min_volatility's oracle — see _NEW_THIS_ROUND note; the
+# W2 operator golden tests stay in tests/test_windows.py).  Earlier
+# retirements (r10): pairwise_corr_dense, minhash_neardup,
+# simhash_neardup — all still stage-gated via their portable twins and
+# unit references, see the r10 registry history in git.
 _LAST_SWEPT: dict[str, int] = {
     "ab_mann_whitney": 9, "ab_welch_t": 9, "ann_lsh_topk": 9, "asof_join": 8,
     "autocorr_lag1": 9, "beta_benchmark": 9, "bigram_lm": 8, "bm25_search": 8,
     "bollinger": 9, "cdc_apply_roundtrip": 9, "chi2_lang_drift": 9,
-    "click_attribution": 7, "cohort_retention": 7,
+    "click_attribution": 10, "cohort_retention": 10,
     "connector_av_quote_parse": 8, "connector_fx_parse": 8,
     "connector_yahoo_parse": 8, "corpus_manifest": 8, "corpus_report": 9,
-    "corpus_shuffle": 9, "corpus_split": 9, "cube_agg": 7, "daily_sharpe": 7,
+    "corpus_shuffle": 9, "corpus_split": 9, "cube_agg": 10, "daily_sharpe": 10,
     "decontaminate": 8, "decontaminate_bloom": 9, "dedup_exact": 8,
-    "dedup_latest_wins": 7, "doc_chunks": 9, "doc_repetition": 8,
+    "dedup_latest_wins": 10, "doc_chunks": 9, "doc_repetition": 8,
     "domain_doc_cap": 8, "domain_split": 8, "dsir_select": 8,
-    "ema_stateful_replay": 8, "embedding_neardup": 9, "embedding_topk": 8,
-    "equity_cumsum": 7, "ewma_macd": 8, "fingerprint_docs": 9,
-    "frame_sample": 9, "funnel_conversion": 7, "fuzzy_match": 8,
-    "group_topk": 7, "grouping_sets_revenue": 7, "histogram": 7,
-    "ict_analysis": 7, "impact_classify": 9, "incremental_agg": 9,
-    "interval_join_stream_replay": 9, "inverted_index": 8, "ivf_topk": 8,
-    "journal_stats": 9, "json_extract_props": 7, "key_skew": 9,
-    "kmeans_assign": 9, "lag_delta": 7, "lang_id": 8, "latest_join_enrich": 7,
-    "latest_per_key": 7, "level_extract": 9, "lm_quality": 8,
-    "local_extrema": 7, "ma_slope_trend": 7, "max_drawdown": 8,
-    "media_decode": 8, "media_features": 7, "minhash_neardup_portable": 8,
-    "minmax_mid_premium": 7, "minmax_normalize": 7, "mixture_sample": 9,
-    "multi_join_revenue": 8, "nb_quality": 8, "near_dedup_corpus_exact": 8,
-    "ngram_jaccard": 8, "ngram_novelty": 9, "ohlc_resample": 8,
-    "ohlc_stream_replay": 9, "pagerank_links": 9, "pairwise_corr": 8,
-    "passage_dedup": 7, "perplexity_buckets": 8, "pii_scrub": 8,
-    "pit_feature_lookup": 9, "pivot_event_counts": 7, "pmi_collocations": 9,
-    "pnl_r_scalars": 7, "positions_agg": 8, "prices_filter_range_limit": 7,
-    "prices_keyset_page": 7, "prices_page2": 7, "psi_drift": 9,
+    "ema_stateful_replay": 8, "embedding_neardup": 10, "embedding_topk": 8,
+    "equity_cumsum": 10, "ewma_macd": 8, "fingerprint_docs": 9,
+    "frame_sample": 9, "funnel_conversion": 10, "fuzzy_match": 8,
+    "group_topk": 10, "grouping_sets_revenue": 10, "hard_negatives": 10,
+    "histogram": 10, "ict_analysis": 10, "impact_classify": 9,
+    "incremental_agg": 9, "interval_join_stream_replay": 9,
+    "inverted_index": 8, "ivf_topk": 8, "journal_stats": 9,
+    "json_extract_props": 10, "key_skew": 9, "kfold_column": 10,
+    "kmeans_assign": 9, "lag_delta": 10, "lang_id": 8,
+    "latest_join_enrich": 10, "latest_per_key": 10, "level_extract": 9,
+    "lm_quality": 8, "local_extrema": 10, "ma_slope_trend": 10,
+    "max_drawdown": 8, "media_decode": 8, "media_features": 10,
+    "minhash_neardup_portable": 8, "minmax_mid_premium": 10,
+    "minmax_normalize": 10, "mixture_sample": 9, "multi_join_revenue": 8,
+    "nb_quality": 8, "near_dedup_corpus_exact": 8, "ngram_jaccard": 8,
+    "ngram_novelty": 9, "ohlc_resample": 8, "ohlc_stream_replay": 9,
+    "pagerank_links": 9, "pairwise_corr": 8, "passage_dedup": 10,
+    "perplexity_buckets": 8, "pii_scrub": 8, "pit_feature_lookup": 9,
+    "pivot_event_counts": 10, "pmi_collocations": 9, "pnl_r_scalars": 10,
+    "positions_agg": 8, "prices_filter_range_limit": 10,
+    "prices_keyset_page": 10, "prices_page2": 10, "psi_drift": 9,
     "quality_funnel": 9, "quantile_binning": 9, "quantize_int8": 8,
-    "range_join_sessions": 7, "readability": 9, "recent_n_tail": 7,
-    "resample_ffill": 9, "robust_outliers": 7, "rolling_corr_market": 9,
-    "rolling_min_volatility": 7, "rolling_stddev10": 7, "rollup_revenue": 7,
-    "rsi14": 7, "salted_hot_agg": 7, "sample_per_group": 9,
+    "range_join_sessions": 10, "readability": 9, "recent_n_tail": 10,
+    "resample_ffill": 9, "robust_outliers": 10, "rolling_corr_market": 9,
+    "rolling_min_volatility": 10, "rollup_revenue": 10,
+    "rsi14": 10, "salted_hot_agg": 10, "sample_per_group": 9,
     "scd2_user_state": 9, "semantic_decontaminate": 9, "semdedup": 8,
     "seq_len_histogram": 9, "seq_pack": 8, "series_moments": 8,
-    "session_stateful_replay": 8, "session_window_agg": 7, "set_ops": 7,
-    "simhash_neardup_portable": 8, "sketch_profile": 7,
-    "sliding_window_agg": 7, "sma5": 7, "snapshot_diff": 9, "span_dedup": 8,
+    "session_stateful_replay": 8, "session_window_agg": 10, "set_ops": 10,
+    "simhash_neardup_portable": 8, "sketch_profile": 10,
+    "sliding_window_agg": 10, "sma5": 10, "snapshot_diff": 9, "span_dedup": 8,
     "stratified_sample": 8, "table_profile": 8, "tag_split": 9,
-    "text_quality": 8, "tfidf_top_terms": 8, "timestamp_normalize": 9,
-    "token_entropy": 9, "tokens_count": 9, "tpch_q1_style": 8,
-    "trailing_max_argmax": 7, "training_corpus": 8, "transition_matrix": 9,
-    "trend_ols": 9, "tumbling_window_agg": 7, "twap_daily": 9,
-    "union_merge_dedup": 7, "url_normalize": 8, "validate_lineitem": 7,
-    "value_quantiles": 7, "var_cvar": 9, "vocab_topk": 8, "vwap_daily": 8,
-    "weighted_sample": 9, "window_delta_stats": 7, "zipf_slope": 7,
-    "zscore_anomalies": 9,
+    "temperature_mixture": 10, "text_quality": 8, "tfidf_top_terms": 8,
+    "timestamp_normalize": 9, "token_entropy": 9, "tokens_count": 9,
+    "tpch_q1_style": 8, "trailing_max_argmax": 10, "training_corpus": 8,
+    "transition_matrix": 9, "trend_ols": 9, "tumbling_window_agg": 10,
+    "twap_daily": 9, "union_merge_dedup": 10, "url_normalize": 8,
+    "validate_lineitem": 10, "value_quantiles": 10, "var_cvar": 9,
+    "vocab_topk": 8, "vwap_daily": 8, "weighted_sample": 9,
+    "window_delta_stats": 10, "zipf_slope": 10, "zscore_anomalies": 9,
 }
 
 # Queries first registered in round _ROUND (no driver row can exist).
-# r10 registers the three r9-staged queries (textml.py, promoted from
-# STAGED_ORACLES with their parity/unicode/degenerate gates intact);
-# the window is 46 r7-stale rows + 3 new + 1 changed = 50 slots.
+# r11 registers the r10-staged split_leakage (textml.py, promoted from
+# STAGED_ORACLES with its parity/golden/unicode/degenerate gates
+# intact), funded by the sanctioned rolling_stddev10 retirement: the
+# W2 window-stddev computation is the INNER stage of
+# ★rolling_min_volatility's oracle (W3 is a rolling min OVER the W2
+# stddev), so the stronger row hash-gates every stage of the weaker
+# one; the W2 operator golden tests stay in tests/.  The r11 window is
+# the 49 r8-stale rows (one of which, semdedup, also re-gates as
+# changed) + 1 new = 50 slots exactly.
 _NEW_THIS_ROUND: list[str] = [
-    "hard_negatives",       # contrastive hard-negative mining
-    "kfold_column",         # leakage-safe k-fold CV assignment
-    "temperature_mixture",  # temperature-based mixture resampling
+    "split_leakage",  # cross-split contamination audit (exact + near)
 ]
 
 # Queries whose operator/plan/oracle semantics were touched since
-# their last driver row — must re-gate even if recently swept.  r10:
-# embedding_neardup's lane gate changed (operators/similarity.py
-# cosine_self_join_neardup no longer runs a count() action over the
-# corpus to pick a lane; the default is now the dense Arrow lane with
-# an explicit `dense=` caller override).  The lanes are bit-identical
-# by construction and property-tested, but the default physical plan
-# the driver executes changed, so the row re-gates.
-_CHANGED_SINCE_ROW: list[str] = ["embedding_neardup"]
+# their last driver row — must re-gate even if recently swept.  r11:
+# semdedup's lane gate changed (operators/similarity.py semdedup no
+# longer runs a count() action over the corpus to pick the
+# broadcast-vs-SMJ probe-join strategy; the hint now derives from the
+# pre-checkpoint Catalyst size estimate — a zero-job plan lookup —
+# with an explicit `broadcast_probe=` caller override).  The lanes are
+# bit-identical and property-tested, but the default physical plan the
+# driver executes changed, so the row re-gates.  semdedup was already
+# r8-stale (inside the must-sweep cohort), so this costs no extra
+# window slot.
+_CHANGED_SINCE_ROW: list[str] = ["semdedup"]
 
-# r11 pre-stage: after the r10 sweep lands, fold CORRECTNESS_r10 into
-# _LAST_SWEPT (the 50 window names -> 10).  The r11 must-sweep is then
-# the 49 r8-stale rows, leaving 1 slot for new+changed combined.
-# Pre-built r11 candidate (plans/textml.py STAGED_ORACLES), twin-tested
-# at sf0.001 + sf0.01 and through the unicode/degenerate sweeps:
-#   staged_q_split_leakage  (cross-split leakage audit — exact
-#                            fingerprint lane in plain SQL, near lane
-#                            on the proven portable-MinHash CTEs;
-#                            operators/dedup.py split_leakage_report)
+# r12 pre-stage: after the r11 sweep lands, fold CORRECTNESS_r11 into
+# _LAST_SWEPT (the 50 window names -> 11).  The r12 must-sweep is then
+# the 49 r9-stale rows, leaving 1 slot for new+changed combined.
+# Pre-built r12 candidate (plans/textml.py STAGED_ORACLES), twin-tested
+# at sf0.001 + sf0.01:
+#   staged_q_host_authority  (WARC-derived host link graph -> integer
+#                             -grid PageRank -> per-host authority
+#                             rank; rides the proven ★pagerank_links
+#                             10-CTE DuckDB machinery plus
+#                             regexp_extract_all for the href scan)
 # To register: rename to q_<name>, move the STAGED_ORACLES entry into
 # TEXTML_ORACLES, list in _NEW_THIS_ROUND — and keep N ≤ 3W − 2 (the
-# permanent-slack design below), consolidating first.  Sanctioned r11
-# consolidation candidate (same one-retirement-per-registration
-# standard as r9/r10):
-#   rolling_stddev10 — its full computation (the W2/A6 window stddev)
-#     is the INNER stage of ★rolling_min_volatility's oracle (W3 is a
-#     rolling min OVER the W2 stddev), so the stronger row hash-gates
-#     every stage of the weaker one; the W2 golden tests stay.
+# permanent-slack design below), consolidating first.
 #
 # CEILING (computed, not guessed): N = 148 = 3W − 2.  The 2 slack
 # slots per 3-round cycle are what lets _CHANGED_SINCE_ROW re-gates

@@ -2800,19 +2800,7 @@ TEXTML_ORACLES["temperature_mixture"] = """
 """
 
 
-# ---------------------------------------------------------------------------
-# r11-STAGED (NOT collected: no q_ prefix — registry N = 148 leaves two
-# permanent slack slots per 3-round cycle, see plans/registry.py).  Each
-# pair is gated NOW by direct Spark<->DuckDB parity tests plus the
-# unicode and degenerate-input sweeps; a future round renames
-# `staged_q_<name>` -> `q_<name>`, moves the oracle into TEXTML_ORACLES,
-# and lists the name in _NEW_THIS_ROUND.
-# ---------------------------------------------------------------------------
-
-STAGED_ORACLES: dict[str, str] = {}
-
-
-def staged_q_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+def q_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-split contamination audit (operators/dedup.py
     split_leakage_report): documents get the ★corpus_split 90/5/5
     hash split, then every exact (md5-fingerprint) and near
@@ -2832,7 +2820,7 @@ def staged_q_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
     return split_leakage_report(docs, threshold=0.5, portable=True)
 
 
-STAGED_ORACLES["split_leakage"] = f"""
+TEXTML_ORACLES["split_leakage"] = f"""
     WITH {_PORTABLE_PAIR_CTES},
     verified AS (SELECT a, b FROM pairs
                  WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5),
@@ -2872,3 +2860,15 @@ STAGED_ORACLES["split_leakage"] = f"""
            a AS example_a, b AS example_b
     FROM ranked WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# r12-STAGED (NOT collected: no q_ prefix — registry N = 148 leaves two
+# permanent slack slots per 3-round cycle, see plans/registry.py).  Each
+# pair is gated NOW by direct Spark<->DuckDB parity tests plus the
+# unicode and degenerate-input sweeps; a future round renames
+# `staged_q_<name>` -> `q_<name>`, moves the oracle into TEXTML_ORACLES,
+# and lists the name in _NEW_THIS_ROUND.
+# ---------------------------------------------------------------------------
+
+STAGED_ORACLES: dict[str, str] = {}

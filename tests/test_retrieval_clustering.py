@@ -248,6 +248,49 @@ def test_semdedup_large_k_pandas_screen_matches_jvm(spark):
     assert not (survivors & {i + 1000 for i, _ in base})
 
 
+def test_semdedup_probe_lanes_identical(spark):
+    """The broadcast-probe and sort-merge self-join lanes return the
+    exact same surviving set — the join strategy changes the exchange,
+    never the pair predicate (r11 lane-gate standard)."""
+    from market_insights_app_spark.operators.similarity import semdedup
+
+    rows = [
+        (i, [float((i * 7 + j * 5) % 13) / 13.0 + 0.5 for j in range(6)])
+        for i in range(40)
+    ] + [(i + 500, [float((i * 7 + j * 5) % 13) / 13.0 + 0.5 for j in range(6)])
+         for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    b = {tuple(r) for r in
+         semdedup(df, k=4, iters=1, threshold=0.999999,
+                  broadcast_probe=True).collect()}
+    s = {tuple(r) for r in
+         semdedup(df, k=4, iters=1, threshold=0.999999,
+                  broadcast_probe=False).collect()}
+    assert b == s and b
+
+
+def test_semdedup_default_path_runs_no_corpus_action(spark, monkeypatch):
+    """The lane hint must come from the pre-checkpoint Catalyst size
+    estimate, never a count()/collect-style job over the corpus: with
+    DataFrame.count forbidden, the default semdedup path (explicit k)
+    still plans and executes."""
+    from pyspark.sql import DataFrame as _DF
+
+    from market_insights_app_spark.operators.similarity import semdedup
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 5 + j) for j in range(4)]) for i in range(30)],
+        ["vec_id", "embedding"],
+    )
+
+    def _no_count(self):
+        raise AssertionError("corpus-side count() in semdedup lane gate")
+
+    monkeypatch.setattr(_DF, "count", _no_count)
+    out = semdedup(df, k=3, iters=1, threshold=0.99).collect()
+    assert out
+
+
 def test_dsir_ranks_target_like_docs_higher(spark):
     """DSIR semantics: raw docs wording-identical to the target corpus
     must outweigh ones with disjoint vocabulary."""

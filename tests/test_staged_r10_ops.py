@@ -1,11 +1,11 @@
-"""r10-registered trio (hard_negatives / kfold_column /
-temperature_mixture — promoted from STAGED_ORACLES, now swept by
-test_oracle_parity like every registered pair) keeps its semantic
-shape tests here, plus the r11-staged pair (split_leakage) gets the
-direct Spark<->DuckDB parity gate every staged query faces before
-registration.  The unicode and degenerate sweeps pick the staged
-names up automatically (test_unicode_parity.py /
-test_degenerate_inputs.py)."""
+"""r10/r11-registered queries (hard_negatives / kfold_column /
+temperature_mixture / split_leakage — promoted from STAGED_ORACLES,
+now swept by test_oracle_parity like every registered pair) keep
+their semantic shape tests here, plus whatever is currently staged in
+plans/textml.py STAGED_ORACLES gets the direct Spark<->DuckDB parity
+gate every staged query faces before registration.  The unicode and
+degenerate sweeps pick the staged names up automatically
+(test_unicode_parity.py / test_degenerate_inputs.py)."""
 
 from __future__ import annotations
 
@@ -14,7 +14,9 @@ import pytest
 from tests.conftest import SF_ORACLE
 from tests.test_oracle_parity import canon
 
-STAGED = ["split_leakage"]
+from market_insights_app_spark.plans import textml as _textml
+
+STAGED = sorted(_textml.STAGED_ORACLES)
 
 
 @pytest.mark.parametrize("name", STAGED)
