@@ -211,8 +211,24 @@ def extract_outlinks(col: Column | str) -> Column:
     the consumer is the HOST-level link graph (pipelines/crawl_corpus.
     host_link_graph), where same-host relative links would only add
     self-loops PageRank drops anyway.  Fragments are cut at ``#``;
-    query strings are kept (registered_domain ignores them)."""
+    query strings are kept (registered_domain ignores them).
+
+    ``<script>``/``<style>`` bodies and ``<!-- comments -->`` are
+    stripped first (r11 ADVICE: anchors inside them are not links a
+    browser renders, and they'd add phantom edges to the host graph) —
+    script spans before comments, matching how an HTML tokenizer
+    terminates script CDATA at the first ``</script>`` even inside a
+    comment-looking run.  Accepted residual of the codegen scan: an
+    UNCLOSED comment/script span is not stripped (the regex needs the
+    closing delimiter), where a real parser would swallow everything
+    to EOF — at crawl scale that yields rare phantom edges from
+    malformed pages, noise PageRank tolerates.  The well-formed cases
+    are pinned against the stdlib-parser model in
+    tests/test_property_based.py."""
     c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"(?is)<script\b.*?</script\s*>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b.*?</style\s*>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
     return F.array_distinct(F.regexp_extract_all(c, F.lit(_HREF_RE), 1))
 
 

@@ -52,16 +52,12 @@ from market_insights_app_spark.functions.urls import registered_domain
 from market_insights_app_spark.sources.warc import read_warc, read_warc_stream
 
 
-def _documents_from_records(
-    recs: DataFrame,
-    min_chars: int,
-    langs: tuple[str, ...] | None,
-    max_link_density: float,
-) -> DataFrame:
-    """records → documents-schema transform shared by the batch and
-    streaming lanes (every stage is stateless, so it composes onto a
-    streaming frame unchanged)."""
-    pages = recs.filter(
+def _pages_from_records(recs: DataFrame) -> DataFrame:
+    """WARC response records → the parsed PAGE table (doc_id, html,
+    uri): the shared upstream of both the documents lane and the link
+    lane.  Pure scan-stage filter + select — this is the frame the
+    single-parse composition materializes once."""
+    return recs.filter(
         (F.col("http_status") == 200)
         & F.col("content_type").startswith("text/html")
     ).select(
@@ -69,6 +65,15 @@ def _documents_from_records(
         F.col("payload").cast("string").alias("html"),
         F.col("target_uri").alias("uri"),
     )
+
+
+def _documents_from_pages(
+    pages: DataFrame,
+    min_chars: int,
+    langs: tuple[str, ...] | None,
+    max_link_density: float,
+) -> DataFrame:
+    """page table → documents-schema transform."""
     # the uri rides THROUGH the Arrow extraction batch (keep_cols) —
     # a self-join back onto the WARC parse would read and parse every
     # archive twice
@@ -86,6 +91,20 @@ def _documents_from_records(
     if langs is not None:
         docs = docs.filter(F.col("lang").isin(list(langs)))
     return docs
+
+
+def _documents_from_records(
+    recs: DataFrame,
+    min_chars: int,
+    langs: tuple[str, ...] | None,
+    max_link_density: float,
+) -> DataFrame:
+    """records → documents-schema transform shared by the batch and
+    streaming lanes (every stage is stateless, so it composes onto a
+    streaming frame unchanged)."""
+    return _documents_from_pages(
+        _pages_from_records(recs), min_chars, langs, max_link_density
+    )
 
 
 def warc_to_documents(
@@ -150,17 +169,19 @@ def host_link_graph(recs: DataFrame) -> DataFrame:
     is ~5 orders smaller than the page graph at crawl scale, and the
     href extraction is a pure codegen expression
     (functions/html.extract_outlinks) — no Python in the scan."""
-    pages = recs.filter(
-        (F.col("http_status") == 200)
-        & F.col("content_type").startswith("text/html")
-    ).select(
-        registered_domain(F.col("target_uri")).alias("src_host"),
-        F.explode(
-            extract_outlinks(F.col("payload").cast("string"))
-        ).alias("href"),
+    return host_link_graph_from_pages(_pages_from_records(recs))
+
+
+def host_link_graph_from_pages(pages: DataFrame) -> DataFrame:
+    """:func:`host_link_graph` off an already-parsed page table
+    (doc_id, html, uri) — the lane the single-parse composition uses
+    so the link scan never re-reads the archives."""
+    hrefs = pages.select(
+        registered_domain(F.col("uri")).alias("src_host"),
+        F.explode(extract_outlinks(F.col("html"))).alias("href"),
     )
     return (
-        pages.select(
+        hrefs.select(
             "src_host", registered_domain(F.col("href")).alias("dst_host")
         )
         .filter(
@@ -221,21 +242,55 @@ def warc_to_documents_with_rank(
     langs: tuple[str, ...] | None = None,
     max_link_density: float = 0.33,
     iterations: int = 10,
+    pages_path: str | None = None,
+    single_parse: bool = True,
+    parse_counter=None,
 ) -> DataFrame:
     """The full composition: WARC → documents + host-PageRank quality
     prior, ready for the pretraining pipeline's quality gates
     (alongside readability / NB-quality — rank is the one signal that
     uses the crawl's own structure rather than the page's content).
 
-    Cost shape at 100 TB: the WARC archives are parsed TWICE (once for
-    the text/documents lane, once for the link lane's codegen href
-    scan) — acceptable because both passes are shuffle-free scans and
-    the alternative (materializing parsed pages first) is exactly what
-    the ACID ingest path does in production; there, build `recs` once,
-    sink it, and run both lanes off the sunk table.  PageRank itself
-    runs on the host graph (tiny), and the rank join back onto the
-    corpus is a broadcast."""
-    recs = read_warc(spark, path, record_types=("response",))
-    docs = _documents_from_records(recs, min_chars, langs, max_link_density)
-    rank = host_pagerank(host_link_graph(recs), iterations=iterations)
+    Cost shape at 100 TB: the archives are parsed ONCE.  The parsed
+    page table (doc_id, html, uri — already filtered to HTTP-200
+    text/html, so smaller than the raw WARC bytes) is materialized a
+    single time and BOTH lanes — the documents/text lane and the link
+    lane's codegen href scan — run off it.  ``pages_path`` picks the
+    materialization: a path sinks the page table to parquet and
+    re-reads it (the production ACID-ingest shape — survives the
+    session, feeds later reruns, column-pruned per lane: the link
+    lane reads only (html, uri)); None (default) uses an eager
+    ``localCheckpoint`` (executor block storage, MEMORY_AND_DISK —
+    the in-session shape; the blocks free when the result frame
+    drops).  PageRank itself runs on the host graph (tiny), and the
+    rank join back onto the corpus is a broadcast.
+
+    ``single_parse=False`` keeps the r10 double-parse lane (two
+    independent shuffle-free scans of the archives, nothing
+    materialized) — row-identical by construction and pinned so in
+    tests/test_crawl_pipeline.py; useful when the page table is too
+    hot to store and scan bandwidth is free.
+
+    ``parse_counter`` (a Spark accumulator) counts archive parses —
+    the single-parse law (counter == file count after one full
+    action) is pinned in tests/test_crawl_pipeline.py."""
+    recs = read_warc(
+        spark, path, record_types=("response",), parse_counter=parse_counter
+    )
+    if not single_parse:
+        docs = _documents_from_records(
+            recs, min_chars, langs, max_link_density
+        )
+        rank = host_pagerank(host_link_graph(recs), iterations=iterations)
+        return attach_host_rank(docs, rank)
+    pages = _pages_from_records(recs)
+    if pages_path is not None:
+        pages.write.mode("overwrite").parquet(pages_path)
+        pages = spark.read.parquet(pages_path)
+    else:
+        pages = pages.localCheckpoint(eager=True)
+    docs = _documents_from_pages(pages, min_chars, langs, max_link_density)
+    rank = host_pagerank(
+        host_link_graph_from_pages(pages), iterations=iterations
+    )
     return attach_host_rank(docs, rank)

@@ -118,9 +118,14 @@ def parse_warc_bytes(data: bytes, warc_file: str = "") -> list[dict]:
     return records
 
 
-def _record_mapper(keep: tuple[str, ...]):
+def _record_mapper(keep: tuple[str, ...], parse_counter=None):
     """mapInPandas batch function shared by the batch and streaming
-    readers: (path, content) binaryFile rows → one row per record."""
+    readers: (path, content) binaryFile rows → one row per record.
+
+    ``parse_counter`` (a Spark accumulator) counts one per FILE
+    parsed — the input-split accounting that lets tests pin a
+    composition's parse multiplicity (e.g. the single-parse law of
+    pipelines/crawl_corpus.warc_to_documents_with_rank)."""
 
     def run(batches):
         import pandas as pd
@@ -128,6 +133,8 @@ def _record_mapper(keep: tuple[str, ...]):
         for pdf in batches:
             rows = []
             for fpath, blob in zip(pdf["path"], pdf["content"]):
+                if parse_counter is not None:
+                    parse_counter.add(1)
                 for rec in parse_warc_bytes(bytes(blob), warc_file=fpath):
                     if keep and rec["record_type"] not in keep:
                         continue
@@ -147,6 +154,7 @@ def read_warc(
     spark: SparkSession,
     path: str,
     record_types: tuple[str, ...] = ("response",),
+    parse_counter=None,
 ) -> DataFrame:
     """Read WARC files (plain or .gz) into one row per record.
 
@@ -160,7 +168,7 @@ def read_warc(
     pass ``()`` to keep everything."""
     files = spark.read.format("binaryFile").load(path)
     return files.select("path", "content").mapInPandas(
-        _record_mapper(tuple(record_types)), schema=_SCHEMA
+        _record_mapper(tuple(record_types), parse_counter), schema=_SCHEMA
     )
 
 

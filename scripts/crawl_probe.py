@@ -96,13 +96,23 @@ def main() -> None:
         print(f"link lane {run}: {n_hosts:,} host ranks in {dt:6.2f} s "
               f"(codegen href scan + host PageRank; "
               f"{n_pages / dt:,.0f} pages/s)")
-    for run in (1, 2):
-        t0 = time.perf_counter()
-        full = warc_to_documents_with_rank(spark, f"{root}/*.warc.gz")
-        n = full.count()
-        dt = time.perf_counter() - t0
-        print(f"full composition {run}: {n:,} ranked docs in {dt:6.2f} s "
-              f"({n_pages / dt:,.0f} pages/s)")
+    # r11 A/B: single-parse (default — page table materialized once,
+    # both lanes off it) vs the r10 double-parse lane, with per-file
+    # parse accounting so the parse multiplicity is measured, not
+    # assumed
+    for lane, single in (("single-parse", True), ("double-parse", False)):
+        for run in (1, 2):
+            acc = spark.sparkContext.accumulator(0)
+            t0 = time.perf_counter()
+            full = warc_to_documents_with_rank(
+                spark, f"{root}/*.warc.gz",
+                single_parse=single, parse_counter=acc,
+            )
+            n = full.count()
+            dt = time.perf_counter() - t0
+            print(f"full composition [{lane}] {run}: {n:,} ranked docs "
+                  f"in {dt:6.2f} s ({n_pages / dt:,.0f} pages/s, "
+                  f"{acc.value} file parses / {n_files} files)")
     spark.stop()
     shutil.rmtree(root, ignore_errors=True)
 

@@ -41,12 +41,18 @@ def main() -> None:
 
     run()  # untimed codegen warmup
     arms: dict[int, list[float]] = {1: [], 3: []}
-    for _ in range(n_pairs):
-        for cadence in (1, 3):
-            G._TINY_CUT_EVERY = cadence
-            spark.sparkContext._jvm.System.gc()
-            arms[cadence].append(run())
-    G._TINY_CUT_EVERY = 3  # restore the shipped default
+    orig_cadence = G._TINY_CUT_EVERY
+    try:
+        for _ in range(n_pairs):
+            for cadence in (1, 3):
+                G._TINY_CUT_EVERY = cadence
+                spark.sparkContext._jvm.System.gc()
+                arms[cadence].append(run())
+    finally:
+        # restore whatever the module shipped with (r11 ADVICE: a
+        # hard-coded restore would silently revert a future default,
+        # and a mid-loop raise would leave the mutation in place)
+        G._TINY_CUT_EVERY = orig_cadence
     for cadence, samples in arms.items():
         print(
             f"pagerank tiny-regime cadence-{cadence}: {samples} "

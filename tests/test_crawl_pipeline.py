@@ -334,3 +334,61 @@ def test_host_rank_prior_gates_pretraining_corpus(spark, tmp_path):
     # a.com and c.com rank below the floor and drop; b.com survives
     # the floor; e.com (no prior) passes
     assert got_hosts == {"b.com", "e.com"}
+
+
+def test_single_parse_composition_parses_each_archive_once(
+    spark, tmp_path
+):
+    """The r11 single-parse law: warc_to_documents_with_rank
+    materializes the parsed page table ONCE and runs BOTH lanes (text
+    + link) off it — the per-file parse accumulator lands exactly at
+    the archive count after a full action.  The r10 double-parse lane
+    (single_parse=False) re-parses per lane/action (strictly more
+    parses over the same files) but must stay row-identical, and the
+    pages_path (production ACID-ingest) shape must too."""
+    from market_insights_app_spark.pipelines.crawl_corpus import (
+        warc_to_documents_with_rank,
+    )
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    site = {
+        "a.com": ["http://b.com/x", "http://c.com/y"],
+        "b.com": ["http://c.com/z"],
+        "c.com": ["http://a.com/"],
+        "e.com": [],
+    }
+    items = sorted(site.items())
+    for fi in range(2):  # two archives, two pages each
+        warc = b""
+        for host, hrefs in items[fi * 2 : fi * 2 + 2]:
+            warc += _warc([f"http://{host}/p"], body=_page(host, hrefs))
+        (crawl / f"{fi}.warc").write_bytes(warc)
+    path = str(crawl / "*.warc")
+
+    acc = spark.sparkContext.accumulator(0)
+    out = warc_to_documents_with_rank(spark, path, parse_counter=acc)
+    single = sorted(tuple(r) for r in out.collect())
+    assert len(single) == 4
+    assert acc.value == 2  # one parse per archive, ever
+
+    acc2 = spark.sparkContext.accumulator(0)
+    double = sorted(
+        tuple(r)
+        for r in warc_to_documents_with_rank(
+            spark, path, single_parse=False, parse_counter=acc2
+        ).collect()
+    )
+    assert double == single
+    assert acc2.value > 2  # the shape single_parse removes
+
+    acc3 = spark.sparkContext.accumulator(0)
+    sunk = sorted(
+        tuple(r)
+        for r in warc_to_documents_with_rank(
+            spark, path,
+            pages_path=str(tmp_path / "pages"), parse_counter=acc3,
+        ).collect()
+    )
+    assert sunk == single
+    assert acc3.value == 2

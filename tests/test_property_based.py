@@ -1235,8 +1235,20 @@ _anchor = st.builds(
     st.sampled_from(["'", '"', ""]),
     st.sampled_from(["", "class='c' ", "target='_b' "]),
 )
+# anchors a browser never renders: inside comments or script/style
+# CDATA — the parser model ignores them, and the codegen lane must too
+# (r11 ADVICE: phantom host-graph edges otherwise)
+_ghost_anchor = st.builds(
+    lambda u, kind: {
+        "comment": f"<!-- <a href='{u}'>x</a> -->",
+        "script": f"<script>var s=\"<a href='{u}'>x</a>\";</script>",
+        "style": f"<style>/* <a href='{u}'>x</a> */</style>",
+    }[kind],
+    _href_url,
+    st.sampled_from(["comment", "script", "style"]),
+)
 _page_html = st.lists(
-    st.one_of(_anchor, st.sampled_from(
+    st.one_of(_anchor, _ghost_anchor, st.sampled_from(
         ["<p>prose text</p>", "<div>block</div>",
          "<link href='http://css.example/x'>"])),
     min_size=0, max_size=12,
