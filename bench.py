@@ -100,6 +100,8 @@ HEADLINE = [
     "hard_negatives",
     "kfold_column",
     "temperature_mixture",
+    # round-11 addition
+    "split_leakage",
 ]
 
 
@@ -181,10 +183,13 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
     prior = {}
+    prior_headline = {}
     if os.path.exists(ref_path):
         try:
             with open(ref_path) as fh:
-                prior = json.load(fh).get("full_queries", {})
+                _prior_rec = json.load(fh)
+            prior = _prior_rec.get("full_queries", {})
+            prior_headline = _prior_rec.get("queries", {})
         except (OSError, ValueError):
             prior = {}
     def diff_vs_prior():
@@ -236,6 +241,26 @@ def main() -> None:
         if isinstance(v, float) and v < timings[name]:
             timings[name] = v
     total = round(sum(timings.values()), 3)
+    # trend notes (r10 verdict): when a headline query's committed
+    # round-over-round delta CONTRADICTS its like-protocol full-sweep
+    # delta in sign, the committed number is a min-merge reading
+    # hazard (a lucky/unlucky merged sample), not a plan change — say
+    # so IN the artifact so the next reader doesn't re-litigate it.
+    trend_notes = {}
+    for name in HEADLINE:
+        ph, pf, nf = (
+            prior_headline.get(name), prior.get(name), full.get(name)
+        )
+        if not all(isinstance(x, (int, float)) for x in (ph, pf, nf)):
+            continue
+        dh = timings[name] - ph      # committed headline delta
+        df = nf - pf                 # like-protocol sweep delta
+        if dh * df < 0 and (abs(dh) > 0.1 or abs(df) > 0.1):
+            trend_notes[name] = (
+                f"committed headline delta {dh:+.3f}s contradicts the "
+                f"like-protocol sweep delta {df:+.3f}s — min-merge "
+                "sampling artifact, trend on headline_raw/full_queries"
+            )
     record = {
         "metric": "headline query wall-clock, noop sink",
         "value": total,
@@ -252,6 +277,7 @@ def main() -> None:
         "full_queries": full,
         "deltas_vs_prior": deltas,
         "regressions": regressions,
+        "trend_notes": trend_notes,
         "sf": sf,
     }
     tmp = ref_path + ".tmp"

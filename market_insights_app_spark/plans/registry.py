@@ -156,7 +156,15 @@ _CHANGED_SINCE_ROW: list[str] = ["semdedup"]
 #                             regexp_extract_all for the href scan)
 # To register: rename to q_<name>, move the STAGED_ORACLES entry into
 # TEXTML_ORACLES, list in _NEW_THIS_ROUND — and keep N ≤ 3W − 2 (the
-# permanent-slack design below), consolidating first.
+# permanent-slack design below), consolidating first.  Sanctioned r12
+# consolidation candidate (same one-retirement-per-registration
+# standard as r9/r10/r11):
+#   sma5 — its full computation (the W1 DECIMAL rolling sum, warm-up
+#     CASE and /5) is the INNER stage of ★ma_slope_trend's oracle
+#     (W6/W7 are lagged differences OVER the W1 sma5), so the stronger
+#     row hash-gates every stage of the weaker one; the W1 golden
+#     tests stay, and bench.py's HEADLINE entry swaps sma5 →
+#     ma_slope_trend to keep the r01 baseline series comparable.
 #
 # CEILING (computed, not guessed): N = 148 = 3W − 2.  The 2 slack
 # slots per 3-round cycle are what lets _CHANGED_SINCE_ROW re-gates

@@ -2872,3 +2872,87 @@ TEXTML_ORACLES["split_leakage"] = f"""
 # ---------------------------------------------------------------------------
 
 STAGED_ORACLES: dict[str, str] = {}
+
+
+def staged_q_host_authority(spark: SparkSession, sf: str) -> DataFrame:
+    """The crawl front door's authority chain, hash-gated end-to-end:
+    deterministic HTML pages synthesized from ``documents`` (pure
+    codegen concat — each doc's page carries two real cross-host
+    anchors, one commented-out ghost, one script-embedded ghost, one
+    relative link, one fragment to cut) feed the REAL operators —
+    functions/html.extract_outlinks → pipelines/crawl_corpus.
+    host_link_graph_from_pages → host_pagerank (xxhash64 host ids into
+    the integer-grid pagerank, ranks joined back to host names).
+
+    The DuckDB twin never parses HTML: it derives the same host edge
+    set from the same doc_id arithmetic (a STRONGER independent check
+    than replaying the regex — if extract_outlinks ever matched a
+    ghost anchor, missed a real one, or kept a fragment, the edge set
+    and therefore every rank would diverge) and replays the proven
+    ★pagerank_links 10-CTE integer grid keyed on host ids.  Rank
+    values depend only on graph STRUCTURE, so the engines' different
+    internal node ids (xxhash64 vs small ints) cannot matter."""
+    from market_insights_app_spark.pipelines.crawl_corpus import (
+        host_link_graph_from_pages,
+        host_pagerank,
+    )
+
+    dm = (F.col("doc_id") % 97).cast("long")
+    a1 = ((dm * 31 + 7) % 97).cast("string")
+    a2 = ((dm * dm + 1) % 97).cast("string")
+    pages = _docs(spark, sf).select(
+        F.col("doc_id"),
+        F.concat(
+            F.lit('<html><body><!-- <a href="http://ghost.com/x">c</a>'
+                  ' --><p>prose</p><a href="http://site'),
+            a1,
+            F.lit('.com/a">1</a><script>var s="<a href=\'http://sghost'
+                  '.com/y\'>g</a>";</script><a href="https://site'),
+            a2,
+            F.lit('.com/b#frag">2</a><a href="/rel">r</a></body></html>'),
+        ).alias("html"),
+        F.concat(
+            F.lit("http://site"), dm.cast("string"), F.lit(".com/p")
+        ).alias("uri"),
+    )
+    return host_pagerank(host_link_graph_from_pages(pages), iterations=10)
+
+
+def _host_pagerank_oracle(iters: int = 10) -> str:
+    grid, damp = 1_000_000_000, 85
+    tel = f"(CAST({100 - damp} AS BIGINT) * {grid}) // (100 * m)"
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+    pr{k} AS (
+      SELECT nd.node,
+             CAST({tel} + coalesce(({damp} * c.s) // 100, 0) AS BIGINT)
+               AS rank_grid
+      FROM nodes nd CROSS JOIN m_t
+      LEFT JOIN (SELECT e.dst, sum(p.rank_grid // o.outd) AS s
+                 FROM edges e
+                 JOIN pr{k - 1} p ON e.src = p.node
+                 JOIN outdeg o ON o.src = e.src
+                 GROUP BY e.dst) c ON c.dst = nd.node
+    )""")
+    return f"""
+    WITH hm AS (SELECT doc_id % 97 AS src,
+                       (doc_id % 97) * 31 + 7 AS r1,
+                       (doc_id % 97) * (doc_id % 97) + 1 AS r2
+                FROM documents),
+    raw AS (SELECT src, r1 % 97 AS dst FROM hm
+            UNION ALL SELECT src, r2 % 97 FROM hm),
+    edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS outd
+               FROM edges GROUP BY src),
+    m_t AS (SELECT CAST(count(*) AS BIGINT) AS m FROM nodes),
+    pr0 AS (SELECT node, CAST({grid} // m AS BIGINT) AS rank_grid
+            FROM nodes CROSS JOIN m_t),{",".join(steps)}
+    SELECT 'site' || CAST(node AS VARCHAR) || '.com' AS host,
+           rank_grid / CAST({grid} AS DOUBLE) AS host_pagerank
+    FROM pr{iters}
+"""
+
+
+STAGED_ORACLES["host_authority"] = _host_pagerank_oracle()

@@ -350,6 +350,18 @@ COMMENTARY = {
         "hash-fraction predicate — deterministic, RNG-free, no corpus "
         "shuffle."
     ),
+    "split_leakage": (
+        "Cross-split contamination audit (registered r11): the exact "
+        "lane is a fingerprint self-equi-join (shuffle keyed on the "
+        "md5 fingerprint — pairs exist only within equal fingerprints); "
+        "the near lane rides the banded portable-MinHash machinery "
+        "(bucket-join, never all-pairs) with exact-Jaccard "
+        "verification; both pair sets broadcast-join the tiny "
+        "(doc_id → split) table, and the per-(rule, split_a, split_b) "
+        "report is one ranked-window pass over cross-split pairs. "
+        "At 100 TB every stage inherits the proven dedup shapes — the "
+        "audit costs one dedup pass, not a new algorithm."
+    ),
 }
 
 # Streaming replay gates: their query functions RUN the availableNow

@@ -565,3 +565,64 @@ def test_nb_classifier_broadcasts_model_single_doc_exchange(spark):
     assert "SortMergeJoin" not in tree
     sch = [ln for ln in full.split("\n") if "ReadSchema" in ln]
     assert sch and all("lang" not in ln and "n_chars" not in ln for ln in sch)
+
+
+def test_semdedup_probe_join_shapes(spark):
+    """semdedup's pair stage (r11 lane gate): broadcast_probe=True
+    plans a broadcast hash join for the left-semi probe;
+    broadcast_probe=False keeps the cluster-keyed sort-merge join (the
+    at-scale default shape); neither lane ever plans a cartesian or
+    nested-loop product."""
+    from market_insights_app_spark.operators.similarity import semdedup
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 3 + j) % 7) for j in range(4)]) for i in range(24)],
+        ["vec_id", "embedding"],
+    )
+    pb = plan_of(
+        semdedup(df, k=3, iters=1, threshold=0.99, broadcast_probe=True)
+    )
+    assert "BroadcastHashJoin" in pb and "LeftSemi" in pb
+    assert "CartesianProduct" not in pb
+    assert "BroadcastNestedLoopJoin" not in pb
+    ps = plan_of(
+        semdedup(df, k=3, iters=1, threshold=0.99, broadcast_probe=False)
+    )
+    assert "SortMergeJoin" in ps and "LeftSemi" in ps
+    assert "CartesianProduct" not in ps
+    assert "BroadcastNestedLoopJoin" not in ps
+
+
+def test_interval_join_stream_state_store_shape(spark):
+    """The stream-stream interval join replay must run a
+    symmetricHashJoin state operator sized to the drain's 8 shuffle
+    partitions (r9 sizing — 32 near-empty stores were pure overhead at
+    fixture scale), with the two-sided watermark actually registered so
+    join state is evictable rather than grow-forever."""
+    from market_insights_app_spark.plans.registry import QUERIES
+    from market_insights_app_spark.streaming import ingest
+
+    QUERIES["interval_join_stream_replay"](spark, SF_ORACLE).collect()
+    q = ingest.LAST_REPLAY_QUERY
+    assert q is not None
+    prog = q.lastProgress
+    ops = prog["stateOperators"]
+    assert ops and ops[0]["operatorName"] == "symmetricHashJoin"
+    assert ops[0]["numShufflePartitions"] == 8
+    # the watermark must be live on the final batch — the eviction
+    # horizon the state-bounding construction depends on
+    assert prog["eventTime"].get("watermark", "1970") > "1971"
+
+
+def test_split_leakage_no_cartesian_pairs(spark):
+    """The cross-split audit (registered r11) composes the exact
+    fingerprint self-join and the banded MinHash bucket-join — pair
+    generation must stay key-partitioned (equi-joins only), never a
+    cartesian or nested-loop product, and the tiny (doc_id → split)
+    side must broadcast."""
+    from market_insights_app_spark.plans.registry import QUERIES
+
+    p = plan_of(QUERIES["split_leakage"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
