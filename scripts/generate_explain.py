@@ -362,6 +362,17 @@ COMMENTARY = {
         "At 100 TB every stage inherits the proven dedup shapes — the "
         "audit costs one dedup pass, not a new algorithm."
     ),
+    "staged:host_authority": (
+        "r12-staged crawl authority chain: page synthesis and the href "
+        "scan are one codegen project (regexp_replace comment/script "
+        "strip + regexp_extract_all — no Python anywhere before the "
+        "graph), host edges are a distinct over (src, dst) host "
+        "strings, and PageRank runs the integer grid on xxhash64 host "
+        "ids with ranks joined back to names.  At crawl scale the "
+        "graph is host-grain (~5 orders below pages), so every "
+        "per-iteration join is tiny relative to the corpus scan that "
+        "feeds it."
+    ),
 }
 
 # Streaming replay gates: their query functions RUN the availableNow
