@@ -1011,13 +1011,23 @@ def q_max_drawdown(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_pairwise_corr(spark: SparkSession, sf: str) -> DataFrame:
-    """Cross-series correlation matrix (operators/market.pairwise_corr):
-    hourly exact-DECIMAL sums align the series, an equi self-join on
-    the bucket forms each unordered pair once, and the correlation is
-    one double expression over six exact sufficient statistics."""
-    from market_insights_app_spark.operators.market import pairwise_corr
+    """Cross-series correlation matrix.  r11: the registered plan is
+    the blocked-BLAS Gram lane (operators/market.pairwise_corr_dense)
+    — the shape you would run at a dense key universe — so the driver
+    row hash-gates the SCALE lane (the embedding_neardup r10
+    precedent).  The hourly exact-DECIMAL bucket sums become integer
+    cents; six matrix products over the (key × bucket) cent matrix
+    yield the same six exact sufficient statistics as the bucket
+    self-join, so the final correlation expression is bit-identical
+    to the join lane (pairwise_corr), which stays equality-pinned in
+    tests/test_market_analytics.py + the hypothesis sweep and shares
+    this row's DuckDB oracle.  Measured at sf0.1 (idle, interleaved):
+    join 3.81 s best, dense 1.84 s best."""
+    from market_insights_app_spark.operators.market import (
+        pairwise_corr_dense,
+    )
 
-    return pairwise_corr(_events(spark, sf))
+    return pairwise_corr_dense(_events(spark, sf))
 
 
 def q_series_moments(spark: SparkSession, sf: str) -> DataFrame:

@@ -139,10 +139,15 @@ _NEW_THIS_ROUND: list[str] = [
 # pre-checkpoint Catalyst size estimate — a zero-job plan lookup —
 # with an explicit `broadcast_probe=` caller override).  The lanes are
 # bit-identical and property-tested, but the default physical plan the
-# driver executes changed, so the row re-gates.  semdedup was already
-# r8-stale (inside the must-sweep cohort), so this costs no extra
-# window slot.
-_CHANGED_SINCE_ROW: list[str] = ["semdedup"]
+# driver executes changed, so the row re-gates.  Also pairwise_corr:
+# its registered plan flipped from the bucket self-join lane to the
+# blocked-BLAS Gram lane (plans/core.q_pairwise_corr →
+# operators/market.pairwise_corr_dense — the at-scale shape, measured
+# 2× faster at sf0.1; the join lane stays bit-equality-pinned in
+# tests and shares the oracle).  Both names were already r8-stale
+# (inside the must-sweep cohort), so the re-gates cost no extra
+# window slots.
+_CHANGED_SINCE_ROW: list[str] = ["semdedup", "pairwise_corr"]
 
 # r12 pre-stage: after the r11 sweep lands, fold CORRECTNESS_r11 into
 # _LAST_SWEPT (the 50 window names -> 11).  The r12 must-sweep is then

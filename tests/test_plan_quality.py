@@ -267,12 +267,15 @@ def test_moments_single_aggregate_pass(spark):
 
 
 def test_pairwise_corr_joins_aligned_table_not_ticks(spark):
-    """The quadratic pair join must consume the (key × bucket)
-    aggregate, never raw ticks: both join children are HashAggregates
-    (bucket sums), and the sufficient-statistics reduce follows."""
-    from market_insights_app_spark.plans.registry import QUERIES
+    """JOIN lane (operators/market.pairwise_corr — the oracle-parity
+    sibling since the r11 lane flip): the quadratic pair join must
+    consume the (key × bucket) aggregate, never raw ticks: both join
+    children are HashAggregates (bucket sums), and the
+    sufficient-statistics reduce follows."""
+    from market_insights_app_spark.operators.market import pairwise_corr
+    from market_insights_app_spark.sources.tables import load_table
 
-    p = plan_of(QUERIES["pairwise_corr"](spark, SF_ORACLE))
+    p = plan_of(pairwise_corr(load_table(spark, SF_ORACLE, "events")))
     import re
 
     m = re.search(r"Join Inner", p) or re.search(r"BroadcastHashJoin", p)
@@ -285,6 +288,20 @@ def test_pairwise_corr_joins_aligned_table_not_ticks(spark):
     )
     above = "\n".join(tree.splitlines()[first_join_line:])
     assert "HashAggregate" in above
+
+
+def test_pairwise_corr_registered_plan_is_gram_lane(spark):
+    """The REGISTERED pairwise_corr plan (r11 flip) must be the
+    blocked-BLAS Gram lane: the aligned (key × bucket) HashAggregate
+    feeds an Arrow applyInPandas stage (FlatMapGroupsInPandas), and
+    the bucket self-join pair explosion is gone — the only joins are
+    the tiny block-pair task grid against the aligned table."""
+    from market_insights_app_spark.plans.registry import QUERIES
+
+    p = plan_of(QUERIES["pairwise_corr"](spark, SF_ORACLE))
+    assert "FlatMapGroupsInPandas" in p
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p
 
 
 def test_bigram_lm_no_bigram_broadcast(spark):
