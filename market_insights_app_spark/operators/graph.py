@@ -57,6 +57,82 @@ from pyspark.sql import functions as F
 _TINY_CUT_EVERY = 3
 
 
+def _pagerank_tiny(
+    e: DataFrame,
+    iterations: int,
+    damping_pct: int,
+    grid: int,
+    tol_grid: int | None,
+    redistribute_dangling: bool,
+) -> DataFrame:
+    """Single-Arrow-task PageRank for graphs under ``tiny_threshold``
+    nodes (see :func:`pagerank`): the canonical-form edge list
+    (distinct, self-loops dropped) collapses to one partition and one
+    mapInPandas task replays the exact int64 grid recurrence in numpy.
+    Every arithmetic step mirrors the distributed lane operation for
+    operation — floor divisions on non-negative int64 match SQL
+    ``div``, the damped sum and teleport term are the same integers,
+    tol stops after the update exactly like the driver-scalar branch,
+    and the dangling mass is summed over out-degree-0 nodes BEFORE the
+    update — so the two lanes are bit-identical by construction (and
+    pinned so in tests/test_graph.py)."""
+    schema = "node long, rank_grid long, pagerank double"
+
+    def task(batches):
+        import numpy as np
+        import pandas as pd
+
+        parts = [p for p in batches]
+        pdf = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame({"src": [], "dst": []})
+        )
+        src = pdf["src"].to_numpy(dtype=np.int64, copy=False)
+        dst = pdf["dst"].to_numpy(dtype=np.int64, copy=False)
+        node_ids = np.unique(np.concatenate([src, dst]))
+        m = len(node_ids)
+        if m == 0:
+            yield pd.DataFrame(
+                {"node": [], "rank_grid": [], "pagerank": []}
+            ).astype({"node": "int64", "rank_grid": "int64",
+                      "pagerank": "float64"})
+            return
+        si = np.searchsorted(node_ids, src)
+        di = np.searchsorted(node_ids, dst)
+        out = np.bincount(si, minlength=m).astype(np.int64)
+        teleport = ((100 - damping_pct) * grid) // (100 * m)
+        rank = np.full(m, grid // m, dtype=np.int64)
+        dangling = out == 0
+        for i in range(iterations):
+            share = (
+                int(rank[dangling].sum()) // m
+                if redistribute_dangling
+                else 0
+            )
+            contrib = rank[si] // out[si]
+            s = np.zeros(m, dtype=np.int64)
+            np.add.at(s, di, contrib)
+            new = teleport + (damping_pct * (s + share)) // 100
+            delta = (
+                int(np.abs(new - rank).sum())
+                if tol_grid is not None and i + 1 < iterations
+                else None
+            )
+            rank = new
+            if delta is not None and delta <= tol_grid:
+                break
+        yield pd.DataFrame(
+            {
+                "node": node_ids,
+                "rank_grid": rank,
+                "pagerank": rank.astype(np.float64) / float(grid),
+            }
+        )
+
+    return e.repartition(1).mapInPandas(task, schema=schema)
+
+
 def pagerank(
     edges: DataFrame,
     src_col: str = "src",
@@ -66,6 +142,7 @@ def pagerank(
     grid: int = 10**9,
     tol_grid: int | None = None,
     redistribute_dangling: bool = False,
+    tiny_threshold: int = 0,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list.
 
@@ -85,6 +162,20 @@ def pagerank(
     scalar per iteration; ``iterations`` stays the hard cap, so the
     result equals the fixed-iteration run with however many rounds
     convergence actually took.
+
+    ``tiny_threshold`` (r11, opt-in: 0 = off) collapses the WHOLE
+    iteration into one Arrow task when the node count — the same
+    driver scalar the partition-sizing logic already pays — is at or
+    below it: at small graph sizes the distributed loop is pure
+    job-scheduling overhead (10 iterations × join+agg+cut ≈ 30 jobs
+    for a result a single numpy pass computes in milliseconds), while
+    past the threshold nothing changes.  The task replays the exact
+    int64 grid arithmetic (floor-div contributions, damped integer
+    sum, same teleport term, same tol/dangling semantics), so ranks
+    are BIT-IDENTICAL to the distributed lane — pinned cross-lane and
+    against the pure-Python reference in tests/test_graph.py.  Memory
+    bound: one task holds the tiny edge list + two int64 vectors of
+    length n ≤ tiny_threshold.
 
     ``redistribute_dangling`` opts into the mass-conserving variant:
     each iteration adds the dangling nodes' rank mass back uniformly
@@ -130,6 +221,12 @@ def pagerank(
             F.col("node"),
             F.lit(0).cast("long").alias("rank_grid"),
             F.lit(0.0).alias("pagerank"),
+        )
+    if 0 < tiny_threshold and n <= tiny_threshold:
+        nodes.unpersist(blocking=False)
+        return _pagerank_tiny(
+            e, iterations, damping_pct, grid, tol_grid,
+            redistribute_dangling,
         )
     # DATA-ADAPTIVE partition count for the iteration working set: at
     # small graph sizes the 10-iteration loop is pure task-scheduling

@@ -170,6 +170,14 @@ _CHANGED_SINCE_ROW: list[str] = ["semdedup", "pairwise_corr"]
 #     row hash-gates every stage of the weaker one; the W1 golden
 #     tests stay, and bench.py's HEADLINE entry swaps sma5 →
 #     ma_slope_trend to keep the r01 baseline series comparable.
+# Also queued for r12 (plan change, not a registration): flip
+# q_pagerank_links to pagerank(tiny_threshold=100_000) — the r11
+# single-Arrow-task lane is bit-identical (pinned across all variants,
+# tests/test_graph.py) and measured 4.23 → 1.19 s at the sf0.1
+# fixture; pagerank_links is r9-swept, so in r12 it sits in the
+# must-sweep cohort and the _CHANGED_SINCE_ROW re-gate costs no
+# window slot (it cannot flip in r11: must-sweep here is already
+# exactly 50).
 #
 # CEILING (computed, not guessed): N = 148 = 3W − 2.  The 2 slack
 # slots per 3-round cycle are what lets _CHANGED_SINCE_ROW re-gates

@@ -285,3 +285,53 @@ def test_pagerank_one_lineage_cut_per_iteration(spark, monkeypatch):
         cuts.clear()
         pagerank(e, iterations=iters, **kwargs).collect()
         assert len(cuts) == want, (kwargs, iters, len(cuts))
+
+
+def test_pagerank_tiny_lane_bit_identical_all_variants(spark):
+    """The r11 single-Arrow-task lane (tiny_threshold) must be
+    bit-identical to the distributed lane — default, tol early-stop
+    and mass-conserving variants — and to the pure-Python reference,
+    over random graphs including dangling nodes."""
+    rng = random.Random(29)
+    for trial in range(3):
+        n = rng.randint(4, 25)
+        edges = sorted(
+            {
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(rng.randint(n, 3 * n))
+            }
+        )
+        e = spark.createDataFrame(edges, "src long, dst long")
+        iters = rng.choice([3, 10])
+        for kw in (
+            {},
+            {"tol_grid": 10_000},
+            {"redistribute_dangling": True},
+        ):
+            dist = {
+                r.node: (r.rank_grid, r.pagerank)
+                for r in pagerank(e, iterations=iters, **kw).collect()
+            }
+            tiny = {
+                r.node: (r.rank_grid, r.pagerank)
+                for r in pagerank(
+                    e, iterations=iters, tiny_threshold=1_000, **kw
+                ).collect()
+            }
+            assert tiny == dist, (trial, kw)
+        base = {
+            r.node: r.rank_grid
+            for r in pagerank(
+                e, iterations=iters, tiny_threshold=1_000
+            ).collect()
+        }
+        assert base == _ref_pagerank(edges, iters=iters), trial
+
+
+def test_pagerank_tiny_threshold_zero_is_off(spark):
+    """tiny_threshold=0 (the default) must never reroute: the
+    distributed lane's mapInPandas-free plan is preserved."""
+    edges = [(0, 1), (1, 2), (2, 0)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    df = pagerank(e, iterations=2)
+    assert "mapInPandas" not in df._jdf.queryExecution().analyzed().toString()
