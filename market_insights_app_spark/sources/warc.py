@@ -177,6 +177,7 @@ def read_warc_stream(
     path: str,
     record_types: tuple[str, ...] = ("response",),
     max_files_per_trigger: int = 1,
+    parse_counter=None,
 ) -> DataFrame:
     """Streaming twin of :func:`read_warc`: the WARC directory as a
     file-stream source (continuous crawl ingestion — new archives
@@ -197,5 +198,5 @@ def read_warc_stream(
         .load(path)
     )
     return files.select("path", "content").mapInPandas(
-        _record_mapper(tuple(record_types)), schema=_SCHEMA
+        _record_mapper(tuple(record_types), parse_counter), schema=_SCHEMA
     )
