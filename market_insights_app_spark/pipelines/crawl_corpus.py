@@ -195,13 +195,21 @@ def host_link_graph_from_pages(pages: DataFrame) -> DataFrame:
     )
 
 
-def host_pagerank(edges: DataFrame, iterations: int = 10) -> DataFrame:
+def host_pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    tiny_threshold: int = 0,
+) -> DataFrame:
     """PageRank over a (src_host, dst_host) string edge list → one
     (host, host_pagerank) row per host.  Hosts map to int64 node ids
     via xxhash64 (collision odds ≈ n²/2⁶⁵ — negligible at host
     cardinality) so the integer-grid pagerank operator
     (operators/graph.py) runs unchanged; ranks join back to names on
-    the same hash."""
+    the same hash.  ``tiny_threshold`` passes through to
+    :func:`operators.graph.pagerank`'s single-Arrow-task lane
+    (bit-identical; 0 = off) — right for bounded host universes like
+    fixtures and per-domain subgraphs, while a full-crawl host graph
+    (millions of nodes) stays on the distributed lane."""
     from market_insights_app_spark.operators.graph import pagerank
 
     e = edges.select(
@@ -214,7 +222,7 @@ def host_pagerank(edges: DataFrame, iterations: int = 10) -> DataFrame:
         .distinct()
         .select("host", F.xxhash64("host").alias("node"))
     )
-    pr = pagerank(e, iterations=iterations)
+    pr = pagerank(e, iterations=iterations, tiny_threshold=tiny_threshold)
     return pr.join(names, "node").select(
         "host", F.col("pagerank").alias("host_pagerank")
     )

@@ -2915,7 +2915,14 @@ def staged_q_host_authority(spark: SparkSession, sf: str) -> DataFrame:
             F.lit("http://site"), dm.cast("string"), F.lit(".com/p")
         ).alias("uri"),
     )
-    return host_pagerank(host_link_graph_from_pages(pages), iterations=10)
+    # the synthesized universe is ≤ 97 hosts — the single-Arrow-task
+    # pagerank lane (bit-identical, tests/test_graph.py) replaces ~30
+    # scheduler-bound jobs with one
+    return host_pagerank(
+        host_link_graph_from_pages(pages),
+        iterations=10,
+        tiny_threshold=100_000,
+    )
 
 
 def _host_pagerank_oracle(iters: int = 10) -> str:
