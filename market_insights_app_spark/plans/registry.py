@@ -170,14 +170,23 @@ _CHANGED_SINCE_ROW: list[str] = ["semdedup", "pairwise_corr"]
 #     row hash-gates every stage of the weaker one; the W1 golden
 #     tests stay, and bench.py's HEADLINE entry swaps sma5 →
 #     ma_slope_trend to keep the r01 baseline series comparable.
-# Also queued for r12 (plan change, not a registration): flip
-# q_pagerank_links to pagerank(tiny_threshold=100_000) — the r11
-# single-Arrow-task lane is bit-identical (pinned across all variants,
-# tests/test_graph.py) and measured 4.23 → 1.19 s at the sf0.1
-# fixture; pagerank_links is r9-swept, so in r12 it sits in the
-# must-sweep cohort and the _CHANGED_SINCE_ROW re-gate costs no
-# window slot (it cannot flip in r11: must-sweep here is already
-# exactly 50).
+# Also queued for r12 (plan changes, not registrations; both names
+# are r9-swept, so they sit in r12's must-sweep cohort and their
+# _CHANGED_SINCE_ROW re-gates cost no window slot — neither could
+# flip in r11, whose must-sweep is already exactly 50):
+#   q_pagerank_links → pagerank(tiny_threshold=100_000): the r11
+#     single-Arrow-task lane is bit-identical (pinned across all
+#     variants, tests/test_graph.py), measured 4.23 → 1.19 s at the
+#     sf0.1 fixture.
+#   q_interval_join_stream_replay drain width 8 → 4: interleaved A/B
+#     (r11) measured 2.92/3.23 s at 8 vs 2.22/2.36 s at 4 — the
+#     JVM symmetricHashJoin keeps 4 state stores per partition, so
+#     halving the near-empty stores halves their fixed cost.  The
+#     SAME A/B on the applyInPandasWithState replays came out the
+#     OTHER way (ema 2.86@8 vs 3.10@4, session 2.72@8 vs 3.61@4 —
+#     Python-worker parallelism wants the width), so ONLY the
+#     interval join narrows; update test_plan_quality's
+#     numShufflePartitions pin (8 → 4) in the same change.
 #
 # CEILING (computed, not guessed): N = 148 = 3W − 2.  The 2 slack
 # slots per 3-round cycle are what lets _CHANGED_SINCE_ROW re-gates
