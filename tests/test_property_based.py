@@ -1296,3 +1296,54 @@ def test_extract_outlinks_matches_parser_model(spark, pages):
     }
     for i, h in enumerate(pages):
         assert got[i] == sorted(_py_outlinks(h)), h
+
+
+# --- tiny-PageRank Arrow lane vs the distributed integer grid --------------
+
+_pr_graph = st.builds(
+    lambda n, picks: sorted({(a % n, b % n) for a, b in picks}),
+    st.integers(min_value=2, max_value=20),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400),
+            st.integers(min_value=0, max_value=400),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+
+
+@settings(**SETTINGS)
+@given(
+    edges=_pr_graph,
+    iters=st.integers(min_value=1, max_value=6),
+    variant=st.sampled_from(["default", "tol", "conserve"]),
+)
+def test_pagerank_tiny_lane_property(spark, edges, iters, variant):
+    """For ANY small graph (self-loops, parallel picks, dangling
+    nodes, disconnected islands) the single-Arrow-task lane is
+    bit-identical to the distributed integer grid, on every variant."""
+    from market_insights_app_spark.operators.graph import pagerank
+
+    if all(a == b for a, b in edges):
+        return  # self-loops only -> empty canonical edge set, n == 0
+    e = spark.createDataFrame(edges, "src long, dst long")
+    kw = (
+        {"tol_grid": 5_000}
+        if variant == "tol"
+        else {"redistribute_dangling": True}
+        if variant == "conserve"
+        else {}
+    )
+    dist = {
+        r.node: (r.rank_grid, r.pagerank)
+        for r in pagerank(e, iterations=iters, **kw).collect()
+    }
+    tiny = {
+        r.node: (r.rank_grid, r.pagerank)
+        for r in pagerank(
+            e, iterations=iters, tiny_threshold=10_000, **kw
+        ).collect()
+    }
+    assert tiny == dist
