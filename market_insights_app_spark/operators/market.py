@@ -234,7 +234,15 @@ def pairwise_corr(
     sxy = F.col("sxy").cast("double")
     sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
     num = nd * sxy - sx * sy
-    den = F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+    # each variance factor is >= 0 in exact arithmetic (Cauchy-Schwarz)
+    # but is computed here in DOUBLE off large casts, where cancellation
+    # can land epsilon-negative; clamping at 0 BEFORE the sqrt keeps the
+    # expression total in both engines (Spark sqrt(neg) is NaN -> NULL,
+    # DuckDB sqrt(neg) RAISES — observed at sf0.1) and changes no value
+    # where the factors are positive, so the twins stay bit-identical.
+    vx = F.greatest(F.lit(0.0), nd * sxx - sx * sx)
+    vy = F.greatest(F.lit(0.0), nd * syy - sy * sy)
+    den = F.sqrt(vx * vy)
     return stats.filter(F.col("n_buckets") >= min_buckets).select(
         "ka",
         "kb",
@@ -428,7 +436,15 @@ def pairwise_corr_dense(
     sxy = F.col("sxy") / 10000.0
     sxx, syy = F.col("sxx") / 10000.0, F.col("syy") / 10000.0
     num = nd * sxy - sx * sy
-    den = F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+    # each variance factor is >= 0 in exact arithmetic (Cauchy-Schwarz)
+    # but is computed here in DOUBLE off large casts, where cancellation
+    # can land epsilon-negative; clamping at 0 BEFORE the sqrt keeps the
+    # expression total in both engines (Spark sqrt(neg) is NaN -> NULL,
+    # DuckDB sqrt(neg) RAISES — observed at sf0.1) and changes no value
+    # where the factors are positive, so the twins stay bit-identical.
+    vx = F.greatest(F.lit(0.0), nd * sxx - sx * sx)
+    vy = F.greatest(F.lit(0.0), nd * syy - sy * sy)
+    den = F.sqrt(vx * vy)
     return stats.select(
         "ka",
         "kb",

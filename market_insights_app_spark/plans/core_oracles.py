@@ -768,20 +768,25 @@ CORE_ORACLES["pairwise_corr"] = """
       SELECT ka, kb, COUNT(*) AS n_buckets,
              SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
              SUM(x * x) AS sxx, SUM(y * y) AS syy
-      FROM p GROUP BY 1, 2)
+      FROM p GROUP BY 1, 2),
+    v AS (
+      -- clamp each variance factor at 0 before the sqrt, mirroring the
+      -- Spark lanes: the factors are >= 0 in exact arithmetic but are
+      -- computed in DOUBLE where cancellation can land epsilon-negative,
+      -- and DuckDB's sqrt RAISES on negatives (observed at sf0.1) where
+      -- Spark yields NaN -> NULL.  greatest(0, x) changes no positive
+      -- value, so the twins stay bit-identical.
+      SELECT ka, kb, n_buckets,
+             CAST(n_buckets AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+             greatest(0.0, CAST(n_buckets AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS vx,
+             greatest(0.0, CAST(n_buckets AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS vy
+      FROM st)
     SELECT ka, kb, n_buckets,
-           CASE WHEN sqrt((CAST(n_buckets AS DOUBLE) * CAST(sxx AS DOUBLE)
-                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                          * (CAST(n_buckets AS DOUBLE) * CAST(syy AS DOUBLE)
-                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) > 0
-                THEN (CAST(n_buckets AS DOUBLE) * CAST(sxy AS DOUBLE)
-                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                     / sqrt((CAST(n_buckets AS DOUBLE) * CAST(sxx AS DOUBLE)
-                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                            * (CAST(n_buckets AS DOUBLE) * CAST(syy AS DOUBLE)
-                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-           END AS corr
-    FROM st WHERE n_buckets >= 2
+           CASE WHEN sqrt(vx * vy) > 0 THEN num / sqrt(vx * vy) END AS corr
+    FROM v WHERE n_buckets >= 2
 """
 
 CORE_ORACLES["series_moments"] = """
