@@ -96,11 +96,17 @@ def vwap(
 ) -> DataFrame:
     """Volume-weighted average price per (key, bucket). Price×volume
     and volume both sum in DECIMAL (exact); the VWAP is one double
-    division over the two sums. Zero-volume buckets yield NULL (guard,
-    not NaN). Single map-side-combinable aggregate — one shuffle.
-    Domain contract: per-tick volume < 10⁹ (DECIMAL(9,0)); outside it
-    Spark nulls the cast while DuckDB errors — widen both twins
-    together."""
+    division over the two sums, emitted UNROUNDED — the quotient of a
+    2-dp decimal by an integer volume lands on true decimal half-way
+    points (e.g. 8347.80/128 = 65.2171875), where Spark's exact-
+    decimal-expansion HALF_UP and DuckDB's multiply-then-round double
+    round() disagree by 1 ulp (observed 3/40,083 buckets at sf0.1,
+    r11); the unrounded doubles are bit-identical, the repo's
+    standing remedy for this class.  Zero-volume buckets yield NULL
+    (guard, not NaN). Single map-side-combinable aggregate — one
+    shuffle.  Domain contract: per-tick volume < 10⁹ (DECIMAL(9,0));
+    outside it Spark nulls the cast while DuckDB errors — widen both
+    twins together."""
     vol = volume if volume is not None else F.lit(1)
     pv = F.col(value_col).cast(DEC) * vol.cast("decimal(9,0)")
     out = (
@@ -120,12 +126,9 @@ def vwap(
     return out.select(
         key_col,
         "bucket_ts",
-        F.round(
-            F.when(
-                F.col("volume") > 0,
-                F.col("spv").cast("double") / F.col("volume").cast("double"),
-            ),
-            6,
+        F.when(
+            F.col("volume") > 0,
+            F.col("spv").cast("double") / F.col("volume").cast("double"),
         ).alias("vwap"),
         "volume",
         "n_ticks",

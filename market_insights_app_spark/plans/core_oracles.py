@@ -734,9 +734,13 @@ CORE_ORACLES["vwap_daily"] = """
              CAST(SUM(vol) AS BIGINT) AS volume,
              COUNT(*) AS n_ticks
       FROM t GROUP BY user_id, b)
+    -- vwap emitted UNROUNDED (r11): the 2-dp-decimal / integer quotient
+    -- lands on true decimal half-way points where the engines' double
+    -- round() implementations split 1 ulp apart; the raw doubles are
+    -- bit-identical (see operators/market.vwap docstring)
     SELECT user_id, epoch_us(b) AS bucket_us,
-           round(CASE WHEN volume > 0
-                 THEN CAST(spv AS DOUBLE) / CAST(volume AS DOUBLE) END, 6)
+           CASE WHEN volume > 0
+                THEN CAST(spv AS DOUBLE) / CAST(volume AS DOUBLE) END
              AS vwap,
            volume, n_ticks
     FROM g

@@ -144,10 +144,14 @@ _NEW_THIS_ROUND: list[str] = [
 # blocked-BLAS Gram lane (plans/core.q_pairwise_corr →
 # operators/market.pairwise_corr_dense — the at-scale shape, measured
 # 2× faster at sf0.1; the join lane stays bit-equality-pinned in
-# tests and shares the oracle).  Both names were already r8-stale
-# (inside the must-sweep cohort), so the re-gates cost no extra
-# window slots.
-_CHANGED_SINCE_ROW: list[str] = ["semdedup", "pairwise_corr"]
+# tests and shares the oracle).  And vwap_daily: the r11 sf0.1
+# full-registry twin audit caught its round(…,6) splitting 1 ulp
+# between engines on true decimal half-way quotients (3/40,083
+# buckets at sf0.1) — vwap is now emitted unrounded per the standing
+# half-way-point remedy, which changes the row's values → re-gate.
+# All three names were already r8-stale (inside the must-sweep
+# cohort), so the re-gates cost no extra window slots.
+_CHANGED_SINCE_ROW: list[str] = ["semdedup", "pairwise_corr", "vwap_daily"]
 
 # r12 pre-stage: after the r11 sweep lands, fold CORRECTNESS_r11 into
 # _LAST_SWEPT (the 50 window names -> 11).  The r12 must-sweep is then
