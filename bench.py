@@ -35,13 +35,19 @@ import sys
 import time
 
 HEADLINE = [
-    "prices_filter_range_limit",
+    # r12: prices_filter_range_limit and kfold_column trimmed from the
+    # headline (0.09 s fixed-overhead reads where plan changes are
+    # invisible under noise — r11 verdict #7); both still time in the
+    # --full sweep and keep their correctness rows.
     "latest_per_key",
     "positions_agg",
     "tpch_q1_style",
     "multi_join_revenue",
     "equity_cumsum",
-    "sma5",
+    # r12: sma5 row retired (registry consolidation — its computation
+    # is the inner stage of ma_slope_trend); ma_slope_trend keeps the
+    # W1 DECIMAL-rolling-sum shape in the r01-comparable series
+    "ma_slope_trend",
     "histogram",
     "union_merge_dedup",
     "session_window_agg",
@@ -98,10 +104,11 @@ HEADLINE = [
     "readability",
     # round-10 additions (registered this round)
     "hard_negatives",
-    "kfold_column",
     "temperature_mixture",
     # round-11 addition
     "split_leakage",
+    # round-12 addition (crawl front door registered this round)
+    "host_authority",
 ]
 
 
@@ -121,6 +128,12 @@ def main() -> None:
     from market_insights_app_spark.sources.tables import load_table
 
     spark = get_spark(app_name="mias-bench", cpus=cpus)
+    # session-age/noise guard (r11 verdict #4): r11's end-of-round
+    # sweep drifted +3.6 % "uniformly noisier" and had to be
+    # adjudicated after the fact.  Stamp the host's 1-min loadavg at
+    # sweep start and end into the artifact so a loaded-host run is
+    # visible IN the numbers it produced, not argued from memory.
+    load_start = round(os.getloadavg()[0], 2)
 
     def run(name: str) -> float:
         t0 = time.perf_counter()
@@ -278,6 +291,11 @@ def main() -> None:
         "deltas_vs_prior": deltas,
         "regressions": regressions,
         "trend_notes": trend_notes,
+        "host_load": {
+            "start_1min": load_start,
+            "end_1min": round(os.getloadavg()[0], 2),
+            "cpus": int(cpus),
+        },
         "sf": sf,
     }
     tmp = ref_path + ".tmp"

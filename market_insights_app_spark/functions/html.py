@@ -224,11 +224,32 @@ def extract_outlinks(col: Column | str) -> Column:
     to EOF — at crawl scale that yields rare phantom edges from
     malformed pages, noise PageRank tolerates.  The well-formed cases
     are pinned against the stdlib-parser model in
-    tests/test_property_based.py."""
+    tests/test_property_based.py.
+
+    Cost of that residual (r11 ADVICE): the strip patterns are
+    unrolled-loop POSSESSIVE regexes (``[^<]*+(?:<(?!/script\\s*>)
+    [^<]*+)*+``), so a single match attempt is one forward pass with
+    zero backtracking — the same spans the old non-greedy ``.*?``
+    forms matched, byte-identical on every closed span (the
+    terminator lookahead is the full ``</script\\s*>``, preserving the
+    tokenizer rule that ``</scriptfoo>`` does not end a script).  The
+    remaining worst case is O(#unclosed-openings × payload): each
+    unclosed ``<script``/``<!--`` still costs one failed forward scan
+    to EOF.  Adversarial pages that repeat unclosed openings
+    therefore cost #openings passes — bounded in practice by the
+    ingest payload cap (pipelines/crawl_corpus keeps payloads page-
+    sized); a truly linear guard would pre-truncate pathological
+    payloads before the scan."""
     c = F.col(col) if isinstance(col, str) else col
-    c = F.regexp_replace(c, r"(?is)<script\b.*?</script\s*>", " ")
-    c = F.regexp_replace(c, r"(?is)<style\b.*?</style\s*>", " ")
-    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(
+        c, r"(?is)<script\b[^<]*+(?:<(?!/script\s*>)[^<]*+)*+</script\s*>",
+        " ",
+    )
+    c = F.regexp_replace(
+        c, r"(?is)<style\b[^<]*+(?:<(?!/style\s*>)[^<]*+)*+</style\s*>",
+        " ",
+    )
+    c = F.regexp_replace(c, r"(?s)<!--[^-]*+(?:-(?!->)[^-]*+)*+-->", " ")
     return F.array_distinct(F.regexp_extract_all(c, F.lit(_HREF_RE), 1))
 
 

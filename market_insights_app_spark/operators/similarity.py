@@ -623,6 +623,17 @@ def semdedup(
     tests/test_retrieval_clustering.py).  Both lanes are bit-identical:
     the join strategy changes the exchange, never the pair predicate.
 
+    Estimate-quality caveat (r11 ADVICE): the Catalyst sizeInBytes is
+    authoritative only for file-backed inputs (parquet statistics);
+    for createDataFrame / join / aggregate upstreams it is a
+    propagated guess or the conservative default, so the default gate
+    can pick the SMJ lane for a frame the old 100k-row semantics would
+    have broadcast (performance-only — the lanes are bit-identical).
+    The chosen lane and the estimate it keyed on are logged at DEBUG
+    (logger ``market_insights_app_spark.operators.similarity``) so a
+    mis-sized gate is diagnosable; callers with better knowledge pass
+    ``broadcast_probe`` explicitly.
+
     Returns the SURVIVING (id, cluster) rows.
     """
     from market_insights_app_spark.operators import clustering
@@ -684,6 +695,15 @@ def semdedup(
             a._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
         small = est <= 64 * 1024 * 1024
+        # estimate quality varies by source (docstring caveat): make
+        # the invisible gate diagnosable without adding a job
+        import logging
+
+        logging.getLogger(__name__).debug(
+            "semdedup probe-join gate: sizeInBytes estimate=%d -> %s",
+            est,
+            "broadcast" if small else "sort-merge",
+        )
     else:
         small = broadcast_probe
     a = a.repartition(df.sparkSession.sparkContext.defaultParallelism).localCheckpoint(

@@ -120,15 +120,13 @@ def q_lag_delta(spark: SparkSession, sf: str) -> DataFrame:
     return ev.select("event_id", F.round(delta, 6).alias("delta"))
 
 
-def q_sma5(spark: SparkSession, sf: str) -> DataFrame:
-    """W1 (main.js:217-227): SMA(5) with warm-up nulls. The rolling sum
-    goes through DECIMAL so the frame aggregate is exact and identical
-    across engines (values are 2-dp); divide in double after."""
-    ev = _events(spark, sf)
-    w = EVENTS_W()
-    sum5 = F.sum(F.col("value").cast("decimal(18,2)")).over(W.trailing(w, 5)).cast("double")
-    rn = F.row_number().over(w)
-    return ev.select("event_id", F.round(F.when(rn >= 5, sum5 / 5), 6).alias("sma5"))
+# q_sma5 retired r12 (sanctioned consolidation): the W1 computation —
+# the DECIMAL rolling sum, warm-up CASE and /5 — is the INNER stage of
+# ★ma_slope_trend's oracle (W6/W7 are lagged differences OVER the W1
+# sma5), so the stronger row hash-gates every stage of the weaker one.
+# The W1 operator golden tests stay in tests/test_windows.py; bench.py
+# HEADLINE swapped sma5 → ma_slope_trend to keep the r01 series
+# comparable.  Funded the host_authority registration (N ≤ 148).
 
 
 def q_rolling_min_volatility(spark: SparkSession, sf: str) -> DataFrame:
@@ -1602,7 +1600,13 @@ def q_interval_join_stream_replay(spark: SparkSession, sf: str) -> DataFrame:
         within="30 minutes",
     )
     name = f"ivj_replay_{uuid.uuid4().hex[:8]}"
-    run_available_now_to_memory(joined, name, "append", shuffle_partitions=8)
+    # drain width 4 (r12, was 8): interleaved A/B measured 2.92/3.23 s
+    # at 8 vs 2.22/2.36 s at 4 — the JVM symmetricHashJoin keeps 4
+    # state stores per partition, so halving the near-empty stores
+    # halves their fixed cost.  The applyInPandasWithState replays
+    # measured the OTHER way (Python-worker parallelism wants width),
+    # so only this JVM-stateful drain narrows.  SCALE_NOTES.md r11 A/B.
+    run_available_now_to_memory(joined, name, "append", shuffle_partitions=4)
     return spark.table(name).select(
         "purchase_id",
         "click_id",

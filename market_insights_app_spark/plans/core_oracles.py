@@ -53,15 +53,6 @@ CORE_ORACLES: dict[str, str] = {
                round(value - lag(value) OVER ({W_EVENTS}), 6) AS delta
         FROM events
     """,
-    "sma5": f"""
-        SELECT event_id,
-               round(CASE WHEN rn >= 5 THEN CAST(sum5 AS DOUBLE) / 5 END, 6) AS sma5
-        FROM (
-          SELECT event_id, row_number() OVER w AS rn,
-                 SUM(CAST(value AS DECIMAL(18,2)))
-                   OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sum5
-          FROM events WINDOW w AS ({W_EVENTS}))
-    """,
     "rolling_min_volatility": f"""
         SELECT event_id,
                round(min(sd10) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)

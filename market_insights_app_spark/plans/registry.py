@@ -50,147 +50,126 @@ _COLLECTED: dict[str, QueryFn] = {**_collect(core), **_collect(textml)}
 # the judge would flag.
 # ---------------------------------------------------------------------------
 
-_ROUND = 11
+_ROUND = 12
 _WINDOW = 50
 
 # name -> round of its latest driver CORRECTNESS row (0 = never swept).
-# Source: CORRECTNESS_r01..r10 artifacts (an entry counts as swept when
+# Source: CORRECTNESS_r01..r11 artifacts (an entry counts as swept when
 # the driver recorded it, including rows-only `err: no_oracle` rows).
-# r10 was 50/50 green, folded here via scripts/fold_rotation.py; the
-# r10-verdict-sanctioned consolidation was executed in r11 and its row
-# removed: rolling_stddev10 (its full computation is the inner stage
-# of ★rolling_min_volatility's oracle — see _NEW_THIS_ROUND note; the
-# W2 operator golden tests stay in tests/test_windows.py).  Earlier
-# retirements (r10): pairwise_corr_dense, minhash_neardup,
-# simhash_neardup — all still stage-gated via their portable twins and
-# unit references, see the r10 registry history in git.
+# r11 was 50/50 green, folded here via scripts/fold_rotation.py; the
+# r11-verdict-sanctioned consolidation was executed in r12 and its row
+# removed: sma5 (its full computation is the inner stage of
+# ★ma_slope_trend's oracle — see _NEW_THIS_ROUND note; the W1
+# operator golden tests stay in tests/test_windows.py).  Earlier
+# retirements: rolling_stddev10 (r11), pairwise_corr_dense,
+# minhash_neardup, simhash_neardup (r10) — all still stage-gated via
+# their portable twins / stronger rows, see the registry git history.
 _LAST_SWEPT: dict[str, int] = {
-    "ab_mann_whitney": 9, "ab_welch_t": 9, "ann_lsh_topk": 9, "asof_join": 8,
-    "autocorr_lag1": 9, "beta_benchmark": 9, "bigram_lm": 8, "bm25_search": 8,
-    "bollinger": 9, "cdc_apply_roundtrip": 9, "chi2_lang_drift": 9,
-    "click_attribution": 10, "cohort_retention": 10,
-    "connector_av_quote_parse": 8, "connector_fx_parse": 8,
-    "connector_yahoo_parse": 8, "corpus_manifest": 8, "corpus_report": 9,
+    "ab_mann_whitney": 9, "ab_welch_t": 9, "ann_lsh_topk": 9, "asof_join": 11,
+    "autocorr_lag1": 9, "beta_benchmark": 9, "bigram_lm": 11,
+    "bm25_search": 11, "bollinger": 9, "cdc_apply_roundtrip": 9,
+    "chi2_lang_drift": 9, "click_attribution": 10, "cohort_retention": 10,
+    "connector_av_quote_parse": 11, "connector_fx_parse": 11,
+    "connector_yahoo_parse": 11, "corpus_manifest": 11, "corpus_report": 9,
     "corpus_shuffle": 9, "corpus_split": 9, "cube_agg": 10, "daily_sharpe": 10,
-    "decontaminate": 8, "decontaminate_bloom": 9, "dedup_exact": 8,
-    "dedup_latest_wins": 10, "doc_chunks": 9, "doc_repetition": 8,
-    "domain_doc_cap": 8, "domain_split": 8, "dsir_select": 8,
-    "ema_stateful_replay": 8, "embedding_neardup": 10, "embedding_topk": 8,
-    "equity_cumsum": 10, "ewma_macd": 8, "fingerprint_docs": 9,
-    "frame_sample": 9, "funnel_conversion": 10, "fuzzy_match": 8,
+    "decontaminate": 11, "decontaminate_bloom": 9, "dedup_exact": 11,
+    "dedup_latest_wins": 10, "doc_chunks": 9, "doc_repetition": 11,
+    "domain_doc_cap": 11, "domain_split": 11, "dsir_select": 11,
+    "ema_stateful_replay": 11, "embedding_neardup": 10, "embedding_topk": 11,
+    "equity_cumsum": 10, "ewma_macd": 11, "fingerprint_docs": 9,
+    "frame_sample": 9, "funnel_conversion": 10, "fuzzy_match": 11,
     "group_topk": 10, "grouping_sets_revenue": 10, "hard_negatives": 10,
     "histogram": 10, "ict_analysis": 10, "impact_classify": 9,
     "incremental_agg": 9, "interval_join_stream_replay": 9,
-    "inverted_index": 8, "ivf_topk": 8, "journal_stats": 9,
+    "inverted_index": 11, "ivf_topk": 11, "journal_stats": 9,
     "json_extract_props": 10, "key_skew": 9, "kfold_column": 10,
-    "kmeans_assign": 9, "lag_delta": 10, "lang_id": 8,
+    "kmeans_assign": 9, "lag_delta": 10, "lang_id": 11,
     "latest_join_enrich": 10, "latest_per_key": 10, "level_extract": 9,
-    "lm_quality": 8, "local_extrema": 10, "ma_slope_trend": 10,
-    "max_drawdown": 8, "media_decode": 8, "media_features": 10,
-    "minhash_neardup_portable": 8, "minmax_mid_premium": 10,
-    "minmax_normalize": 10, "mixture_sample": 9, "multi_join_revenue": 8,
-    "nb_quality": 8, "near_dedup_corpus_exact": 8, "ngram_jaccard": 8,
-    "ngram_novelty": 9, "ohlc_resample": 8, "ohlc_stream_replay": 9,
-    "pagerank_links": 9, "pairwise_corr": 8, "passage_dedup": 10,
-    "perplexity_buckets": 8, "pii_scrub": 8, "pit_feature_lookup": 9,
+    "lm_quality": 11, "local_extrema": 10, "ma_slope_trend": 10,
+    "max_drawdown": 11, "media_decode": 11, "media_features": 10,
+    "minhash_neardup_portable": 11, "minmax_mid_premium": 10,
+    "minmax_normalize": 10, "mixture_sample": 9, "multi_join_revenue": 11,
+    "nb_quality": 11, "near_dedup_corpus_exact": 11, "ngram_jaccard": 11,
+    "ngram_novelty": 9, "ohlc_resample": 11, "ohlc_stream_replay": 9,
+    "pagerank_links": 9, "pairwise_corr": 11, "passage_dedup": 10,
+    "perplexity_buckets": 11, "pii_scrub": 11, "pit_feature_lookup": 9,
     "pivot_event_counts": 10, "pmi_collocations": 9, "pnl_r_scalars": 10,
-    "positions_agg": 8, "prices_filter_range_limit": 10,
+    "positions_agg": 11, "prices_filter_range_limit": 10,
     "prices_keyset_page": 10, "prices_page2": 10, "psi_drift": 9,
-    "quality_funnel": 9, "quantile_binning": 9, "quantize_int8": 8,
+    "quality_funnel": 9, "quantile_binning": 9, "quantize_int8": 11,
     "range_join_sessions": 10, "readability": 9, "recent_n_tail": 10,
     "resample_ffill": 9, "robust_outliers": 10, "rolling_corr_market": 9,
-    "rolling_min_volatility": 10, "rollup_revenue": 10,
-    "rsi14": 10, "salted_hot_agg": 10, "sample_per_group": 9,
-    "scd2_user_state": 9, "semantic_decontaminate": 9, "semdedup": 8,
-    "seq_len_histogram": 9, "seq_pack": 8, "series_moments": 8,
-    "session_stateful_replay": 8, "session_window_agg": 10, "set_ops": 10,
-    "simhash_neardup_portable": 8, "sketch_profile": 10,
-    "sliding_window_agg": 10, "sma5": 10, "snapshot_diff": 9, "span_dedup": 8,
-    "stratified_sample": 8, "table_profile": 8, "tag_split": 9,
-    "temperature_mixture": 10, "text_quality": 8, "tfidf_top_terms": 8,
-    "timestamp_normalize": 9, "token_entropy": 9, "tokens_count": 9,
-    "tpch_q1_style": 8, "trailing_max_argmax": 10, "training_corpus": 8,
-    "transition_matrix": 9, "trend_ols": 9, "tumbling_window_agg": 10,
-    "twap_daily": 9, "union_merge_dedup": 10, "url_normalize": 8,
-    "validate_lineitem": 10, "value_quantiles": 10, "var_cvar": 9,
-    "vocab_topk": 8, "vwap_daily": 8, "weighted_sample": 9,
-    "window_delta_stats": 10, "zipf_slope": 10, "zscore_anomalies": 9,
+    "rolling_min_volatility": 10, "rollup_revenue": 10, "rsi14": 10,
+    "salted_hot_agg": 10, "sample_per_group": 9, "scd2_user_state": 9,
+    "semantic_decontaminate": 9, "semdedup": 11, "seq_len_histogram": 9,
+    "seq_pack": 11, "series_moments": 11, "session_stateful_replay": 11,
+    "session_window_agg": 10, "set_ops": 10, "simhash_neardup_portable": 11,
+    "sketch_profile": 10, "sliding_window_agg": 10, "snapshot_diff": 9,
+    "span_dedup": 11, "split_leakage": 11, "stratified_sample": 11,
+    "table_profile": 11, "tag_split": 9, "temperature_mixture": 10,
+    "text_quality": 11, "tfidf_top_terms": 11, "timestamp_normalize": 9,
+    "token_entropy": 9, "tokens_count": 9, "tpch_q1_style": 11,
+    "trailing_max_argmax": 10, "training_corpus": 11, "transition_matrix": 9,
+    "trend_ols": 9, "tumbling_window_agg": 10, "twap_daily": 9,
+    "union_merge_dedup": 10, "url_normalize": 11, "validate_lineitem": 10,
+    "value_quantiles": 10, "var_cvar": 9, "vocab_topk": 11, "vwap_daily": 11,
+    "weighted_sample": 9, "window_delta_stats": 10, "zipf_slope": 10,
+    "zscore_anomalies": 9,
 }
 
 # Queries first registered in round _ROUND (no driver row can exist).
-# r11 registers the r10-staged split_leakage (textml.py, promoted from
-# STAGED_ORACLES with its parity/golden/unicode/degenerate gates
-# intact), funded by the sanctioned rolling_stddev10 retirement: the
-# W2 window-stddev computation is the INNER stage of
-# ★rolling_min_volatility's oracle (W3 is a rolling min OVER the W2
-# stddev), so the stronger row hash-gates every stage of the weaker
-# one; the W2 operator golden tests stay in tests/.  The r11 window is
-# the 49 r8-stale rows (one of which, semdedup, also re-gates as
-# changed) + 1 new = 50 slots exactly.
+# r12 registers the r11-staged host_authority (textml.py, promoted
+# from STAGED_ORACLES with its parity/unicode/degenerate gates
+# intact): the crawl front door hash-gated end-to-end — synthesized
+# ghost-anchor HTML pages feed the REAL extract_outlinks →
+# host_link_graph_from_pages → host_pagerank chain, while the DuckDB
+# twin derives the edge set independently from doc_id arithmetic and
+# replays the ★pagerank_links 10-CTE integer grid.  Funded by the
+# sanctioned sma5 retirement: the W1 computation (DECIMAL rolling
+# sum, warm-up CASE, /5) is the INNER stage of ★ma_slope_trend's
+# oracle (W6/W7 are lagged differences OVER the W1 sma5), so the
+# stronger row hash-gates every stage of the weaker one; the W1
+# operator golden tests stay in tests/, and bench.py's HEADLINE
+# swapped sma5 → ma_slope_trend to keep the r01 series comparable.
+# The r12 window is the 49 r9-stale rows (two of which re-gate as
+# changed, see below) + 1 new = 50 slots exactly.
 _NEW_THIS_ROUND: list[str] = [
-    "split_leakage",  # cross-split contamination audit (exact + near)
+    "host_authority",  # WARC crawl chain: outlinks -> host graph -> rank
 ]
 
 # Queries whose operator/plan/oracle semantics were touched since
-# their last driver row — must re-gate even if recently swept.  r11:
-# semdedup's lane gate changed (operators/similarity.py semdedup no
-# longer runs a count() action over the corpus to pick the
-# broadcast-vs-SMJ probe-join strategy; the hint now derives from the
-# pre-checkpoint Catalyst size estimate — a zero-job plan lookup —
-# with an explicit `broadcast_probe=` caller override).  The lanes are
-# bit-identical and property-tested, but the default physical plan the
-# driver executes changed, so the row re-gates.  Also pairwise_corr:
-# its registered plan flipped from the bucket self-join lane to the
-# blocked-BLAS Gram lane (plans/core.q_pairwise_corr →
-# operators/market.pairwise_corr_dense — the at-scale shape, measured
-# 2× faster at sf0.1; the join lane stays bit-equality-pinned in
-# tests and shares the oracle).  And vwap_daily: the r11 sf0.1
-# full-registry twin audit caught its round(…,6) splitting 1 ulp
-# between engines on true decimal half-way quotients (3/40,083
-# buckets at sf0.1) — vwap is now emitted unrounded per the standing
-# half-way-point remedy, which changes the row's values → re-gate.
-# All three names were already r8-stale (inside the must-sweep
-# cohort), so the re-gates cost no extra window slots.
-_CHANGED_SINCE_ROW: list[str] = ["semdedup", "pairwise_corr", "vwap_daily"]
+# their last driver row — must re-gate even if recently swept.  r12
+# executes the two plan flips pre-staged (and A/B-measured) in r11;
+# both names are r9-swept, i.e. already inside the must-sweep cohort,
+# so the re-gates cost no extra window slots:
+#   pagerank_links — q_pagerank_links now passes
+#     tiny_threshold=100_000 (operators/graph.py): sub-threshold
+#     graphs collapse the whole 10-iteration grid into ONE Arrow task
+#     (bit-identical to the distributed lane, property-tested across
+#     all lanes in tests/test_graph.py; measured 4.23 → 1.19 s at the
+#     sf0.1 fixture).  Above-threshold graphs keep the distributed
+#     per-iteration equi-join grid — the 100 TB shape.
+#   interval_join_stream_replay — drain width 8 → 4
+#     (plans/core.py): interleaved r11 A/B measured 2.92/3.23 s at 8
+#     vs 2.22/2.36 s at 4; the JVM symmetricHashJoin keeps 4 state
+#     stores per partition, so halving the near-empty stores halves
+#     their fixed cost.  The SAME A/B on the applyInPandasWithState
+#     replays came out the OTHER way (Python-worker parallelism wants
+#     the width), so ONLY the interval join narrows;
+#     test_plan_quality's numShufflePartitions pin updated 8 → 4 in
+#     the same change.
+_CHANGED_SINCE_ROW: list[str] = [
+    "pagerank_links", "interval_join_stream_replay",
+]
 
-# r12 pre-stage: after the r11 sweep lands, fold CORRECTNESS_r11 into
-# _LAST_SWEPT (the 50 window names -> 11).  The r12 must-sweep is then
-# the 49 r9-stale rows, leaving 1 slot for new+changed combined.
-# Pre-built r12 candidate (plans/textml.py STAGED_ORACLES), twin-tested
-# at sf0.001 + sf0.01:
-#   staged_q_host_authority  (WARC-derived host link graph -> integer
-#                             -grid PageRank -> per-host authority
-#                             rank; rides the proven ★pagerank_links
-#                             10-CTE DuckDB machinery plus
-#                             regexp_extract_all for the href scan)
-# To register: rename to q_<name>, move the STAGED_ORACLES entry into
-# TEXTML_ORACLES, list in _NEW_THIS_ROUND — and keep N ≤ 3W − 2 (the
-# permanent-slack design below), consolidating first.  Sanctioned r12
-# consolidation candidate (same one-retirement-per-registration
-# standard as r9/r10/r11):
-#   sma5 — its full computation (the W1 DECIMAL rolling sum, warm-up
-#     CASE and /5) is the INNER stage of ★ma_slope_trend's oracle
-#     (W6/W7 are lagged differences OVER the W1 sma5), so the stronger
-#     row hash-gates every stage of the weaker one; the W1 golden
-#     tests stay, and bench.py's HEADLINE entry swaps sma5 →
-#     ma_slope_trend to keep the r01 baseline series comparable.
-# Also queued for r12 (plan changes, not registrations; both names
-# are r9-swept, so they sit in r12's must-sweep cohort and their
-# _CHANGED_SINCE_ROW re-gates cost no window slot — neither could
-# flip in r11, whose must-sweep is already exactly 50):
-#   q_pagerank_links → pagerank(tiny_threshold=100_000): the r11
-#     single-Arrow-task lane is bit-identical (pinned across all
-#     variants, tests/test_graph.py), measured 4.23 → 1.19 s at the
-#     sf0.1 fixture.
-#   q_interval_join_stream_replay drain width 8 → 4: interleaved A/B
-#     (r11) measured 2.92/3.23 s at 8 vs 2.22/2.36 s at 4 — the
-#     JVM symmetricHashJoin keeps 4 state stores per partition, so
-#     halving the near-empty stores halves their fixed cost.  The
-#     SAME A/B on the applyInPandasWithState replays came out the
-#     OTHER way (ema 2.86@8 vs 3.10@4, session 2.72@8 vs 3.61@4 —
-#     Python-worker parallelism wants the width), so ONLY the
-#     interval join narrows; update test_plan_quality's
-#     numShufflePartitions pin (8 → 4) in the same change.
+# r13 pre-stage: after the r12 sweep lands, fold CORRECTNESS_r12 into
+# _LAST_SWEPT (the 50 window names -> 12).  The r13 must-sweep is then
+# the 49 r10-stale rows, leaving 1 slot for new+changed combined.
+# Staging candidates (pick one, build its twin + parity test into
+# plans/textml.py STAGED_ORACLES during r12):
+#   windowed_heavy_hitters (streaming/ingest.py) batch-twin, or a
+#   TxnTable MERGE row-level oracle (DuckDB expresses MERGE semantics
+#   via anti/semi joins).
 #
 # CEILING (computed, not guessed): N = 148 = 3W − 2.  The 2 slack
 # slots per 3-round cycle are what lets _CHANGED_SINCE_ROW re-gates

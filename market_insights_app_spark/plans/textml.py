@@ -2541,13 +2541,24 @@ def q_pagerank_links(spark: SparkSession, sf: str) -> DataFrame:
     Every iteration is exact int64 arithmetic (contribution =
     rank div outdeg, damped sum = 85·Σ div 100), so rank_grid is
     bit-identical across engines — the DuckDB twin replays the same
-    integers through 10 unrolled CTEs."""
+    integers through 10 unrolled CTEs.
+
+    r12 plan flip: ``tiny_threshold=100_000`` routes sub-threshold
+    graphs through the single-Arrow-task lane (graph.py, bit-identical
+    to the distributed grid, property-tested across all lanes in
+    tests/test_graph.py) — measured 4.23 → 1.19 s at the sf0.1
+    fixture; graphs above the threshold still take the distributed
+    per-iteration equi-join grid, the 100 TB shape."""
     from market_insights_app_spark.operators.graph import (
         pagerank,
         synthetic_link_graph,
     )
 
-    return pagerank(synthetic_link_graph(_docs(spark, sf)), iterations=10)
+    return pagerank(
+        synthetic_link_graph(_docs(spark, sf)),
+        iterations=10,
+        tiny_threshold=100_000,
+    )
 
 
 def _pagerank_oracle(iters: int = 10) -> str:
@@ -2863,18 +2874,20 @@ TEXTML_ORACLES["split_leakage"] = f"""
 
 
 # ---------------------------------------------------------------------------
-# r12-STAGED (NOT collected: no q_ prefix — registry N = 148 leaves two
-# permanent slack slots per 3-round cycle, see plans/registry.py).  Each
-# pair is gated NOW by direct Spark<->DuckDB parity tests plus the
-# unicode and degenerate-input sweeps; a future round renames
-# `staged_q_<name>` -> `q_<name>`, moves the oracle into TEXTML_ORACLES,
-# and lists the name in _NEW_THIS_ROUND.
+# r12 registration: host_authority (staged in r11, promoted per the
+# registry pre-stage plan, funded by the sanctioned sma5 consolidation
+# -> N = 148 = 3W - 2 preserved).  The staging shelf below
+# (STAGED_ORACLES — NOT collected: no q_ prefix) holds future rounds'
+# candidates; each pair is gated NOW by direct Spark<->DuckDB parity
+# tests plus the unicode and degenerate-input sweeps; a future round
+# renames `staged_q_<name>` -> `q_<name>`, moves the oracle into
+# TEXTML_ORACLES, and lists the name in _NEW_THIS_ROUND.
 # ---------------------------------------------------------------------------
 
 STAGED_ORACLES: dict[str, str] = {}
 
 
-def staged_q_host_authority(spark: SparkSession, sf: str) -> DataFrame:
+def q_host_authority(spark: SparkSession, sf: str) -> DataFrame:
     """The crawl front door's authority chain, hash-gated end-to-end:
     deterministic HTML pages synthesized from ``documents`` (pure
     codegen concat — each doc's page carries two real cross-host
@@ -2962,4 +2975,57 @@ def _host_pagerank_oracle(iters: int = 10) -> str:
 """
 
 
-STAGED_ORACLES["host_authority"] = _host_pagerank_oracle()
+TEXTML_ORACLES["host_authority"] = _host_pagerank_oracle()
+
+
+def staged_q_txn_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """r13 staging candidate: the ACID MERGE surface (D5's
+    transactional form, storage/txnlog.TxnTable.merge — reference
+    db.py:166-201's update-else-insert) hash-gated ROW-LEVEL instead
+    of unit-only: build a fresh log-backed table from a deterministic
+    `events` slice, MERGE a deterministic update set (overlap →
+    replace, novel keys → insert), and return the post-merge table
+    read back through the snapshot log.
+
+    Slice design (all arithmetic on the unique int64 event_id, exact
+    in both engines): base = event_id % 7 ∈ {0..3}; updates =
+    event_id % 7 ∈ {2..5} carrying value*2+1 (FP-exact: one scale by
+    2, one add).  MERGE on event_id therefore REPLACES {2,3},
+    INSERTS {4,5}, and leaves {0,1} untouched — the final state
+    exercises every MERGE branch plus the min/max data-skipping stats
+    the table writes per directory.
+
+    The DuckDB twin never replays the log: it derives the same final
+    state declaratively as (base NOT EXISTS updates) ∪ updates — the
+    anti/union algebra MERGE is defined by.  The table lives in a
+    per-call temp dir (POSIX path, like the streaming replays' memory
+    sinks); output depends only on the input slice."""
+    import tempfile
+
+    from market_insights_app_spark.storage.txnlog import TxnTable
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "user_id", "value"
+    )
+    m = F.col("event_id") % 7
+    base = ev.filter(m <= 3)
+    updates = ev.filter((m >= 2) & (m <= 5)).select(
+        "event_id",
+        "user_id",
+        (F.col("value") * 2 + 1).alias("value"),
+    )
+    t = TxnTable(spark, tempfile.mkdtemp(prefix="mias_txn_merge_"))
+    t.append(base, stats_col="event_id")
+    t.merge(updates, key_cols=["event_id"])
+    return t.read().select("event_id", "user_id", "value")
+
+
+STAGED_ORACLES["txn_merge"] = """
+    WITH upd AS (SELECT event_id, user_id, value * 2 + 1 AS value
+                 FROM events WHERE event_id % 7 BETWEEN 2 AND 5)
+    SELECT event_id, user_id, value FROM events
+    WHERE event_id % 7 <= 3
+      AND NOT EXISTS (SELECT 1 FROM upd WHERE upd.event_id = events.event_id)
+    UNION ALL
+    SELECT event_id, user_id, value FROM upd
+"""

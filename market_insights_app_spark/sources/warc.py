@@ -125,7 +125,17 @@ def _record_mapper(keep: tuple[str, ...], parse_counter=None):
     ``parse_counter`` (a Spark accumulator) counts one per FILE
     parsed — the input-split accounting that lets tests pin a
     composition's parse multiplicity (e.g. the single-parse law of
-    pipelines/crawl_corpus.warc_to_documents_with_rank)."""
+    pipelines/crawl_corpus.warc_to_documents_with_rank).
+
+    Retry caveat (r11 ADVICE): accumulator updates inside
+    TRANSFORMATIONS are at-least-once — a retried or speculatively
+    re-executed task fires ``add()`` again, so the counter can only
+    OVER-report.  It is test instrumentation, exact only where tasks
+    run once (the local[32] suite runs with speculation off and
+    asserts that premise, tests/test_crawl_pipeline.py); production
+    parse-multiplicity accounting should read per-stage input metrics
+    (bytes/records read per scan stage in the Spark UI / listener),
+    which are retry-deduplicated by the scheduler."""
 
     def run(batches):
         import pandas as pd

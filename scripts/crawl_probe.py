@@ -100,19 +100,39 @@ def main() -> None:
     # both lanes off it) vs the r10 double-parse lane, with per-file
     # parse accounting so the parse multiplicity is measured, not
     # assumed
-    for lane, single in (("single-parse", True), ("double-parse", False)):
+    # r12 adds the parquet-sink lane (pages_path=) so all three
+    # materialization shapes are priced side by side; each lane
+    # asserts its parse multiplicity (the single-parse law at probe
+    # scale, not just the 2-archive pytest fixture).
+    lanes = (
+        ("single-parse/checkpoint", dict(single_parse=True), 1),
+        ("single-parse/parquet-sink", dict(single_parse=True), 1),
+        ("double-parse (r10)", dict(single_parse=False), None),
+    )
+    for lane, kw, mult in lanes:
         for run in (1, 2):
+            kw2 = dict(kw)
+            if "parquet" in lane:
+                kw2["pages_path"] = f"{root}/pages_{run}"
             acc = spark.sparkContext.accumulator(0)
             t0 = time.perf_counter()
             full = warc_to_documents_with_rank(
-                spark, f"{root}/*.warc.gz",
-                single_parse=single, parse_counter=acc,
+                spark, f"{root}/*.warc.gz", parse_counter=acc, **kw2
             )
             n = full.count()
             dt = time.perf_counter() - t0
             print(f"full composition [{lane}] {run}: {n:,} ranked docs "
                   f"in {dt:6.2f} s ({n_pages / dt:,.0f} pages/s, "
                   f"{acc.value} file parses / {n_files} files)")
+            if mult is not None:
+                assert acc.value == mult * n_files, (
+                    f"{lane}: {acc.value} parses != {mult}x{n_files}"
+                )
+            else:
+                assert acc.value > n_files, (
+                    f"double-parse lane unexpectedly parsed once: "
+                    f"{acc.value}"
+                )
     spark.stop()
     shutil.rmtree(root, ignore_errors=True)
 

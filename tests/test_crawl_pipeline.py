@@ -345,10 +345,19 @@ def test_single_parse_composition_parses_each_archive_once(
     the archive count after a full action.  The r10 double-parse lane
     (single_parse=False) re-parses per lane/action (strictly more
     parses over the same files) but must stay row-identical, and the
-    pages_path (production ACID-ingest) shape must too."""
+    pages_path (production ACID-ingest) shape must too.
+
+    Accumulator-in-transformation caveat (r11 ADVICE): add() is
+    at-least-once under task retries / speculation, so the exact
+    ``== 2`` assertions are deterministic ONLY because this session
+    runs local-mode with speculation off and no task failures — assert
+    that premise explicitly so an env change fails loudly here rather
+    than as a flaky count."""
     from market_insights_app_spark.pipelines.crawl_corpus import (
         warc_to_documents_with_rank,
     )
+
+    assert spark.conf.get("spark.speculation", "false") == "false"
 
     crawl = tmp_path / "crawl"
     crawl.mkdir()

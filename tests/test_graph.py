@@ -330,8 +330,19 @@ def test_pagerank_tiny_lane_bit_identical_all_variants(spark):
 
 def test_pagerank_tiny_threshold_zero_is_off(spark):
     """tiny_threshold=0 (the default) must never reroute: the
-    distributed lane's mapInPandas-free plan is preserved."""
+    distributed lane's MapInPandas-free plan is preserved.  Spark
+    prints the analyzed node as 'MapInPandas' (capital M) — the r11
+    lowercase probe was vacuous (could never fail); assert both the
+    off-plan's absence AND the on-plan's presence with the real node
+    name so the guard is live in both directions."""
     edges = [(0, 1), (1, 2), (2, 0)]
     e = spark.createDataFrame(edges, "src long, dst long")
-    df = pagerank(e, iterations=2)
-    assert "mapInPandas" not in df._jdf.queryExecution().analyzed().toString()
+    off = pagerank(e, iterations=2)
+    off_plan = off._jdf.queryExecution().analyzed().toString()
+    on = pagerank(e, iterations=2, tiny_threshold=1_000)
+    on_plan = on._jdf.queryExecution().analyzed().toString()
+    # the on-plan proves "MapInPandas" is the string Spark actually
+    # prints — if a Spark upgrade renames the node, this line fails
+    # rather than silently re-vacuating the off-assertion
+    assert "MapInPandas" in on_plan
+    assert "MapInPandas" not in off_plan
