@@ -253,6 +253,7 @@ def warc_to_documents_with_rank(
     pages_path: str | None = None,
     single_parse: bool = True,
     parse_counter=None,
+    tiny_threshold: int = 0,
 ) -> DataFrame:
     """The full composition: WARC → documents + host-PageRank quality
     prior, ready for the pretraining pipeline's quality gates
@@ -281,7 +282,14 @@ def warc_to_documents_with_rank(
 
     ``parse_counter`` (a Spark accumulator) counts archive parses —
     the single-parse law (counter == file count after one full
-    action) is pinned in tests/test_crawl_pipeline.py."""
+    action) is pinned in tests/test_crawl_pipeline.py.
+
+    ``tiny_threshold`` passes through to host_pagerank (r12): 0
+    (default) always runs the distributed per-iteration grid — the
+    right default because a full crawl's host graph is tens of
+    millions of nodes; a bounded-corpus caller (per-domain recrawl,
+    test fixture) can set it to collapse the ~3·iterations scheduler
+    jobs into one bit-identical Arrow task (operators/graph.py)."""
     recs = read_warc(
         spark, path, record_types=("response",), parse_counter=parse_counter
     )
@@ -289,7 +297,11 @@ def warc_to_documents_with_rank(
         docs = _documents_from_records(
             recs, min_chars, langs, max_link_density
         )
-        rank = host_pagerank(host_link_graph(recs), iterations=iterations)
+        rank = host_pagerank(
+            host_link_graph(recs),
+            iterations=iterations,
+            tiny_threshold=tiny_threshold,
+        )
         return attach_host_rank(docs, rank)
     pages = _pages_from_records(recs)
     if pages_path is not None:
@@ -299,6 +311,8 @@ def warc_to_documents_with_rank(
         pages = pages.localCheckpoint(eager=True)
     docs = _documents_from_pages(pages, min_chars, langs, max_link_density)
     rank = host_pagerank(
-        host_link_graph_from_pages(pages), iterations=iterations
+        host_link_graph_from_pages(pages),
+        iterations=iterations,
+        tiny_threshold=tiny_threshold,
     )
     return attach_host_rank(docs, rank)

@@ -164,12 +164,19 @@ _CHANGED_SINCE_ROW: list[str] = [
 
 # r13 pre-stage: after the r12 sweep lands, fold CORRECTNESS_r12 into
 # _LAST_SWEPT (the 50 window names -> 12).  The r13 must-sweep is then
-# the 49 r10-stale rows, leaving 1 slot for new+changed combined.
-# Staging candidates (pick one, build its twin + parity test into
-# plans/textml.py STAGED_ORACLES during r12):
-#   windowed_heavy_hitters (streaming/ingest.py) batch-twin, or a
-#   TxnTable MERGE row-level oracle (DuckDB expresses MERGE semantics
-#   via anti/semi joins).
+# the 49 r10-stale rows, leaving 1 slot for new+changed combined —
+# room for ONE registration, funded by a consolidation per the
+# standing one-retirement-per-registration standard.  BOTH candidates
+# are already built, twin-tested and on the shelf (plans/textml.py
+# STAGED_ORACLES, r12):
+#   staged_q_txn_merge           — TxnTable MERGE final state (ACID
+#                                  D5 surface) vs an anti/union twin
+#   staged_q_heavy_hitters_stream — approx_top_k streaming window
+#                                  sketch replay, deterministic
+#                                  re-rank, GROUP BY+row_number twin
+# To register: rename to q_<name>, move the STAGED_ORACLES entry into
+# TEXTML_ORACLES, list in _NEW_THIS_ROUND, consolidate to keep
+# N ≤ 3W − 2.
 #
 # CEILING (computed, not guessed): N = 148 = 3W − 2.  The 2 slack
 # slots per 3-round cycle are what lets _CHANGED_SINCE_ROW re-gates

@@ -3029,3 +3029,69 @@ STAGED_ORACLES["txn_merge"] = """
     UNION ALL
     SELECT event_id, user_id, value FROM upd
 """
+
+
+def staged_q_heavy_hitters_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """r13 staging candidate: the streaming frequent-items readout
+    (streaming/ingest.windowed_heavy_hitters — Spark 4's
+    ``approx_top_k`` mergeable sketch inside a windowed streaming
+    aggregate) hash-gated end-to-end: events replayed as an
+    availableNow file stream, 30-minute tumbling windows per
+    event_type, drained complete-mode into a memory sink (the
+    ohlc-replay pattern, so every window's final summary lands).
+
+    Exactness contract that makes a value-hash possible: the sketch is
+    EXACT while distinct keys fit ``max_items_tracked`` (10k here vs
+    a handful of event types), and k=16 exceeds the key cardinality so
+    no window truncates — the only nondeterminism left is the sketch's
+    tie ORDER, which this query discards by re-ranking with a
+    deterministic row_number over (est_count desc, item).  The DuckDB
+    twin computes the same windows with plain GROUP BY + row_number.
+    On a real unbounded-cardinality stream the same query is
+    MG-bounded (approximate) — that regime is exercised by the batch
+    sketches tests, not hash-gated here."""
+    import uuid
+
+    from pyspark.sql.window import Window as SqlWindow
+
+    from market_insights_app_spark.streaming.ingest import (
+        events_file_stream,
+        run_available_now_to_memory,
+        windowed_heavy_hitters,
+    )
+
+    name = f"hh_replay_{uuid.uuid4().hex[:8]}"
+    stream = events_file_stream(spark, sf, max_files_per_trigger=10_000)
+    hh = windowed_heavy_hitters(
+        stream,
+        key_col="event_type",
+        ts_col="ts",
+        duration="30 minutes",
+        k=16,
+        max_items_tracked=10_000,
+    )
+    run_available_now_to_memory(hh, name, "complete", shuffle_partitions=8)
+    out = spark.table(name)
+    rw = SqlWindow.partitionBy("window_start").orderBy(
+        F.desc("est_count"), F.asc("item")
+    )
+    return out.select(
+        ts_us("window_start").alias("window_start_us"),
+        F.col("item"),
+        F.col("est_count").cast("long").alias("est_count"),
+        F.row_number().over(rw).cast("int").alias("rank"),
+    )
+
+
+STAGED_ORACLES["heavy_hitters_stream"] = """
+    WITH c AS (
+      SELECT epoch_us(time_bucket(INTERVAL '30 minutes', ts))
+               AS window_start_us,
+             event_type AS item, COUNT(*) AS est_count
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start_us, item, est_count,
+           CAST(row_number() OVER (PARTITION BY window_start_us
+                ORDER BY est_count DESC, item) AS INT) AS rank
+    FROM c
+"""

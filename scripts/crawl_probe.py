@@ -107,6 +107,8 @@ def main() -> None:
     lanes = (
         ("single-parse/checkpoint", dict(single_parse=True), 1),
         ("single-parse/parquet-sink", dict(single_parse=True), 1),
+        ("single-parse/ckpt+tiny-pr",
+         dict(single_parse=True, tiny_threshold=100_000), 1),
         ("double-parse (r10)", dict(single_parse=False), None),
     )
     for lane, kw, mult in lanes:

@@ -401,3 +401,14 @@ def test_single_parse_composition_parses_each_archive_once(
     )
     assert sunk == single
     assert acc3.value == 2
+
+    # r12: the tiny_threshold pass-through (single-Arrow-task host
+    # PageRank) must be row-identical too — the lane changes the
+    # physical plan, never a value
+    tiny = sorted(
+        tuple(r)
+        for r in warc_to_documents_with_rank(
+            spark, path, tiny_threshold=100_000
+        ).collect()
+    )
+    assert tiny == single
