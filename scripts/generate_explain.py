@@ -314,7 +314,13 @@ COMMENTARY = {
         "SCALE_NOTES r9), every 3rd frame in the collapsed-to-1-"
         "partition regime where job scheduling dominates (paired "
         "A/B, SCALE_NOTES r10) — so the formatted plan below is "
-        "the final checkpointed stanza, not 10 stacked copies."
+        "the final checkpointed stanza, not 10 stacked copies.  r12: "
+        "the REGISTERED plan passes tiny_threshold=100k, so the "
+        "sub-threshold fixture graph collapses the whole grid into "
+        "one bit-identical Arrow task (4.09 → 1.01 s at sf0.1); the "
+        "plan below therefore shows the MapInPandas lane — graphs "
+        "above the threshold keep the distributed stanza described "
+        "above, which is the 100 TB shape."
     ),
     "semantic_decontaminate": (
         "Embedding decontamination (registered r9): the eval set rides a "
@@ -369,8 +375,8 @@ COMMENTARY = {
         "At 100 TB every stage inherits the proven dedup shapes — the "
         "audit costs one dedup pass, not a new algorithm."
     ),
-    "staged:host_authority": (
-        "r12-staged crawl authority chain: page synthesis and the href "
+    "host_authority": (
+        "Crawl authority chain (registered r12): page synthesis and the href "
         "scan are one codegen project (regexp_replace comment/script "
         "strip + regexp_extract_all — no Python anywhere before the "
         "graph), host edges are a distinct over (src, dst) host "
