@@ -335,14 +335,18 @@ def test_pagerank_tiny_threshold_zero_is_off(spark):
     lowercase probe was vacuous (could never fail); assert both the
     off-plan's absence AND the on-plan's presence with the real node
     name so the guard is live in both directions."""
+    from market_insights_app_spark.operators.graph import _pagerank_tiny
+
     edges = [(0, 1), (1, 2), (2, 0)]
     e = spark.createDataFrame(edges, "src long, dst long")
     off = pagerank(e, iterations=2)
     off_plan = off._jdf.queryExecution().analyzed().toString()
-    on = pagerank(e, iterations=2, tiny_threshold=1_000)
-    on_plan = on._jdf.queryExecution().analyzed().toString()
-    # the on-plan proves "MapInPandas" is the string Spark actually
-    # prints — if a Spark upgrade renames the node, this line fails
-    # rather than silently re-vacuating the off-assertion
-    assert "MapInPandas" in on_plan
+    # the canary probes the tiny lane's frame BEFORE the eager
+    # checkpoint pagerank() applies on its tiny exit (r12 — the cut
+    # replaces the plan with a LogicalRDD scan): it proves
+    # "MapInPandas" is the string Spark actually prints, so a Spark
+    # upgrade renaming the node fails here rather than silently
+    # re-vacuating the off-assertion below
+    on_raw = _pagerank_tiny(e, 2, 85, 10**9, None, False)
+    assert "MapInPandas" in on_raw._jdf.queryExecution().analyzed().toString()
     assert "MapInPandas" not in off_plan
