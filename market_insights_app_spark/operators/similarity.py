@@ -709,6 +709,22 @@ def semdedup(
     a = a.repartition(df.sparkSession.sparkContext.defaultParallelism).localCheckpoint(
         eager=True
     )
+    return _semdedup_pair_screen(a, threshold, id_col, broadcast=small)
+
+
+def _semdedup_pair_screen(
+    a: DataFrame, threshold: float, id_col: str, broadcast: bool
+) -> DataFrame:
+    """In-cluster pair probe + survivor anti-join shared by
+    :func:`semdedup` (checkpointed in-session frame) and
+    :func:`semdedup_bucketed` (cluster-bucketed catalog table):
+    left-semi-mark every row whose cluster holds a lower-id
+    near-duplicate at ``threshold``, then anti-join the marks away.
+    ``a`` must carry (id, cluster, v, nrm).  The caller picks the
+    exchange story: ``broadcast=True`` ships the probe side,
+    ``False`` keeps the cluster-keyed join — exchange-FREE when ``a``
+    scans a table bucketed by cluster (both join inputs then share
+    the write-time layout)."""
     l, r = a.alias("l"), a.alias("r")
     pair_cos = F.round(
         dot(F.col("l.v"), F.col("r.v"))
@@ -717,7 +733,7 @@ def semdedup(
     )
     dupes = (
         l.join(
-            F.broadcast(r) if small else r,
+            F.broadcast(r) if broadcast else r,
             (F.col("l.cluster") == F.col("r.cluster"))
             & (F.col("r.id") < F.col("l.id"))
             & (pair_cos >= threshold),
@@ -728,6 +744,70 @@ def semdedup(
     return (
         a.join(dupes, "id", "left_anti")
         .select(F.col("id").alias(id_col), "cluster")
+    )
+
+
+def semdedup_bucketed(
+    df: DataFrame,
+    table: str,
+    k: int | None = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """SemDeDup off a WRITE-ONCE cluster-bucketed storage layout — the
+    100 TB shape :func:`semdedup`'s lane notes point at, as code
+    instead of a comment.  Fit + label exactly as :func:`semdedup`,
+    persist the labeled frame as a catalog table bucketed by
+    ``cluster`` (sources/bucketed.write_bucketed), then run the SAME
+    in-cluster screen off the bucketed scan.  Both sides of the pair
+    self-join — and, past clustering.LARGE_K, the applyInPandas
+    groupBy — consume the same bucketed table, so the planner inserts
+    NO Exchange into the screen: the one shuffle was paid at write
+    time and amortizes over every re-screen (threshold sweeps,
+    incremental re-audits).  Survivors are BIT-IDENTICAL to
+    ``semdedup(df, ...)`` with the same parameters — the screen is
+    literally the shared :func:`_semdedup_pair_screen` /
+    :func:`_semdedup_in_cluster_pandas` code — pinned, along with the
+    zero-Exchange plan, in tests/test_retrieval_clustering.py.
+
+    Reference: SemDeDup (Abbas et al. 2023) §3 in-cluster screening;
+    the bucketed table is the Spark-native analog of cluster-sharded
+    storage.  Requires a catalog (saveAsTable) — see
+    sources/bucketed.py."""
+    from market_insights_app_spark.operators import clustering
+    from market_insights_app_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    cents = clustering.kmeans_fit(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    if not cents:
+        return df.select(
+            F.col(id_col), F.lit(0).cast("int").alias("cluster")
+        ).limit(0)
+    spark = df.sparkSession
+    if len(cents) > clustering.LARGE_K:
+        assigned = clustering._assign_pandas(
+            df, cents, id_col, vec_col, keep_vec=True
+        )
+        write_bucketed(assigned, table, ["cluster"], n_buckets=n_buckets)
+        return _semdedup_in_cluster_pandas(
+            read_bucketed(spark, table), threshold, id_col, vec_col
+        )
+    v = _as_double(F.col(vec_col))
+    a = df.select(
+        F.col(id_col).alias("id"),
+        clustering._best_struct(v, cents)["c"].alias("cluster"),
+        v.alias("v"),
+    ).withColumn("nrm", norm(F.col("v")))
+    write_bucketed(a, table, ["cluster"], n_buckets=n_buckets)
+    return _semdedup_pair_screen(
+        read_bucketed(spark, table), threshold, id_col, broadcast=False
     )
 
 

@@ -310,3 +310,55 @@ def test_dsir_ranks_target_like_docs_higher(spark):
     )
     w = {r["doc_id"]: r["weight"] for r in dsir_weights(raw, target).collect()}
     assert w[1] > w[2] and w[3] > w[2]
+
+
+def test_semdedup_bucketed_bit_identical_and_no_cluster_exchange(spark):
+    """semdedup_bucketed (the write-once cluster-bucketed storage form)
+    must return exactly semdedup's survivors, and its in-cluster pair
+    semi-join must plan WITHOUT a cluster-keyed Exchange — the bucket
+    layout, not a shuffle, co-locates the clusters (broadcast disabled
+    for the plan capture so the catalog layout is what proves it).
+    The LARGE_K pandas screen rides the same bucketed read."""
+    from market_insights_app_spark.operators import clustering
+    from market_insights_app_spark.operators.similarity import (
+        semdedup,
+        semdedup_bucketed,
+    )
+    from market_insights_app_spark.sources.bucketed import drop_bucketed
+    from tests.test_bucketed_layout import no_broadcast, plan_of
+
+    base = [
+        (i, [float((i * 7 + j * 5) % 13) / 13.0 + 0.5 for j in range(6)])
+        for i in range(50)
+    ]
+    dups = [(i + 500, v) for i, v in base[:20]]
+    df = spark.createDataFrame(base + dups, ["vec_id", "embedding"])
+    want = {
+        tuple(r)
+        for r in semdedup(df, k=5, iters=2, threshold=0.999999).collect()
+    }
+    assert want  # fixture sanity: something survives
+    try:
+        out = semdedup_bucketed(
+            df, "t_semdedup_bkt", k=5, iters=2, threshold=0.999999,
+            n_buckets=4,
+        )
+        with no_broadcast(spark):
+            tree = plan_of(out).split("\n\n")[0]
+            got = {tuple(r) for r in out.collect()}
+        assert got == want
+        assert "LeftSemi" in tree, tree
+        assert "hashpartitioning(cluster" not in tree, tree
+        old = clustering.LARGE_K
+        try:
+            clustering.LARGE_K = 2  # route the pandas screen at same k
+            out2 = semdedup_bucketed(
+                df, "t_semdedup_bkt2", k=5, iters=2, threshold=0.999999,
+                n_buckets=4,
+            )
+            assert {tuple(r) for r in out2.collect()} == want
+        finally:
+            clustering.LARGE_K = old
+    finally:
+        drop_bucketed(spark, "t_semdedup_bkt")
+        drop_bucketed(spark, "t_semdedup_bkt2")
