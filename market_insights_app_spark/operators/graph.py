@@ -199,16 +199,15 @@ def pagerank(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    if 0 < tiny_threshold:
-        # r12: cache the canonical edge list while the gate runs.  The
-        # gate's node count evaluates e's upstream once; without the
-        # cache the tiny lane's Arrow task would re-run the WHOLE
-        # upstream derivation a second time — for host_authority that
-        # upstream is the full crawl href scan, the dominant cost.
-        # persist (not localCheckpoint) keeps Catalyst stats intact
-        # for the distributed lane's join planning when the graph
-        # turns out big; both exits below release it deterministically.
-        e = e.persist()
+    # The gate's node count and the tiny lane's Arrow task EACH
+    # evaluate the edge upstream once (two total).  That is the right
+    # default: a gate-side persist was measured at fixture scale as a
+    # net PESSIMIZATION for cheap upstreams (+0.7 s on pagerank_links'
+    # synthetic projection — cache write + blocking release cost more
+    # than the saved recompute, r12 bench).  Callers whose edge
+    # derivation is expensive materialize it THEMSELVES before calling
+    # (host_pagerank eagerly checkpoints the host edge list, which its
+    # name join needs anyway — pipelines/crawl_corpus.py).
     default_parts = edges.sparkSession.sparkContext.defaultParallelism
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -227,8 +226,6 @@ def pagerank(
     n = nodes.count()  # one driver scalar, same bound as a k-means k
     if n == 0:
         nodes.unpersist(blocking=False)
-        if 0 < tiny_threshold:
-            e.unpersist(blocking=False)
         return nodes.select(
             F.col("node"),
             F.lit(0).cast("long").alias("rank_grid"),
@@ -236,18 +233,10 @@ def pagerank(
         )
     if 0 < tiny_threshold and n <= tiny_threshold:
         nodes.unpersist(blocking=False)
-        out = _pagerank_tiny(
+        return _pagerank_tiny(
             e, iterations, damping_pct, grid, tol_grid,
             redistribute_dangling,
         )
-        # the one-task lane is the edge cache's only consumer:
-        # materialize the (≤ tiny_threshold rows) result eagerly so
-        # the cache can be released deterministically before return —
-        # same residue contract as the distributed exit (one
-        # checkpointed result RDD, nothing else)
-        out = out.localCheckpoint(eager=True)
-        e.unpersist(blocking=True)
-        return out
     # DATA-ADAPTIVE partition count for the iteration working set: at
     # small graph sizes the 10-iteration loop is pure task-scheduling
     # overhead, and full-width layouts more than double it (sf0.1
@@ -381,8 +370,6 @@ def pagerank(
         pr = pr.localCheckpoint(eager=True)
     elist.unpersist(blocking=True)
     nodes.unpersist(blocking=True)
-    if 0 < tiny_threshold:  # gate cache from the big-graph fall-through
-        e.unpersist(blocking=True)
     out = pr.select(
         "node",
         "rank_grid",

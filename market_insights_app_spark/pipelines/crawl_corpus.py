@@ -199,6 +199,7 @@ def host_pagerank(
     edges: DataFrame,
     iterations: int = 10,
     tiny_threshold: int = 0,
+    materialize_edges: bool = True,
 ) -> DataFrame:
     """PageRank over a (src_host, dst_host) string edge list → one
     (host, host_pagerank) row per host.  Hosts map to int64 node ids
@@ -212,6 +213,19 @@ def host_pagerank(
     (millions of nodes) stays on the distributed lane."""
     from market_insights_app_spark.operators.graph import pagerank
 
+    # Materialize the string edge list ONCE (r12, default): it feeds
+    # THREE consumers — the int-edge frame (whose pagerank gate count
+    # and tiny/distributed lanes each evaluate it) and the name
+    # mapping joined back onto the ranks — and its upstream is the
+    # full crawl href scan, the chain's dominant cost.  The edge list
+    # itself is host-pair-bounded (orders of magnitude below the
+    # corpus), so the eager checkpoint is cheap at any scale;
+    # ContextCleaner frees the blocks when the result frame drops.
+    # ``materialize_edges=False`` preserves the pure-lazy shape for
+    # callers that document it (the r10 double-parse crawl lane, whose
+    # measured parse multiplicity IS its contract).
+    if materialize_edges:
+        edges = edges.localCheckpoint(eager=True)
     e = edges.select(
         F.xxhash64("src_host").alias("src"),
         F.xxhash64("dst_host").alias("dst"),
@@ -301,6 +315,8 @@ def warc_to_documents_with_rank(
             host_link_graph(recs),
             iterations=iterations,
             tiny_threshold=tiny_threshold,
+            materialize_edges=False,  # this lane's contract: nothing
+            # materialized, parse multiplicity measured as-is
         )
         return attach_host_rank(docs, rank)
     pages = _pages_from_records(recs)

@@ -320,11 +320,11 @@ COMMENTARY = {
         "one bit-identical Arrow task (4.09 → 1.01 s at sf0.1); the "
         "plan below therefore shows the MapInPandas lane — graphs "
         "above the threshold keep the distributed stanza described "
-        "above, which is the 100 TB shape.  The formatted plan below "
-        "is a LogicalRDD scan: the tiny exit eagerly checkpoints its "
-        "(≤ threshold rows) result so the gate's edge cache can be "
-        "released deterministically — the MapInPandas task ran at "
-        "construction time (see graph.py / SCALE_NOTES r12)."
+        "above, which is the 100 TB shape.  The gate count and the "
+        "tiny task each evaluate the edge upstream once — fine here "
+        "(cheap synthetic projection); expensive-upstream callers "
+        "materialize first (host_pagerank checkpoints the host edge "
+        "list — SCALE_NOTES r12 addendum)."
     ),
     "semantic_decontaminate": (
         "Embedding decontamination (registered r9): the eval set rides a "
