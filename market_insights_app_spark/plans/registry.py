@@ -164,9 +164,12 @@ _CHANGED_SINCE_ROW: list[str] = [
 
 # r13 pre-stage: after the r12 sweep lands, fold CORRECTNESS_r12 into
 # _LAST_SWEPT (the 50 window names -> 12).  The r13 must-sweep is then
-# the 49 r10-stale rows, leaving 1 slot for new+changed combined —
-# room for ONE registration, funded by a consolidation per the
-# standing one-retirement-per-registration standard.  BOTH candidates
+# the 48 r10-stale rows (arithmetic: today's audit = 49×r9 + 48×r10 +
+# 50×r11 + 1 new; the r12 window sweeps the 49+1), leaving 2 slots for
+# new+changed combined — room for ONE registration (funded by a
+# consolidation per the standing one-retirement-per-registration
+# standard) plus one changed-row re-gate outside the stale cohort,
+# or two re-gates.  BOTH candidates
 # are already built, twin-tested and on the shelf (plans/textml.py
 # STAGED_ORACLES, r12):
 #   staged_q_txn_merge           — TxnTable MERGE final state (ACID
