@@ -362,3 +362,17 @@ def test_semdedup_bucketed_bit_identical_and_no_cluster_exchange(spark):
     finally:
         drop_bucketed(spark, "t_semdedup_bkt")
         drop_bucketed(spark, "t_semdedup_bkt2")
+
+
+def test_semdedup_bucketed_empty_corpus(spark):
+    """Empty input → empty (id, cluster) frame with the right schema,
+    and no table write attempted (kmeans returns no centroids)."""
+    from market_insights_app_spark.operators.similarity import (
+        semdedup_bucketed,
+    )
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = semdedup_bucketed(df, "t_semdedup_bkt_empty", k=4, iters=1)
+    assert out.columns == ["vec_id", "cluster"]
+    assert out.count() == 0
+    assert not spark.catalog.tableExists("t_semdedup_bkt_empty")

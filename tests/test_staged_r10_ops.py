@@ -157,3 +157,17 @@ def test_hard_negatives_sequential_chunks_release_broadcasts(spark):
     # all but the last panel were destroyed before the plan returned
     assert destroyed == created[:-1]
     assert n_rows > 0
+
+
+def test_heavy_hitters_stream_exactness_premise(spark, duck):
+    """The staged heavy_hitters_stream twin is a value-hash gate ONLY
+    because the sketch is exact in this regime: distinct keys must fit
+    max_items_tracked (10k) and k=16 must exceed the per-window key
+    cardinality so no window truncates.  Pin the premise on the gate
+    fixture — if the testdata generator ever grows event_type past 16,
+    this fails BEFORE the twin starts flaking on tie order."""
+    n = duck.sql(
+        "SELECT max(cnt) FROM (SELECT count(DISTINCT event_type) AS cnt "
+        "FROM events GROUP BY time_bucket(INTERVAL '30 minutes', ts))"
+    ).fetchone()[0]
+    assert n is not None and n <= 16, n
