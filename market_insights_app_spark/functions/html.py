@@ -236,10 +236,11 @@ def extract_outlinks(col: Column | str) -> Column:
     remaining worst case is O(#unclosed-openings × payload): each
     unclosed ``<script``/``<!--`` still costs one failed forward scan
     to EOF.  Adversarial pages that repeat unclosed openings
-    therefore cost #openings passes — bounded in practice by the
-    ingest payload cap (pipelines/crawl_corpus keeps payloads page-
-    sized); a truly linear guard would pre-truncate pathological
-    payloads before the scan."""
+    therefore cost #openings passes — bounded in practice by real
+    page sizes; a pipeline hardened against adversarial crawls should
+    pre-truncate pathological payloads before this scan (e.g.
+    ``F.substring(html, 1, cap)`` upstream — no such cap is imposed
+    here because truncation is a semantic decision the caller owns)."""
     c = F.col(col) if isinstance(col, str) else col
     c = F.regexp_replace(
         c, r"(?is)<script\b[^<]*+(?:<(?!/script\s*>)[^<]*+)*+</script\s*>",
