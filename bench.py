@@ -11,7 +11,14 @@ the TAIL of stdout, and r5's single giant JSON line lost its head):
   last line: the COMPACT driver-contract line, guaranteed to fit a
           2 kB tail capture: {"metric": ..., "value": <total sec>,
           "unit": "sec", "queries": {headline name: sec},
-          "full_total": <sec>, "regressions": <count>, "sf": ...}
+          "full_total": <sec>, "regressions": <count>,
+          "noisy_host": <bool>, "sf": ...}
+
+A run whose START 1-min loadavg exceeds 1.0 is self-labeled
+``noisy_host: true`` and its surviving regression flags are demoted to
+``regressions_ambient_suspect`` (r12 verdict #3: a busy-host capture
+committed 22 phantom regressions that contradicted the same-day idle
+run).
 
 Each query executes its FULL plan into the noop sink (no
 collect-to-driver overhead in the measurement). One untimed warmup
@@ -143,7 +150,10 @@ def main() -> None:
 
     # warmup: JVM + codegen, and materialize the hot-table cache once
     # (untimed) so timed runs measure query compute, not parquet decode.
-    run("recent_n_tail")
+    # (warmup query was recent_n_tail until its r13 registry
+    # retirement; prices_filter_range_limit is the same fixed-overhead
+    # sort+limit read shape)
+    run("prices_filter_range_limit")
     for t in ("events", "lineitem", "orders", "customer", "nation", "region",
               "documents", "embeddings"):
         load_table(spark, sf_dir, t).count()
@@ -220,6 +230,21 @@ def main() -> None:
         return deltas, regressions
 
     deltas, regressions = diff_vs_prior()
+    # Noisy-host self-adjudication (r12 verdict #3): r12's committed
+    # end-of-round artifact was captured at 1-min loadavg 4.48 and
+    # carried 22 phantom "regressions" — all diffuse +0.2–1.0 s deltas
+    # on untouched operators — that contradicted the same-day idle-host
+    # run by ~10 s.  A sweep that STARTS on a busy host cannot produce
+    # a trustworthy regression verdict, so make the artifact say so
+    # itself: above the threshold the run is tagged ``noisy_host`` and
+    # its regression dict is demoted to ``regressions_ambient_suspect``
+    # (recorded, never silently dropped — but not committed as named
+    # regressions).  Threshold 1.0: this box idles ≤0.5 and every
+    # adjudicated-clean run started below 1.0; the contaminated r12
+    # capture started at 4.48.
+    NOISY_LOAD_1MIN = 1.0
+    noisy_host = load_start > NOISY_LOAD_1MIN
+
     # Transient-steal adjudication: every flagged regression is
     # re-timed AFTER the sweep completes, minutes away from its first
     # samples.  A genuine plan regression reproduces; a host CPU-steal
@@ -274,6 +299,16 @@ def main() -> None:
                 f"like-protocol sweep delta {df:+.3f}s — min-merge "
                 "sampling artifact, trend on headline_raw/full_queries"
             )
+    ambient_suspect: dict = {}
+    if noisy_host and regressions:
+        print(
+            f"WARNING: sweep started at 1-min loadavg {load_start} > "
+            f"{NOISY_LOAD_1MIN} — demoting {len(regressions)} flagged "
+            "regressions to ambient-suspect (re-run on an idle host to "
+            "adjudicate)",
+            file=sys.stderr,
+        )
+        ambient_suspect, regressions = regressions, {}
     record = {
         "metric": "headline query wall-clock, noop sink",
         "value": total,
@@ -290,11 +325,14 @@ def main() -> None:
         "full_queries": full,
         "deltas_vs_prior": deltas,
         "regressions": regressions,
+        "regressions_ambient_suspect": ambient_suspect,
         "trend_notes": trend_notes,
+        "noisy_host": noisy_host,
         "host_load": {
             "start_1min": load_start,
             "end_1min": round(os.getloadavg()[0], 2),
             "cpus": int(cpus),
+            "noisy_threshold_1min": NOISY_LOAD_1MIN,
         },
         "sf": sf,
     }
@@ -313,6 +351,7 @@ def main() -> None:
                 "queries": timings,
                 "full_total": full_total,
                 "regressions": len(regressions),
+                "noisy_host": noisy_host,
                 "sf": sf,
             }
         )

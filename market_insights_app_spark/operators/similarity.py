@@ -796,19 +796,52 @@ def semdedup_bucketed(
             df, cents, id_col, vec_col, keep_vec=True
         )
         write_bucketed(assigned, table, ["cluster"], n_buckets=n_buckets)
-        return _semdedup_in_cluster_pandas(
-            read_bucketed(spark, table), threshold, id_col, vec_col
-        )
-    v = _as_double(F.col(vec_col))
-    a = df.select(
-        F.col(id_col).alias("id"),
-        clustering._best_struct(v, cents)["c"].alias("cluster"),
-        v.alias("v"),
-    ).withColumn("nrm", norm(F.col("v")))
-    write_bucketed(a, table, ["cluster"], n_buckets=n_buckets)
-    return _semdedup_pair_screen(
-        read_bucketed(spark, table), threshold, id_col, broadcast=False
+    else:
+        v = _as_double(F.col(vec_col))
+        a = df.select(
+            F.col(id_col).alias("id"),
+            clustering._best_struct(v, cents)["c"].alias("cluster"),
+            v.alias("v"),
+        ).withColumn("nrm", norm(F.col("v")))
+        write_bucketed(a, table, ["cluster"], n_buckets=n_buckets)
+    # the first screen IS a re-screen of the just-written table, so the
+    # write path and every later re-screen run identical code by
+    # construction (r13: semdedup_rescreen was previously reachable
+    # only through the private screen helpers)
+    return semdedup_rescreen(
+        spark, table, threshold=threshold, id_col=id_col, vec_col=vec_col
     )
+
+
+def semdedup_rescreen(
+    spark: SparkSession,
+    table: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Re-run the SemDeDup in-cluster screen against a cluster-bucketed
+    table previously written by :func:`semdedup_bucketed` — the payoff
+    half of the write-once layout: threshold sweeps and incremental
+    re-audits pay NO k-means fit, NO assignment scan, and NO exchange
+    (the screen's self-join reads both sides from the bucketed layout;
+    measured 7.05 s full run vs 0.58 s re-screen at sf0.1, and the gap
+    widens with corpus size — SCALE_NOTES.md r12/r13).
+
+    Lane dispatch reads the table's own schema: the expression lane
+    stores (id, cluster, v, nrm) and re-screens through the JVM pair
+    probe; the web-scale lane (k > clustering.LARGE_K at write time)
+    stores (``id_col``, cluster, ``vec_col``) and re-screens through
+    the blocked-numpy applyInPandas — each table re-screens through
+    the same lane that wrote it, so survivors are bit-identical to a
+    fresh ``semdedup_bucketed`` run at the same threshold (pinned in
+    tests/test_retrieval_clustering.py)."""
+    from market_insights_app_spark.sources.bucketed import read_bucketed
+
+    a = read_bucketed(spark, table)
+    if "nrm" in a.columns:
+        return _semdedup_pair_screen(a, threshold, id_col, broadcast=False)
+    return _semdedup_in_cluster_pandas(a, threshold, id_col, vec_col)
 
 
 def semantic_decontaminate(

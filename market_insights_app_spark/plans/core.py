@@ -94,11 +94,15 @@ def q_prices_keyset_page(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_recent_n_tail(spark: SparkSession, sf: str) -> DataFrame:
-    """T5 (db.py:264-268): ORDER BY id DESC LIMIT 50."""
-    return recent_n(_events(spark, sf), "event_id", 50).select(
-        "event_id", ts_us("ts").alias("ts_us"), "user_id", "event_type"
-    )
+# q_recent_n_tail retired r13 (sanctioned consolidation, r12 verdict
+# #1): T5's orderBy(desc(id)).limit(n) is a strict subset of
+# ★prices_filter_range_limit's gated sort+limit machinery (same
+# TakeOrderedAndProject physical shape, same tiebreaker discipline),
+# so the stronger row hash-gates everything the weaker one did.  The
+# recent_n operator keeps its own golden value test
+# (tests/test_domain_operators.py) and TakeOrderedAndProject plan pin
+# (tests/test_plan_quality.py).  Funded the txn_merge registration
+# (N <= 148 = 3W - 2).
 
 
 # ---------------------------------------------------------------------------

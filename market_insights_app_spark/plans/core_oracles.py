@@ -37,10 +37,8 @@ CORE_ORACLES: dict[str, str] = {
         ORDER BY ts DESC, event_id DESC
         LIMIT 100
     """,
-    "recent_n_tail": """
-        SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type
-        FROM events ORDER BY event_id DESC LIMIT 50
-    """,
+    # recent_n_tail oracle retired r13 with its registry row (subset of
+    # prices_filter_range_limit's gated sort+limit machinery).
     "latest_per_key": f"""
         SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
                round(value, 6) AS value

@@ -50,135 +50,125 @@ _COLLECTED: dict[str, QueryFn] = {**_collect(core), **_collect(textml)}
 # the judge would flag.
 # ---------------------------------------------------------------------------
 
-_ROUND = 12
+_ROUND = 13
 _WINDOW = 50
 
 # name -> round of its latest driver CORRECTNESS row (0 = never swept).
-# Source: CORRECTNESS_r01..r11 artifacts (an entry counts as swept when
+# Source: CORRECTNESS_r01..r12 artifacts (an entry counts as swept when
 # the driver recorded it, including rows-only `err: no_oracle` rows).
-# r11 was 50/50 green, folded here via scripts/fold_rotation.py; the
-# r11-verdict-sanctioned consolidation was executed in r12 and its row
-# removed: sma5 (its full computation is the inner stage of
-# ★ma_slope_trend's oracle — see _NEW_THIS_ROUND note; the W1
-# operator golden tests stay in tests/test_windows.py).  Earlier
-# retirements: rolling_stddev10 (r11), pairwise_corr_dense,
-# minhash_neardup, simhash_neardup (r10) — all still stage-gated via
-# their portable twins / stronger rows, see the registry git history.
+# r12 was 50/50 green, folded here via scripts/fold_rotation.py; the
+# r12-verdict-sanctioned consolidation was executed in r13 and its row
+# removed: recent_n_tail (T5's orderBy(desc(id)).limit(n) is a strict
+# subset of ★prices_filter_range_limit's gated sort+limit machinery —
+# see _NEW_THIS_ROUND note; the recent_n operator keeps a golden value
+# test in tests/test_domain_operators.py and its TakeOrderedAndProject
+# plan pin in tests/test_plan_quality.py).  Earlier retirements: sma5
+# (r12), rolling_stddev10 (r11), pairwise_corr_dense, minhash_neardup,
+# simhash_neardup (r10) — all still stage-gated via their portable
+# twins / stronger rows, see the registry git history.
 _LAST_SWEPT: dict[str, int] = {
-    "ab_mann_whitney": 9, "ab_welch_t": 9, "ann_lsh_topk": 9, "asof_join": 11,
-    "autocorr_lag1": 9, "beta_benchmark": 9, "bigram_lm": 11,
-    "bm25_search": 11, "bollinger": 9, "cdc_apply_roundtrip": 9,
-    "chi2_lang_drift": 9, "click_attribution": 10, "cohort_retention": 10,
-    "connector_av_quote_parse": 11, "connector_fx_parse": 11,
-    "connector_yahoo_parse": 11, "corpus_manifest": 11, "corpus_report": 9,
-    "corpus_shuffle": 9, "corpus_split": 9, "cube_agg": 10, "daily_sharpe": 10,
-    "decontaminate": 11, "decontaminate_bloom": 9, "dedup_exact": 11,
-    "dedup_latest_wins": 10, "doc_chunks": 9, "doc_repetition": 11,
+    "ab_mann_whitney": 12, "ab_welch_t": 12, "ann_lsh_topk": 12,
+    "asof_join": 11, "autocorr_lag1": 12, "beta_benchmark": 12,
+    "bigram_lm": 11, "bm25_search": 11, "bollinger": 12,
+    "cdc_apply_roundtrip": 12, "chi2_lang_drift": 12, "click_attribution": 10,
+    "cohort_retention": 10, "connector_av_quote_parse": 11,
+    "connector_fx_parse": 11, "connector_yahoo_parse": 11,
+    "corpus_manifest": 11, "corpus_report": 12, "corpus_shuffle": 12,
+    "corpus_split": 12, "cube_agg": 10, "daily_sharpe": 10,
+    "decontaminate": 11, "decontaminate_bloom": 12, "dedup_exact": 11,
+    "dedup_latest_wins": 10, "doc_chunks": 12, "doc_repetition": 11,
     "domain_doc_cap": 11, "domain_split": 11, "dsir_select": 11,
     "ema_stateful_replay": 11, "embedding_neardup": 10, "embedding_topk": 11,
-    "equity_cumsum": 10, "ewma_macd": 11, "fingerprint_docs": 9,
-    "frame_sample": 9, "funnel_conversion": 10, "fuzzy_match": 11,
+    "equity_cumsum": 10, "ewma_macd": 11, "fingerprint_docs": 12,
+    "frame_sample": 12, "funnel_conversion": 10, "fuzzy_match": 11,
     "group_topk": 10, "grouping_sets_revenue": 10, "hard_negatives": 10,
-    "histogram": 10, "ict_analysis": 10, "impact_classify": 9,
-    "incremental_agg": 9, "interval_join_stream_replay": 9,
-    "inverted_index": 11, "ivf_topk": 11, "journal_stats": 9,
-    "json_extract_props": 10, "key_skew": 9, "kfold_column": 10,
-    "kmeans_assign": 9, "lag_delta": 10, "lang_id": 11,
-    "latest_join_enrich": 10, "latest_per_key": 10, "level_extract": 9,
+    "histogram": 10, "host_authority": 12, "ict_analysis": 10,
+    "impact_classify": 12, "incremental_agg": 12,
+    "interval_join_stream_replay": 12, "inverted_index": 11, "ivf_topk": 11,
+    "journal_stats": 12, "json_extract_props": 10, "key_skew": 12,
+    "kfold_column": 10, "kmeans_assign": 12, "lag_delta": 10, "lang_id": 11,
+    "latest_join_enrich": 10, "latest_per_key": 10, "level_extract": 12,
     "lm_quality": 11, "local_extrema": 10, "ma_slope_trend": 10,
     "max_drawdown": 11, "media_decode": 11, "media_features": 10,
     "minhash_neardup_portable": 11, "minmax_mid_premium": 10,
-    "minmax_normalize": 10, "mixture_sample": 9, "multi_join_revenue": 11,
+    "minmax_normalize": 10, "mixture_sample": 12, "multi_join_revenue": 11,
     "nb_quality": 11, "near_dedup_corpus_exact": 11, "ngram_jaccard": 11,
-    "ngram_novelty": 9, "ohlc_resample": 11, "ohlc_stream_replay": 9,
-    "pagerank_links": 9, "pairwise_corr": 11, "passage_dedup": 10,
-    "perplexity_buckets": 11, "pii_scrub": 11, "pit_feature_lookup": 9,
-    "pivot_event_counts": 10, "pmi_collocations": 9, "pnl_r_scalars": 10,
+    "ngram_novelty": 12, "ohlc_resample": 11, "ohlc_stream_replay": 12,
+    "pagerank_links": 12, "pairwise_corr": 11, "passage_dedup": 10,
+    "perplexity_buckets": 11, "pii_scrub": 11, "pit_feature_lookup": 12,
+    "pivot_event_counts": 10, "pmi_collocations": 12, "pnl_r_scalars": 10,
     "positions_agg": 11, "prices_filter_range_limit": 10,
-    "prices_keyset_page": 10, "prices_page2": 10, "psi_drift": 9,
-    "quality_funnel": 9, "quantile_binning": 9, "quantize_int8": 11,
-    "range_join_sessions": 10, "readability": 9, "recent_n_tail": 10,
-    "resample_ffill": 9, "robust_outliers": 10, "rolling_corr_market": 9,
+    "prices_keyset_page": 10, "prices_page2": 10, "psi_drift": 12,
+    "quality_funnel": 12, "quantile_binning": 12, "quantize_int8": 11,
+    "range_join_sessions": 10, "readability": 12, "resample_ffill": 12,
+    "robust_outliers": 10, "rolling_corr_market": 12,
     "rolling_min_volatility": 10, "rollup_revenue": 10, "rsi14": 10,
-    "salted_hot_agg": 10, "sample_per_group": 9, "scd2_user_state": 9,
-    "semantic_decontaminate": 9, "semdedup": 11, "seq_len_histogram": 9,
+    "salted_hot_agg": 10, "sample_per_group": 12, "scd2_user_state": 12,
+    "semantic_decontaminate": 12, "semdedup": 11, "seq_len_histogram": 12,
     "seq_pack": 11, "series_moments": 11, "session_stateful_replay": 11,
     "session_window_agg": 10, "set_ops": 10, "simhash_neardup_portable": 11,
-    "sketch_profile": 10, "sliding_window_agg": 10, "snapshot_diff": 9,
+    "sketch_profile": 10, "sliding_window_agg": 10, "snapshot_diff": 12,
     "span_dedup": 11, "split_leakage": 11, "stratified_sample": 11,
-    "table_profile": 11, "tag_split": 9, "temperature_mixture": 10,
-    "text_quality": 11, "tfidf_top_terms": 11, "timestamp_normalize": 9,
-    "token_entropy": 9, "tokens_count": 9, "tpch_q1_style": 11,
-    "trailing_max_argmax": 10, "training_corpus": 11, "transition_matrix": 9,
-    "trend_ols": 9, "tumbling_window_agg": 10, "twap_daily": 9,
+    "table_profile": 11, "tag_split": 12, "temperature_mixture": 10,
+    "text_quality": 11, "tfidf_top_terms": 11, "timestamp_normalize": 12,
+    "token_entropy": 12, "tokens_count": 12, "tpch_q1_style": 11,
+    "trailing_max_argmax": 10, "training_corpus": 11, "transition_matrix": 12,
+    "trend_ols": 12, "tumbling_window_agg": 10, "twap_daily": 12,
     "union_merge_dedup": 10, "url_normalize": 11, "validate_lineitem": 10,
-    "value_quantiles": 10, "var_cvar": 9, "vocab_topk": 11, "vwap_daily": 11,
-    "weighted_sample": 9, "window_delta_stats": 10, "zipf_slope": 10,
-    "zscore_anomalies": 9,
+    "value_quantiles": 10, "var_cvar": 12, "vocab_topk": 11, "vwap_daily": 11,
+    "weighted_sample": 12, "window_delta_stats": 10, "zipf_slope": 10,
+    "zscore_anomalies": 12,
 }
 
 # Queries first registered in round _ROUND (no driver row can exist).
-# r12 registers the r11-staged host_authority (textml.py, promoted
-# from STAGED_ORACLES with its parity/unicode/degenerate gates
-# intact): the crawl front door hash-gated end-to-end — synthesized
-# ghost-anchor HTML pages feed the REAL extract_outlinks →
-# host_link_graph_from_pages → host_pagerank chain, while the DuckDB
-# twin derives the edge set independently from doc_id arithmetic and
-# replays the ★pagerank_links 10-CTE integer grid.  Funded by the
-# sanctioned sma5 retirement: the W1 computation (DECIMAL rolling
-# sum, warm-up CASE, /5) is the INNER stage of ★ma_slope_trend's
-# oracle (W6/W7 are lagged differences OVER the W1 sma5), so the
-# stronger row hash-gates every stage of the weaker one; the W1
-# operator golden tests stay in tests/, and bench.py's HEADLINE
-# swapped sma5 → ma_slope_trend to keep the r01 series comparable.
-# The r12 window is the 49 r9-stale rows (two of which re-gate as
-# changed, see below) + 1 new = 50 slots exactly.
+# r13 registers the r12-staged txn_merge (textml.py, promoted from
+# STAGED_ORACLES with its parity/unicode/degenerate gates intact):
+# the ACID MERGE surface — D5's transactional lane (storage/txnlog.
+# TxnTable.merge, reference db.py:166-201's update-else-insert) —
+# hash-gated ROW-LEVEL for the first time: a deterministic `events`
+# slice is appended, a deterministic update set MERGEd (replace the
+# {2,3} residues, insert {4,5}, leave {0,1}), and the final state
+# read back through the snapshot log, while the DuckDB twin never
+# replays the log — it derives the same state as the anti/union
+# algebra MERGE is defined by.  Funded by the sanctioned
+# recent_n_tail retirement (see _LAST_SWEPT note).  The r13 window is
+# the 47 r10-stale rows + 1 new = 48 musts; the 2 remaining slots
+# auto-fill with the stalest r11 rows (tier-2 order), so the rotation
+# runs ahead of schedule rather than idling the slack.
 _NEW_THIS_ROUND: list[str] = [
-    "host_authority",  # WARC crawl chain: outlinks -> host graph -> rank
+    "txn_merge",  # ACID MERGE final state vs anti/union DuckDB twin
 ]
 
 # Queries whose operator/plan/oracle semantics were touched since
-# their last driver row — must re-gate even if recently swept.  r12
-# executes the two plan flips pre-staged (and A/B-measured) in r11;
-# both names are r9-swept, i.e. already inside the must-sweep cohort,
-# so the re-gates cost no extra window slots:
-#   pagerank_links — q_pagerank_links now passes
-#     tiny_threshold=100_000 (operators/graph.py): sub-threshold
-#     graphs collapse the whole 10-iteration grid into ONE Arrow task
-#     (bit-identical to the distributed lane, property-tested across
-#     all lanes in tests/test_graph.py; measured 4.23 → 1.19 s at the
-#     sf0.1 fixture).  Above-threshold graphs keep the distributed
-#     per-iteration equi-join grid — the 100 TB shape.
-#   interval_join_stream_replay — drain width 8 → 4
-#     (plans/core.py): interleaved r11 A/B measured 2.92/3.23 s at 8
-#     vs 2.22/2.36 s at 4; the JVM symmetricHashJoin keeps 4 state
-#     stores per partition, so halving the near-empty stores halves
-#     their fixed cost.  The SAME A/B on the applyInPandasWithState
-#     replays came out the OTHER way (Python-worker parallelism wants
-#     the width), so ONLY the interval join narrows;
-#     test_plan_quality's numShufflePartitions pin updated 8 → 4 in
-#     the same change.
-_CHANGED_SINCE_ROW: list[str] = [
-    "pagerank_links", "interval_join_stream_replay",
-]
+# their last driver row — must re-gate even if recently swept.  r13
+# touches no registered query's plan or oracle semantics (the round's
+# engine work is bench-harness self-adjudication, doc sync, and scale
+# probes); the r12 flips (pagerank_links tiny lane, interval-join
+# drain width 4) re-gated green in the r12 sweep and are now pinned
+# history.
+_CHANGED_SINCE_ROW: list[str] = []
 
-# r13 pre-stage: after the r12 sweep lands, fold CORRECTNESS_r12 into
-# _LAST_SWEPT (the 50 window names -> 12).  The r13 must-sweep is then
-# the 48 r10-stale rows (arithmetic: today's audit = 49×r9 + 48×r10 +
-# 50×r11 + 1 new; the r12 window sweeps the 49+1), leaving 2 slots for
-# new+changed combined — room for ONE registration (funded by a
-# consolidation per the standing one-retirement-per-registration
-# standard) plus one changed-row re-gate outside the stale cohort,
-# or two re-gates.  BOTH candidates
-# are already built, twin-tested and on the shelf (plans/textml.py
-# STAGED_ORACLES, r12):
-#   staged_q_txn_merge           — TxnTable MERGE final state (ACID
-#                                  D5 surface) vs an anti/union twin
+# r14 pre-stage: after the r13 sweep lands, fold CORRECTNESS_r13 into
+# _LAST_SWEPT (the 50 window names -> 13).  The r14 must-sweep is then
+# the 48 r11-stale rows (arithmetic: today's audit = 47×r10 + 50×r11 +
+# 50×r12 + 1 new; the r13 window sweeps 47+1 musts and 2 of the
+# stalest r11 rows, leaving 48×r11), so 2 slots remain for
+# new+changed combined — room for the ONE registration already on the
+# shelf (plans/textml.py STAGED_ORACLES, staged r12, sf0.1
+# twin-audited):
 #   staged_q_heavy_hitters_stream — approx_top_k streaming window
 #                                  sketch replay, deterministic
 #                                  re-rank, GROUP BY+row_number twin
-# To register: rename to q_<name>, move the STAGED_ORACLES entry into
-# TEXTML_ORACLES, list in _NEW_THIS_ROUND, consolidate to keep
+# Its sanctioned consolidation candidate (pre-staged per the standing
+# one-retirement-per-registration standard): retire `prices_page2`
+# (T3 — its offset-pagination second page is the SAME page()
+# machinery ★prices_keyset_page and ★prices_filter_range_limit gate
+# from both ends: identical orderBy tiebreakers, identical
+# TakeOrderedAndProject shape, and the offset arithmetic itself stays
+# golden-tested in tests/test_domain_operators.py
+# test_pagination_contract).  To register: rename to q_<name>, move
+# the STAGED_ORACLES entry into TEXTML_ORACLES, list in
+# _NEW_THIS_ROUND, delete the retired row from _LAST_SWEPT, keep
 # N ≤ 3W − 2.
 #
 # CEILING (computed, not guessed): N = 148 = 3W − 2.  The 2 slack

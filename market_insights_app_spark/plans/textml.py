@@ -2978,8 +2978,8 @@ def _host_pagerank_oracle(iters: int = 10) -> str:
 TEXTML_ORACLES["host_authority"] = _host_pagerank_oracle()
 
 
-def staged_q_txn_merge(spark: SparkSession, sf: str) -> DataFrame:
-    """r13 staging candidate: the ACID MERGE surface (D5's
+def q_txn_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """r13 registration (staged r12): the ACID MERGE surface (D5's
     transactional form, storage/txnlog.TxnTable.merge — reference
     db.py:166-201's update-else-insert) hash-gated ROW-LEVEL instead
     of unit-only: build a fresh log-backed table from a deterministic
@@ -3020,7 +3020,7 @@ def staged_q_txn_merge(spark: SparkSession, sf: str) -> DataFrame:
     return t.read().select("event_id", "user_id", "value")
 
 
-STAGED_ORACLES["txn_merge"] = """
+TEXTML_ORACLES["txn_merge"] = """
     WITH upd AS (SELECT event_id, user_id, value * 2 + 1 AS value
                  FROM events WHERE event_id % 7 BETWEEN 2 AND 5)
     SELECT event_id, user_id, value FROM events

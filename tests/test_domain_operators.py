@@ -182,6 +182,19 @@ def test_pagination_contract(spark):
     assert next_offset(len(p2), 2, 2) is None
 
 
+def test_recent_n_golden(spark):
+    """T5 (db.py:264-268): ORDER BY id DESC LIMIT n.  Golden value
+    test kept per the r13 consolidation contract (the recent_n_tail
+    registry row retired into ★prices_filter_range_limit)."""
+    from market_insights_app_spark.operators.pagination import recent_n
+
+    df = spark.createDataFrame(
+        [(i, f"u{i % 3}") for i in (5, 1, 9, 3, 7)], "id long, user string"
+    )
+    rows = recent_n(df, "id", 3).collect()
+    assert [r["id"] for r in rows] == [9, 7, 5]
+
+
 def test_keyset_pagination_matches_offset(spark):
     from market_insights_app_spark.operators.pagination import keyset_page
 

@@ -127,10 +127,14 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
 
 def test_take_ordered_not_global_sort(spark):
     """ORDER BY + LIMIT must compile to TakeOrderedAndProject, not a
-    global Sort."""
-    from market_insights_app_spark.plans.registry import QUERIES
+    global Sort.  Pins the recent_n operator directly (its registry
+    row retired r13 into ★prices_filter_range_limit — this golden
+    plan pin stays per the consolidation contract)."""
+    from market_insights_app_spark.operators.pagination import recent_n
+    from market_insights_app_spark.sources.tables import load_table
 
-    p = plan_of(QUERIES["recent_n_tail"](spark, SF_ORACLE))
+    p = plan_of(recent_n(load_table(spark, SF_ORACLE, "events"),
+                         "event_id", 50))
     assert "TakeOrderedAndProject" in p
 
 

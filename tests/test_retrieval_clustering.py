@@ -364,6 +364,68 @@ def test_semdedup_bucketed_bit_identical_and_no_cluster_exchange(spark):
         drop_bucketed(spark, "t_semdedup_bkt2")
 
 
+def test_semdedup_rescreen_matches_fresh_run_both_lanes(spark):
+    """semdedup_rescreen off an existing bucketed table must equal a
+    fresh semdedup_bucketed run at the SAME new threshold — no re-fit,
+    no re-assignment, no exchange — in both storage lanes (JVM pair
+    screen and LARGE_K pandas screen; lane dispatch reads the stored
+    schema)."""
+    from market_insights_app_spark.operators import clustering
+    from market_insights_app_spark.operators.similarity import (
+        semdedup_bucketed,
+        semdedup_rescreen,
+    )
+    from market_insights_app_spark.sources.bucketed import drop_bucketed
+    from tests.test_bucketed_layout import no_broadcast, plan_of
+
+    base = [
+        (i, [float((i * 11 + j * 3) % 17) / 17.0 + 0.25 for j in range(6)])
+        for i in range(40)
+    ]
+    dups = [(i + 400, v) for i, v in base[:15]]
+    df = spark.createDataFrame(base + dups, ["vec_id", "embedding"])
+    try:
+        semdedup_bucketed(
+            df, "t_sdd_rescreen", k=4, iters=2, threshold=0.999999,
+            n_buckets=4,
+        ).collect()
+        # fresh run at the sweep threshold = ground truth
+        want = {
+            tuple(r)
+            for r in semdedup_bucketed(
+                df, "t_sdd_fresh", k=4, iters=2, threshold=0.9,
+                n_buckets=4,
+            ).collect()
+        }
+        out = semdedup_rescreen(spark, "t_sdd_rescreen", threshold=0.9)
+        with no_broadcast(spark):
+            tree = plan_of(out).split("\n\n")[0]
+            got = {tuple(r) for r in out.collect()}
+        assert got == want
+        assert "hashpartitioning(cluster" not in tree, tree
+        # LARGE_K lane: table stores (id, cluster, embedding) → pandas
+        old = clustering.LARGE_K
+        try:
+            clustering.LARGE_K = 2
+            semdedup_bucketed(
+                df, "t_sdd_rescreen_pd", k=4, iters=2, threshold=0.999999,
+                n_buckets=4,
+            ).collect()
+            got_pd = {
+                tuple(r)
+                for r in semdedup_rescreen(
+                    spark, "t_sdd_rescreen_pd", threshold=0.9
+                ).collect()
+            }
+            assert got_pd == want
+        finally:
+            clustering.LARGE_K = old
+    finally:
+        drop_bucketed(spark, "t_sdd_rescreen")
+        drop_bucketed(spark, "t_sdd_fresh")
+        drop_bucketed(spark, "t_sdd_rescreen_pd")
+
+
 def test_semdedup_bucketed_empty_corpus(spark):
     """Empty input → empty (id, cluster) frame with the right schema,
     and no table write attempted (kmeans returns no centroids)."""
