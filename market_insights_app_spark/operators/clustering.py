@@ -53,6 +53,19 @@ from pyspark.sql import functions as F
 # the broadcast-numpy mapInPandas path (see module docstring).
 LARGE_K = 128
 
+# Centroid-tile width for the broadcast-numpy argmin.  The naive
+# kernel materializes the full (batch, k) score matrix — at
+# batch=10⁴/k=10⁴ that is an 800 MB array per worker per batch, and 32
+# workers churning 25 GB/wave thrash every cache level: the r13
+# 1M×64/k=10⁴ profile measured the full-matrix assignment at 121.7 s
+# vs 7.1 s with 512-wide centroid tiles and a running (best, bestv)
+# min (T=2048 was already 25.0 s — the win is cache residency, not
+# FLOPs, which are identical).  Ties still resolve to the LOWEST
+# cluster id: within a tile argmin takes the first minimum, and the
+# cross-tile update is a strict <, so an exact fp tie keeps the
+# earlier (lower-id) tile's winner.
+ASSIGN_TILE = 512
+
 
 def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -97,6 +110,34 @@ def _best_struct(vec: Column, centroids: list[list[float]]) -> Column:
     return F.array_min(pairs)
 
 
+def _tile_best(np, X, C, c_norms, tile: int = ASSIGN_TILE):
+    """(best cluster id, best −2x·c+‖c‖² score) per row of ``X``,
+    computed over ``tile``-wide centroid slices with a running min —
+    never materializing the full (batch, k) score matrix (see
+    ASSIGN_TILE for the measured 17× cache effect).  Scores are
+    UNROUNDED: np.round over the full matrix costs ~100 ns/element,
+    dwarfing the matmul, and rounding only matters for exact fp
+    near-ties, which this beyond-oracle path does not promise across
+    engines anyway (callers round the one output vector they emit).
+    Ties resolve to the lowest cluster id (first-min argmin within a
+    tile, strict < across tiles)."""
+    m = len(X)
+    best = np.zeros(m, dtype=np.int64)
+    bestv = np.full(m, np.inf)
+    rows = np.arange(m)
+    for s in range(0, len(C), tile):
+        e = min(s + tile, len(C))
+        S = X @ C[s:e].T
+        S *= -2.0
+        S += c_norms[None, s:e]
+        loc = S.argmin(axis=1)
+        locv = S[rows, loc]
+        upd = locv < bestv
+        best[upd] = loc[upd] + s
+        bestv[upd] = locv[upd]
+    return best, bestv
+
+
 def _assign_pandas(
     df: DataFrame,
     centroids: list[list[float]],
@@ -128,18 +169,8 @@ def _assign_pandas(
             # stack of per-row numpy arrays (Arrow hands back ndarray
             # cells) — no .tolist() detour through boxed Python floats
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
-            # argmin needs only −2x·c + ‖c‖² (the ‖x‖² term is constant
-            # per row); computed in-place, UNROUNDED — np.round over the
-            # full (n, k) matrix costs ~100 ns/element, dwarfing the
-            # matmul, and rounding only matters for exact fp near-ties,
-            # which this beyond-oracle path does not promise across
-            # engines anyway.  Output dist2 IS rounded (one n-vector).
-            S = X @ C.T
-            S *= -2.0
-            S += c_norms[None, :]
-            best = S.argmin(axis=1)       # first min index = lowest cluster id
-            rows = np.arange(len(best))
-            d2 = np.maximum((X * X).sum(axis=1) + S[rows, best], 0.0)
+            best, bestv = _tile_best(np, X, C, c_norms)
+            d2 = np.maximum((X * X).sum(axis=1) + bestv, 0.0)
             out = {
                 id_col: pdf[id_col].astype("int64"),
                 "cluster": best.astype("int32"),
@@ -180,10 +211,7 @@ def _partial_means_pandas(
             if len(pdf) == 0:
                 continue
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
-            S = X @ C.T                   # argmin of −2x·c + ‖c‖², unrounded
-            S *= -2.0                     # (see _assign_pandas for why)
-            S += c_norms[None, :]
-            best = S.argmin(axis=1)
+            best, _ = _tile_best(np, X, C, c_norms)
             # sorted-run reduction: np.add.at's unbuffered scatter is
             # ~100× slower than reduceat over contiguous runs
             order = np.argsort(best, kind="stable")

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from market_insights_app_spark.functions.text import (
@@ -186,11 +186,22 @@ def lsh_candidate_pairs(
     yields m²/2 candidates, and at scale such buckets are low-
     information bands (standard LSH practice); None keeps everything.
     """
-    rows_per_band = num_hashes // bands
     if sig is None:
         sig = minhash_signatures_df(
             df, id_col, text_col, num_hashes, shingle_n, portable=portable
         )
+    return _band_pairs(
+        _lsh_banded(sig, num_hashes, bands, portable), max_bucket_size
+    )
+
+
+def _lsh_banded(
+    sig: DataFrame, num_hashes: int, bands: int, portable: bool
+) -> DataFrame:
+    """(id, band, bucket) band-membership table — the shared middle of
+    :func:`lsh_candidate_pairs` (in-session) and
+    :func:`lsh_band_index_write` (write-once bucketed layout)."""
+    rows_per_band = num_hashes // bands
 
     def band_key(b: int) -> Column:
         sl = F.slice("sig", b * rows_per_band + 1, rows_per_band)
@@ -198,7 +209,7 @@ def lsh_candidate_pairs(
             return F.array_join(F.transform(sl, lambda c: c.cast("string")), ",")
         return F.xxhash64(sl)
 
-    banded = sig.select(
+    return sig.select(
         "id",
         F.explode(
             F.array(
@@ -209,6 +220,17 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+
+
+def _band_pairs(
+    banded: DataFrame, max_bucket_size: int | None
+) -> DataFrame:
+    """Hot-bucket cap + within-bucket self-join + distinct (a < b)
+    pairs over a band-membership table.  When ``banded`` scans a table
+    bucketed by (band, bucket) — :func:`lsh_band_index_write` — the
+    cap's groupBy, its semi-join back, and the pair self-join all ride
+    the write-time layout with NO Exchange; only the final distinct
+    (keyed on the much smaller pair set) shuffles."""
     if max_bucket_size is not None:
         ok = (
             banded.groupBy("band", "bucket")
@@ -219,7 +241,7 @@ def lsh_candidate_pairs(
         banded = banded.join(ok, ["band", "bucket"])
     left = banded.alias("l")
     right = banded.alias("r")
-    pairs = (
+    return (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -229,7 +251,57 @@ def lsh_candidate_pairs(
         .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .distinct()
     )
-    return pairs
+
+
+def lsh_band_index_write(
+    df: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 2,
+    portable: bool = False,
+    n_buckets: int = 32,
+) -> None:
+    """Write the MinHash band-membership table (id, band, bucket) ONCE
+    as a catalog table bucketed by (band, bucket) — the write-once
+    layout for the OTHER big self-join production re-screens
+    repeatedly (the semdedup_bucketed pattern applied to LSH).  The
+    expensive half of near-dup detection is the signature scan
+    (shingling + ``num_hashes`` hash folds over every document) plus
+    the band shuffle; both are paid here exactly once.  Every later
+    :func:`lsh_candidate_pairs_from_index` call — hot-bucket-cap
+    sweeps, incremental re-audits, split-leakage checks — replans the
+    pair join off the stored layout with no Exchange and no
+    re-hashing.  Pair sets are identical to in-session
+    :func:`lsh_candidate_pairs` with the same parameters (pinned in
+    tests/test_dedup_reference.py)."""
+    from market_insights_app_spark.sources.bucketed import write_bucketed
+
+    sig = minhash_signatures_df(
+        df, id_col, text_col, num_hashes, shingle_n, portable=portable
+    )
+    write_bucketed(
+        _lsh_banded(sig, num_hashes, bands, portable),
+        table,
+        ["band", "bucket"],
+        n_buckets=n_buckets,
+    )
+
+
+def lsh_candidate_pairs_from_index(
+    spark: SparkSession,
+    table: str,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate pairs off a band index previously written by
+    :func:`lsh_band_index_write` — no signature recompute, no band
+    shuffle (see that function's docstring for the amortization
+    story)."""
+    from market_insights_app_spark.sources.bucketed import read_bucketed
+
+    return _band_pairs(read_bucketed(spark, table), max_bucket_size)
 
 
 def minhash_near_dupes(

@@ -22,6 +22,36 @@ def get_spark(
     cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle = str(shuffle_partitions or (int(cpus) if cpus.isdigit() else 32))
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    # Pin BLAS thread pools to 1 in the Python workers.  Spark already
+    # supplies the parallelism (one worker per core); numpy's bundled
+    # OpenBLAS additionally spawns ncpu threads PER WORKER unless told
+    # otherwise, so every Arrow-lane matmul (k-means assignment,
+    # SemDeDup screen, dense decontaminate, hard negatives) runs
+    # 32×32 = 1024 threads on 32 cores and throughput COLLAPSES —
+    # measured on this box: one 10k×64×10k GEMM takes 2.96 s alone but
+    # 137.9 s when 32 unpinned processes run one each (46× per-task
+    # inflation; 1-min loadavg hit ~1000), which is exactly the
+    # 557-vs-62 s regression the r13 1M-vector semdedup probe caught.
+    # setdefault: an explicit user/operator setting wins.  Workers
+    # inherit the env via the JVM gateway (captured when THIS builder
+    # creates the JVM — same caveat as driver.memory); executorEnv
+    # carries the same pin to real cluster executors.
+    for var in (
+        "OPENBLAS_NUM_THREADS",
+        "OMP_NUM_THREADS",
+        "MKL_NUM_THREADS",
+        "NUMEXPR_NUM_THREADS",
+    ):
+        os.environ.setdefault(var, "1")
+    blas_pins = {
+        f"spark.executorEnv.{var}": os.environ[var]
+        for var in (
+            "OPENBLAS_NUM_THREADS",
+            "OMP_NUM_THREADS",
+            "MKL_NUM_THREADS",
+            "NUMEXPR_NUM_THREADS",
+        )
+    }
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -46,6 +76,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
     )
+    for conf_key, conf_val in blas_pins.items():
+        builder = builder.config(conf_key, conf_val)
     spark = builder.getOrCreate()
     # getOrCreate() silently ignores builder configs when it returns a
     # pre-existing session — but the NTZ→LTZ casts at the ts_us() choke

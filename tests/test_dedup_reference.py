@@ -49,6 +49,52 @@ def test_minhash_neardup_matches_true_jaccard(docs):
         assert j == pytest.approx(truth, abs=1e-6), (a, b)
 
 
+def test_lsh_band_index_matches_in_session(spark, docs):
+    """Candidate pairs off the write-once (band, bucket)-bucketed band
+    index must equal in-session lsh_candidate_pairs with the same
+    parameters — with and without the hot-bucket cap — and the indexed
+    pair join must plan WITHOUT a band-keyed Exchange (the bucket
+    layout, not a shuffle, co-locates the buckets; broadcast disabled
+    for the plan capture)."""
+    from market_insights_app_spark.operators.dedup import (
+        lsh_band_index_write,
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_from_index,
+    )
+    from market_insights_app_spark.sources.bucketed import drop_bucketed
+    from tests.test_bucketed_layout import no_broadcast, plan_of
+
+    want = {
+        tuple(r) for r in lsh_candidate_pairs(docs, num_hashes=16, bands=4).collect()
+    }
+    assert want  # fixture sanity: the dup pairs must bucket together
+    want_capped = {
+        tuple(r)
+        for r in lsh_candidate_pairs(
+            docs, num_hashes=16, bands=4, max_bucket_size=2
+        ).collect()
+    }
+    try:
+        lsh_band_index_write(
+            docs, "t_lsh_band_idx", num_hashes=16, bands=4, n_buckets=4
+        )
+        out = lsh_candidate_pairs_from_index(spark, "t_lsh_band_idx")
+        with no_broadcast(spark):
+            tree = plan_of(out).split("\n\n")[0]
+            got = {tuple(r) for r in out.collect()}
+        assert got == want
+        assert "hashpartitioning(band" not in tree, tree
+        got_capped = {
+            tuple(r)
+            for r in lsh_candidate_pairs_from_index(
+                spark, "t_lsh_band_idx", max_bucket_size=2
+            ).collect()
+        }
+        assert got_capped == want_capped
+    finally:
+        drop_bucketed(spark, "t_lsh_band_idx")
+
+
 def test_minhash_signature_is_real_minimum(spark, docs):
     """Signature h_i == min over shingles of the same hash Spark uses —
     recompute the hashes via Spark on exploded shingles and compare
