@@ -116,6 +116,8 @@ HEADLINE = [
     "split_leakage",
     # round-12 addition (crawl front door registered this round)
     "host_authority",
+    # round-13 addition (ACID MERGE surface registered this round)
+    "txn_merge",
 ]
 
 
