@@ -797,13 +797,23 @@ def semdedup_bucketed(
         )
         write_bucketed(assigned, table, ["cluster"], n_buckets=n_buckets)
     else:
-        v = _as_double(F.col(vec_col))
-        a = df.select(
-            F.col(id_col).alias("id"),
-            clustering._best_struct(v, cents)["c"].alias("cluster"),
-            v.alias("v"),
-        ).withColumn("nrm", norm(F.col("v")))
+        a = _semdedup_label(df, cents, id_col, vec_col)
         write_bucketed(a, table, ["cluster"], n_buckets=n_buckets)
+    # persist the FROZEN centroids beside the table: incremental
+    # appends (semdedup_bucketed_append) assign new batches to these —
+    # the standard production pattern (refit periodically, assign
+    # incrementally) — and without them the layout cannot grow
+    from market_insights_app_spark.sources.bucketed import (
+        clear_managed_table,
+    )
+
+    clear_managed_table(spark, f"{table}__centroids")
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cluster int, centroid array<double>",
+    ).write.mode("overwrite").format("parquet").saveAsTable(
+        f"{table}__centroids"
+    )
     # the first screen IS a re-screen of the just-written table, so the
     # write path and every later re-screen run identical code by
     # construction (r13: semdedup_rescreen was previously reachable
@@ -811,6 +821,74 @@ def semdedup_bucketed(
     return semdedup_rescreen(
         spark, table, threshold=threshold, id_col=id_col, vec_col=vec_col
     )
+
+
+def _semdedup_label(
+    df: DataFrame,
+    cents: list[list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Expression-lane labeling select shared by the bucketed write
+    and the incremental append: (id, cluster, v, nrm) with the
+    cluster from the O(1)-plan-size argmin literal.  Centroids
+    round-trip exactly through the companion parquet table (doubles),
+    so an appended batch gets bit-identical assignments to a fresh
+    write with the same frozen centroid set."""
+    from market_insights_app_spark.operators import clustering
+
+    v = _as_double(F.col(vec_col))
+    return df.select(
+        F.col(id_col).alias("id"),
+        clustering._best_struct(v, cents)["c"].alias("cluster"),
+        v.alias("v"),
+    ).withColumn("nrm", norm(F.col("v")))
+
+
+def semdedup_bucketed_append(
+    df_new: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally grow a :func:`semdedup_bucketed` layout: assign a
+    NEW corpus batch to the FROZEN centroids persisted beside the
+    table (``{table}__centroids``) and append it INTO the bucketed
+    layout — the production cadence (refit centroids periodically,
+    assign arrivals incrementally) with no refit scan, no re-label of
+    the existing corpus, and the exchange-free-screen property intact
+    (the append redeclares the catalog's bucket spec, so new files
+    land in the write-time layout).  A following
+    :func:`semdedup_rescreen` screens old+new together; because the
+    keep rule is min-id-survives, pre-existing survivors can only be
+    unaffected by higher-id arrivals, and each new row drops iff a
+    lower-id near-duplicate shares its cluster (pinned in
+    tests/test_retrieval_clustering.py).
+
+    Lane dispatch mirrors the stored schema, like
+    :func:`semdedup_rescreen`: an (id, cluster, v, nrm) table appends
+    through the JVM labeling select, a LARGE_K table through the
+    broadcast-numpy assignment with the vector carried."""
+    from market_insights_app_spark.operators import clustering
+    from market_insights_app_spark.sources.bucketed import (
+        append_bucketed,
+        read_bucketed,
+    )
+
+    spark = df_new.sparkSession
+    cents = [
+        [float(x) for x in r["centroid"]]
+        for r in spark.table(f"{table}__centroids")
+        .orderBy("cluster")
+        .collect()
+    ]
+    if "nrm" in read_bucketed(spark, table).columns:
+        a = _semdedup_label(df_new, cents, id_col, vec_col)
+    else:
+        a = clustering._assign_pandas(
+            df_new, cents, id_col, vec_col, keep_vec=True
+        )
+    append_bucketed(a, table)
 
 
 def semdedup_rescreen(

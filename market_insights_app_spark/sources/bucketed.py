@@ -36,6 +36,19 @@ import urllib.parse
 from pyspark.sql import DataFrame, SparkSession
 
 
+def clear_managed_table(spark: SparkSession, table: str) -> None:
+    """DROP the catalog entry AND its warehouse directory.  A managed
+    table's DIRECTORY can survive a previous session whose in-memory
+    catalog is gone (crash, aborted test run); saveAsTable refuses to
+    adopt it (LOCATION_ALREADY_EXISTS)."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urllib.parse.urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path
+    if wh:
+        shutil.rmtree(os.path.join(wh, table.lower()), ignore_errors=True)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -53,16 +66,7 @@ def write_bucketed(
     least a few buckets per executor core working on the table — and
     the count is FROZEN at write time; changing it means rewriting."""
     if mode == "overwrite":
-        spark = df.sparkSession
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        # a managed-table DIRECTORY can survive a previous session
-        # whose in-memory catalog is gone (crash, aborted test run);
-        # saveAsTable refuses to adopt it (LOCATION_ALREADY_EXISTS)
-        wh = urllib.parse.urlparse(
-            spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        ).path
-        if wh:
-            shutil.rmtree(os.path.join(wh, table.lower()), ignore_errors=True)
+        clear_managed_table(df.sparkSession, table)
     writer = df.write.mode(mode).format("parquet").bucketBy(
         n_buckets, *bucket_cols
     )
@@ -80,3 +84,28 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
 
 def drop_bucketed(spark: SparkSession, table: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def bucket_spec(spark: SparkSession, table: str) -> tuple[list[str], int]:
+    """(bucket columns, bucket count) recorded in the catalog for
+    ``table`` — what an APPEND writer must redeclare: saveAsTable
+    validates the writer's bucketBy against the table's spec, and a
+    mismatch either fails or (worse, with no spec) silently writes
+    unbucketed files that break the exchange-free-join guarantee."""
+    rows = spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+    info = {r["col_name"].strip(): (r["data_type"] or "").strip() for r in rows}
+    n = int(info["Num Buckets"])
+    cols = [
+        c.strip().strip("`")
+        for c in info["Bucket Columns"].strip("[]").split(",")
+    ]
+    return cols, n
+
+
+def append_bucketed(df: DataFrame, table: str) -> None:
+    """Append ``df`` to an existing bucketed table, redeclaring the
+    catalog's own bucket spec so the write lands IN the layout (new
+    files per bucket; the exchange-free join property survives
+    appends)."""
+    cols, n = bucket_spec(df.sparkSession, table)
+    write_bucketed(df, table, cols, n_buckets=n, mode="append")

@@ -426,6 +426,80 @@ def test_semdedup_rescreen_matches_fresh_run_both_lanes(spark):
         drop_bucketed(spark, "t_sdd_rescreen_pd")
 
 
+def test_semdedup_bucketed_append_frozen_centroids(spark):
+    """semdedup_bucketed_append must grow the layout without a refit:
+    base survivors are unchanged by higher-id arrivals (min-id keep
+    rule), appended near-dups of base rows are dropped, appended
+    novel rows survive, the pair screen stays cluster-Exchange-free
+    after the append, and the same invariants hold in the LARGE_K
+    pandas lane."""
+    from market_insights_app_spark.operators import clustering
+    from market_insights_app_spark.operators.similarity import (
+        semdedup_bucketed,
+        semdedup_bucketed_append,
+        semdedup_rescreen,
+    )
+    from market_insights_app_spark.sources.bucketed import (
+        bucket_spec,
+        drop_bucketed,
+    )
+    from tests.test_bucketed_layout import no_broadcast, plan_of
+
+    base_rows = [
+        (i, [float((i * 13 + j * 7) % 19) / 19.0 + 0.1 for j in range(6)])
+        for i in range(30)
+    ]
+    base = spark.createDataFrame(base_rows, ["vec_id", "embedding"])
+    # delta: exact copies of the first 10 base vectors (must drop) +
+    # 5 novel vectors (must survive)
+    delta_rows = [(i + 1000, v) for i, v in base_rows[:10]] + [
+        # near-one-hot novel vectors: pairwise cosines stay far below
+        # the threshold (a shared constant offset would make them
+        # near-parallel and correctly collapse to one survivor)
+        (i + 2000, [10.0 if j == i else 0.1 * j for j in range(6)])
+        for i in range(5)
+    ]
+    delta = spark.createDataFrame(delta_rows, ["vec_id", "embedding"])
+
+    def run_lane(table, large_k):
+        old = clustering.LARGE_K
+        try:
+            if large_k:
+                clustering.LARGE_K = 2
+            before = {
+                r["vec_id"]
+                for r in semdedup_bucketed(
+                    base, table, k=4, iters=2, threshold=0.999999,
+                    n_buckets=4,
+                ).collect()
+            }
+            semdedup_bucketed_append(delta, table)
+            assert bucket_spec(spark, table) == (["cluster"], 4)
+            out = semdedup_rescreen(spark, table, threshold=0.999999)
+            if not large_k:
+                with no_broadcast(spark):
+                    tree = plan_of(out).split("\n\n")[0]
+                assert "hashpartitioning(cluster" not in tree, tree
+            got = {r["vec_id"] for r in out.collect()}
+            assert got & set(range(30)) == before          # base unchanged
+            assert not got & {i + 1000 for i in range(10)}  # dups dropped
+            assert {i + 2000 for i in range(5)} <= got      # novel survive
+        finally:
+            clustering.LARGE_K = old
+
+    try:
+        run_lane("t_sdd_append", large_k=False)
+        run_lane("t_sdd_append_pd", large_k=True)
+    finally:
+        for t in (
+            "t_sdd_append",
+            "t_sdd_append__centroids",
+            "t_sdd_append_pd",
+            "t_sdd_append_pd__centroids",
+        ):
+            drop_bucketed(spark, t)
+
+
 def test_semdedup_bucketed_empty_corpus(spark):
     """Empty input → empty (id, cluster) frame with the right schema,
     and no table write attempted (kmeans returns no centroids)."""
