@@ -288,6 +288,52 @@ def lsh_band_index_write(
         ["band", "bucket"],
         n_buckets=n_buckets,
     )
+    # persist the hashing parameters beside the index: an append that
+    # re-derived them from caller arguments could silently band new
+    # docs with a DIFFERENT sketch than the stored rows, making cross
+    # old/new pairs meaningless — the companion row makes the append
+    # self-describing instead
+    from market_insights_app_spark.sources.bucketed import (
+        clear_managed_table,
+    )
+
+    spark = df.sparkSession
+    clear_managed_table(spark, f"{table}__params")
+    spark.createDataFrame(
+        [(num_hashes, bands, shingle_n, portable)],
+        "num_hashes int, bands int, shingle_n int, portable boolean",
+    ).write.mode("overwrite").format("parquet").saveAsTable(
+        f"{table}__params"
+    )
+
+
+def lsh_band_index_append(
+    df_new: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incrementally grow a :func:`lsh_band_index_write` index: band a
+    NEW document batch with the EXACT hashing parameters persisted
+    beside the index (``{table}__params``) and append it into the
+    bucketed layout — arrivals pay only their own signature scan, and
+    the next :func:`lsh_candidate_pairs_from_index` sees old×old,
+    old×new and new×new candidates alike, still with no band-keyed
+    Exchange (the append redeclares the catalog's bucket spec)."""
+    from market_insights_app_spark.sources.bucketed import append_bucketed
+
+    p = df_new.sparkSession.table(f"{table}__params").collect()[0]
+    sig = minhash_signatures_df(
+        df_new,
+        id_col,
+        text_col,
+        p["num_hashes"],
+        p["shingle_n"],
+        portable=p["portable"],
+    )
+    append_bucketed(
+        _lsh_banded(sig, p["num_hashes"], p["bands"], p["portable"]), table
+    )
 
 
 def lsh_candidate_pairs_from_index(

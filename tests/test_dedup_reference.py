@@ -93,6 +93,45 @@ def test_lsh_band_index_matches_in_session(spark, docs):
         assert got_capped == want_capped
     finally:
         drop_bucketed(spark, "t_lsh_band_idx")
+        drop_bucketed(spark, "t_lsh_band_idx__params")
+
+
+def test_lsh_band_index_append_matches_one_shot(spark, docs):
+    """Appending a batch through lsh_band_index_append (banded with
+    the params persisted beside the index, not caller-supplied ones)
+    must yield the same candidate pairs as one-shot indexing of the
+    full corpus — old×new cross pairs included — and the pair join
+    must stay band-Exchange-free after the append."""
+    from market_insights_app_spark.operators.dedup import (
+        lsh_band_index_append,
+        lsh_band_index_write,
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_from_index,
+    )
+    from market_insights_app_spark.sources.bucketed import drop_bucketed
+    from tests.test_bucketed_layout import no_broadcast, plan_of
+
+    base = docs.filter(F.col("doc_id") <= 2)
+    delta = docs.filter(F.col("doc_id") > 2)  # doc 3 is an exact dup of 0
+    want = {
+        tuple(r)
+        for r in lsh_candidate_pairs(docs, num_hashes=16, bands=4).collect()
+    }
+    assert any(a <= 2 < b for a, b in want)  # fixture: a cross pair exists
+    try:
+        lsh_band_index_write(
+            base, "t_lsh_band_app", num_hashes=16, bands=4, n_buckets=4
+        )
+        lsh_band_index_append(delta, "t_lsh_band_app")
+        out = lsh_candidate_pairs_from_index(spark, "t_lsh_band_app")
+        with no_broadcast(spark):
+            tree = plan_of(out).split("\n\n")[0]
+            got = {tuple(r) for r in out.collect()}
+        assert got == want
+        assert "hashpartitioning(band" not in tree, tree
+    finally:
+        drop_bucketed(spark, "t_lsh_band_app")
+        drop_bucketed(spark, "t_lsh_band_app__params")
 
 
 def test_minhash_signature_is_real_minimum(spark, docs):

@@ -1347,3 +1347,43 @@ def test_pagerank_tiny_lane_property(spark, edges, iters, variant):
         ).collect()
     }
     assert tiny == dist
+
+
+@given(
+    data=st.lists(
+        st.lists(
+            st.integers(min_value=-5, max_value=5), min_size=3, max_size=3
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    cents=st.lists(
+        st.lists(
+            st.integers(min_value=-5, max_value=5), min_size=3, max_size=3
+        ),
+        min_size=1,
+        max_size=33,
+    ),
+    tile=st.integers(min_value=1, max_value=40),
+)
+@settings(max_examples=200, deadline=None)
+def test_tile_best_matches_full_argmin(data, cents, tile):
+    """clustering._tile_best must equal the full-matrix argmin for ANY
+    tile width, INCLUDING exact fp ties (small-integer vectors make
+    ties common: identical centroids, symmetric layouts).  The tie
+    rule is lowest-cluster-id — full argmin's first-min — and the
+    tiled running strict-< must preserve it across tile boundaries."""
+    import numpy as np
+
+    from market_insights_app_spark.operators.clustering import _tile_best
+
+    X = np.asarray(data, dtype=np.float64)
+    C = np.asarray(cents, dtype=np.float64)
+    cn = (C * C).sum(axis=1)
+    S = X @ C.T
+    S = -2.0 * S + cn[None, :]
+    want_best = S.argmin(axis=1)
+    want_val = S[np.arange(len(X)), want_best]
+    best, bestv = _tile_best(np, X, C, cn, tile=tile)
+    assert (best == want_best).all()
+    assert (bestv == want_val).all()
