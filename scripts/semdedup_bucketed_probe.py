@@ -89,11 +89,44 @@ def main() -> None:
         lambda: semdedup_rescreen(spark, table, threshold=0.95).count(),
     )
 
+    # incremental arrivals: 10% of corpus size assigned to the FROZEN
+    # centroids and appended into the layout, then one full re-screen —
+    # the production cadence (refit periodically, assign incrementally)
+    from market_insights_app_spark.operators.similarity import (
+        semdedup_bucketed_append,
+    )
+
+    n_delta = max(1, n_vecs // 10)
+    delta = spark.range(n_vecs, n_vecs + n_delta).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: (
+                F.pmod(F.xxhash64(F.col("id") * 100 + i), F.lit(2001)) - 1000
+            )
+            / 1000.0,
+        ).alias("embedding"),
+    )
+    t_append = timed(
+        f"append {n_delta:,} arrivals",
+        lambda: semdedup_bucketed_append(delta, table),
+    )
+    t_re_after = timed(
+        "re-screen after append",
+        lambda: semdedup_rescreen(spark, table, threshold=0.999).count(),
+    )
+
     s_in = {r[0] for r in semdedup(vecs, k=k, iters=1, threshold=0.999).collect()}
-    s_bkt = {
+    s_all = {
         r[0] for r in semdedup_rescreen(spark, table, threshold=0.999).collect()
     }
-    print(f"survivor sets identical: {s_in == s_bkt}  (n={len(s_bkt):,})")
+    # min-id keep rule: higher-id arrivals cannot change base survivors
+    s_bkt = {i for i in s_all if i < n_vecs}
+    print(
+        f"base survivor sets identical: {s_in == s_bkt}  "
+        f"(base n={len(s_bkt):,}, +delta survivors "
+        f"{len(s_all) - len(s_bkt):,})"
+    )
 
     premium = t_first - t_insess
     saving = t_insess - t_re_same
@@ -105,6 +138,7 @@ def main() -> None:
     )
 
     drop_bucketed(spark, table)
+    drop_bucketed(spark, f"{table}__centroids")
     vecs.unpersist()
     spark.stop()
 
