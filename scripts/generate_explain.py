@@ -390,6 +390,19 @@ COMMENTARY = {
         "per-iteration join is tiny relative to the corpus scan that "
         "feeds it."
     ),
+    "txn_merge": (
+        "ACID MERGE surface (registered r13): the final state reads "
+        "back through the TxnTable snapshot log, so the plan is a "
+        "plain parquet scan over the live files named by the commit "
+        "log — every MERGE branch (replace / insert / untouched) was "
+        "resolved at WRITE time into rewritten+appended files, which "
+        "is exactly the copy-on-write story at cluster scale: readers "
+        "never pay a runtime anti/union, they scan the already-merged "
+        "snapshot with min/max data-skipping stats per directory.  "
+        "The DuckDB twin derives the same state declaratively (anti "
+        "∪ update set), so the hash gate proves the log replay "
+        "equals the MERGE algebra."
+    ),
 }
 
 # Streaming replay gates: their query functions RUN the availableNow
