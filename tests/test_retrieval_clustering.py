@@ -500,6 +500,40 @@ def test_semdedup_bucketed_append_frozen_centroids(spark):
             drop_bucketed(spark, t)
 
 
+def test_semdedup_bucketed_append_empty_delta(spark):
+    """An empty arrival batch must append nothing and leave the
+    re-screen result unchanged (an empty micro-batch is routine in a
+    production ingest cadence)."""
+    from market_insights_app_spark.operators.similarity import (
+        semdedup_bucketed,
+        semdedup_bucketed_append,
+        semdedup_rescreen,
+    )
+    from market_insights_app_spark.sources.bucketed import drop_bucketed
+
+    df = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(4)]) for i in range(12)],
+        ["vec_id", "embedding"],
+    )
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    try:
+        before = {
+            tuple(r)
+            for r in semdedup_bucketed(
+                df, "t_sdd_empty_delta", k=3, iters=1, n_buckets=2
+            ).collect()
+        }
+        semdedup_bucketed_append(empty, "t_sdd_empty_delta")
+        after = {
+            tuple(r)
+            for r in semdedup_rescreen(spark, "t_sdd_empty_delta").collect()
+        }
+        assert after == before
+    finally:
+        drop_bucketed(spark, "t_sdd_empty_delta")
+        drop_bucketed(spark, "t_sdd_empty_delta__centroids")
+
+
 def test_semdedup_bucketed_empty_corpus(spark):
     """Empty input → empty (id, cluster) frame with the right schema,
     and no table write attempted (kmeans returns no centroids)."""
