@@ -429,3 +429,87 @@ def synthetic_link_graph(docs: DataFrame) -> DataFrame:
     for a in arms[1:]:
         out = out.union(a)
     return out
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an UNDIRECTED view of ``edges``
+    (direction and duplicates collapse; self-loops drop) — the classic
+    degree-ordered enumeration (Schank & Wagner 2005; the
+    MapReduce/Spark formulation in Suri & Vassilvitskii, WWW'11):
+
+    1. canonicalize each edge to (a < b), distinct;
+    2. orient every edge from its lower-(degree, id) endpoint to the
+       higher one — a total order, so each undirected edge appears
+       exactly once and each node's ORIENTED out-degree is O(sqrt m)
+       even at power-law hubs (a hub's edges point INTO it from its
+       lower-degree neighbors);
+    3. wedges = per-source pairs of out-neighbors (ordered by the same
+       total order, so each wedge enumerates once);
+    4. a wedge (u, v, w) closes into a triangle iff the (v, w) edge
+       exists — oriented v→w by construction — one left-semi join;
+    5. per-node counts = explode the three corners, one groupBy.
+
+    Scale shape: steps 2-5 are equi-joins and aggregations only (no
+    cartesian, no driver state); the degree orientation is what keeps
+    the wedge fan-out O(m^1.5) total instead of sum(deg²) — at a
+    power-law 100 TB link graph the hub arm would otherwise dominate
+    quadratically.  Every step is exact integer arithmetic, so a SQL
+    twin enumerating triangles the naive a<b<c way hash-matches.
+
+    Returns (node, triangles) for every node in at least one triangle.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    und = e.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = (
+        und.join(
+            deg.select(F.col("node").alias("a"), F.col("deg").alias("da")),
+            "a",
+        )
+        .join(
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("db")),
+            "b",
+        )
+    )
+    lo_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lo_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    o1, o2 = o.alias("o1"), o.alias("o2")
+    rank_lt = (F.col("o1.dv") < F.col("o2.dv")) | (
+        (F.col("o1.dv") == F.col("o2.dv")) & (F.col("o1.v") < F.col("o2.v"))
+    )
+    wedges = o1.join(
+        o2, (F.col("o1.u") == F.col("o2.u")) & rank_lt
+    ).select(
+        F.col("o1.u").alias("tu"),
+        F.col("o1.v").alias("tv"),
+        F.col("o2.v").alias("tw"),
+    )
+    tri = wedges.join(
+        o.select(F.col("u").alias("tv"), F.col("v").alias("tw")),
+        ["tv", "tw"],
+        "left_semi",
+    )
+    return (
+        tri.select(
+            F.explode(F.array("tu", "tv", "tw")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )

@@ -171,6 +171,16 @@ _CHANGED_SINCE_ROW: list[str] = []
 # _NEW_THIS_ROUND, delete the retired row from _LAST_SWEPT, keep
 # N ≤ 3W − 2.
 #
+# The shelf is also stocked for r15 (both twin-tested at sf_oracle +
+# degenerate/unicode-swept from the day they were staged, r13):
+#   staged_q_triangle_count            — degree-ordered triangle
+#                                        enumeration vs a naive a<b<c
+#                                        3-join twin (graph.py)
+#   staged_q_semdedup_bucketed_roundtrip — the bucketed write→read
+#                                        catalog round-trip vs
+#                                        ★semdedup's oracle verbatim
+#                                        (closes r12 verdict gap #3)
+#
 # CEILING (computed, not guessed): N = 148 = 3W − 2.  The 2 slack
 # slots per 3-round cycle are what lets _CHANGED_SINCE_ROW re-gates
 # and new registrations happen at all; registering past 148 without a

@@ -3095,3 +3095,82 @@ STAGED_ORACLES["heavy_hitters_stream"] = """
                 ORDER BY est_count DESC, item) AS INT) AS rank
     FROM c
 """
+
+
+def staged_q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """r15 staging candidate: per-node triangle counts over the
+    deterministic skewed link graph (operators/graph.triangle_count —
+    degree-ordered wedge enumeration, Schank & Wagner 2005 / Suri &
+    Vassilvitskii WWW'11) — the third graph primitive after PageRank
+    and connected components, and the one whose naive form is the
+    canonical scale killer (sum(deg²) wedges at a power-law hub).
+    The Spark lane enumerates each triangle exactly once via the
+    (degree, id) total order; the DuckDB twin enumerates the same
+    triangle SET the naive a<b<c way over the identically-derived
+    canonical edge list — orientation changes the join plan, never the
+    triangle set, so per-corner counts hash-match exactly (pure int64
+    arithmetic end-to-end)."""
+    from market_insights_app_spark.operators.graph import (
+        synthetic_link_graph,
+        triangle_count,
+    )
+
+    return triangle_count(synthetic_link_graph(_docs(spark, sf)))
+
+
+STAGED_ORACLES["triangle_count"] = """
+    WITH n_t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    raw AS (
+      SELECT doc_id AS src,
+             ((doc_id % n) * (doc_id % n) + 1) % n AS dst
+      FROM documents CROSS JOIN n_t
+      UNION ALL
+      SELECT doc_id, (doc_id * 31 + 7) % n FROM documents CROSS JOIN n_t
+      UNION ALL
+      SELECT doc_id, doc_id % greatest(n // 50, 1)
+      FROM documents CROSS JOIN n_t
+    ),
+    und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM raw WHERE src <> dst),
+    tri AS (SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.b
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+    corners AS (SELECT ta AS node FROM tri
+                UNION ALL SELECT tb FROM tri
+                UNION ALL SELECT tc FROM tri)
+    SELECT node, CAST(count(*) AS BIGINT) AS triangles
+    FROM corners GROUP BY node
+"""
+
+
+def staged_q_semdedup_bucketed_roundtrip(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """r15 staging candidate: the write-once bucketed SemDeDup layout
+    hash-gated THROUGH the catalog round-trip — fit + label + bucketed
+    WRITE + read-back + screen (operators/similarity.semdedup_bucketed)
+    with the same parameters as ★semdedup, so the DuckDB twin is
+    ★semdedup's oracle verbatim: survivors are bit-identical by the
+    shared-screen construction (pinned in tests), and a driver row
+    would close the one residual gap the r12 verdict named — the
+    write→read round-trip through the catalog is itself logic the
+    in-session row never executes.  The per-call uuid table lives in
+    the session warehouse (the txn_merge temp-dir pattern; output
+    depends only on the input slice)."""
+    import uuid
+
+    from market_insights_app_spark.operators.similarity import (
+        semdedup_bucketed,
+    )
+
+    return semdedup_bucketed(
+        _emb(spark, sf),
+        f"sdd_bkt_rt_{uuid.uuid4().hex[:8]}",
+        k=8,
+        iters=2,
+        threshold=0.4,
+    )
+
+
+STAGED_ORACLES["semdedup_bucketed_roundtrip"] = TEXTML_ORACLES["semdedup"]

@@ -350,3 +350,45 @@ def test_pagerank_tiny_threshold_zero_is_off(spark):
     on_raw = _pagerank_tiny(e, 2, 85, 10**9, None, False)
     assert "MapInPandas" in on_raw._jdf.queryExecution().analyzed().toString()
     assert "MapInPandas" not in off_plan
+
+
+def test_triangle_count_golden_and_bruteforce(spark):
+    """K4 golden (each node sits in C(3,2)=3 triangles) plus a
+    brute-force cross-check on a deterministic pseudo-random graph —
+    direction, duplicate edges and self-loops must all collapse before
+    counting."""
+    from itertools import combinations
+
+    from market_insights_app_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]  # directed dups
+    out = {
+        r["node"]: r["triangles"]
+        for r in triangle_count(
+            spark.createDataFrame(k4 + [(0, 0)], ["src", "dst"])
+        ).collect()
+    }
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    # 12 nodes, (a+b) % 3 != 0 edges: 44 undirected edges, 56 triangles,
+    # every node in at least one (verified by the reference below) —
+    # the first fixture tried here had ZERO triangles and the check
+    # passed vacuously; keep the density assert so that can't recur
+    edges = [
+        (a, b) for a in range(12) for b in range(12)
+        if a != b and (a + b) % 3 != 0
+    ]
+    und = {(min(a, b), max(a, b)) for a, b in edges}
+    want: dict[int, int] = {}
+    for a, b, c in combinations(sorted({n for e in und for n in e}), 3):
+        if {(a, b), (b, c), (a, c)} <= und:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    assert sum(want.values()) // 3 == 56  # non-vacuous reference
+    got = {
+        r["node"]: r["triangles"]
+        for r in triangle_count(
+            spark.createDataFrame(edges, ["src", "dst"])
+        ).collect()
+    }
+    assert got == want
