@@ -463,9 +463,21 @@ def triangle_count(
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a") != F.col("b")
     )
-    und = e.select(
-        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-    ).distinct()
+    # und feeds THREE consumers (degree agg ×2 via the union, the
+    # orientation join) and o feeds three more (both wedge sides, the
+    # closure semi-join) — without lineage cuts every consumer
+    # re-derives the whole upstream edge expression (measured on the
+    # synthetic fixture: 30 re-evaluations of the arm subtree, i.e.
+    # 30 corpus scans at 100 TB).  Eager localCheckpoints materialize
+    # each ONCE; the ContextCleaner frees the blocks when the result
+    # frame drops (the pagerank/dedup in-repo standard).
+    und = (
+        e.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     deg = (
         und.select(F.col("a").alias("node"))
         .union(und.select(F.col("b").alias("node")))
@@ -489,7 +501,7 @@ def triangle_count(
         F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(lo_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    )
+    ).localCheckpoint(eager=True)
     o1, o2 = o.alias("o1"), o.alias("o2")
     rank_lt = (F.col("o1.dv") < F.col("o2.dv")) | (
         (F.col("o1.dv") == F.col("o2.dv")) & (F.col("o1.v") < F.col("o2.v"))
