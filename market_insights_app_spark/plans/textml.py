@@ -3174,3 +3174,122 @@ def staged_q_semdedup_bucketed_roundtrip(
 
 
 STAGED_ORACLES["semdedup_bucketed_roundtrip"] = TEXTML_ORACLES["semdedup"]
+
+
+def staged_q_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
+    """r16 staging candidate: classical additive seasonal
+    decomposition per event_type (operators/market.seasonal_decompose
+    — hourly bucket sums, centered 25-row moving-average trend,
+    hour-of-day seasonal means of the detrended series, residual
+    remainder).  The reference charts raw series (main.js chart
+    panels); this is the follow-on question every metrics consumer
+    asks of them — "is that spike seasonal or real" — decomposed with
+    the module's DECIMAL discipline so trend/seasonal/residual are
+    single double expressions over exact sums, value-hashable
+    cross-engine.  The DuckDB twin replays bucket→window→slot algebra
+    declaratively; ns→µs timestamp truncation cannot move an hour
+    boundary, so the staged oracle reads events raw (the
+    heavy_hitters_stream precedent)."""
+    from market_insights_app_spark.operators.market import (
+        seasonal_decompose,
+    )
+
+    ev = load_table(spark, sf, "events")
+    return seasonal_decompose(ev)
+
+
+STAGED_ORACLES["seasonal_decompose"] = """
+    WITH b AS (
+      SELECT event_type AS k, date_trunc('hour', ts) AS h,
+             sum(CAST(value AS DECIMAL(8,2))) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT k, h, y,
+             sum(y)   OVER w AS tsum,
+             count(y) OVER w AS tn,
+             count(*) OVER w AS nr
+      FROM b WINDOW w AS (PARTITION BY k ORDER BY h
+                          ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    t2 AS (
+      SELECT k, h, y,
+             CASE WHEN tn = 25 AND nr = 25
+                  THEN CAST(tsum AS DOUBLE) / 25.0 END AS trend,
+             CASE WHEN tn = 25 AND nr = 25
+                  THEN y * 25 - tsum END AS det,
+             hour(h) AS slot
+      FROM t
+    ),
+    s AS (
+      SELECT k, slot, sum(det) AS sn, count(det) AS sc
+      FROM t2 GROUP BY 1, 2
+    )
+    SELECT t2.k AS event_type, epoch_us(t2.h) AS bucket_us,
+           round(CAST(t2.y AS DOUBLE), 6) AS bucket_value,
+           round(t2.trend, 6) AS trend,
+           round(CASE WHEN s.sc > 0
+                 THEN CAST(s.sn AS DOUBLE) / (25.0 * CAST(s.sc AS DOUBLE))
+                 END, 6) AS seasonal,
+           round(CASE WHEN t2.trend IS NOT NULL AND s.sc > 0
+                 THEN CAST(t2.y AS DOUBLE) - t2.trend
+                      - CAST(s.sn AS DOUBLE) / (25.0 * CAST(s.sc AS DOUBLE))
+                 END, 6) AS residual
+    FROM t2 JOIN s ON s.k = t2.k AND s.slot = t2.slot
+"""
+
+
+def staged_q_link_prediction_cn(spark: SparkSession, sf: str) -> DataFrame:
+    """r16 staging candidate: common-neighbor link prediction over the
+    deterministic skewed link graph (operators/graph.
+    link_predict_common_neighbors — Liben-Nowell & Kleinberg 2003) —
+    the fourth graph primitive, and the first whose SCALE SEMANTICS
+    (the max_center_degree wedge cap, see the operator docstring) are
+    part of the query definition: the DuckDB twin replays the SAME cap
+    over the same degree table, so the gate hash-checks the capped
+    enumeration itself, hub exclusions included (the synthetic graph's
+    hub arm pushes nodes past the cap at every sf — 10 hubs at the
+    500-doc gate scales, 111 at sf0.1 — so the cap genuinely binds).
+    Pure int64 arithmetic end-to-end."""
+    from market_insights_app_spark.operators.graph import (
+        link_predict_common_neighbors,
+        synthetic_link_graph,
+    )
+
+    return link_predict_common_neighbors(
+        synthetic_link_graph(_docs(spark, sf))
+    )
+
+
+STAGED_ORACLES["link_prediction_cn"] = """
+    WITH n_t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    raw AS (
+      SELECT doc_id AS src,
+             ((doc_id % n) * (doc_id % n) + 1) % n AS dst
+      FROM documents CROSS JOIN n_t
+      UNION ALL
+      SELECT doc_id, (doc_id * 31 + 7) % n FROM documents CROSS JOIN n_t
+      UNION ALL
+      SELECT doc_id, doc_id % greatest(n // 50, 1)
+      FROM documents CROSS JOIN n_t
+    ),
+    und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM raw WHERE src <> dst),
+    deg AS (SELECT node, count(*) AS d
+            FROM (SELECT a AS node FROM und
+                  UNION ALL SELECT b FROM und)
+            GROUP BY node),
+    adj AS (SELECT a AS node, b AS nbr FROM und
+            UNION ALL SELECT b, a FROM und),
+    cadj AS (SELECT adj.node, adj.nbr FROM adj
+             JOIN deg ON deg.node = adj.node AND deg.d <= 32),
+    pairs AS (SELECT a1.nbr AS a, a2.nbr AS b
+              FROM cadj a1 JOIN cadj a2
+                ON a1.node = a2.node AND a1.nbr < a2.nbr),
+    fresh AS (SELECT a, b FROM pairs
+              WHERE NOT EXISTS (SELECT 1 FROM und
+                                WHERE und.a = pairs.a AND und.b = pairs.b))
+    SELECT a AS node_a, b AS node_b,
+           CAST(count(*) AS BIGINT) AS common_neighbors
+    FROM fresh GROUP BY a, b HAVING count(*) >= 2
+"""

@@ -392,3 +392,48 @@ def test_triangle_count_golden_and_bruteforce(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_link_predict_cn_planted_counts(spark):
+    """A star of 3 centers all adjacent to {10, 11} plus a direct
+    10–12 edge: pair (10, 11) shares exactly 3 neighbors and is
+    predicted; (10, 12) is ALREADY an edge so it must not appear even
+    though they share a neighbor; pairs sharing only 1 neighbor fall
+    under min_common."""
+    from market_insights_app_spark.operators.graph import (
+        link_predict_common_neighbors,
+    )
+
+    edges = [(c, x) for c in (1, 2, 3) for x in (10, 11)]
+    edges += [(1, 12), (10, 12)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r.node_a, r.node_b): r.common_neighbors
+        for r in link_predict_common_neighbors(df).collect()
+    }
+    assert got[(10, 11)] == 3
+    assert (10, 12) not in got  # existing edge suppressed
+    assert all(v >= 2 for v in got.values())
+
+
+def test_link_predict_cn_cap_excludes_hub_centers(spark):
+    """With the cap below the hub's degree, pairs whose ONLY shared
+    neighbor is the hub disappear — the documented semantics (wedge
+    work bounded by cap·m), replayed identically by the staged DuckDB
+    twin."""
+    from market_insights_app_spark.operators.graph import (
+        link_predict_common_neighbors,
+    )
+
+    hub = [(0, i) for i in range(1, 9)]  # deg(0) = 8
+    df = spark.createDataFrame(hub, "src long, dst long")
+    assert (
+        link_predict_common_neighbors(
+            df, max_center_degree=4, min_common=1
+        ).count()
+        == 0
+    )
+    out = link_predict_common_neighbors(
+        df, max_center_degree=8, min_common=1
+    )
+    assert out.count() == 8 * 7 // 2  # all leaf pairs share the hub

@@ -171,3 +171,64 @@ def test_heavy_hitters_stream_exactness_premise(spark, duck):
         "FROM events GROUP BY time_bucket(INTERVAL '30 minutes', ts))"
     ).fetchone()[0]
     assert n is not None and n <= 16, n
+
+
+def test_seasonal_decompose_recovers_planted_pattern(spark):
+    """A flat series with a planted +60 spike at hour 9 must come back
+    as: seasonal maximal (and strongly positive) at slot 9, the
+    additivity law value == trend + seasonal + residual wherever all
+    three are non-null (exact up to the 6 dp output rounding), and the
+    SMA-family warm-up contract (first/last 12 buckets per key carry
+    NULL trend)."""
+    import datetime as dt
+
+    from market_insights_app_spark.operators.market import (
+        seasonal_decompose,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + dt.timedelta(hours=i),
+            1,
+            "m",
+            160.0 if i % 24 == 9 else 100.0,
+        )
+        for i in range(24 * 10)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    out = seasonal_decompose(ev).collect()
+    assert len(out) == 240
+    by_h = sorted(out, key=lambda r: r.bucket_us)
+    assert all(r.trend is None for r in by_h[:12])
+    assert all(r.trend is None for r in by_h[-12:])
+    seas = {}
+    for r in out:
+        slot = dt.datetime.fromtimestamp(
+            r.bucket_us / 1e6, dt.timezone.utc
+        ).hour
+        seas.setdefault(slot, r.seasonal)
+        if r.trend is not None and r.seasonal is not None:
+            assert r.residual is not None
+            assert abs(
+                r.bucket_value - (r.trend + r.seasonal + r.residual)
+            ) < 2e-5, r
+    assert max(seas, key=seas.get) == 9
+    assert seas[9] > 40
+    assert all(v < 3 for s, v in seas.items() if s != 9)
+
+
+def test_seasonal_decompose_rejects_odd_period(spark):
+    import pytest as _pytest
+
+    from market_insights_app_spark.operators.market import (
+        seasonal_decompose,
+    )
+
+    df = spark.range(1)
+    with _pytest.raises(ValueError, match="positive even"):
+        seasonal_decompose(df, period=23)
