@@ -1027,6 +1027,13 @@ def seasonal_decompose(
         F.count(F.lit(1)).over(w).alias("nr"),
     )
     full = (F.col("tn") == w_len) & (F.col("nr") == w_len)
+    # t2 feeds TWO consumers (the seasonal aggregate and the final
+    # join) — without a lineage cut each re-derives the whole
+    # scan→bucket-agg→window subtree, i.e. a second full pass over the
+    # tick store at 100 TB.  The decomposed series is bucket-sized
+    # (keys × occupied buckets), so materializing it once is cheap;
+    # eager localCheckpoint is the in-repo standard (triangle_count,
+    # pagerank) and the ContextCleaner frees the blocks with the frame.
     t2 = t.select(
         "k",
         "h",
@@ -1038,7 +1045,7 @@ def seasonal_decompose(
         .cast("decimal(27,2)")
         .alias("det"),
         F.hour("h").alias("slot"),
-    )
+    ).localCheckpoint(eager=True)
     s = t2.groupBy("k", "slot").agg(
         F.sum("det").cast("decimal(32,2)").alias("sn"),
         F.count("det").alias("sc"),

@@ -180,6 +180,32 @@ _CHANGED_SINCE_ROW: list[str] = []
 #                                        catalog round-trip vs
 #                                        ★semdedup's oracle verbatim
 #                                        (closes r12 verdict gap #3)
+# Their pre-staged consolidation candidates (one retirement funds each
+# registration; all keep their golden value tests):
+#   for triangle_count            → retire `cube_agg` (its Expand-based
+#     grouping lattice is the same operator ★grouping_sets_revenue and
+#     ★rollup_revenue gate from both ends — CUBE is the grouping-sets
+#     special case with every subset listed)
+#   for semdedup_bucketed_roundtrip → retire `tumbling_window_agg`
+#     (tumbling = sliding with slide == duration; ★sliding_window_agg
+#     gates the general machinery and ★ohlc_stream_replay hash-gates
+#     tumbling semantics end-to-end through the streaming replay)
+#
+# r16 shelf (staged + fully gated this round, r13 continuation:
+# sf_oracle parity, degenerate/unicode sweeps, sf0.1 twin audits
+# green — 3,600 and 2,898 rows — plan pins in test_plan_quality.py):
+#   staged_q_seasonal_decompose — STL-lite trend/seasonal/residual
+#     over hourly bucket sums, exact-DECIMAL discipline (market.py)
+#   staged_q_link_prediction_cn — common-neighbor link prediction
+#     with the degree cap as query semantics (graph.py)
+# Pre-staged consolidation candidates:
+#   for seasonal_decompose  → retire `autocorr_lag1` (its lag-pair
+#     DECIMAL sufficient statistics are the ★pairwise_corr machinery
+#     over a ★lag_delta-gated shift — both stay gated from both ends)
+#   for link_prediction_cn  → retire `group_topk` (generic per-group
+#     rank-and-filter — the same row_number shape ★sample_per_group,
+#     ★vocab_topk and ★tfidf_top_terms gate over three different
+#     corpora)
 #
 # CEILING (computed, not guessed): N = 148 = 3W − 2.  The 2 slack
 # slots per 3-round cycle are what lets _CHANGED_SINCE_ROW re-gates

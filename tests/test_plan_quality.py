@@ -649,3 +649,33 @@ def test_split_leakage_no_cartesian_pairs(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_seasonal_decompose_lineage_cut_and_broadcast(spark):
+    """The decomposed bucket series feeds two consumers (seasonal agg,
+    final join); the eager checkpoint must keep the tick-store scan out
+    of the final plan entirely (one materialized pass, not two), the
+    k×24 seasonal table must come back as a broadcast join, and the
+    only shuffle left is the seasonal groupBy."""
+    from market_insights_app_spark.plans import textml
+
+    p = plan_of(
+        textml.staged_q_seasonal_decompose(spark, SF_ORACLE)
+    )
+    tree = p.split("\n\n")[0]
+    assert "Scan parquet" not in p  # both consumers read the checkpoint
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+    assert tree.count("Exchange") == 2  # seasonal groupBy + its broadcast
+
+
+def test_link_prediction_cn_no_cartesian(spark):
+    """The wedge join and the new-edge anti-join are equi-joins on
+    (node) / (a, b) — a cartesian or nested-loop form here is the
+    sum(deg²) scale killer the degree cap exists to prevent."""
+    from market_insights_app_spark.plans import textml
+
+    p = plan_of(textml.staged_q_link_prediction_cn(spark, SF_ORACLE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "LeftAnti" in p
