@@ -603,3 +603,92 @@ def link_predict_common_neighbors(
             "common_neighbors",
         )
     )
+
+
+def kcore(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 3,
+    rounds: int = 8,
+) -> DataFrame:
+    """Synchronized k-core peeling over an UNDIRECTED view of
+    ``edges`` (Seidman 1983; the Batagelj–Zaveršnik sequential peel
+    re-expressed as the bulk-synchronous variant every distributed
+    engine uses): each round simultaneously deletes EVERY node whose
+    degree in the current surviving subgraph is < ``k``, for a FIXED
+    ``rounds`` — the :func:`pagerank` iterations contract, so the
+    output is deterministic and twin-replayable whether or not the
+    peel has converged (when it has, the survivors are exactly the
+    k-core: the maximal subgraph of minimum degree ≥ k).  Rounds
+    needed in practice is the peeling DEPTH, typically O(log n) on
+    power-law graphs — a chain construction can force Θ(n), which is
+    why rounds is a parameter and not a convergence loop.
+
+    Returns (node, degree) for surviving nodes, degree measured in
+    the surviving subgraph.
+
+    Scale shape: per round, one degree aggregate + two left-semi
+    joins, all equi-keyed on the node — linear in surviving edges,
+    shrinking monotonically; each round's edge set is eagerly
+    checkpointed (the pagerank lineage-cut standard — without it
+    round r's plan re-derives all r−1 predecessors and the upstream
+    scan 2^r times).  Pure int64; no driver state beyond the loop
+    counter."""
+    if k < 1 or rounds < 0:
+        raise ValueError("k must be ≥ 1 and rounds ≥ 0")
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    alive = (
+        e.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = (
+            alive.select(F.col("a").alias("node"))
+            .union(alive.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        alive = (
+            alive.join(
+                keep.select(F.col("node").alias("a")), "a", "left_semi"
+            )
+            .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        alive.select(F.col("a").alias("node"))
+        .union(alive.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+def synthetic_clique(docs: DataFrame, target: int = 20) -> DataFrame:
+    """Deterministic ~``target``-node clique over the documents table
+    (members: doc_id ≡ 0 mod max(n/target, 1)) — the fixture arm that
+    gives :func:`kcore` a non-trivial STABLE core: the skewed link
+    graph alone is too homogeneous (k=4 peels everything within 8
+    rounds, k=3 peels nothing — measured at staging), while a clique
+    of size ≥ k+1 survives any k-core peel by construction.  Member
+    count is ~target at EVERY corpus size (the modulus scales with n),
+    so the clique contributes a CONSTANT ≤ C(target,2) edges — the
+    pair join below is a tiny bounded nested-loop, never a scale
+    term."""
+    cnt = docs.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    step = F.greatest(F.expr("n div 20"), F.lit(1).cast("long"))
+    sel = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(cnt))
+        .filter(F.col("doc_id") % step == 0)
+        .select("doc_id")
+    )
+    c1 = sel.select(F.col("doc_id").alias("src"))
+    c2 = sel.select(F.col("doc_id").alias("dst"))
+    return c1.join(F.broadcast(c2), F.col("src") < F.col("dst"))

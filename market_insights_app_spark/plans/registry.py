@@ -207,6 +207,18 @@ _CHANGED_SINCE_ROW: list[str] = []
 #     ★vocab_topk and ★tfidf_top_terms gate over three different
 #     corpora)
 #
+# r17 shelf (staged + fully gated this round: parity, degenerate/
+# unicode sweeps, sf0.1 audit 23 rows green, 100k/1M probes):
+#   staged_q_kcore — k-core survivors, 8 synchronized peel rounds
+#     (pagerank fixed-iterations contract) vs an unrolled
+#     MATERIALIZED-CTE DuckDB twin; clique fixture arm gives the peel
+#     a non-trivial stable core (graph.py kcore/synthetic_clique)
+# Pre-staged consolidation candidate:
+#   for kcore → retire `set_ops` (its union/intersect/except algebra
+#     is pinned cross-engine by ★union_merge_dedup's union-anti form
+#     and the anti/semi joins inside every dedup/decontaminate gate;
+#     golden tests stay)
+#
 # CEILING (computed, not guessed): N = 148 = 3W − 2.  The 2 slack
 # slots per 3-round cycle are what lets _CHANGED_SINCE_ROW re-gates
 # and new registrations happen at all; registering past 148 without a

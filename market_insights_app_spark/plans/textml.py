@@ -3293,3 +3293,78 @@ STAGED_ORACLES["link_prediction_cn"] = """
            CAST(count(*) AS BIGINT) AS common_neighbors
     FROM fresh GROUP BY a, b HAVING count(*) >= 2
 """
+
+
+def staged_q_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """r17 staging candidate: k-core decomposition survivors over the
+    deterministic skewed link graph PLUS a ~20-node clique arm
+    (operators/graph.kcore / synthetic_clique, k=5, 8 synchronized
+    peeling rounds — the pagerank fixed-iterations contract, so the
+    DuckDB twin replays the identical 8-round peel as unrolled
+    MATERIALIZED CTEs and the gate hash-checks every round's
+    simultaneous-deletion semantics).  Fixture calibration (measured
+    at staging): k=5 peels deeply THROUGH a multi-round cascade
+    (sf0.1: 879 → 200 → 23 survivors by rounds 1/2/4) and stabilizes
+    on the clique core — the bare link graph is too homogeneous (k=4
+    empties, k=3 never peels), which is exactly why the clique arm
+    exists.  The fifth graph primitive (after PageRank, connected
+    components, triangles, link prediction): the standard "dense
+    enough to matter" filter a graph pipeline runs before
+    community/motif work.  Pure int64."""
+    from market_insights_app_spark.operators.graph import (
+        kcore,
+        synthetic_clique,
+        synthetic_link_graph,
+    )
+
+    docs = _docs(spark, sf)
+    g = synthetic_link_graph(docs).union(synthetic_clique(docs))
+    return kcore(g, k=5, rounds=8)
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 8) -> str:
+    # Every CTE is AS MATERIALIZED: DuckDB inlines plain CTEs, and each
+    # peel round references its predecessor ~4 times (degree union x2,
+    # survivor joins x2), so the inlined e8 expands ~4^8 subtrees and
+    # re-opens the parquet at every leaf ("Too many open files", found
+    # at staging).  The pagerank oracle survives unmaterialized only
+    # because its chain is linear.
+    steps = []
+    for r in range(rounds):
+        steps.append(f"""
+    d{r} AS MATERIALIZED (SELECT node, count(*) AS c
+             FROM (SELECT a AS node FROM e{r}
+                   UNION ALL SELECT b FROM e{r})
+             GROUP BY node),
+    s{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE c >= {k}),
+    e{r + 1} AS MATERIALIZED (SELECT e{r}.a, e{r}.b FROM e{r}
+                 JOIN s{r} x ON x.node = e{r}.a
+                 JOIN s{r} y ON y.node = e{r}.b)""")
+    return f"""
+    WITH n_t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    raw AS (
+      SELECT doc_id AS src,
+             ((doc_id % n) * (doc_id % n) + 1) % n AS dst
+      FROM documents CROSS JOIN n_t
+      UNION ALL
+      SELECT doc_id, (doc_id * 31 + 7) % n FROM documents CROSS JOIN n_t
+      UNION ALL
+      SELECT doc_id, doc_id % greatest(n // 50, 1)
+      FROM documents CROSS JOIN n_t
+      UNION ALL
+      SELECT c1.doc_id, c2.doc_id
+      FROM documents c1 CROSS JOIN n_t, documents c2
+      WHERE c1.doc_id % greatest(n // 20, 1) = 0
+        AND c2.doc_id % greatest(n // 20, 1) = 0
+        AND c1.doc_id < c2.doc_id
+    ),
+    e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM raw WHERE src <> dst),{",".join(steps)}
+    SELECT node, CAST(count(*) AS BIGINT) AS degree
+    FROM (SELECT a AS node FROM e{rounds}
+          UNION ALL SELECT b FROM e{rounds})
+    GROUP BY node
+"""
+
+
+STAGED_ORACLES["kcore"] = _kcore_oracle(k=5)

@@ -437,3 +437,69 @@ def test_link_predict_cn_cap_excludes_hub_centers(spark):
         df, max_center_degree=8, min_common=1
     )
     assert out.count() == 8 * 7 // 2  # all leaf pairs share the hub
+
+
+def test_kcore_golden_k5_plus_tail(spark):
+    """K5 with a pendant chain: 3-core peeling removes the chain
+    (degree < 3 cascades down it) and keeps exactly the K5, every
+    survivor at degree 4."""
+    from market_insights_app_spark.operators.graph import kcore
+
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    tail = [(4, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(k5 + tail, "src long, dst long")
+    got = {r.node: r.degree for r in kcore(df, k=3, rounds=8).collect()}
+    assert got == {i: 4 for i in range(5)}
+
+
+def test_kcore_matches_python_synchronized_peel(spark):
+    """Fixed-round output equals a pure-Python synchronized peel on a
+    random-ish deterministic graph, at a round count BELOW convergence
+    too — the twin replays rounds, not the fixpoint, so the operator
+    must match round-for-round."""
+    from market_insights_app_spark.operators.graph import kcore
+
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                ((i * 7 + 3) % 23, (i * i + 1) % 23) for i in range(60)
+            )
+            if a != b
+        }
+    )
+
+    def python_peel(und, k, rounds):
+        alive = set(und)
+        for _ in range(rounds):
+            deg: dict = {}
+            for a, b in alive:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            keep = {n for n, d in deg.items() if d >= k}
+            alive = {(a, b) for a, b in alive if a in keep and b in keep}
+        deg = {}
+        for a, b in alive:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        return deg
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for k, rounds in ((3, 8), (3, 1), (4, 2), (2, 0)):
+        got = {
+            r.node: r.degree
+            for r in kcore(df, k=k, rounds=rounds).collect()
+        }
+        assert got == python_peel(edges, k, rounds), (k, rounds)
+
+
+def test_kcore_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from market_insights_app_spark.operators.graph import kcore
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pytest.raises(ValueError):
+        kcore(df, k=0)
+    with _pytest.raises(ValueError):
+        kcore(df, rounds=-1)
