@@ -219,6 +219,36 @@ _CHANGED_SINCE_ROW: list[str] = []
 #     and the anti/semi joins inside every dedup/decontaminate gate;
 #     golden tests stay)
 #
+# r18 shelf (staged + fully gated this round: parity, degenerate/
+# unicode sweeps — the empty-corpus schema-inference crasher was
+# found and fixed by the sweep before staging — sf0.1 audit 956 rows
+# green, 68.8% of files skipped for the gate box at sf0.1):
+#   staged_q_zorder_skip_roundtrip — the Z-order data-skipping path
+#     through storage: cluster → write → footer stats from read-back
+#     → min/max file pruning → pruned re-read, vs the plain-WHERE
+#     DuckDB twin (a hash match proves pruning is false-negative-free
+#     whatever file boundaries the range partitioner sampled)
+# Pre-staged consolidation candidate:
+#   for zorder_skip_roundtrip → retire `minmax_normalize` (its
+#     per-key min/max window is the machinery ★minmax_mid_premium
+#     and ★trailing_max_argmax gate from both ends; the zero-range
+#     division guard keeps its golden test)
+#
+# r19 shelf (staged + fully gated this round: parity, degenerate/
+# unicode sweeps, sf0.1 audit 148,453 rows green, micro-batch-
+# boundary + batch-law pins in test_staged_r10_ops.py):
+#   staged_q_cdc_stream_apply — the CDC round-trip law THROUGH
+#     streaming and ACID storage: snapshot_diff feed replayed as a
+#     multi-micro-batch file stream, each batch one atomic TxnTable
+#     MERGE with soft-delete tombstones (ingest.cdc_apply_batch),
+#     final snapshot state vs NEW computed directly
+# Pre-staged consolidation candidate:
+#   for cdc_stream_apply → retire `snapshot_diff` (its exact output
+#     shape — statuses + old_/new_ columns — is consumed whole by TWO
+#     gated compositions: ★cdc_apply_roundtrip's apply∘diff==new law
+#     and the stream row's merge path; the diff operator keeps its
+#     golden + property tests)
+#
 # CEILING (computed, not guessed): N = 148 = 3W − 2.  The 2 slack
 # slots per 3-round cycle are what lets _CHANGED_SINCE_ROW re-gates
 # and new registrations happen at all; registering past 148 without a

@@ -3368,3 +3368,148 @@ def _kcore_oracle(k: int = 3, rounds: int = 8) -> str:
 
 
 STAGED_ORACLES["kcore"] = _kcore_oracle(k=5)
+
+
+def staged_q_zorder_skip_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """r18 staging candidate: the Z-order data-skipping path hash-gated
+    THROUGH storage (the semdedup_bucketed_roundtrip pattern applied to
+    layout.py, whose gates today are unit-only): events are z-order
+    clustered on (user_id, value) into 16 files (operators/layout.
+    zorder_assign — Morton interleave, one repartitionByRange), written
+    to parquet partitioned by file, per-file min/max stats derived from
+    the READ-BACK data (what a table format's footer records), a 2-D
+    box predicate prunes files on those stats, and ONLY surviving files
+    are re-read and row-filtered.  The DuckDB twin is the plain WHERE —
+    so a hash match proves min/max pruning dropped no qualifying row
+    (false-negative-free skipping), whatever file boundaries the range
+    partitioner sampled.  The skip RATIO is deliberately not in the
+    gate (boundaries are sampling-dependent); it is priced in
+    scripts/zorder_probe.py and pinned directionally in
+    tests/test_zorder_layout.py."""
+    import tempfile
+
+    from market_insights_app_spark.operators.layout import (
+        layout_stats,
+        zorder_assign,
+    )
+
+    lo_u, hi_u, lo_v, hi_v = 10, 40, 20.0, 80.0
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "user_id", "value"
+    )
+    root = tempfile.mkdtemp(prefix="mias_zorder_rt_")
+    laid = zorder_assign(ev, ["user_id", "value"], n_files=16)
+    laid.write.mode("overwrite").partitionBy("__file").parquet(root)
+    # explicit schema: an EMPTY corpus writes no partition dirs, and a
+    # schema-less read of the bare root cannot infer one (found by the
+    # degenerate sweep)
+    back = spark.read.schema(laid.schema).parquet(root)
+    stats = layout_stats(back, ["user_id", "value"]).collect()
+    keep = [
+        r["__file"]
+        for r in stats
+        if r["min_user_id"] is not None
+        and r["max_user_id"] >= lo_u
+        and r["min_user_id"] <= hi_u
+        and r["max_value"] >= lo_v
+        and r["min_value"] <= hi_v
+    ]
+    row_filter = (
+        F.col("user_id").between(lo_u, hi_u)
+        & F.col("value").between(lo_v, hi_v)
+    )
+    cols = ["event_id", "user_id", "value"]
+    if not keep:
+        return ev.filter(row_filter).limit(0).select(*cols)
+    pruned = spark.read.parquet(
+        *[f"{root}/__file={k}" for k in keep]
+    )
+    return pruned.filter(row_filter).select(*cols)
+
+
+STAGED_ORACLES["zorder_skip_roundtrip"] = """
+    SELECT event_id, user_id, value FROM events
+    WHERE user_id BETWEEN 10 AND 40 AND value BETWEEN 20.0 AND 80.0
+"""
+
+
+def staged_q_cdc_stream_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """r19 staging candidate: the CDC round-trip law extended through
+    STREAMING and ACID storage in one gate — the ★cdc_apply_roundtrip
+    change feed (reconcile.snapshot_diff over the deterministic orders
+    snapshots) is written to files, replayed as a file STREAM in
+    multiple micro-batches (maxFilesPerTrigger=2 over 8 files), and
+    each micro-batch lands on a TxnTable seeded with OLD as one atomic
+    MERGE via streaming/ingest.cdc_apply_batch (soft-delete
+    tombstones, no driver key collection).  The final non-tombstone
+    state read back through the snapshot log must equal NEW computed
+    directly — the DuckDB twin never sees the diff, the stream, or
+    the log.  What this gates that the batch row cannot: micro-batch
+    boundary invariance (diff rows are one-per-key so disjoint merges
+    commute), the foreachBatch→MERGE composition, and the read-after-
+    stream snapshot."""
+    import tempfile
+
+    from market_insights_app_spark.operators.reconcile import snapshot_diff
+    from market_insights_app_spark.storage.txnlog import TxnTable
+    from market_insights_app_spark.streaming.ingest import (
+        cdc_apply_batch,
+        run_available_now_foreach_batch,
+    )
+
+    orders = load_table(spark, sf, "orders")
+    old = orders.filter(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = (
+        orders.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderpriority") == "1-URGENT",
+                F.col("o_totalprice") + F.lit(10.0),
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+    diff = snapshot_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+    feed = tempfile.mkdtemp(prefix="mias_cdc_feed_")
+    diff.repartition(8).write.mode("overwrite").parquet(feed)
+
+    t = TxnTable(spark, tempfile.mkdtemp(prefix="mias_cdc_tbl_"))
+    t.append(
+        old.withColumn("deleted", F.lit(False)), stats_col="o_orderkey"
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(feed).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(feed)
+    )
+    run_available_now_foreach_batch(
+        stream,
+        lambda b: cdc_apply_batch(
+            b, t, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+        ),
+        shuffle_partitions=8,
+    )
+    return (
+        t.read()
+        .filter(~F.col("deleted"))
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "o_orderstatus",
+        )
+    )
+
+
+STAGED_ORACLES["cdc_stream_apply"] = """
+    SELECT o_orderkey,
+           round(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN o_totalprice + 10.0 ELSE o_totalprice END, 2)
+             AS totalprice,
+           o_orderstatus
+    FROM orders WHERE o_orderkey % 97 <> 0
+"""

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import tempfile
 import time
 import uuid
 from contextlib import contextmanager
@@ -553,3 +554,59 @@ def windowed_heavy_hitters(
         F.col("e.item").alias("item"),
         F.col("e.count").alias("est_count"),
     )
+
+
+def run_available_now_foreach_batch(
+    stream_df: DataFrame,
+    batch_fn,
+    shuffle_partitions: int | None = None,
+):
+    """Drain everything currently available through a ``foreachBatch``
+    sink and stop — the :func:`run_available_now_to_memory` analog for
+    sinks that write somewhere real (TxnTable, parquet targets).  Same
+    temporary shuffle-width override, same sequential-replay caveat."""
+    global LAST_REPLAY_QUERY
+    spark = stream_df.sparkSession
+    prev = None
+    if shuffle_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(
+                lambda b, _id: batch_fn(b)
+            )
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="mias_feb_ckpt_"),
+            )
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    LAST_REPLAY_QUERY = q
+    return q
+
+
+def cdc_apply_batch(batch: DataFrame, table, key_cols: list[str], value_cols: list[str]) -> None:
+    """foreachBatch sink body: apply one micro-batch of a
+    ``snapshot_diff`` change feed onto a :class:`TxnTable` as ONE
+    atomic MERGE — added/changed keys take their ``new_<c>`` values,
+    removed keys become tombstones (``deleted = true``, the soft-delete
+    CDC-to-table convention: no driver-side key collection, readers
+    filter ``deleted``).  Batch boundaries cannot change the outcome: a
+    snapshot diff carries at most one row per key, so merges of
+    disjoint key sets commute — the stream-replayed final state equals
+    the batch :func:`~market_insights_app_spark.operators.reconcile.
+    apply_changes` law whatever the file-source split was."""
+    if not batch.take(1):
+        return  # empty micro-batch: nothing to commit
+    up = batch.select(
+        *key_cols,
+        *[F.col(f"new_{c}").alias(c) for c in value_cols],
+        (F.col("status") == F.lit("removed")).alias("deleted"),
+    )
+    table.merge(up, key_cols=key_cols)

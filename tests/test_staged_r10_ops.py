@@ -232,3 +232,29 @@ def test_seasonal_decompose_rejects_odd_period(spark):
     df = spark.range(1)
     with _pytest.raises(ValueError, match="positive even"):
         seasonal_decompose(df, period=23)
+
+
+def test_cdc_stream_apply_crosses_batches_and_matches_batch_law(spark):
+    """The staged CDC stream replay must (a) actually cross micro-batch
+    boundaries — a single-batch drain would gate nothing the batch row
+    doesn't — and (b) land on exactly the state the batch
+    apply_changes law produces (★cdc_apply_roundtrip's output), key
+    for key."""
+    from market_insights_app_spark.plans import textml
+    from market_insights_app_spark.plans.core import q_cdc_apply_roundtrip
+    from market_insights_app_spark.streaming import ingest
+
+    streamed = {
+        r.o_orderkey: (r.totalprice, r.o_orderstatus)
+        for r in textml.staged_q_cdc_stream_apply(
+            spark, SF_ORACLE
+        ).collect()
+    }
+    q = ingest.LAST_REPLAY_QUERY
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(fed) >= 2, "replay did not cross a micro-batch boundary"
+    batch = {
+        r.o_orderkey: (r.totalprice, r.o_orderstatus)
+        for r in q_cdc_apply_roundtrip(spark, SF_ORACLE).collect()
+    }
+    assert streamed == batch
