@@ -249,6 +249,26 @@ _CHANGED_SINCE_ROW: list[str] = []
 #     and the stream row's merge path; the diff operator keeps its
 #     golden + property tests)
 #
+# r20 shelf (staged + fully gated this round: parity, degenerate/
+# unicode sweeps — the empty-corpus no-first-commit branch is guarded
+# and swept — sf0.1 audit 4,992 rows value-match, ~8 s Spark side):
+#   staged_q_forget_propagation — the right-to-be-forgotten law
+#     through ACID storage AND derived-view recompute: a duplicate
+#     corpus is appended to a TxnTable, the forget set delete_where'd,
+#     history TRUNCATED (storage/txnlog.truncate_history, new this
+#     round — the Delta logRetentionDuration analog that makes
+#     deletes physically reclaimable) and vacuumed, then exact-dedup
+#     survivors recomputed from the surviving snapshot.  The hash
+#     catches filter-the-old-output implementations: forgotten
+#     keepers must RE-ELECT their retained duplicate (three cluster
+#     fates pinned in test_staged_r10_ops.py); physical erasure
+#     itself is unit-pinned in test_txn_table.py.
+# Pre-staged consolidation candidate:
+#   for forget_propagation → retire `dedup_exact` (strict subset: the
+#     identical md5-fingerprint group-agg law is the forget gate's
+#     final stage, and the fingerprint column itself stays gated by
+#     ★fingerprint_docs; dedup_exact keeps its golden tests)
+#
 # CEILING (computed, not guessed): N = 148 = 3W − 2.  The 2 slack
 # slots per 3-round cycle are what lets _CHANGED_SINCE_ROW re-gates
 # and new registrations happen at all; registering past 148 without a

@@ -3513,3 +3513,64 @@ STAGED_ORACLES["cdc_stream_apply"] = """
            o_orderstatus
     FROM orders WHERE o_orderkey % 97 <> 0
 """
+
+
+def staged_q_forget_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """r20 staging candidate: the right-to-be-forgotten law gated
+    through ACID storage AND derived-view recompute in one hash.  A
+    deterministic duplicate corpus (documents ∪ a doc_id+100000 copy of
+    itself) is appended to a TxnTable, the forget set (doc_id % 53 = 0)
+    is removed with delete_where, history is truncated and vacuumed so
+    the forgotten bytes physically leave storage (storage/txnlog.
+    truncate_history — the Delta logRetentionDuration analog; a row
+    DELETE alone keeps the bytes reachable via time travel), and
+    exact-dedup survivors are RECOMPUTED from the surviving snapshot
+    (generalizing reference db.py:92-99 delete + db.py:126-131 dedup).
+    The DuckDB twin computes survivors over the retained corpus
+    directly — it never sees the table, the log, or the vacuum.
+
+    What the hash distinguishes that a filter-the-old-output
+    implementation gets wrong: clusters whose keeper was forgotten
+    (doc_id ≡ 0 mod 53) must RE-ELECT the retained copy as keeper
+    (keeper becomes doc_id+100000); clusters that lost only the copy
+    (doc_id ≡ 11 mod 53, since 100000 ≡ 42 mod 53) shrink n 2→1 with
+    the keeper unchanged; every other cluster is untouched.  Physical
+    erasure itself is unit-pinned (tests/test_txn_table.py
+    test_truncate_history_enables_physical_forget) — a value hash
+    cannot see storage."""
+    import tempfile
+
+    from market_insights_app_spark.storage.txnlog import TxnTable
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + F.lit(100000)).alias("doc_id"), "text")
+    )
+    out_schema = "fp string, keeper bigint, n bigint"
+    if corpus.isEmpty():
+        # an empty corpus has no first commit to delete from; the
+        # degenerate-sweep contract is an empty result, not a stacktrace
+        return spark.createDataFrame([], out_schema)
+    t = TxnTable(spark, tempfile.mkdtemp(prefix="mias_forget_"))
+    t.append(corpus, stats_col="doc_id")
+    t.delete_where(F.col("doc_id") % 53 == 0)
+    t.truncate_history()
+    t.vacuum(retain_seconds=0.0)
+    retained = t.read()
+    return (
+        retained.select(TX.md5_fingerprint("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+STAGED_ORACLES["forget_propagation"] = f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text FROM documents
+    )
+    SELECT md5({_NORM_SQL}) AS fp, min(doc_id) AS keeper, COUNT(*) AS n
+    FROM corpus WHERE doc_id % 53 <> 0
+    GROUP BY 1
+"""

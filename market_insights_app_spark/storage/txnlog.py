@@ -143,10 +143,18 @@ class TxnTable:
         out.sort()
         # a racing listdir can observe version N+1 while missing N (no
         # directory-listing snapshot on POSIX); replay only the
-        # contiguous prefix so a snapshot is always a real table state
+        # contiguous run so a snapshot is always a real table state.
+        # The run is anchored at the OLDEST visible entry, not at 0:
+        # truncate_history() deletes old entries only AFTER publishing
+        # a checkpoint that covers everything below the survivors, and
+        # deletes oldest-first, so any anchor a reader can observe is
+        # either 0 or checkpoint-covered (snapshot() enforces that).
+        if not out:
+            return []
         contiguous = []
+        base = out[0]
         for i, v in enumerate(out):
-            if v != i:
+            if v != base + i:
                 break
             contiguous.append(v)
         return contiguous
@@ -182,13 +190,19 @@ class TxnTable:
         v = snap_after.version
         if v < 0 or (v + 1) % self.checkpoint_interval != 0:
             return
+        self._force_checkpoint(snap_after)
+
+    def _force_checkpoint(self, snap: Snapshot) -> None:
+        """Write the full live map for `snap` unconditionally.  Replay
+        is deterministic, so racing writers produce identical content —
+        the loser's FileExists is benign."""
         log = self._log_path()
         tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}")
-        final = os.path.join(log, f"checkpoint-{v:0{_V_WIDTH}d}.json")
+        final = os.path.join(log, f"checkpoint-{snap.version:0{_V_WIDTH}d}.json")
         body = {
-            "version": v,
-            "files": snap_after.files,
-            "schema": snap_after.schema_json,
+            "version": snap.version,
+            "files": snap.files,
+            "schema": snap.schema_json,
         }
         with open(tmp, "w") as fh:
             json.dump(body, fh)
@@ -228,6 +242,14 @@ class TxnTable:
             )
         snap = Snapshot(version=-1)
         cp = self._latest_checkpoint(target)
+        if versions[0] > 0 and (cp is None or cp["version"] < versions[0] - 1):
+            # only truncate_history() can remove version 0, and it
+            # publishes a covering checkpoint first — a hole here means
+            # the log was tampered with, not truncated
+            raise ValueError(
+                f"log starts at version {versions[0]} with no checkpoint "
+                "covering the truncated prefix"
+            )
         if cp is not None:
             snap = Snapshot(
                 version=cp["version"],
@@ -741,6 +763,67 @@ class TxnTable:
 
     # -- maintenance -------------------------------------------------
 
+    def truncate_history(self, retain_versions: int = 1) -> list[int]:
+        """Irreversibly drop time travel older than the newest
+        ``retain_versions`` commits, so a following ``vacuum()`` can
+        physically reclaim every byte only the dropped versions
+        reference.  This is the right-to-be-forgotten completion of
+        ``delete_where``: a row DELETE removes rows from the LIVE
+        snapshot, but each older version still references the data
+        directories holding them, and vacuum honors that — forgotten
+        content physically persists until history is truncated.  (The
+        Delta analog is checkpoint + ``logRetentionDuration`` metadata
+        cleanup; same contract: time travel below the cutoff fails
+        loudly afterwards, and ``last_txn`` markers older than the
+        cutoff are forgotten, so streaming writers must keep
+        ``retain_versions`` ≥ their replay window.)
+
+        Reader-safe ordering: a full checkpoint AT the oldest
+        surviving version is published (atomic link) BEFORE any log
+        entry is unlinked, and entries are unlinked oldest-first — so
+        the oldest version any racing reader can anchor on is always
+        either 0 or checkpoint-covered.  A reader that already
+        resolved a dropped version keeps working until vacuum removes
+        its files (the same read-vs-vacuum window Delta documents).
+
+        Returns the dropped version numbers (empty = nothing to drop).
+        """
+        if retain_versions < 1:
+            raise ValueError("retain_versions must be >= 1")
+        versions = self._versions()
+        if not versions:
+            return []
+        cutoff = versions[-1] - retain_versions + 1
+        if cutoff <= versions[0]:
+            return []
+        # publish the covering checkpoint AT the oldest survivor first:
+        # replay of any surviving version starts there, and — unlike a
+        # checkpoint at cutoff-1 — it references only post-cutoff state,
+        # so vacuum is free to reclaim what the dropped versions held
+        # (for the forget flow, cutoff = the delete commit itself)
+        self._force_checkpoint(self.snapshot(cutoff))
+        log = self._log_path()
+        dropped: list[int] = []
+        for v in versions:
+            if v >= cutoff:
+                break
+            try:
+                os.unlink(os.path.join(log, _fmt_version(v)))
+                dropped.append(v)
+            except FileNotFoundError:
+                pass  # concurrent truncate already dropped it
+        # checkpoints strictly below the covering one reference only
+        # dropped history — remove them so vacuum can reclaim
+        for f in os.listdir(log):
+            if f.startswith("checkpoint-") and f.endswith(".json"):
+                cv = int(f[len("checkpoint-") : -len(".json")])
+                if cv < cutoff:
+                    try:
+                        os.unlink(os.path.join(log, f))
+                    except FileNotFoundError:
+                        pass
+        return dropped
+
     def vacuum(self, retain_seconds: float = 3600.0) -> list[str]:
         """Delete data directories no commit references, older than
         `retain_seconds` (mtime).  The age guard is what keeps an
@@ -756,6 +839,19 @@ class TxnTable:
                 # an optimize commit references per-bucket SUBdirs of one
                 # physical root — protect the whole root directory
                 referenced.add("/".join(a["dir"].split("/")[:2]))
+        # after truncate_history() a directory may be referenced ONLY by
+        # the covering checkpoint (its adding commit is gone) — protect
+        # everything any surviving checkpoint still maps
+        log = self._log_path()
+        for f in os.listdir(log):
+            if f.startswith("checkpoint-") and f.endswith(".json"):
+                try:
+                    with open(os.path.join(log, f)) as fh:
+                        cp = json.load(fh)
+                except (OSError, json.JSONDecodeError):
+                    continue
+                for d in cp.get("files", {}):
+                    referenced.add("/".join(d.split("/")[:2]))
         dropped = []
         data_root = os.path.join(self.path, DATA_DIR)
         now = time.time()

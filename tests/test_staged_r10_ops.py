@@ -258,3 +258,41 @@ def test_cdc_stream_apply_crosses_batches_and_matches_batch_law(spark):
         for r in q_cdc_apply_roundtrip(spark, SF_ORACLE).collect()
     }
     assert streamed == batch
+
+
+def test_forget_propagation_reelects_keepers(spark):
+    """The staged forget gate must exercise all three cluster fates —
+    keeper re-elected (original forgotten, copy retained), cluster
+    shrunk (copy forgotten), untouched — otherwise a
+    filter-the-old-survivors implementation would pass it."""
+    from market_insights_app_spark.plans import textml
+
+    out = {
+        r.fp: (r.keeper, r.n)
+        for r in textml.staged_q_forget_propagation(spark, SF_ORACLE).collect()
+    }
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    base = {
+        r.fp: r.keeper
+        for r in docs.selectExpr(
+            "md5(trim(regexp_replace(lower(text), '\\\\s+', ' '))) AS fp",
+            "doc_id AS keeper",
+        ).collect()
+    }
+    reelected = sum(
+        1 for fp, kid in base.items()
+        if kid % 53 == 0 and fp in out and out[fp][0] == kid + 100000
+    )
+    shrunk = sum(
+        1 for fp, kid in base.items()
+        if kid % 53 == 11 and fp in out and out[fp] == (kid, 1)
+    )
+    untouched = sum(
+        1 for fp, kid in base.items()
+        if kid % 53 not in (0, 11) and fp in out and out[fp] == (kid, 2)
+    )
+    assert reelected > 0, "no forgotten keeper was re-elected"
+    assert shrunk > 0, "no cluster lost only its copy"
+    assert untouched > 0
+    # and nothing forgotten survives as a keeper
+    assert all(k % 53 != 0 for k, _ in out.values())

@@ -551,3 +551,75 @@ def test_post_evolution_ops_keep_consistency(spark, table):
     pre = table.read(version=v_evolve - 1)
     assert pre.columns == ["id", "val"]
     assert dict(_rows(pre)) == {1: "a", 2: "b", 3: "c"}
+
+
+# -- truncate_history: the right-to-be-forgotten completion ----------
+
+
+def test_truncate_history_enables_physical_forget(spark, table):
+    """delete_where removes rows from the LIVE snapshot only — every
+    older version still references the bytes and vacuum honors that.
+    truncate_history + vacuum is the physical-erasure completion: after
+    it, NO parquet file under the table root contains a forgotten row,
+    retained rows are intact, time travel below the cutoff fails
+    loudly, and the table keeps working (fresh readers resolve from the
+    covering checkpoint; appends continue)."""
+    table.append(_mk(spark, [(k, f"t{k}") for k in range(0, 10)]), stats_col="id")
+    table.append(_mk(spark, [(k, f"t{k}") for k in range(10, 20)]), stats_col="id")
+    table.delete_where(F.col("id") % 3 == 0)
+    keep = sorted((k, f"t{k}") for k in range(20) if k % 3 != 0)
+    assert _rows(table.read()) == keep
+    # pre-truncation: forgotten bytes still physically present
+    data_root = os.path.join(table.path, "data")
+    def _all_rows():
+        dirs = [os.path.join(data_root, d) for d in os.listdir(data_root)]
+        return spark.read.parquet(*dirs)
+    assert _all_rows().filter(F.col("id") % 3 == 0).count() > 0
+    assert table.vacuum(retain_seconds=0.0) == []  # every dir logged
+    dropped = table.truncate_history()
+    assert dropped == [0, 1]
+    assert len(table.vacuum(retain_seconds=0.0)) == 2
+    # physical erasure, retained intact
+    assert _all_rows().filter(F.col("id") % 3 == 0).count() == 0
+    assert _rows(_all_rows()) == keep
+    # time travel below the cutoff is a loud error
+    with pytest.raises(ValueError, match="not in log"):
+        table.read(version=0)
+    # a FRESH reader resolves from the covering checkpoint
+    t2 = TxnTable(spark, table.path)
+    assert _rows(t2.read()) == keep
+    # and the table keeps taking writes
+    t2.append(_mk(spark, [(100, "new")]), stats_col="id")
+    assert _rows(t2.read()) == keep + [(100, "new")]
+
+
+def test_truncate_history_retain_window_keeps_time_travel(spark, table):
+    """retain_versions keeps the newest N versions resolvable — and
+    vacuum must protect a directory whose ADDING commit was dropped but
+    which a surviving version still references (after truncation that
+    reference lives only in the covering checkpoint)."""
+    table.append(_mk(spark, [(1, "a")]), stats_col="id")   # v0 -> dirA
+    table.append(_mk(spark, [(2, "b")]), stats_col="id")   # v1 -> dirB
+    table.append(_mk(spark, [(3, "c")]), stats_col="id")   # v2 -> dirC
+    assert table.truncate_history(retain_versions=2) == [0]
+    # dirA's adding commit (v0) is gone, but v1 still references dirA
+    # via the covering checkpoint — vacuum must not reclaim it
+    assert table.vacuum(retain_seconds=0.0) == []
+    assert _rows(table.read(version=1)) == [(1, "a"), (2, "b")]
+    assert _rows(table.read(version=2)) == [(1, "a"), (2, "b"), (3, "c")]
+    with pytest.raises(ValueError, match="not in log"):
+        table.read(version=0)
+
+
+def test_truncate_history_noop_and_validation(spark, table):
+    assert table.truncate_history() == []  # empty table
+    table.append(_mk(spark, [(1, "a")]), stats_col="id")
+    assert table.truncate_history() == []  # nothing below the survivor
+    assert table.truncate_history(retain_versions=5) == []
+    with pytest.raises(ValueError, match="retain_versions"):
+        table.truncate_history(retain_versions=0)
+    # idempotent: a second truncate after a real one drops nothing new
+    table.append(_mk(spark, [(2, "b")]), stats_col="id")
+    assert table.truncate_history() == [0]
+    assert table.truncate_history() == []
+    assert _rows(table.read()) == [(1, "a"), (2, "b")]
