@@ -623,3 +623,40 @@ def test_truncate_history_noop_and_validation(spark, table):
     assert table.truncate_history() == [0]
     assert table.truncate_history() == []
     assert _rows(table.read()) == [(1, "a"), (2, "b")]
+
+
+def test_truncate_races_concurrent_appenders(spark, table):
+    """Writers committing WHILE history is truncated: every append must
+    land (append never reads old history, so truncation can't
+    invalidate it), the final state must contain all rows except the
+    forgotten prefix's deletions, and a fresh reader must resolve
+    cleanly from the covering checkpoint."""
+    for k in range(4):
+        table.append(_mk(spark, [(k, f"base{k}")]), stats_col="id")
+    errs: list[Exception] = []
+
+    def appender(i):
+        try:
+            table.append(_mk(spark, [(100 + i, f"w{i}")]), stats_col="id")
+        except Exception as e:  # pragma: no cover - failure diagnostics
+            errs.append(e)
+
+    def truncator():
+        try:
+            table.truncate_history(retain_versions=2)
+        except Exception as e:  # pragma: no cover - failure diagnostics
+            errs.append(e)
+
+    ths = [threading.Thread(target=appender, args=(i,)) for i in range(4)]
+    ths.insert(2, threading.Thread(target=truncator))
+    [th.start() for th in ths]
+    [th.join() for th in ths]
+    assert not errs
+    expect = [(k, f"base{k}") for k in range(4)] + [
+        (100 + i, f"w{i}") for i in range(4)
+    ]
+    assert _rows(table.read()) == sorted(expect)
+    assert _rows(TxnTable(spark, table.path).read()) == sorted(expect)
+    # vacuum after the dust settles reclaims nothing still referenced
+    table.vacuum(retain_seconds=0.0)
+    assert _rows(table.read()) == sorted(expect)
