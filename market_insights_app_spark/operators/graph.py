@@ -692,3 +692,71 @@ def synthetic_clique(docs: DataFrame, target: int = 20) -> DataFrame:
     c1 = sel.select(F.col("doc_id").alias("src"))
     c2 = sel.select(F.col("doc_id").alias("dst"))
     return c1.join(F.broadcast(c2), F.col("src") < F.col("dst"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007, the bulk-synchronous min-tie variant the
+    GraphX/Pregel implementations use): every node starts labeled with
+    itself; each round every node SIMULTANEOUSLY adopts the most
+    frequent label among its neighbors, ties broken by MIN label — so
+    each round is a pure function of the previous labeling and the
+    output is deterministic and twin-replayable.  Fixed ``rounds`` (the
+    :func:`pagerank` iterations contract): synchronous LPA is known to
+    oscillate on bipartite-ish structures rather than converge, which
+    is precisely why the distributed formulation runs a fixed budget
+    and never a convergence loop.  Undirected view of ``edges``;
+    self-loops dropped.  Returns (node, label).
+
+    Scale shape: the symmetric adjacency is materialized ONCE and
+    checkpointed; per round one equi-join (labels onto neighbor ids),
+    one (node, label) count, and one per-node argmax via max(struct) —
+    all shuffles on the node key, linear in edges, no driver state.
+    Each round's labeling is eagerly checkpointed (the pagerank
+    lineage-cut standard — without it round r's plan re-derives all
+    r−1 predecessors and the upstream scan 2^r times).  The sixth
+    graph primitive (after PageRank, connected components, triangles,
+    link prediction, k-core): CC gives reachability classes, LPA
+    splits them into densely-linked communities — the grouping a crawl
+    pipeline samples by when one host-authority class is too coarse.
+    Pure int64."""
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    adj = (
+        e.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .union(e.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .localCheckpoint(eager=True)
+    )
+    labels = adj.select("node").distinct().withColumn("label", F.col("node"))
+    for _ in range(rounds):
+        counts = (
+            adj.join(
+                labels.select(F.col("node").alias("nbr"), "label"), "nbr"
+            )
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # most frequent neighbor label, tie -> smallest label:
+        # max(struct(c, -label)) maximizes c then minimizes label
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                (
+                    -F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl")))
+                    .getField("nl")
+                ).alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", "label")

@@ -269,6 +269,19 @@ _CHANGED_SINCE_ROW: list[str] = []
 #     final stage, and the fingerprint column itself stays gated by
 #     ★fingerprint_docs; dedup_exact keeps its golden tests)
 #
+# Shelf ALTERNATE (no round assigned — every round through r20 already
+# carries a primary; registerable whenever a round frees a slot, e.g.
+# if a primary is invalidated by an engine change):
+#   staged_q_label_propagation — min-tie synchronous LPA communities
+#     over the link+clique fixture, 4 bulk-synchronous rounds vs an
+#     unrolled MATERIALIZED-CTE row_number-argmax DuckDB twin
+#     (graph.py label_propagation — the sixth graph primitive)
+# Pre-staged consolidation candidate:
+#   for label_propagation → retire `zipf_slope` (its log-log OLS over
+#     ranked token counts rides the same vocab count table ★vocab_topk
+#     gates and the same OLS normal equations ★trend_ols gates;
+#     golden tests stay)
+#
 # CEILING (computed, not guessed): N = 148 = 3W − 2.  The 2 slack
 # slots per 3-round cycle are what lets _CHANGED_SINCE_ROW re-gates
 # and new registrations happen at all; registering past 148 without a

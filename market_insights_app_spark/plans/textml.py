@@ -3322,25 +3322,9 @@ def staged_q_kcore(spark: SparkSession, sf: str) -> DataFrame:
     return kcore(g, k=5, rounds=8)
 
 
-def _kcore_oracle(k: int = 3, rounds: int = 8) -> str:
-    # Every CTE is AS MATERIALIZED: DuckDB inlines plain CTEs, and each
-    # peel round references its predecessor ~4 times (degree union x2,
-    # survivor joins x2), so the inlined e8 expands ~4^8 subtrees and
-    # re-opens the parquet at every leaf ("Too many open files", found
-    # at staging).  The pagerank oracle survives unmaterialized only
-    # because its chain is linear.
-    steps = []
-    for r in range(rounds):
-        steps.append(f"""
-    d{r} AS MATERIALIZED (SELECT node, count(*) AS c
-             FROM (SELECT a AS node FROM e{r}
-                   UNION ALL SELECT b FROM e{r})
-             GROUP BY node),
-    s{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE c >= {k}),
-    e{r + 1} AS MATERIALIZED (SELECT e{r}.a, e{r}.b FROM e{r}
-                 JOIN s{r} x ON x.node = e{r}.a
-                 JOIN s{r} y ON y.node = e{r}.b)""")
-    return f"""
+# shared by the kcore and label_propagation twins: the deterministic
+# skewed link graph + ~20-node clique arm, canonicalized undirected
+_LINK_CLIQUE_E0_SQL = """
     WITH n_t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
     raw AS (
       SELECT doc_id AS src,
@@ -3359,7 +3343,28 @@ def _kcore_oracle(k: int = 3, rounds: int = 8) -> str:
         AND c1.doc_id < c2.doc_id
     ),
     e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-           FROM raw WHERE src <> dst),{",".join(steps)}
+           FROM raw WHERE src <> dst)"""
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 8) -> str:
+    # Every CTE is AS MATERIALIZED: DuckDB inlines plain CTEs, and each
+    # peel round references its predecessor ~4 times (degree union x2,
+    # survivor joins x2), so the inlined e8 expands ~4^8 subtrees and
+    # re-opens the parquet at every leaf ("Too many open files", found
+    # at staging).  The pagerank oracle survives unmaterialized only
+    # because its chain is linear.
+    steps = []
+    for r in range(rounds):
+        steps.append(f"""
+    d{r} AS MATERIALIZED (SELECT node, count(*) AS c
+             FROM (SELECT a AS node FROM e{r}
+                   UNION ALL SELECT b FROM e{r})
+             GROUP BY node),
+    s{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE c >= {k}),
+    e{r + 1} AS MATERIALIZED (SELECT e{r}.a, e{r}.b FROM e{r}
+                 JOIN s{r} x ON x.node = e{r}.a
+                 JOIN s{r} y ON y.node = e{r}.b)""")
+    return f"""{_LINK_CLIQUE_E0_SQL},{",".join(steps)}
     SELECT node, CAST(count(*) AS BIGINT) AS degree
     FROM (SELECT a AS node FROM e{rounds}
           UNION ALL SELECT b FROM e{rounds})
@@ -3574,3 +3579,50 @@ STAGED_ORACLES["forget_propagation"] = f"""
     FROM corpus WHERE doc_id % 53 <> 0
     GROUP BY 1
 """
+
+
+def staged_q_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """Shelf alternate (registerable whenever a round frees a slot —
+    every named round through r20 already carries a primary): community
+    detection by synchronous min-tie label propagation over the
+    deterministic skewed link graph + clique arm (operators/graph.
+    label_propagation, 4 bulk-synchronous rounds — the pagerank
+    fixed-iterations contract, so the DuckDB twin replays the identical
+    4 rounds as unrolled MATERIALIZED CTEs with a row_number argmax per
+    node and the gate hash-checks every round's simultaneous-adoption
+    semantics).  The sixth graph primitive: connected components give
+    reachability classes, LPA splits them into densely-linked
+    communities (the clique arm must collapse onto its minimum member —
+    pinned in tests/test_graph.py).  Pure int64."""
+    from market_insights_app_spark.operators.graph import (
+        label_propagation,
+        synthetic_clique,
+        synthetic_link_graph,
+    )
+
+    docs = _docs(spark, sf)
+    g = synthetic_link_graph(docs).union(synthetic_clique(docs))
+    return label_propagation(g, rounds=4)
+
+
+def _lpa_oracle(rounds: int = 4) -> str:
+    steps = []
+    for r in range(rounds):
+        steps.append(f"""
+    c{r} AS MATERIALIZED (SELECT adj.node, l.label, count(*) AS c
+             FROM adj JOIN l{r} l ON l.node = adj.nbr
+             GROUP BY 1, 2),
+    l{r + 1} AS MATERIALIZED (SELECT node, label FROM (
+               SELECT node, label,
+                      row_number() OVER (PARTITION BY node
+                                         ORDER BY c DESC, label ASC) AS rn
+               FROM c{r}) WHERE rn = 1)""")
+    return f"""{_LINK_CLIQUE_E0_SQL},
+    adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM e0
+           UNION ALL SELECT b AS node, a AS nbr FROM e0),
+    l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM adj),{",".join(steps)}
+    SELECT node, label FROM l{rounds}
+"""
+
+
+STAGED_ORACLES["label_propagation"] = _lpa_oracle(rounds=4)

@@ -503,3 +503,66 @@ def test_kcore_rejects_bad_params(spark):
         kcore(df, k=0)
     with _pytest.raises(ValueError):
         kcore(df, rounds=-1)
+
+
+def test_label_propagation_matches_python_reference(spark):
+    """Bulk-synchronous min-tie LPA vs an independent pure-Python
+    replay: every node simultaneously adopts its neighbors' most
+    frequent label, tie -> smallest — checked across round budgets on
+    a graph with two dense blobs joined by a bridge."""
+    from market_insights_app_spark.operators.graph import label_propagation
+
+    blob1 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    blob2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = blob1 + blob2 + [(4, 10)]  # bridge
+
+    def python_lpa(es, rounds):
+        und = {tuple(sorted(e)) for e in es if e[0] != e[1]}
+        adj: dict = {}
+        for a, b in und:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        lab = {n: n for n in adj}
+        for _ in range(rounds):
+            new = {}
+            for n, nbrs in adj.items():
+                cnt: dict = {}
+                for m in nbrs:
+                    cnt[lab[m]] = cnt.get(lab[m], 0) + 1
+                best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+                new[n] = best[0]
+            lab = new
+        return lab
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for rounds in (0, 1, 2, 4):
+        got = {
+            r.node: r.label
+            for r in label_propagation(df, rounds=rounds).collect()
+        }
+        assert got == python_lpa(edges, rounds), rounds
+
+
+def test_label_propagation_clique_collapses_to_min_member(spark):
+    from market_insights_app_spark.operators.graph import label_propagation
+
+    members = [3, 7, 11, 15]
+    clique = [
+        (a, b) for i, a in enumerate(members) for b in members[i + 1 :]
+    ]
+    got = {
+        r.node: r.label
+        for r in label_propagation(
+            spark.createDataFrame(clique, "src long, dst long"), rounds=4
+        ).collect()
+    }
+    assert got == {m: 3 for m in members}
+
+
+def test_label_propagation_empty_and_validation(spark):
+    from market_insights_app_spark.operators.graph import label_propagation
+
+    e = spark.createDataFrame([], "src long, dst long")
+    assert label_propagation(e, rounds=2).collect() == []
+    with pytest.raises(ValueError, match="rounds"):
+        label_propagation(e, rounds=-1)
