@@ -660,3 +660,58 @@ def test_truncate_races_concurrent_appenders(spark, table):
     # vacuum after the dust settles reclaims nothing still referenced
     table.vacuum(retain_seconds=0.0)
     assert _rows(table.read()) == sorted(expect)
+
+
+def test_random_op_sequence_with_truncation_matches_dict_model(spark, tmp_path):
+    """The dict-model law extended with truncate_history + vacuum in
+    the random mix: live state is never affected by history surgery,
+    fresh readers always resolve (covering-checkpoint invariant), the
+    log stays a contiguous version run, and time travel works exactly
+    for the surviving suffix."""
+    import random
+
+    rng = random.Random(0x70F0)
+    t = TxnTable(spark, str(tmp_path / "model_tr"), checkpoint_interval=3)
+    model: dict[int, str] = {}
+    next_fresh = 1000
+    for step in range(14):
+        op = rng.choice(
+            ["append", "merge", "delete", "truncate", "truncate2", "vacuum"]
+        )
+        if op == "append":
+            pairs = [(next_fresh + i, f"a{step}") for i in range(rng.randint(1, 3))]
+            next_fresh += 10
+            for k, v in pairs:
+                model[k] = v
+            t.append(_mk(spark, pairs), stats_col="id")
+        elif op == "merge":
+            keys = rng.sample(sorted(model) or [0], min(2, max(1, len(model))))
+            pairs = [(k, f"m{step}") for k in keys] + [(next_fresh, f"m{step}")]
+            next_fresh += 10
+            model.update(pairs)
+            t.merge(_mk(spark, pairs), ["id"])
+        elif op == "delete" and model:
+            victim = rng.choice(sorted(model))
+            del model[victim]
+            t.delete_where(F.col("id") == victim)
+        elif op == "truncate" and t.snapshot().version >= 0:
+            t.truncate_history()
+        elif op == "truncate2" and t.snapshot().version >= 0:
+            t.truncate_history(retain_versions=3)
+        elif op == "vacuum":
+            t.vacuum(retain_seconds=0.0)
+        else:
+            continue
+        assert dict(_rows(t.read())) == model, f"step {step} ({op})"
+        assert dict(_rows(TxnTable(spark, t.path).read())) == model
+        versions = [c["version"] for c in t.history()]
+        assert versions == list(
+            range(versions[0], versions[0] + len(versions))
+        ), f"step {step}: non-contiguous log {versions}"
+    # the surviving suffix time-travels; anything below fails loudly
+    versions = [c["version"] for c in t.history()]
+    if versions:
+        t.read(version=versions[0])
+        if versions[0] > 0:
+            with pytest.raises(ValueError, match="not in log"):
+                t.read(version=versions[0] - 1)
