@@ -679,3 +679,21 @@ def test_link_prediction_cn_no_cartesian(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "LeftAnti" in p
+
+
+def test_label_propagation_lineage_cut(spark):
+    """Each LPA round's labeling is eagerly checkpointed: the final
+    round's plan must read the previous labeling as a materialized
+    LogicalRDD scan — never re-derive r−1 rounds of joins (2^r upstream
+    re-evaluations) — so the plan holds exactly one label-count join
+    regardless of the round budget."""
+    from market_insights_app_spark.plans import textml
+
+    p = plan_of(textml.staged_q_label_propagation(spark, SF_ORACLE))
+    assert "Scan ExistingRDD" in p  # reads the checkpointed labeling
+    assert "Scan parquet" not in p  # corpus scan amortized away
+    tree = p.split("\n\n")[0]
+    # every round (including the last) is materialized, so the returned
+    # plan is the checkpoint scan itself — any Join here means a round
+    # budget leaked its lineage into the output
+    assert tree.count("Join") == 0, tree
