@@ -763,6 +763,37 @@ class TxnTable:
 
     # -- maintenance -------------------------------------------------
 
+    def restore(self, version: int, max_retries: int = 10) -> int:
+        """Delta ``RESTORE TABLE ... TO VERSION`` analog: publish a
+        commit that returns the LIVE state to ``version``'s file set —
+        METADATA-ONLY (data directories are immutable and still on
+        disk: they are log-referenced, so vacuum kept them for as long
+        as the log retains the version).  The restore is itself a new
+        commit, so it is undoable by another restore and visible in
+        ``history()`` — nothing is rewritten, nothing is lost.
+
+        Fails loudly when ``version`` is below a ``truncate_history``
+        cutoff (its snapshot is no longer resolvable — and after a
+        vacuum its data may be physically gone, which is exactly what
+        the forget path promises)."""
+        target = self.snapshot(version)  # raises if truncated/unknown
+        if target.version < 0:
+            raise ValueError("cannot restore an empty table state")
+
+        def build(snap: Snapshot):
+            return list(target.files.values()), snap.dirs
+
+        def rebase_safe(ours, winner) -> bool:
+            return False  # a restore replaces the whole live set
+
+        return self._commit_loop(
+            "restore",
+            build,
+            rebase_safe,
+            max_retries,
+            schema_from=lambda: target.schema_json,
+        )
+
     def truncate_history(self, retain_versions: int = 1) -> list[int]:
         """Irreversibly drop time travel older than the newest
         ``retain_versions`` commits, so a following ``vacuum()`` can

@@ -715,3 +715,46 @@ def test_random_op_sequence_with_truncation_matches_dict_model(spark, tmp_path):
         if versions[0] > 0:
             with pytest.raises(ValueError, match="not in log"):
                 t.read(version=versions[0] - 1)
+
+
+# -- restore: the metadata-only rollback ------------------------------
+
+
+def test_restore_returns_live_state_metadata_only(spark, table):
+    v0 = table.append(_mk(spark, [(1, "a"), (2, "b")]), stats_col="id")
+    table.append(_mk(spark, [(3, "c")]), stats_col="id")
+    table.delete_where(F.col("id") == 1)
+    assert _rows(table.read()) == [(2, "b"), (3, "c")]
+    n_dirs_before = len(os.listdir(os.path.join(table.path, "data")))
+    rv = table.restore(v0)
+    # metadata-only: no new data directory was written
+    assert len(os.listdir(os.path.join(table.path, "data"))) == n_dirs_before
+    assert _rows(table.read()) == [(1, "a"), (2, "b")]
+    assert table.history()[-1]["op"] == "restore"
+    # the restore is itself history: undo it by restoring forward
+    table.restore(rv - 1)
+    assert _rows(table.read()) == [(2, "b"), (3, "c")]
+    # and vacuum reclaims nothing the log still references
+    assert table.vacuum(retain_seconds=0.0) == []
+    assert _rows(table.read(version=rv)) == [(1, "a"), (2, "b")]
+
+
+def test_restore_below_truncation_cutoff_fails_loudly(spark, table):
+    table.append(_mk(spark, [(1, "a")]), stats_col="id")
+    table.append(_mk(spark, [(2, "b")]), stats_col="id")
+    table.delete_where(F.col("id") == 1)
+    table.truncate_history()
+    table.vacuum(retain_seconds=0.0)
+    with pytest.raises(ValueError, match="not in log"):
+        table.restore(0)
+    assert _rows(table.read()) == [(2, "b")]
+
+
+def test_restore_recovers_pre_evolution_schema(spark, table):
+    table.append(_mk(spark, [(1, "a")]), stats_col="id")
+    wide = spark.createDataFrame([(2, "B", 1.5)], ["id", "val", "score"])
+    table.merge(wide, ["id"], evolve_schema=True)
+    assert table.read().columns == ["id", "val", "score"]
+    table.restore(0)
+    assert table.read().columns == ["id", "val"]
+    assert _rows(table.read()) == [(1, "a")]
