@@ -694,28 +694,74 @@ class TxnTable:
         finally:
             self._drop_data(upd_entry["dir"])  # staging only, never referenced
 
-    def delete_where(self, predicate, max_retries: int = 10) -> int:
-        """Transactional DELETE (S9/S10 row-delete shape): rewrite every
-        live directory without the matching rows.  (A real engine would
-        prune directories via predicate-on-stats; deletes here are
-        table-wide rewrites — the reference's delete flows are tiny
-        demo tables, db.py:92-99.)"""
+    def delete_where(
+        self,
+        predicate,
+        max_retries: int = 10,
+        prune_hint: tuple | None = None,
+    ) -> int:
+        """Transactional DELETE (S9/S10 row-delete shape): rewrite the
+        live directories that may hold matching rows, without those
+        rows (the reference's delete flows are tiny demo tables,
+        db.py:92-99; this is the Delta file-skipping DELETE shape).
+
+        ``prune_hint=(col, lo, hi)``: the caller asserts every
+        predicate-TRUE row satisfies lo <= col <= hi — the contract a
+        full engine derives automatically from predicate analysis over
+        file stats, exposed here as the honest explicit surface.
+        Directories whose recorded ``col`` stats are disjoint from
+        [lo, hi] are left UNTOUCHED (their add entries survive
+        verbatim; no data job reads them), so a key-confined delete on
+        a clustered table rewrites O(matching directories), not
+        O(table).  Directories without comparable stats are
+        conservatively rewritten.  A truthful hint never changes the
+        result; a false one leaves matching rows alive — the same
+        failure mode as a wrong predicate.  Without a hint the
+        table-wide rewrite is unchanged."""
+
+        def overlaps(entry: dict) -> bool:
+            if prune_hint is None:
+                return True
+            col, lo, hi = prune_hint
+            s = entry.get("stats")
+            if s is None or s.get("col") != col:
+                return True  # no stats -> cannot prune (correct, unskipped)
+            try:
+                return not (s["max"] < lo or s["min"] > hi)
+            except TypeError:  # mixed stat types: don't prune
+                return True
+
         state: dict = {}
 
         def build(snap: Snapshot):
             if snap.version < 0:
                 raise ValueError("delete_where on an empty table")
-            tgt = self._read_dirs(snap.dirs, snap.schema_json)
+            touched = [d for d in snap.dirs if overlaps(snap.files[d])]
+            state["touched"] = set(touched)
+            if not touched:
+                return [], []  # provably nothing to delete: no-op commit
+            tgt = self._read_dirs(touched, snap.schema_json)
             # SQL/Delta DELETE removes only predicate-TRUE rows; a bare
             # ~predicate would also delete rows where the predicate is
             # NULL (e.g. col('status')=='expired' on a NULL status)
             out = tgt.filter(~F.coalesce(predicate, F.lit(False)))
-            entry = self._write_data(out, None)
-            state["touched"] = set(snap.dirs)
-            return [entry], snap.dirs
+            # keep the survivors stats-bearing (the old form wrote the
+            # rewrite stats-less, silently disarming every LATER pruned
+            # merge/delete over it): prefer the hint column, else the
+            # column the touched entries already carry
+            stats_col = prune_hint[0] if prune_hint else next(
+                (
+                    snap.files[d]["stats"]["col"]
+                    for d in touched
+                    if "stats" in snap.files[d]
+                ),
+                None,
+            )
+            entry = self._write_data(out, stats_col)
+            return [entry], touched
 
         def rebase_safe(ours, winner) -> bool:
-            return False  # a delete reads the whole table
+            return False  # a delete reads table state
 
         def on_stale(add):
             for a in add:

@@ -58,6 +58,15 @@ def main() -> None:
             if os.path.isfile(f)
         )
 
+        # pruned arm first: forget ONE user's key range (the common
+        # GDPR shape) — stats skip every other directory
+        t0 = time.perf_counter()
+        t.delete_where(
+            F.col("id").between(10, 20), prune_hint=("id", 10, 20)
+        )
+        t_pruned = time.perf_counter() - t0
+        rewrote = len(t.history()[-1]["remove"])
+
         t0 = time.perf_counter()
         t.delete_where(F.col("id") % 53 == 0)
         t_del = time.perf_counter() - t0
@@ -80,11 +89,13 @@ def main() -> None:
         )
         leaked = back.filter(F.col("id") % 53 == 0).count()
         kept = back.count()
-        expect = n_rows - (n_rows + 52) // 53
+        # pruned arm removed ids 10..20 (11 rows, none ≡ 0 mod 53)
+        expect = n_rows - 11 - (n_rows + 52) // 53
         print(
-            f"delete_where {t_del:6.2f} s   truncate {t_trunc:6.3f} s "
-            f"({len(dropped_v)} versions)   vacuum {t_vac:6.3f} s "
-            f"({len(dropped_d)} dirs)"
+            f"pruned delete {t_pruned:6.2f} s (rewrote {rewrote}/"
+            f"{n_dirs} dirs)   full delete {t_del:6.2f} s   "
+            f"truncate {t_trunc:6.3f} s ({len(dropped_v)} versions)   "
+            f"vacuum {t_vac:6.3f} s ({len(dropped_d)} dirs)"
         )
         print(
             f"bytes {size0/1e6:,.1f} MB -> {size1/1e6:,.1f} MB   "

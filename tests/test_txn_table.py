@@ -758,3 +758,65 @@ def test_restore_recovers_pre_evolution_schema(spark, table):
     table.restore(0)
     assert table.read().columns == ["id", "val"]
     assert _rows(table.read()) == [(1, "a")]
+
+
+# -- pruned DELETE (stats-confined rewrite) ---------------------------
+
+
+def test_delete_where_prune_hint_rewrites_only_overlapping_dirs(spark, table):
+    """A key-confined delete with a truthful prune hint must leave
+    disjoint directories' add entries verbatim (no data job touches
+    them), rewrite only the overlapping ones, and keep the survivors
+    stats-bearing so LATER pruned operations still skip."""
+    for lo in (0, 100, 200):
+        table.append(
+            _mk(spark, [(k, f"v{k}") for k in range(lo, lo + 10)]),
+            stats_col="id",
+        )
+    before = table.snapshot()
+    assert len(before.dirs) == 3
+    v = table.delete_where(
+        (F.col("id") >= 100) & (F.col("id") < 105),
+        prune_hint=("id", 100, 104),
+    )
+    commit = table.history()[-1]
+    assert commit["op"] == "delete"
+    assert len(commit["remove"]) == 1  # only the middle directory
+    after = table.snapshot()
+    untouched = set(before.dirs) & set(after.dirs)
+    assert len(untouched) == 2  # first and third survive verbatim
+    # rewrite keeps stats (the old form wrote stats-less)
+    new_dirs = set(after.dirs) - set(before.dirs)
+    assert all(after.files[d].get("stats", {}).get("col") == "id" for d in new_dirs)
+    expect = sorted(
+        (k, f"v{k}")
+        for lo in (0, 100, 200)
+        for k in range(lo, lo + 10)
+        if not (100 <= k < 105)
+    )
+    assert _rows(table.read()) == expect
+    # a second pruned delete over the REWRITTEN directory still prunes
+    table.delete_where(F.col("id") == 205, prune_hint=("id", 205, 205))
+    assert len(table.history()[-1]["remove"]) == 1
+    assert (1, "v1") in _rows(table.read())
+    assert (205, "v205") not in _rows(table.read())
+    assert _rows(table.read(version=v - 1)) == sorted(
+        (k, f"v{k}") for lo in (0, 100, 200) for k in range(lo, lo + 10)
+    )
+
+
+def test_delete_where_prune_hint_noop_when_nothing_overlaps(spark, table):
+    table.append(_mk(spark, [(1, "a"), (2, "b")]), stats_col="id")
+    v = table.delete_where(F.col("id") == 999, prune_hint=("id", 999, 999))
+    commit = table.history()[-1]
+    assert (commit["add"], commit["remove"]) == ([], [])
+    assert v == 1
+    assert _rows(table.read()) == [(1, "a"), (2, "b")]
+
+
+def test_delete_where_prune_hint_conservative_without_stats(spark, table):
+    # stats-less append: the hint must NOT prune (correctness first)
+    table.append(_mk(spark, [(1, "a"), (2, "b")]))
+    table.delete_where(F.col("id") == 1, prune_hint=("id", 5, 9))
+    # directory had no stats -> conservatively rewritten, row deleted
+    assert _rows(table.read()) == [(2, "b")]
