@@ -282,6 +282,21 @@ _CHANGED_SINCE_ROW: list[str] = []
 #     gates and the same OLS normal equations ★trend_ols gates;
 #     golden tests stay)
 #
+# Shelf ALTERNATE #2 (same standing):
+#   staged_q_bootstrap_ci — per-group Poisson-bootstrap CI of the mean
+#     (Chamandy et al. 2012: hash-deterministic Poisson(1) weights,
+#     one pass, mergeable partials), DECIMAL replicate sums +
+#     order-statistic bounds so both engines agree to the bit; the
+#     DuckDB twin replays weights→means→ranking→selection in SQL
+#     (operators/sampling.poisson_bootstrap_ci; sf0.1 audit 5 rows
+#     exact, python-Fraction reference replay in tests)
+# Pre-staged consolidation candidate:
+#   for bootstrap_ci → retire `value_quantiles` (exact per-group
+#     percentiles are gated from both ends by ★quantile_binning's
+#     exact bin edges and ★sketch_profile's accuracy report, which
+#     compares the sketch AGAINST the exact quantiles; golden tests
+#     stay)
+#
 # CEILING (computed, not guessed): N = 148 = 3W − 2.  The 2 slack
 # slots per 3-round cycle are what lets _CHANGED_SINCE_ROW re-gates
 # and new registrations happen at all; registering past 148 without a

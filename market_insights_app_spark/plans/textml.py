@@ -3626,3 +3626,81 @@ def _lpa_oracle(rounds: int = 4) -> str:
 
 
 STAGED_ORACLES["label_propagation"] = _lpa_oracle(rounds=4)
+
+
+def staged_q_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """Shelf alternate: per-language bootstrap CI of mean document
+    length by the POISSON bootstrap (Chamandy et al. 2012 — the
+    one-pass, coordination-free resampling a 100 TB readout needs:
+    each row enters replicate b with a hash-deterministic Poisson(1)
+    weight; operators/sampling.poisson_bootstrap_ci).  Engine-exact by
+    construction: identical md5-uniforms and CDF literals on both
+    sides, DECIMAL replicate sums, and LOWER-ORDER-STATISTIC interval
+    bounds via row_number (no percentile interpolation arithmetic to
+    drift a ULP).  201 replicates put the 2.5/97.5 cut indices on
+    exact percentile positions.  The twin replays every stage in SQL —
+    weights, replicate means, ranking, order-statistic selection."""
+    from market_insights_app_spark.operators.sampling import (
+        poisson_bootstrap_ci,
+    )
+
+    docs = _docs(spark, sf)
+    return poisson_bootstrap_ci(
+        docs, value_col="n_chars", group_col="lang", id_col="doc_id"
+    )
+
+
+STAGED_ORACLES["bootstrap_ci"] = """
+    WITH base AS (
+      SELECT lang AS g, doc_id AS id, CAST(n_chars AS DECIMAL(8,2)) AS v
+      FROM documents
+    ),
+    rep AS (
+      SELECT g, id, v, b
+      FROM base CROSS JOIN (SELECT unnest(range(201)) AS b)
+    ),
+    wtd AS (
+      SELECT g, b, v,
+        CASE
+          WHEN u < 0.36787944117144233 THEN 0
+          WHEN u < 0.7357588823428847 THEN 1
+          WHEN u < 0.9196986029286058 THEN 2
+          WHEN u < 0.9810118431238463 THEN 3
+          WHEN u < 0.9963401531726563 THEN 4
+          WHEN u < 0.9994058151824183 THEN 5
+          WHEN u < 0.999916758850712 THEN 6
+          WHEN u < 0.9999897508033253 THEN 7
+          WHEN u < 0.999998874797402 THEN 8
+          ELSE 9 END AS k
+      FROM (SELECT g, id, v, b,
+              CAST(('0x' || substr(md5('boot-v1:' || CAST(id AS VARCHAR)
+                    || ':' || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT)
+                / 4294967296.0 AS u
+            FROM rep) t
+    ),
+    means AS (
+      SELECT g, b, CAST(SUM(k * v) AS DOUBLE) / CAST(SUM(k) AS DOUBLE) AS m
+      FROM wtd GROUP BY 1, 2 HAVING SUM(k) > 0
+    ),
+    ranked AS (
+      SELECT g, b, m,
+             row_number() OVER (PARTITION BY g ORDER BY m, b) AS rn,
+             count(*) OVER (PARTITION BY g) AS cnt
+      FROM means
+    ),
+    ci AS (
+      SELECT g,
+             max(CASE WHEN rn = CAST(floor(0.025 * (cnt - 1)) AS BIGINT) + 1
+                      THEN m END) AS ci_lo,
+             max(CASE WHEN rn = CAST(floor(0.975 * (cnt - 1)) AS BIGINT) + 1
+                      THEN m END) AS ci_hi,
+             count(*) AS n_replicates
+      FROM ranked GROUP BY 1
+    ),
+    overall AS (
+      SELECT g, count(*) AS n, CAST(SUM(v) AS DOUBLE) / count(*) AS mean
+      FROM base GROUP BY 1
+    )
+    SELECT overall.g AS lang, n, mean, ci_lo, ci_hi, n_replicates
+    FROM overall JOIN ci USING (g)
+"""

@@ -296,3 +296,60 @@ def test_forget_propagation_reelects_keepers(spark):
     assert untouched > 0
     # and nothing forgotten survives as a keeper
     assert all(k % 53 != 0 for k, _ in out.values())
+
+
+def test_poisson_bootstrap_matches_python_reference(spark):
+    """Exact replay of the whole bootstrap in pure Python on a small
+    fixture: identical md5-uniforms, identical CDF thresholds, exact
+    fraction means, identical order-statistic selection — the Spark
+    output must match to the bit."""
+    import hashlib
+    import math
+    from fractions import Fraction
+
+    from market_insights_app_spark.operators.sampling import (
+        POISSON1_CDF,
+        poisson_bootstrap_ci,
+    )
+
+    rows = [(f"g{gi}", i, float(v)) for gi in (0, 1)
+            for i, v in enumerate(range(10 + gi, 40 + gi, 3))]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_chars double")
+    B = 21
+
+    def pw(doc_id, b):
+        h = hashlib.md5(f"boot-v1:{doc_id}:{b}".encode()).hexdigest()
+        u = int(h[:8], 16) / 4294967296.0
+        for i, c in enumerate(POISSON1_CDF):
+            if u < c:
+                return i
+        return len(POISSON1_CDF)
+
+    expect = {}
+    for g in ("g0", "g1"):
+        grp = [(i, v) for (gg, i, v) in rows if gg == g]
+        means = []
+        for b in range(B):
+            ks = [(pw(i, b), v) for i, v in grp]
+            n = sum(k for k, _ in ks)
+            if n == 0:
+                continue
+            s = sum(Fraction(k) * Fraction(str(v)) for k, v in ks)
+            means.append((float(s / n), b))
+        means.sort()
+        cnt = len(means)
+        lo = means[math.floor(0.025 * (cnt - 1))][0]
+        hi = means[math.floor(0.975 * (cnt - 1))][0]
+        mean = float(sum(Fraction(str(v)) for _, v in grp) / len(grp))
+        expect[g] = (len(grp), mean, lo, hi, cnt)
+
+    got = {
+        r.lang: (r.n, r.mean, r.ci_lo, r.ci_hi, r.n_replicates)
+        for r in poisson_bootstrap_ci(
+            df, "n_chars", "lang", "doc_id", n_replicates=B
+        ).collect()
+    }
+    assert got == expect
+    # and the interval actually brackets the point estimate
+    for n, mean, lo, hi, _ in got.values():
+        assert lo <= mean <= hi
