@@ -353,3 +353,28 @@ def test_poisson_bootstrap_matches_python_reference(spark):
     # and the interval actually brackets the point estimate
     for n, mean, lo, hi, _ in got.values():
         assert lo <= mean <= hi
+
+
+def test_poisson_bootstrap_engine_lane_agrees(spark):
+    """The xxhash64 engine lane draws a DIFFERENT resample but must
+    agree on everything deterministic: identical point estimates and
+    group sizes, CIs that bracket the mean, and intervals overlapping
+    the portable lane's (same distribution, different uniforms)."""
+    from market_insights_app_spark.operators.sampling import (
+        poisson_bootstrap_ci,
+    )
+
+    rows = [("g", i, float(20 + (i * 7) % 13)) for i in range(60)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_chars double")
+    out = {}
+    for lane in (True, False):
+        r = poisson_bootstrap_ci(
+            df, "n_chars", "lang", "doc_id", n_replicates=51, portable=lane
+        ).collect()[0]
+        out[lane] = r
+        assert r.ci_lo <= r.mean <= r.ci_hi, lane
+        assert r.n == 60 and r.n_replicates == 51
+    assert out[True].mean == out[False].mean  # point estimate is exact
+    # same-distribution intervals overlap
+    assert out[True].ci_lo <= out[False].ci_hi
+    assert out[False].ci_lo <= out[True].ci_hi
