@@ -760,3 +760,61 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels.select("node", "label")
+
+
+def bfs_distance(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    rounds: int = 6,
+) -> DataFrame:
+    """Multi-source BFS over an UNDIRECTED view of ``edges``: distance
+    from the nearest seed, the frontier-relaxation bulk-synchronous
+    form (each round relaxes dist(v) = min(dist(v), min over neighbors
+    + 1) simultaneously — Bellman-Ford restricted to unit weights).
+    Fixed ``rounds`` (the :func:`pagerank` iterations contract):
+    deterministic and twin-replayable whether or not the frontier has
+    drained; a converged graph stops changing, an unconverged one
+    reports distances ≤ rounds, both exactly reproducible.  The crawl
+    scheduler's primitive: depth-from-seed-hosts decides fetch
+    priority and politeness budgets.
+
+    Returns (node, dist) for nodes within ``rounds`` hops of any seed
+    (seeds at dist 0).  Unreached nodes are absent, not NULL.
+
+    Scale shape: per round one equi-join (frontier onto adjacency) +
+    one min-aggregate, both node-keyed; the distance table is eagerly
+    checkpointed per round (lineage cut).  Adjacency materialized
+    once.  Pure int64."""
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    adj = (
+        e.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .union(e.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .localCheckpoint(eager=True)
+    )
+    dist = seeds.select(
+        F.col(node_col).alias("node"), F.lit(0).cast("long").alias("dist")
+    ).distinct()
+    for _ in range(rounds):
+        relaxed = (
+            adj.join(
+                dist.select(F.col("node").alias("nbr"), "dist"), "nbr"
+            )
+            .select("node", (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

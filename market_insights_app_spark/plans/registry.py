@@ -297,6 +297,20 @@ _CHANGED_SINCE_ROW: list[str] = []
 #     compares the sketch AGAINST the exact quantiles; golden tests
 #     stay)
 #
+# Shelf ALTERNATE #3 (same standing):
+#   staged_q_bfs_distance — multi-source BFS depth from the clique-arm
+#     hub seeds, 6 frontier-relaxation rounds vs an unrolled
+#     MATERIALIZED-CTE min-relaxation DuckDB twin (graph.bfs_distance
+#     — the seventh graph primitive; the crawl scheduler's
+#     depth-from-seed-hosts priority field; sf0.1 audit 5,000 nodes
+#     exact with a 0–6 depth histogram that proves the round budget
+#     bites)
+# Pre-staged consolidation candidate:
+#   for bfs_distance → retire `ewma_macd` (its α-recursion is
+#     hash-gated end-to-end by ★ema_stateful_replay's streaming
+#     replay of the same recursion, and the signal/histogram columns
+#     are plain algebra over it; golden tests stay)
+#
 # CEILING (computed, not guessed): N = 148 = 3W − 2.  The 2 slack
 # slots per 3-round cycle are what lets _CHANGED_SINCE_ROW re-gates
 # and new registrations happen at all; registering past 148 without a

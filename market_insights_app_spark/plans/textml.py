@@ -3704,3 +3704,58 @@ STAGED_ORACLES["bootstrap_ci"] = """
     SELECT overall.g AS lang, n, mean, ci_lo, ci_hi, n_replicates
     FROM overall JOIN ci USING (g)
 """
+
+
+def staged_q_bfs_distance(spark: SparkSession, sf: str) -> DataFrame:
+    """Shelf alternate: multi-source BFS depth from the clique-arm hub
+    set over the deterministic link graph (operators/graph.
+    bfs_distance, 6 frontier-relaxation rounds — the pagerank
+    fixed-iterations contract; the DuckDB twin replays the identical
+    6 relaxations as unrolled MATERIALIZED CTEs).  The crawl
+    scheduler's primitive — depth from seed hosts prioritizes the
+    fetch frontier — and the seventh graph primitive.  Seeds are the
+    ~20 clique members (doc_id ≡ 0 mod max(n/20, 1), the same hub set
+    synthetic_clique links), so the depth field radiates from the
+    densely-connected core.  Pure int64."""
+    from market_insights_app_spark.operators.graph import (
+        bfs_distance,
+        synthetic_clique,
+        synthetic_link_graph,
+    )
+
+    docs = _docs(spark, sf)
+    g = synthetic_link_graph(docs).union(synthetic_clique(docs))
+    cnt = docs.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    step = F.greatest(F.expr("n div 20"), F.lit(1).cast("long"))
+    seeds = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(cnt))
+        .filter(F.col("doc_id") % step == 0)
+        .select(F.col("doc_id").alias("node"))
+    )
+    return bfs_distance(g, seeds, rounds=6)
+
+
+def _bfs_oracle(rounds: int = 6) -> str:
+    steps = []
+    for r in range(rounds):
+        steps.append(f"""
+    d{r + 1} AS MATERIALIZED (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d{r}
+        UNION ALL
+        SELECT adj.node, d.dist + 1 AS dist
+        FROM adj JOIN d{r} d ON d.node = adj.nbr
+      ) GROUP BY 1)""")
+    return f"""{_LINK_CLIQUE_E0_SQL},
+    adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM e0
+           UNION ALL SELECT b AS node, a AS nbr FROM e0),
+    d0 AS MATERIALIZED (
+      SELECT doc_id AS node, CAST(0 AS BIGINT) AS dist
+      FROM documents CROSS JOIN n_t
+      WHERE doc_id % greatest(n // 20, 1) = 0),{",".join(steps)}
+    SELECT node, dist FROM d{rounds}
+"""
+
+
+STAGED_ORACLES["bfs_distance"] = _bfs_oracle(rounds=6)

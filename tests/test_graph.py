@@ -566,3 +566,44 @@ def test_label_propagation_empty_and_validation(spark):
     assert label_propagation(e, rounds=2).collect() == []
     with pytest.raises(ValueError, match="rounds"):
         label_propagation(e, rounds=-1)
+
+
+def test_bfs_distance_matches_python_reference(spark):
+    """Frontier relaxation vs a plain Python BFS on a graph with a
+    chain (depth beyond the round budget), a blob, and a disconnected
+    island — checked across round budgets including 0 (seeds only)."""
+    from market_insights_app_spark.operators.graph import bfs_distance
+
+    edges = (
+        [(i, i + 1) for i in range(10)]          # chain 0..10
+        + [(20, 21), (20, 22), (21, 22)]          # blob off-seed
+        + [(5, 20)]                               # bridge
+        + [(50, 51)]                              # unreachable island
+    )
+
+    def python_bfs(es, seed_set, rounds):
+        und = {tuple(sorted(e)) for e in es if e[0] != e[1]}
+        adj: dict = {}
+        for a, b in und:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        dist = {s: 0 for s in seed_set}
+        for _ in range(rounds):
+            new = dict(dist)
+            for n, d in dist.items():
+                for m in adj.get(n, []):
+                    if m not in new or new[m] > d + 1:
+                        new[m] = d + 1
+            dist = new
+        return dist
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for rounds in (0, 1, 3, 6):
+        seeds = spark.createDataFrame([(0,), (22,)], "node long")
+        got = {
+            r.node: r.dist
+            for r in bfs_distance(df, seeds, rounds=rounds).collect()
+        }
+        assert got == python_bfs(edges, {0, 22}, rounds), rounds
+    with pytest.raises(ValueError, match="rounds"):
+        bfs_distance(df, spark.createDataFrame([(0,)], "node long"), rounds=-1)

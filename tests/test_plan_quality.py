@@ -697,3 +697,17 @@ def test_label_propagation_lineage_cut(spark):
     # plan is the checkpoint scan itself — any Join here means a round
     # budget leaked its lineage into the output
     assert tree.count("Join") == 0, tree
+
+
+def test_bfs_distance_lineage_cut(spark):
+    """Every BFS relaxation round is eagerly checkpointed: the final
+    distance table must read back as a materialized LogicalRDD scan
+    with no join or parquet lineage — a leaked round budget would
+    re-derive r−1 rounds (2^r upstream re-evaluations)."""
+    from market_insights_app_spark.plans import textml
+
+    p = plan_of(textml.staged_q_bfs_distance(spark, SF_ORACLE))
+    assert "Scan ExistingRDD" in p
+    assert "Scan parquet" not in p
+    tree = p.split("\n\n")[0]
+    assert tree.count("Join") == 0, tree
