@@ -820,3 +820,42 @@ def test_delete_where_prune_hint_conservative_without_stats(spark, table):
     table.delete_where(F.col("id") == 1, prune_hint=("id", 5, 9))
     # directory had no stats -> conservatively rewritten, row deleted
     assert _rows(table.read()) == [(2, "b")]
+
+
+def test_truncate_crash_midway_leaves_readable_table(spark, table, monkeypatch):
+    """A truncate that dies after deleting only SOME old log entries
+    must leave the table fully readable (the covering checkpoint is
+    published before any unlink, and unlinks go oldest-first), and a
+    re-run must complete the job."""
+    import market_insights_app_spark.storage.txnlog as txnlog
+
+    for k in range(5):
+        table.append(_mk(spark, [(k, f"v{k}")]), stats_col="id")
+    expect = [(k, f"v{k}") for k in range(5)]
+
+    calls = {"n": 0}
+    real_unlink = txnlog.os.unlink
+
+    def dying_unlink(path):
+        if "_txn_log" in path and not path.split("/")[-1].startswith(".tmp-"):
+            calls["n"] += 1
+            if calls["n"] > 1:
+                raise OSError("injected crash mid-truncate")
+        return real_unlink(path)
+
+    monkeypatch.setattr(txnlog.os, "unlink", dying_unlink)
+    with pytest.raises(OSError, match="injected"):
+        table.truncate_history()
+    monkeypatch.setattr(txnlog.os, "unlink", real_unlink)
+
+    # one old entry gone, the rest intact — still fully readable
+    assert _rows(table.read()) == expect
+    assert _rows(TxnTable(spark, table.path).read()) == expect
+    # vacuum reclaims nothing still referenced by surviving state
+    table.vacuum(retain_seconds=0.0)
+    assert _rows(table.read()) == expect
+    # the re-run finishes what the crash left behind
+    dropped = table.truncate_history()
+    assert dropped  # versions 1..3 (0 already unlinked by the dying run)
+    assert _rows(table.read()) == expect
+    assert _rows(TxnTable(spark, table.path).read()) == expect
