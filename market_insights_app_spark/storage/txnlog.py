@@ -335,6 +335,50 @@ class TxnTable:
             entries.append(e)
         return entries
 
+    def _write_zordered(
+        self, df: DataFrame, cols: list[str], n_buckets: int
+    ) -> list[dict]:
+        """Write ``df`` as ONE physical directory of ``n_buckets``
+        Z-order-clustered subdirectories and return one add-entry per
+        subdirectory carrying BOTH the primary-column range (``stats``
+        — what 1-D pruned merges/deletes read) and per-dimension
+        ranges for every z-order column (``stats_multi`` — what
+        multi-dimension pruning reads).  One write job + one grouped
+        footer-scan job, same contract as :meth:`_write_clustered` with
+        the Morton curve instead of a 1-D range."""
+        from market_insights_app_spark.operators.layout import zorder_assign
+
+        if "__file" in df.columns:
+            raise ValueError("column name __file is reserved by optimize_zorder()")
+        rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
+        full = os.path.join(self.path, rel)
+        (
+            zorder_assign(df, cols, n_buckets)
+            .write.mode("errorifexists")
+            .partitionBy("__file")
+            .parquet(full)
+        )
+        back = self.spark.read.parquet(full)
+        aggs = [F.count(F.lit(1)).alias("n")]
+        for c in cols:
+            aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+        rows = back.groupBy("__file").agg(*aggs).collect()
+        entries = []
+        for r in sorted(rows, key=lambda r: r["__file"]):
+            e: dict = {"dir": f"{rel}/__file={r['__file']}", "rows": r["n"]}
+            multi = {}
+            for c in cols:
+                lo, hi = _stat_value(r[f"__lo_{c}"]), _stat_value(r[f"__hi_{c}"])
+                if lo is not None and hi is not None:
+                    multi[c] = {"min": lo, "max": hi}
+            if multi:
+                e["stats_multi"] = multi
+                c0 = cols[0]
+                if c0 in multi:
+                    e["stats"] = {"col": c0, **multi[c0]}
+            entries.append(e)
+        return entries
+
     def _drop_data(self, rel: str) -> None:
         shutil.rmtree(os.path.join(self.path, rel), ignore_errors=True)
 
@@ -723,9 +767,14 @@ class TxnTable:
             if prune_hint is None:
                 return True
             col, lo, hi = prune_hint
-            s = entry.get("stats")
-            if s is None or s.get("col") != col:
-                return True  # no stats -> cannot prune (correct, unskipped)
+            # a z-ordered directory carries per-dimension ranges: the
+            # hint may prune on ANY clustered column, not just the first
+            s = (entry.get("stats_multi") or {}).get(col)
+            if s is None:
+                s1 = entry.get("stats")
+                if s1 is None or s1.get("col") != col:
+                    return True  # no stats -> cannot prune (unskipped)
+                s = s1
             try:
                 return not (s["max"] < lo or s["min"] > hi)
             except TypeError:  # mixed stat types: don't prune
@@ -802,6 +851,44 @@ class TxnTable:
 
         def on_stale(add):
             self._drop_data(state["root"])  # one physical root for all buckets
+
+        return self._commit_loop(
+            "optimize", build, rebase_safe, max_retries, on_stale=on_stale
+        )
+
+    def optimize_zorder(
+        self,
+        cols: list[str],
+        target_dirs: int | None = None,
+        max_retries: int = 5,
+    ) -> int:
+        """Delta ``OPTIMIZE ... ZORDER BY (c1, c2, …)`` analog: compact
+        the live table into Morton-curve-clustered directories whose
+        add entries carry per-dimension min/max (``stats_multi``), so
+        pruned MERGE (first column) and pruned DELETE (ANY z-order
+        column via ``prune_hint``) both skip directories afterwards.
+        The 1-D :meth:`optimize` gives perfect skipping on one column
+        and none on the rest; the z-order form trades a little
+        per-column selectivity for skipping on every clustered
+        dimension — the multi-tenant forget shape: cluster on
+        (tenant, time) and both "forget tenant X" and "expire before
+        T" deletes stay O(overlapping directories)."""
+        state: dict = {}
+
+        def build(snap: Snapshot):
+            if snap.version < 0:
+                raise ValueError("optimize_zorder on an empty table")
+            df = self._read_dirs(snap.dirs, snap.schema_json)
+            k = target_dirs or max(1, min(len(snap.dirs), 32))
+            entries = self._write_zordered(df, cols, k)
+            state["root"] = entries[0]["dir"].rsplit("/__file=", 1)[0]
+            return entries, snap.dirs
+
+        def rebase_safe(ours, winner) -> bool:
+            return False  # compaction reads the whole table
+
+        def on_stale(add):
+            self._drop_data(state["root"])  # one physical root for all files
 
         return self._commit_loop(
             "optimize", build, rebase_safe, max_retries, on_stale=on_stale

@@ -859,3 +859,45 @@ def test_truncate_crash_midway_leaves_readable_table(spark, table, monkeypatch):
     assert dropped  # versions 1..3 (0 already unlinked by the dying run)
     assert _rows(table.read()) == expect
     assert _rows(TxnTable(spark, table.path).read()) == expect
+
+
+def test_optimize_zorder_enables_two_dimension_pruned_deletes(spark, table):
+    """OPTIMIZE ZORDER BY (a, b): after re-clustering, a pruned delete
+    confined on EITHER dimension must skip directories (stats_multi),
+    results must equal the unpruned law, and a later pruned MERGE on
+    the first column still skips via the classic stats entry."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(k, rng.randint(0, 999)) for k in range(2000)]
+    df = spark.createDataFrame(rows, "id INT, val INT")
+    table.append(df, stats_col="id")
+    table.optimize_zorder(["id", "val"], target_dirs=8)
+    snap = table.snapshot()
+    assert len(snap.dirs) == 8
+    assert all("stats_multi" in snap.files[d] for d in snap.dirs)
+    # boxes cover both dimensions with real data in them
+    model = {k: v for k, v in rows}
+
+    # dimension 2 (val) pruned delete
+    table.delete_where(
+        F.col("val").between(0, 99), prune_hint=("val", 0, 99)
+    )
+    removed_1 = len(table.history()[-1]["remove"])
+    assert 1 <= removed_1 < 8, removed_1  # skipped some, not all
+    model = {k: v for k, v in model.items() if not (0 <= v <= 99)}
+    assert dict(_rows(table.read())) == model
+
+    # dimension 1 (id) pruned delete over the z-ordered survivors
+    table.delete_where(F.col("id") < 100, prune_hint=("id", 0, 99))
+    removed_2 = len(table.history()[-1]["remove"])
+    assert 1 <= removed_2 < 8, removed_2
+    model = {k: v for k, v in model.items() if k >= 100}
+    assert dict(_rows(table.read())) == model
+
+    # classic single-col stats still present for first-column merges
+    upd = spark.createDataFrame([(150, 5)], "id INT, val INT")
+    table.merge(upd, ["id"])
+    model[150] = 5
+    assert dict(_rows(table.read())) == model
+    assert len(table.history()[-1]["remove"]) <= 2  # pruned, not table-wide
