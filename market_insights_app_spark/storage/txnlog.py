@@ -72,6 +72,12 @@ class CommitConflict(Exception):
     budgeted for."""
 
 
+class ConstraintViolation(Exception):
+    """Raised when incoming rows fail a table CHECK constraint — the
+    write is aborted BEFORE its commit record publishes, so readers
+    never see the violating rows."""
+
+
 def _fmt_version(v: int) -> str:
     return f"{v:0{_V_WIDTH}d}.json"
 
@@ -101,6 +107,7 @@ class Snapshot:
     version: int
     files: dict[str, dict] = field(default_factory=dict)  # dir -> add entry
     schema_json: str | None = None
+    constraints: dict[str, str] = field(default_factory=dict)  # name -> CHECK sql
 
     @property
     def dirs(self) -> list[str]:
@@ -203,6 +210,7 @@ class TxnTable:
             "version": snap.version,
             "files": snap.files,
             "schema": snap.schema_json,
+            "constraints": snap.constraints,
         }
         with open(tmp, "w") as fh:
             json.dump(body, fh)
@@ -255,6 +263,7 @@ class TxnTable:
                 version=cp["version"],
                 files=dict(cp["files"]),
                 schema_json=cp.get("schema"),
+                constraints=dict(cp.get("constraints", {})),
             )
         for v in versions:
             if v <= snap.version or v > target:
@@ -265,6 +274,8 @@ class TxnTable:
             for a in c.get("add", []):
                 snap.files[a["dir"]] = a
             snap.schema_json = c.get("schema", snap.schema_json)
+            if "constraints" in c:  # set/drop commits carry the full set
+                snap.constraints = dict(c["constraints"])
             snap.version = v
         return snap
 
@@ -379,6 +390,30 @@ class TxnTable:
             entries.append(e)
         return entries
 
+    def _check_constraints(self, df: DataFrame, constraints: dict[str, str]) -> None:
+        """Raise :class:`ConstraintViolation` if any row of ``df``
+        fails a CHECK expression.  SQL CHECK semantics: a row violates
+        only when the expression evaluates to FALSE — NULL passes (the
+        standard's unknown-is-accepted rule; spell NOT NULL explicitly
+        as ``col IS NOT NULL``).  Fast path is ONE probe job that
+        stops at the first violating row across all constraints; the
+        per-constraint attribution job runs only on the error path."""
+        if not constraints:
+            return
+        viol = " OR ".join(
+            f"NOT coalesce(({e}), true)" for e in constraints.values()
+        )
+        if not df.filter(F.expr(viol)).limit(1).collect():
+            return
+        names = [
+            n
+            for n, e in constraints.items()
+            if df.filter(F.expr(f"NOT coalesce(({e}), true)")).limit(1).collect()
+        ]
+        raise ConstraintViolation(
+            f"rows violate CHECK constraint(s) {names} on {self.path}"
+        )
+
     def _drop_data(self, rel: str) -> None:
         shutil.rmtree(os.path.join(self.path, rel), ignore_errors=True)
 
@@ -424,6 +459,7 @@ class TxnTable:
         schema_json: str | None = None,  # fallback when the table is new
         txn: tuple[str, int] | None = None,  # (app, id) idempotence marker
         schema_from=None,  # () -> json | None: evolved schema set by build
+        extra: dict | None = None,  # additional payload fields (constraints)
     ) -> int:
         """Shared optimistic-concurrency loop.  `build` runs against a
         fresh snapshot and returns the rewrite; on a lost publish the
@@ -452,6 +488,8 @@ class TxnTable:
             }
             if txn is not None:
                 payload["txn"] = {"app": txn[0], "id": txn[1]}
+            if extra:
+                payload.update(extra() if callable(extra) else extra)
             while attempts < max_retries:
                 attempts += 1
                 if self._publish(version, payload):
@@ -469,6 +507,10 @@ class TxnTable:
                     # log and hide the winner's new columns — rebuild
                     # against a fresh snapshot instead
                     and winner.get("schema") == payload["schema"]
+                    # likewise a winner that changed the CHECK set: a
+                    # rebase would publish rows never validated against
+                    # the new constraints — rebuild and re-validate
+                    and "constraints" not in winner
                     and rebase_safe((add, remove), winner)
                 ):
                     version += 1
@@ -502,8 +544,22 @@ class TxnTable:
         entry = self._write_data(df, stats_col)
         schema_json = df.schema.json()
         attempts = 0
+        checked_sets: set[str] = set()
         while attempts < max_retries:
             snap = self.snapshot()
+            # enforce CHECK constraints against THIS snapshot's set;
+            # re-snapshotting every iteration means a constraint that
+            # lands mid-race is re-validated, never bypassed by rebase
+            cfp = json.dumps(snap.constraints, sort_keys=True)
+            if snap.constraints and cfp not in checked_sets:
+                try:
+                    self._check_constraints(
+                        self._read_dirs([entry["dir"]], None), snap.constraints
+                    )
+                except ConstraintViolation:
+                    self._drop_data(entry["dir"])
+                    raise
+                checked_sets.add(cfp)
             evolved_json: str | None = None
             if (evolve_schema and snap.schema_json is not None
                     and snap.schema_json != schema_json):
@@ -563,8 +619,19 @@ class TxnTable:
         only re-runs the cheap `build` (recomputing the remove list
         against the fresh snapshot) — never the data write."""
         entry = self._write_data(df, stats_col)
+        checked: set[str] = set()
 
         def build(snap: Snapshot):
+            cfp = json.dumps(snap.constraints, sort_keys=True)
+            if snap.constraints and cfp not in checked:
+                try:
+                    self._check_constraints(
+                        self._read_dirs([entry["dir"]], None), snap.constraints
+                    )
+                except ConstraintViolation:
+                    self._drop_data(entry["dir"])
+                    raise
+                checked.add(cfp)
             return [entry], snap.dirs
 
         def rebase_safe(ours, winner) -> bool:
@@ -656,6 +723,13 @@ class TxnTable:
         state: dict = {}
 
         def build(snap: Snapshot):
+            cfp = json.dumps(snap.constraints, sort_keys=True)
+            if snap.constraints and cfp not in state.setdefault("checked", set()):
+                # violating update rows abort before any rewrite; the
+                # orphaned update directory is vacuum's to reclaim
+                # (same contract as the schema-mismatch aborts below)
+                self._check_constraints(upd_df, snap.constraints)
+                state["checked"].add(cfp)
             touched = [d for d in snap.dirs if overlaps(snap.files[d])]
             state["touched"] = set(touched)
             if snap.schema_json is not None:
@@ -892,6 +966,62 @@ class TxnTable:
 
         return self._commit_loop(
             "optimize", build, rebase_safe, max_retries, on_stale=on_stale
+        )
+
+    def add_constraint(
+        self, name: str, check_sql: str, max_retries: int = 10
+    ) -> int:
+        """Delta ``ALTER TABLE … ADD CONSTRAINT name CHECK (expr)``
+        analog.  The EXISTING table is validated first (one scan — a
+        constraint that current data already violates is rejected, not
+        recorded), then the full constraint set rides a metadata-only
+        commit; every later append/merge/overwrite validates its
+        incoming rows against the snapshot's set BEFORE publishing, so
+        readers never see a violating row.  CHECK semantics: a row
+        violates only when the expression is FALSE — NULL passes
+        (spell NOT NULL as ``col IS NOT NULL``).  ``restore()``
+        restores data, not constraints (table metadata follows the
+        log's last set/drop, the Delta property behavior)."""
+        state: dict = {}
+
+        def build(snap: Snapshot):
+            if snap.version < 0:
+                raise ValueError("add_constraint on an empty table")
+            if name in snap.constraints:
+                raise ValueError(f"constraint {name!r} already exists")
+            self._check_constraints(
+                self._read_dirs(snap.dirs, snap.schema_json),
+                {name: check_sql},
+            )
+            state["set"] = {**snap.constraints, name: check_sql}
+            return [], []
+
+        return self._commit_loop(
+            "set_constraint",
+            build,
+            lambda ours, winner: False,
+            max_retries,
+            extra=lambda: {"constraints": state["set"]},
+        )
+
+    def drop_constraint(self, name: str, max_retries: int = 10) -> int:
+        """Remove a CHECK constraint (metadata-only commit)."""
+        state: dict = {}
+
+        def build(snap: Snapshot):
+            if name not in snap.constraints:
+                raise ValueError(f"constraint {name!r} does not exist")
+            state["set"] = {
+                k: v for k, v in snap.constraints.items() if k != name
+            }
+            return [], []
+
+        return self._commit_loop(
+            "set_constraint",
+            build,
+            lambda ours, winner: False,
+            max_retries,
+            extra=lambda: {"constraints": state["set"]},
         )
 
     # -- maintenance -------------------------------------------------

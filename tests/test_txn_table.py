@@ -901,3 +901,72 @@ def test_optimize_zorder_enables_two_dimension_pruned_deletes(spark, table):
     model[150] = 5
     assert dict(_rows(table.read())) == model
     assert len(table.history()[-1]["remove"]) <= 2  # pruned, not table-wide
+
+
+# -- CHECK constraints ------------------------------------------------
+
+
+def test_check_constraint_blocks_violating_writes(spark, table):
+    from market_insights_app_spark.storage.txnlog import ConstraintViolation
+
+    table.append(_mk(spark, [(1, "a"), (2, "b")]), stats_col="id")
+    table.add_constraint("pos_id", "id > 0")
+    table.add_constraint("val_set", "val IS NOT NULL")
+    # compliant writes pass through every write path
+    table.append(_mk(spark, [(3, "c")]), stats_col="id")
+    table.merge(_mk(spark, [(2, "B")]), ["id"])
+    # violating append aborts BEFORE publish; state unchanged
+    before = _rows(table.read())
+    v_before = table.snapshot().version
+    with pytest.raises(ConstraintViolation, match="pos_id"):
+        table.append(_mk(spark, [(-5, "x")]), stats_col="id")
+    with pytest.raises(ConstraintViolation, match="val_set"):
+        table.merge(
+            spark.createDataFrame([(9, None)], "id INT, val STRING"), ["id"]
+        )
+    with pytest.raises(ConstraintViolation):
+        table.overwrite(_mk(spark, [(-1, "z")]), stats_col="id")
+    assert table.snapshot().version == v_before
+    assert _rows(table.read()) == before
+    # NULL passes a plain CHECK (SQL unknown-is-accepted), and the
+    # aborted writes' orphan dirs are vacuum's to reclaim
+    table.drop_constraint("val_set")
+    table.merge(
+        spark.createDataFrame([(9, None)], "id INT, val STRING"), ["id"]
+    )
+    assert (9, None) in _rows(table.read())
+
+
+def test_add_constraint_validates_existing_rows_first(spark, table):
+    from market_insights_app_spark.storage.txnlog import ConstraintViolation
+
+    table.append(_mk(spark, [(0, "zero"), (1, "a")]), stats_col="id")
+    with pytest.raises(ConstraintViolation, match="pos_id"):
+        table.add_constraint("pos_id", "id > 0")
+    assert table.snapshot().constraints == {}  # rejected, not recorded
+    with pytest.raises(ValueError, match="does not exist"):
+        table.drop_constraint("pos_id")
+    table.add_constraint("nonneg", "id >= 0")
+    with pytest.raises(ValueError, match="already exists"):
+        table.add_constraint("nonneg", "id >= 0")
+
+
+def test_constraints_survive_checkpoint_truncate_and_fresh_readers(
+    spark, table
+):
+    from market_insights_app_spark.storage.txnlog import (
+        ConstraintViolation,
+        TxnTable as TT,
+    )
+
+    table.append(_mk(spark, [(1, "a")]), stats_col="id")
+    table.add_constraint("pos_id", "id > 0")
+    # push past the checkpoint interval (fixture: every 4 commits)
+    for k in range(2, 8):
+        table.append(_mk(spark, [(k, f"v{k}")]), stats_col="id")
+    table.truncate_history(retain_versions=2)
+    t2 = TT(spark, table.path)  # resolves from the covering checkpoint
+    assert t2.snapshot().constraints == {"pos_id": "id > 0"}
+    with pytest.raises(ConstraintViolation):
+        t2.append(_mk(spark, [(-1, "x")]), stats_col="id")
+    assert (1, "a") in _rows(t2.read())
