@@ -970,3 +970,28 @@ def test_constraints_survive_checkpoint_truncate_and_fresh_readers(
     with pytest.raises(ConstraintViolation):
         t2.append(_mk(spark, [(-1, "x")]), stats_col="id")
     assert (1, "a") in _rows(t2.read())
+
+
+def test_streaming_merge_sink_honors_constraints(spark, tmp_path):
+    """The foreachBatch MERGE sink inherits commit-time CHECK
+    validation: a violating micro-batch fails the streaming query
+    instead of landing, and the table keeps its pre-stream state."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_mk(spark, [(1, "a")]), stats_col="id")
+    t.add_constraint("pos_id", "id > 0")
+    src = tmp_path / "src"
+    _mk(spark, [(2, "b"), (-3, "x")]).coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema("id INT, val STRING").parquet(str(src))
+    q = (
+        stream.writeStream.foreachBatch(streaming_merge_sink(t, ["id"]))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises((StreamingQueryException, Py4JJavaError)) as exc:
+        q.awaitTermination()
+    assert "ConstraintViolation" in str(exc.value) or "pos_id" in str(exc.value)
+    assert _rows(t.read()) == [(1, "a")]
