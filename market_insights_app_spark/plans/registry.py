@@ -311,6 +311,22 @@ _CHANGED_SINCE_ROW: list[str] = []
 #     replay of the same recursion, and the signal/histogram columns
 #     are plain algebra over it; golden tests stay)
 #
+# Shelf ALTERNATE #4 (same standing):
+#   staged_q_holt_stateful_replay — the THIRD custom stateful
+#     operator (ingest.holt_stateful: per-key Holt level+trend double
+#     exponential smoothing, α=1/4 β=1/8 dyadic so the fold is
+#     bit-reproducible from plain literals) hash-gated through a real
+#     availableNow stream replay vs a list-accumulator list_reduce
+#     DuckDB twin; forecast1 = level + trend is the engine's
+#     one-step-ahead forecast surface (sf0.1 audit 1,500 users
+#     bit-exact; exact-fold + planted-ramp trend-recovery pins in
+#     tests/test_streaming.py)
+# Pre-staged consolidation candidate:
+#   for holt_stateful_replay → retire `resample_ffill` (its bucket
+#     grid rides ★ohlc_resample's gated resampling machinery and its
+#     forward-fill is the last_value window ★latest_per_key gates;
+#     golden tests stay)
+#
 # CEILING (computed, not guessed): N = 148 = 3W − 2.  The 2 slack
 # slots per 3-round cycle are what lets _CHANGED_SINCE_ROW re-gates
 # and new registrations happen at all; registering past 148 without a

@@ -3759,3 +3759,76 @@ def _bfs_oracle(rounds: int = 6) -> str:
 
 
 STAGED_ORACLES["bfs_distance"] = _bfs_oracle(rounds=6)
+
+
+def staged_q_holt_stateful_replay(spark: SparkSession, sf: str) -> DataFrame:
+    """Shelf alternate: the THIRD custom stateful operator hash-gated
+    through a real stream replay — per-key Holt double exponential
+    smoothing (level + trend; streaming/ingest.holt_stateful, α=1/4,
+    β=1/8 — dyadic, so 1−α / 1−β are exact doubles and the fold is
+    bit-reproducible from plain literals) run by applyInPandasWithState
+    over the events parquet replayed as an availableNow file stream.
+    The DuckDB twin replays the identical fold as a struct-accumulator
+    list_reduce in (ts, event_id) order — the l-expression appears
+    twice in the lambda (SQL lambdas bind no intermediates) but
+    deterministic FP makes the recomputation bit-identical to the
+    operator's reuse.  Forecast surface: forecast1 = level + trend is
+    the one-step-ahead prediction the EMA's trendless state cannot
+    express."""
+    import uuid as _uuid
+
+    from pyspark.sql.window import Window as W
+
+    from market_insights_app_spark.streaming.ingest import (
+        events_file_stream,
+        holt_stateful,
+        run_available_now_to_memory,
+    )
+
+    name = f"holt_replay_{_uuid.uuid4().hex[:8]}"
+    stream = events_file_stream(spark, sf, max_files_per_trigger=10_000)
+    run_available_now_to_memory(
+        holt_stateful(stream), name, "append", shuffle_partitions=8
+    )
+    out = spark.table(name)
+    w = W.partitionBy("key").orderBy(F.col("n_seen").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("key").alias("user_id"),
+            "level",
+            "trend",
+            "forecast1",
+            "n_seen",
+        )
+    )
+
+
+STAGED_ORACLES["holt_stateful_replay"] = """
+    WITH s AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+      FROM events GROUP BY user_id),
+    f AS (
+      -- accumulator is a DOUBLE[2] = [level, trend].  NOT a struct:
+      -- DuckDB 1.0 list_reduce evaluates struct-literal lambda fields
+      -- sequentially with acc fields REBOUND to already-computed new
+      -- fields from the 2nd application on (found at staging: the
+      -- trend expression saw the new level) — list literals fold
+      -- correctly
+      SELECT user_id,
+             list_reduce(
+               list_transform(vs, x -> [CAST(x AS DOUBLE),
+                                        CAST(0 AS DOUBLE)]),
+               (acc, x) -> [
+                 0.25::DOUBLE * x[1] + 0.75::DOUBLE * (acc[1] + acc[2]),
+                 0.125::DOUBLE * ((0.25::DOUBLE * x[1]
+                     + 0.75::DOUBLE * (acc[1] + acc[2])) - acc[1])
+                   + 0.875::DOUBLE * acc[2]
+               ]) AS st,
+             CAST(len(vs) AS BIGINT) AS n_seen
+      FROM s)
+    SELECT user_id, st[1] AS level, st[2] AS trend,
+           st[1] + st[2] AS forecast1, n_seen
+    FROM f
+"""

@@ -610,3 +610,85 @@ def cdc_apply_batch(batch: DataFrame, table, key_cols: list[str], value_cols: li
         (F.col("status") == F.lit("removed")).alias("deleted"),
     )
     table.merge(up, key_cols=key_cols)
+
+
+def holt_stateful(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.25,
+    beta: float = 0.125,
+) -> DataFrame:
+    """Third custom stateful operator: per-key Holt double exponential
+    smoothing (level + trend) carried across micro-batches — the
+    incremental FORECASTER the EMA lacks a trend term for.  Recursion
+    (Holt 1957, the standard formulation):
+
+        l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    seeded l_0 = y_0, b_0 = 0.  The default α=1/4, β=1/8 are DYADIC,
+    so 1−α and 1−β are exact doubles and the fold is bit-reproducible
+    from plain literals in any engine — the property the replay twin's
+    list_reduce depends on.  State = (level, trend, n); one emission
+    per key per micro-batch with the one-step-ahead forecast
+    level + trend."""
+    import pandas as pd  # noqa: F811 (executor-side import)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("level", T.DoubleType()),
+            T.StructField("trend", T.DoubleType()),
+            T.StructField("forecast1", T.DoubleType()),
+            T.StructField("n_seen", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("level", T.DoubleType()),
+            T.StructField("trend", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    one_m_a = 1.0 - alpha
+    one_m_b = 1.0 - beta
+
+    def update(key, pdfs, state: GroupState):
+        level, trend, n = state.get if state.exists else (None, 0.0, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for v in pdf[value_col]:
+                y = float(v)
+                if level is None:
+                    level, trend = y, 0.0
+                else:
+                    prev_l = level
+                    level = alpha * y + one_m_a * (level + trend)
+                    trend = beta * (level - prev_l) + one_m_b * trend
+                n += 1
+        state.update((level, trend, n))
+        yield pd.DataFrame(
+            [
+                {
+                    "key": key[0],
+                    "level": level,
+                    "trend": trend,
+                    "forecast1": None if level is None else level + trend,
+                    "n_seen": n,
+                }
+            ]
+        )
+
+    return (
+        stream.groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
