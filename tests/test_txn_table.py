@@ -995,3 +995,31 @@ def test_streaming_merge_sink_honors_constraints(spark, tmp_path):
         q.awaitTermination()
     assert "ConstraintViolation" in str(exc.value) or "pos_id" in str(exc.value)
     assert _rows(t.read()) == [(1, "a")]
+
+
+def test_concurrent_constraint_adds_merge_not_clobber(spark, table):
+    """Two writers adding DIFFERENT constraints concurrently: the
+    set-commit is full-set-replace, so the loser must REBUILD from the
+    winner's snapshot (rebase is disabled for constraint commits) and
+    the final set must contain both — a lost-update here would
+    silently drop a data contract."""
+    table.append(_mk(spark, [(1, "a")]), stats_col="id")
+    errs: list[Exception] = []
+
+    def adder(name, expr):
+        try:
+            table.add_constraint(name, expr)
+        except Exception as e:  # pragma: no cover - diagnostics
+            errs.append(e)
+
+    ths = [
+        threading.Thread(target=adder, args=("pos_id", "id > 0")),
+        threading.Thread(target=adder, args=("val_set", "val IS NOT NULL")),
+    ]
+    [t.start() for t in ths]
+    [t.join() for t in ths]
+    assert not errs
+    assert table.snapshot().constraints == {
+        "pos_id": "id > 0",
+        "val_set": "val IS NOT NULL",
+    }
