@@ -874,3 +874,38 @@ def test_temperature_mixture_null_groups_dropped_not_crash(spark):
     )
     assert got == want and len(got) > 0
     assert all(s is not None for _, s in got)
+
+
+def test_zipf_slope_golden_exact_power_law(spark):
+    """Golden pin for the Zipf fit (its registry row is the pre-staged
+    consolidation candidate for the label_propagation alternate — per
+    the retirement contract the value law must stay pinned here): a
+    corpus whose term k appears exactly round(C/k) times is a perfect
+    log-log line, so the OLS slope must recover −1 to within the
+    integer-rounding wiggle, and a single-token corpus must yield a
+    NULL slope (zero denominator), not an error."""
+    from market_insights_app_spark.plans.textml import q_zipf_slope
+
+    words = []
+    for k in range(1, 21):
+        words += [f"w{k:02d}"] * round(240 / k)
+    docs = spark.createDataFrame(
+        [(0, " ".join(words), "en", "syn", len(words))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="zipf_golden_")
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = q_zipf_slope(spark, d).collect()[0]
+    assert out.n_terms == 20
+    assert abs(out.slope - (-1.0)) < 0.02, out.slope
+
+    single = spark.createDataFrame(
+        [(0, "only only only", "en", "syn", 14)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d2 = tempfile.mkdtemp(prefix="zipf_single_")
+    single.coalesce(1).write.mode("overwrite").parquet(f"{d2}/documents.parquet")
+    row = q_zipf_slope(spark, d2).collect()[0]
+    assert row.n_terms == 1 and row.slope is None

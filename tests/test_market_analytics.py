@@ -210,3 +210,31 @@ def test_twap_same_ts_zero_weight(spark):
     df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
     r = twap(df).collect()[0]
     assert r["twap"] == pytest.approx(10.0)
+
+
+def test_value_quantiles_golden_interpolation(spark):
+    """Golden pin for exact per-group percentiles (registry row is the
+    pre-staged consolidation candidate for the bootstrap_ci alternate
+    — the value law stays pinned here): a hand-built 5-point group
+    where every linear-interpolation value is computable by hand, and
+    a 1-point group where all percentiles collapse to that point."""
+    import datetime as dt
+
+    from market_insights_app_spark.plans.core import q_value_quantiles
+    import tempfile
+
+    rows = [
+        (i, 1, dt.datetime(2024, 1, 1, 0, i), "a", v)
+        for i, v in enumerate([10.0, 20.0, 30.0, 40.0, 50.0])
+    ] + [(99, 2, dt.datetime(2024, 1, 2), "b", 7.0)]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    d = tempfile.mkdtemp(prefix="vq_golden_")
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {r.event_type: (r.p50, r.p90, r.p99) for r in
+           q_value_quantiles(spark, d).collect()}
+    # n=5: p50 = 30; p90 = idx 3.6 -> 40 + 0.6*10 = 46; p99 -> 49.6
+    assert got["a"] == (30.0, 46.0, 49.6)
+    assert got["b"] == (7.0, 7.0, 7.0)
