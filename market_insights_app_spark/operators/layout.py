@@ -84,7 +84,15 @@ def zorder_assign(
     ``repartitionByRange`` on the z-value (disjoint z-ranges per file
     by construction), file id in ``__file``.  The caller writes with
     ``partitionBy("__file")`` — same mechanics as the storage layer's
-    1-D optimize, different curve."""
+    1-D optimize, different curve.
+
+    Stability caveat (applies to :func:`linear_assign` too):
+    ``repartitionByRange`` re-samples its range boundaries per ACTION,
+    so ``__file`` is only stable once materialized — derive stats /
+    bloom indexes from the WRITTEN (or checkpointed) data, never from
+    a second evaluation of the same plan (every storage-layer caller
+    reads stats back from the written files for exactly this reason).
+    """
     joined, z = zorder_value(df, cols, bits)
     out = (
         joined.withColumn("__z", z)

@@ -123,7 +123,11 @@ def test_bloom_file_index_no_false_negatives_and_skips(spark):
         F.col("id").alias("doc_id"),
         F.pmod(F.xxhash64("id"), F.lit(10_000)).alias("x"),
     )
-    laid = linear_assign(df, "doc_id", files)  # ids disjoint per file
+    # materialize ONCE: repartitionByRange re-samples its range
+    # boundaries per action (seeded by the RDD id), so deriving the
+    # index and the home-file lookup from separate evaluations can
+    # disagree on file assignment (observed as a rare shard-run flake)
+    laid = linear_assign(df, "doc_id", files).localCheckpoint(eager=True)
     idx = bloom_file_index(laid, "doc_id").cache()
     assert idx.count() == files
     # which file holds doc_id 12345?
@@ -187,7 +191,7 @@ def test_bloom_file_index_m_bits_cap_bounds_memory(spark):
 
     n, files = 8_000, 4
     df = spark.range(n).select(F.col("id").alias("doc_id"))
-    laid = linear_assign(df, "doc_id", files)
+    laid = linear_assign(df, "doc_id", files).localCheckpoint(eager=True)
     # uncapped target would be next_pow2(16 * 2000) = 32768 bits; cap at 4096
     idx = bloom_file_index(laid, "doc_id", max_m_bits=4096).cache()
     rows = idx.collect()
