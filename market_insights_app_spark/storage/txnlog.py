@@ -549,12 +549,28 @@ class TxnTable:
             snap = self.snapshot()
             # enforce CHECK constraints against THIS snapshot's set;
             # re-snapshotting every iteration means a constraint that
-            # lands mid-race is re-validated, never bypassed by rebase
+            # lands mid-race is re-validated, never bypassed by rebase.
+            # Validate under the schema the data will READ back with
+            # (evolve-appends missing a constrained evolved column are
+            # null-filled → NULL passes CHECK, the same verdict a later
+            # reader reaches; a raw read would AnalysisException on the
+            # absent column instead)
             cfp = json.dumps(snap.constraints, sort_keys=True)
             if snap.constraints and cfp not in checked_sets:
+                read_schema = None
+                if evolve_schema and snap.schema_json is not None:
+                    from pyspark.sql.types import StructType
+
+                    base = StructType.fromJson(json.loads(snap.schema_json))
+                    read_schema = (
+                        self.spark.createDataFrame([], base)
+                        .unionByName(df.limit(0), allowMissingColumns=True)
+                        .schema.json()
+                    )
                 try:
                     self._check_constraints(
-                        self._read_dirs([entry["dir"]], None), snap.constraints
+                        self._read_dirs([entry["dir"]], read_schema),
+                        snap.constraints,
                     )
                 except ConstraintViolation:
                     self._drop_data(entry["dir"])

@@ -1023,3 +1023,25 @@ def test_concurrent_constraint_adds_merge_not_clobber(spark, table):
         "pos_id": "id > 0",
         "val_set": "val IS NOT NULL",
     }
+
+
+def test_constraint_on_evolved_column_with_narrow_evolve_append(spark, table):
+    """A CHECK on an evolved column must not break a narrower
+    evolve-append: the batch reads back with the column null-filled,
+    NULL passes CHECK (the verdict a later reader reaches), and the
+    constraint still blocks rows that DO carry a violating value."""
+    from market_insights_app_spark.storage.txnlog import ConstraintViolation
+
+    table.append(_mk(spark, [(1, "a")]), stats_col="id")
+    wide = spark.createDataFrame([(2, "b", 0.5)], ["id", "val", "score"])
+    table.merge(wide, ["id"], evolve_schema=True)
+    table.add_constraint("score_range", "score BETWEEN 0 AND 1")
+    # narrow evolve-append: score null-filled -> passes
+    table.append(_mk(spark, [(3, "c")]), stats_col="id", evolve_schema=True)
+    got = {r.id: r.score for r in table.read().collect()}
+    assert got == {1: None, 2: 0.5, 3: None}
+    # a wide append carrying a violating score still blocks
+    bad = spark.createDataFrame([(4, "d", 7.0)], ["id", "val", "score"])
+    with pytest.raises(ConstraintViolation, match="score_range"):
+        table.append(bad, stats_col="id", evolve_schema=True)
+    assert 4 not in {r.id for r in table.read().collect()}
