@@ -332,20 +332,25 @@ def kmeans_fit(
                 got = _reduce_partial_means(partials)
             else:
                 # one pass: label via the O(1)-size argmin expression,
-                # then one k-row groupBy
+                # then one k-row groupBy.  The per-dimension mean
+                # aggregates are ONE parsed SQL string — building dim
+                # separate round(avg(...)) Column objects walked py4j
+                # element by element (~0.6 s of pure driver overhead
+                # per iteration at dim=64, measured r13); the parsed
+                # expressions are identical, so the plan and every
+                # aggregate value are unchanged.
                 assigned = vecs.select(
                     _best_struct(F.col("__v"), cents)["c"].alias("cluster"),
                     "__v",
                 )
+                mean_sql = "array(" + ",".join(
+                    f"round(avg(`__v`[{i}]),6)" for i in range(dim)
+                ) + ")"
                 means = assigned.groupBy("cluster").agg(
-                    *[
-                        F.round(F.avg(F.col("__v")[i]), 6).alias(f"c{i}")
-                        for i in range(dim)
-                    ]
+                    F.expr(mean_sql).alias("__m")
                 )
                 got = {
-                    r["cluster"]: [r[f"c{i}"] for i in range(dim)]
-                    for r in means.collect()
+                    r["cluster"]: list(r["__m"]) for r in means.collect()
                 }
             cents = [got.get(i, cents[i]) for i in range(k)]
         return cents

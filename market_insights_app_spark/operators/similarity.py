@@ -47,6 +47,45 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
+def _dlit(values) -> Column:
+    """array<double> literal from ONE parsed SQL string.  The
+    ``F.array(*[F.lit(x) ...])`` form this replaces walks the vector
+    element by element over py4j — hundreds of driver round-trips per
+    64-dim vector, pure construction overhead (r13 measured ~0.6 s of
+    it per Lloyd iteration in the sibling clustering module).  ``repr``
+    round-trips the exact bits; the ``D`` suffix pins DOUBLE (bare
+    decimals parse as DECIMAL in Spark SQL)."""
+    return F.expr(
+        "array(" + ",".join(f"{float(x)!r}D" for x in values) + ")"
+    )
+
+
+def _pynorm(vec) -> float:
+    """The L2 norm of a CONSTANT vector, computed driver-side with the
+    exact fold order of :func:`norm` (sequential float64 adds of the
+    squares, then sqrt) — bit-identical to the JVM expression, so a
+    literal of this value substitutes for ``norm(lit_vector)`` without
+    perturbing any downstream rounding."""
+    acc = 0.0
+    for x in vec:
+        x = float(x)
+        acc += x * x
+    return math.sqrt(acc)
+
+
+def _q_cosine(vec: Column, query_vec: list[float]) -> Column:
+    """``cosine(vec, literal query)`` with the query's constant norm
+    folded to a driver-computed literal (``_pynorm`` — bit-identical to
+    the JVM fold): one dot fold + one row-norm fold per row instead of
+    three.  The interpreted higher-order-function folds are the cost
+    center of every brute/exact cosine stage (they never reach
+    whole-stage codegen), so dropping the per-row re-fold of a
+    CONSTANT 64-literal array is a third of the stage for free."""
+    return dot(vec, _dlit(query_vec)) / F.nullif(
+        norm(vec) * F.lit(_pynorm(query_vec)), F.lit(0.0)
+    )
+
+
 def cosine_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -56,8 +95,7 @@ def cosine_topk(
 ) -> DataFrame:
     """Brute-force cosine top-k vs a literal query vector. One scan, no
     shuffle until the final top-k merge (TakeOrderedAndProject)."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    sim = cosine(_as_double(F.col(vec_col)), q)
+    sim = _q_cosine(_as_double(F.col(vec_col)), query_vec)
     return (
         df.select(F.col(id_col), F.round(sim, 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
@@ -94,7 +132,7 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit signature as a long (bit i = sign(vec · plane_i))."""
     sig = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        pl = F.array(*[F.lit(float(x)) for x in p])
+        pl = _dlit(p)
         bit = F.when(dot(vec, pl) >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
         sig = sig.bitwiseOR(bit)
     return sig
@@ -122,12 +160,14 @@ def ann_lsh_topk(
             qsig |= 1 << i
     v = _as_double(F.col(vec_col))
     sig = lsh_signature(v, planes)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     cand = df.withColumn("__sig", sig).filter(
         F.bit_count(F.col("__sig").bitwiseXOR(F.lit(qsig))) <= max_hamming
     )
     return (
-        cand.select(F.col(id_col), F.round(cosine(_as_double(F.col(vec_col)), q), 6).alias("cosine"))
+        cand.select(
+            F.col(id_col),
+            F.round(_q_cosine(_as_double(F.col(vec_col)), query_vec), 6).alias("cosine"),
+        )
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -204,12 +244,11 @@ def ann_lsh_topk_indexed(
         if sum(a * b for a, b in zip(query_vec, p)) >= 0:
             qsig |= 1 << i
     allowed = _hamming_ball(qsig, n_planes, max_hamming)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     cand = index.filter(F.col("sig").isin(allowed))
     return (
         cand.select(
             F.col(id_col),
-            F.round(cosine(_as_double(F.col(vec_col)), q), 6).alias("cosine"),
+            F.round(_q_cosine(_as_double(F.col(vec_col)), query_vec), 6).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
@@ -353,11 +392,21 @@ def ivf_topk(
             F.col(id_col), F.lit(0.0).alias("cosine")
         ).limit(0)
     probe_ids = _probe_cells(query_vec, cents, nprobe)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    assigned = df.withColumn("__cell", _cell_expr(_as_double(F.col(vec_col)), cents))
-    cand = assigned.filter(F.col("__cell").isin(probe_ids))
+    # the double-cast vector and its norm are shared by all n_cells
+    # cell cosines AND the final exact cosine — materialize both ONCE
+    # per row (withColumn projections; HOFs are non-cheap, so Catalyst
+    # does not inline them back), instead of re-folding the cast 17×
+    # and the norm 17× per row in interpreted HOF evaluation
+    base = df.withColumn("__v", _as_double(F.col(vec_col))).withColumn(
+        "__nv", norm(F.col("__v"))
+    )
+    cell = _cell_expr(F.col("__v"), cents, row_norm=F.col("__nv"))
+    cand = base.withColumn("__cell", cell).filter(F.col("__cell").isin(probe_ids))
+    sim = dot(F.col("__v"), _dlit(query_vec)) / F.nullif(
+        F.col("__nv") * F.lit(_pynorm(query_vec)), F.lit(0.0)
+    )
     return (
-        cand.select(F.col(id_col), F.round(cosine(_as_double(F.col(vec_col)), q), 6).alias("cosine"))
+        cand.select(F.col(id_col), F.round(sim, 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -382,12 +431,30 @@ def _seed_centroids(
     ]
 
 
-def _cell_expr(vec_expr: Column, cents: list[tuple[int, list[float]]]) -> Column:
+def _cell_expr(
+    vec_expr: Column,
+    cents: list[tuple[int, list[float]]],
+    row_norm: Column | None = None,
+) -> Column:
     """Nearest-centroid argmax via an array of sims + array_position —
     NOT an iterated when-chain, whose expression tree doubles per
-    centroid and OOMs the planner at 16 cells."""
+    centroid and OOMs the planner at 16 cells.
+
+    Each cell cosine is ``dot(v, c)/nullif(norm(v)*norm(c), 0)`` with
+    the CONSTANT centroid norm folded to a literal (``_pynorm`` is
+    bit-identical to the JVM fold) and the row norm shared across all
+    cells (pass ``row_norm`` as a materialized column to avoid
+    re-folding it per cell): n_cells dot folds + 1 norm fold per row
+    instead of 3·n_cells folds of interpreted HOF work — the values,
+    and therefore the argmax and every downstream rounding, are
+    unchanged bit for bit."""
+    nv = norm(vec_expr) if row_norm is None else row_norm
     sims = F.array(
-        *[cosine(vec_expr, F.array(*[F.lit(x) for x in cvec])) for _, cvec in cents]
+        *[
+            dot(vec_expr, _dlit(cvec))
+            / F.nullif(nv * F.lit(_pynorm(cvec)), F.lit(0.0))
+            for _, cvec in cents
+        ]
     )
     return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
 
@@ -463,10 +530,9 @@ def ivf_topk_indexed(
         for r in spark.read.parquet(path + "/centroids").collect()
     ]
     probe_ids = _probe_cells(query_vec, cents, nprobe)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     cand = spark.read.parquet(path + "/vectors").filter(F.col("cell").isin(probe_ids))
     return (
-        cand.select(F.col(id_col), F.round(cosine(_as_double(F.col(vec_col)), q), 6).alias("cosine"))
+        cand.select(F.col(id_col), F.round(_q_cosine(_as_double(F.col(vec_col)), query_vec), 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
