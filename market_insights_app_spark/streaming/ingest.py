@@ -148,6 +148,24 @@ def session_agg(
 LAST_REPLAY_QUERY = None
 
 
+def _replay_checkpoint_dir() -> str:
+    """Fresh checkpoint dir for a bounded replay drain, on a RAM-backed
+    filesystem when one is available.  A replay's checkpoint (offset
+    WAL, commit log, one state-store delta per partition per stateful
+    operator per batch) is written, fsynced and thrown away within
+    seconds — putting it on disk-backed /tmp made the fixed I/O cost
+    ~30-45 % of the whole interval-join drain (interleaved A/B r13:
+    11.7/4.4/5.5 s → 6.5/3.1/4.1 s on /dev/shm).  Durable pipelines
+    pass their own real checkpointLocation; this helper only serves
+    the drain-and-discard replay path, so volatility is correct.
+    Override base via SPARK_GRAFT_CKPT_BASE (e.g. point it at a fast
+    scratch volume on a cluster)."""
+    base = os.environ.get("SPARK_GRAFT_CKPT_BASE")
+    if base is None and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        base = "/dev/shm"
+    return tempfile.mkdtemp(prefix="mias_replay_ckpt_", dir=base)
+
+
 def run_available_now_to_memory(
     stream_df: DataFrame,
     name: str,
@@ -171,6 +189,7 @@ def run_available_now_to_memory(
     global LAST_REPLAY_QUERY
     spark = stream_df.sparkSession
     prev = None
+    ckpt = _replay_checkpoint_dir()
     if shuffle_partitions is not None:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -180,12 +199,14 @@ def run_available_now_to_memory(
             .queryName(name)
             .outputMode(output_mode)
             .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
             .start()
         )
         q.awaitTermination()
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ckpt, ignore_errors=True)
     LAST_REPLAY_QUERY = q
     return q
 
@@ -568,6 +589,7 @@ def run_available_now_foreach_batch(
     global LAST_REPLAY_QUERY
     spark = stream_df.sparkSession
     prev = None
+    ckpt = _replay_checkpoint_dir()
     if shuffle_partitions is not None:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -577,16 +599,17 @@ def run_available_now_foreach_batch(
                 lambda b, _id: batch_fn(b)
             )
             .trigger(availableNow=True)
-            .option(
-                "checkpointLocation",
-                tempfile.mkdtemp(prefix="mias_feb_ckpt_"),
-            )
+            .option("checkpointLocation", ckpt)
             .start()
         )
         q.awaitTermination()
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # the drained replay's checkpoint is single-use by construction
+        # (fresh dir per call) — remove it here instead of leaking one
+        # mkdtemp per replay
+        shutil.rmtree(ckpt, ignore_errors=True)
     LAST_REPLAY_QUERY = q
     return q
 
