@@ -724,23 +724,27 @@ def jaccard_clusters(
     the r6 driver-numpy CC lane for ≤ _DENSE_CC_DRIVER_CAP masks took
     it to ~1.8 s by replacing the 9.7 M-edge distributed mask-pair CC
     with one exact in-memory label propagation.)"""
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, shingle_n)).alias("g"),
-    )
-    if max_gram_df is not None:
-        rare = (
-            grams.groupBy("g")
-            .agg(F.count_distinct("id").alias("df"))
-            .filter(F.col("df") <= max_gram_df)
-            .select("g")
+    if max_gram_df is None:
+        # Dense-gate probe: ONE pass over the text (word_shingles is
+        # already per-doc-distinct), collecting at most 65 gram strings
+        # — the same scan a count() would pay, but the values come back
+        # with the gate, so the mask build below needs no row_number
+        # window, no broadcast idx join and no explode+groupBy shuffle
+        # (r13: the join+shuffle form measured 1.35–1.49 s steady at
+        # sf0.1 vs 0.86–1.24 s for the per-row expression form).
+        sets = df.select(
+            F.col(id_col).alias("id"),
+            word_shingles(text_col, shingle_n).alias("gs"),
         )
-        grams = grams.join(rare, "g")
-    vocab = grams.select("g").distinct()
-    if vocab.count() <= 64:
-        out = _dense_mask_clusters(grams, vocab, threshold, max_iterations)
-        if out is not None:
-            return out
+        vocab_rows = (
+            sets.select(F.explode("gs").alias("g")).distinct().limit(65).collect()
+        )
+        if len(vocab_rows) <= 64:
+            out = _dense_mask_clusters(
+                sets, sorted(r["g"] for r in vocab_rows), threshold, max_iterations
+            )
+            if out is not None:
+                return out
     pairs = exact_jaccard_pairs(
         df, id_col, text_col, threshold, shingle_n, max_gram_df
     )
@@ -774,19 +778,26 @@ def _mask_components_numpy(
         return []
     # (n, 64) bit expansion; arithmetic >> keeps the sign bit correct
     bits = ((m[:, None] >> np.arange(64, dtype=np.int64)[None, :]) & 1)
-    B = bits.astype(np.float64)
-    pc = B.sum(axis=1)
-    # Blockwise adjacency: a full B @ B.T at the 8192 cap is a
-    # 8192²×8 = 512 MiB float64 temporary, and inter/union/adj would
-    # stack three of them (~1.5 GB transient).  1024-row strips keep
-    # the peak at strip×n float64 (64 MiB) + the n² bool result
-    # (64 MB at the cap); per-strip values are the exact same float64
-    # matmul/divide the full-matrix form computes.
+    # float32 GEMM over only the OCCUPIED bit columns (r13): the
+    # intersection counts are integers ≤ 64, exactly representable in
+    # float32 whatever the accumulation order, so the adjacency is
+    # bit-identical to the float64 form while the matmul runs ~3×
+    # faster under the single-threaded BLAS get_spark pins (measured
+    # 2.00 s → 0.69 s best-of-5 at n=3 927).  pc / union / divide stay
+    # float64 — the Jaccard division is the same IEEE double the JVM
+    # expression computes.
+    B = bits[:, bits.any(axis=0)].astype(np.float32)
+    pc = bits.sum(axis=1).astype(np.float64)
+    # Blockwise adjacency: a full B @ B.T at the 8192 cap would stack
+    # ~n²-sized temporaries; 1024-row strips keep the peak at
+    # strip×n (32 MiB float32 at the cap) + the n² bool result
+    # (64 MB at the cap); per-strip counts are the exact same integers
+    # the full-matrix form computes.
     adj = np.empty((n, n), dtype=bool)
     with np.errstate(divide="ignore", invalid="ignore"):
         for s in range(0, n, 1024):
             e = min(s + 1024, n)
-            inter_s = B[s:e] @ B.T        # exact integer counts
+            inter_s = (B[s:e] @ B.T).astype(np.float64)  # exact counts
             union_s = pc[s:e, None] + pc[None, :] - inter_s
             adj[s:e] = (inter_s / union_s) >= threshold
     np.fill_diagonal(adj, False)
@@ -811,21 +822,33 @@ def _mask_components_numpy(
 
 
 def _dense_mask_clusters(
-    grams: DataFrame,
-    vocab: DataFrame,
+    sets: DataFrame,
+    vocab: list[str],
     threshold: float,
     max_iterations: int,
 ) -> DataFrame | None:
     """Dense-path component labels: CC over the mask-pair graph (tiny),
     then one join assigning each doc its component's min doc id.  A doc
     participates iff its mask has a cross-mask neighbor OR at least two
-    docs share the mask (identical sets ⇒ Jaccard 1 ⇒ always paired)."""
-    w = Window.orderBy("g")
-    idx = vocab.select("g", (F.row_number().over(w) - 1).alias("idx"))
+    docs share the mask (identical sets ⇒ Jaccard 1 ⇒ always paired).
+
+    ``sets`` is (id, gs: array<string>) with per-doc-distinct grams;
+    ``vocab`` the ≤ 64 sorted distinct grams.  Each doc's mask is ONE
+    per-row expression over the literal vocab — no shuffle, no idx
+    join; docs with empty gram sets are dropped exactly as the explode
+    form dropped them.  Cluster ids are invariant to the bit order
+    (cluster = min member doc id), but the sorted vocab keeps masks
+    deterministic run-to-run."""
+    vsql = "array(" + ",".join("'" + g.replace("'", "''") + "'" for g in vocab) + ")"
     dm = (
-        grams.join(F.broadcast(idx), "g")
-        .groupBy("id")
-        .agg(F.expr("bit_or(shiftleft(1L, idx))").alias("mask"))
+        sets.filter(F.size("gs") > 0)
+        .select(
+            "id",
+            F.expr(
+                "aggregate(gs, 0L, (acc, g) -> acc | "
+                f"shiftleft(1L, int(array_position({vsql}, g) - 1)))"
+            ).alias("mask"),
+        )
         # feeds the mask census, the doc census, and the final label
         # join — materialize once, cut lineage (GC-cleaned blocks)
         .localCheckpoint(eager=True)
