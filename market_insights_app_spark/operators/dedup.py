@@ -1376,7 +1376,26 @@ def decontaminate_bloom(
         eval_set.select(F.explode(word_shingles(text_col, shingle_n)).alias("g"))
         .distinct()
     )
-    n_grams = eval_grams.count()
+    # Size the array from a CHEAP upper-bound estimate instead of an
+    # exact distinct-gram count (r13): the count() was a full
+    # normalize+shingle+distinct pass over the eval text — one of three
+    # such passes per run — spent only on picking m.  words ≤
+    # ceil(len/4) bounds any text whose words average ≥ 3 chars (+
+    # separator), and per-doc gram count ≤ word count, so the estimate
+    # over-sizes m vs the distinct count (duplicates, shorter-word
+    # corpora only shrink the true count).  m only tunes the FPR — the
+    # exact confirm join below makes the RESULT invariant to it, so an
+    # off estimate costs bits or candidate rows, never rows out.
+    n_grams = (
+        eval_set.agg(
+            F.sum(
+                F.greatest(
+                    (F.length(F.col(text_col)) / 4).cast("long"), F.lit(1)
+                )
+            )
+        ).first()[0]
+        or 1
+    )
     m_bits = 1 << max(10, (bits_per_gram * max(n_grams, 1) - 1).bit_length())
     mask = m_bits - 1
 
@@ -1393,7 +1412,15 @@ def decontaminate_bloom(
     chunk_bytes = chunk_bits >> 3
     chunk_shift = chunk_bits.bit_length() - 1
     n_chunks = m_bits // chunk_bits
-    pos_df = eval_grams.select(
+    # r13: positions come from the RAW per-doc gram stream, not
+    # eval_grams — OR-packing is idempotent, so the global .distinct()
+    # bought nothing here but a full hash-aggregate Exchange of gram
+    # STRINGS; the positions exchange ships packed int64s and the
+    # duplicate factor is bounded by cross-doc gram overlap.
+    # eval_grams (distinct) still backs the exact confirm join below.
+    pos_df = eval_set.select(
+        F.explode(word_shingles(text_col, shingle_n)).alias("g")
+    ).select(
         F.explode(F.array(*positions(F.col("g")))).alias("p")
     ).repartition(n_chunks, F.shiftright("p", chunk_shift))
 
@@ -1427,10 +1454,16 @@ def decontaminate_bloom(
         bits[o : o + chunk_bytes] |= np.frombuffer(row["bits"], dtype=np.uint8)
     bc = train.sparkSession.sparkContext.broadcast(bits)
 
+    # r13: the k positions arrive as k SCALAR int64 Series, not one
+    # array column — the array form materialized a numpy object per
+    # row inside the UDF (np.stack over per-row arrays dominated the
+    # probe's Python time); column_stack over flat int64 arrays is a
+    # single vectorized copy and the Arrow transfer loses the
+    # per-row offsets layer.
     @F.pandas_udf("boolean")
-    def might_contain(pos: pd.Series) -> pd.Series:
+    def might_contain(*pos: pd.Series) -> pd.Series:
         b = bc.value
-        P = np.stack(pos.to_numpy()).astype(np.int64)     # (n, k)
+        P = np.column_stack([p.to_numpy() for p in pos])  # (n, k) int64
         hit = (b[P >> 3] & (np.uint8(1) << (P & 7).astype(np.uint8))) != 0
         return pd.Series(hit.all(axis=1))
 
@@ -1439,7 +1472,7 @@ def decontaminate_bloom(
         F.explode(word_shingles(text_col, shingle_n)).alias("g"),
     )
     candidates = train_grams.filter(
-        might_contain(F.array(*positions(F.col("g"))))
+        might_contain(*positions(F.col("g")))
     )
     # exact confirm: false positives die here; no broadcast hint — at
     # bench scale AQE broadcasts the eval grams, at web scale this is
