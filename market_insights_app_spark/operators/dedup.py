@@ -1517,10 +1517,15 @@ def split_leakage_report(
         F.col(id_col).alias("__sid"), F.col(split_col).alias("__split")
     )
 
+    # fingerprint and split label in ONE projection of df — the former
+    # `.join(sp, "__sid")` self-joined two projections of the same
+    # table by id (a full-corpus Exchange Catalyst cannot collapse)
+    # to reunite columns that were never apart (r13).
     fp = df.select(
         F.col(id_col).alias("__sid"),
         md5_fingerprint(F.col(text_col)).alias("__fp"),
-    ).join(sp, "__sid")
+        F.col(split_col).alias("__split"),
+    )
     x, y = fp.alias("x"), fp.alias("y")
     exact = (
         x.join(
