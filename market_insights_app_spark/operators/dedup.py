@@ -758,6 +758,31 @@ def jaccard_clusters(
 _DENSE_CC_DRIVER_CAP = 8192
 
 
+# single-slot buffer pool for _mask_components_numpy: first-touch page
+# faults on fresh large mmaps are the dominant cost of the dense CC on
+# a memory-pressured host (see the measurement note in the function),
+# so the strip/adjacency buffers are reused across calls.  Bounded by
+# construction: one slot, sized by the ≤8192-mask cap that gates the
+# driver lane (≤64 MB adjacency + ≤28 MB strips).  Holds no input-
+# derived data — every cell is overwritten before it is read.
+_DENSE_CC_POOL: dict = {}
+
+
+def _dense_cc_buffers(np, n: int, w: int):
+    key = (n, w)
+    if _DENSE_CC_POOL.get("key") != key:
+        _DENSE_CC_POOL.clear()
+        _DENSE_CC_POOL["key"] = key
+        _DENSE_CC_POOL["bufs"] = (
+            np.empty((w, n), dtype=np.float32),   # matmul out (counts)
+            np.empty((w, n), dtype=np.float64),   # inter, as double
+            np.empty((w, n), dtype=np.float64),   # union, then quotient
+            np.empty((w, n), dtype=np.int64),     # masked-label strip
+            np.empty((n, n), dtype=bool),         # adjacency
+        )
+    return _DENSE_CC_POOL["bufs"]
+
+
 def _mask_components_numpy(
     mask_vals: list[int], threshold: float
 ) -> list[tuple[int, int]]:
@@ -781,25 +806,38 @@ def _mask_components_numpy(
     # float32 GEMM over only the OCCUPIED bit columns (r13): the
     # intersection counts are integers ≤ 64, exactly representable in
     # float32 whatever the accumulation order, so the adjacency is
-    # bit-identical to the float64 form while the matmul runs ~3×
-    # faster under the single-threaded BLAS get_spark pins (measured
-    # 2.00 s → 0.69 s best-of-5 at n=3 927).  pc / union / divide stay
+    # bit-identical to the float64 form.  pc / union / divide stay
     # float64 — the Jaccard division is the same IEEE double the JVM
     # expression computes.
-    B = bits[:, bits.any(axis=0)].astype(np.float32)
+    B = np.ascontiguousarray(bits[:, bits.any(axis=0)], dtype=np.float32)
     pc = bits.sum(axis=1).astype(np.float64)
-    # Blockwise adjacency: a full B @ B.T at the 8192 cap would stack
-    # ~n²-sized temporaries; 1024-row strips keep the peak at
-    # strip×n (32 MiB float32 at the cap) + the n² bool result
-    # (64 MB at the cap); per-strip counts are the exact same integers
-    # the full-matrix form computes.
-    adj = np.empty((n, n), dtype=bool)
+    # Blockwise adjacency in POOLED strip buffers (r13 follow-up): the
+    # per-strip `(B[s:e] @ B.T).astype(f64)` + union + divide chain
+    # allocated ~100 MB of FRESH mmaps per strip and per label-prop
+    # iteration (numpy frees >128 KB arrays straight back to the OS, so
+    # every temporary re-faulted its pages), and on this hypervisor
+    # first-touch faults stall under co-tenant memory pressure —
+    # measured: touching 110 MB of fresh mmaps beside the resident JVM
+    # took 5.9 s (≈19 MB/s) while the SAME GEMM into warm pages ran
+    # 0.014 s, so the whole 9–25 s in-session cost of this function was
+    # page faults, not arithmetic (BLAS acquitted by calibration).
+    # The pool (one slot, keyed by n, ≤64 MB adj + ≤28 MB strips at the
+    # 8192-mask cap) makes steady-state calls allocation-free; the
+    # arithmetic and its IEEE order are unchanged.
+    strip = 256
+    w = min(strip, n)
+    c32, i64, u64, lb, adj = _dense_cc_buffers(np, n, w)
+    Bt = B.T
     with np.errstate(divide="ignore", invalid="ignore"):
-        for s in range(0, n, 1024):
-            e = min(s + 1024, n)
-            inter_s = (B[s:e] @ B.T).astype(np.float64)  # exact counts
-            union_s = pc[s:e, None] + pc[None, :] - inter_s
-            adj[s:e] = (inter_s / union_s) >= threshold
+        for s in range(0, n, strip):
+            e = min(s + strip, n)
+            r = e - s
+            np.matmul(B[s:e], Bt, out=c32[:r])
+            np.copyto(i64[:r], c32[:r])              # exact f32→f64
+            np.add(pc[s:e, None], pc[None, :], out=u64[:r])
+            np.subtract(u64[:r], i64[:r], out=u64[:r])
+            np.divide(i64[:r], u64[:r], out=u64[:r])
+            np.greater_equal(u64[:r], threshold, out=adj[s:e])
     np.fill_diagonal(adj, False)
     has_nbr = adj.any(axis=1)
     labels = m.copy()
@@ -807,9 +845,16 @@ def _mask_components_numpy(
     for _ in range(n):                    # converges in O(diameter)
         changed = False
         # blocked masked-min keeps peak memory at block × n int64
-        for s in range(0, n, 1024):
-            e = min(s + 1024, n)
-            nbr = np.where(adj[s:e], labels[None, :], big).min(axis=1)
+        for s in range(0, n, strip):
+            e = min(s + strip, n)
+            r = e - s
+            lb[:r].fill(big)
+            np.copyto(
+                lb[:r],
+                np.broadcast_to(labels[None, :], (r, n)),
+                where=adj[s:e],
+            )
+            nbr = lb[:r].min(axis=1)
             new = np.minimum(labels[s:e], nbr)
             if not np.array_equal(new, labels[s:e]):
                 labels[s:e] = new
