@@ -397,15 +397,24 @@ def minhash_near_dupes(
     )
     est_floor = max(0.0, threshold - 0.25)  # ~2σ margin at 32 hashes
     cands = with_sigs.filter(matches / num_hashes >= est_floor).select("a", "b")
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("sh")
-    )
+    # exact-verify on the RAW TEXT joined to the candidate pairs, with
+    # the shingle arrays computed AFTER the join (r13): the former shape
+    # pre-shingled every corpus document on both join sides, so the
+    # tokenizer ran 2n times however few candidates survived the
+    # prefilter, and the shingle ARRAYS (larger than their source text)
+    # crossed the join exchanges.  Post-join, shingling is
+    # 2·|candidates| (the prefilter's whole point is candidates ≪ n)
+    # and only the text crosses — same expression on the same strings,
+    # so jaccard is bit-identical.
+    txt = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
     joined = (
-        cands.join(sh.withColumnRenamed("id", "a").withColumnRenamed("sh", "sh_a"), "a")
-        .join(sh.withColumnRenamed("id", "b").withColumnRenamed("sh", "sh_b"), "b")
+        cands.join(txt.withColumnRenamed("id", "a").withColumnRenamed("t", "ta"), "a")
+        .join(txt.withColumnRenamed("id", "b").withColumnRenamed("t", "tb"), "b")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    sh_a = word_shingles("ta", shingle_n)
+    sh_b = word_shingles("tb", shingle_n)
+    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+    union = F.size(F.array_union(sh_a, sh_b)).cast("double")
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
         joined.withColumn("jaccard", jac)
