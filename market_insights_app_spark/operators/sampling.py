@@ -276,8 +276,26 @@ def dsir_weights(
     )
     t_counts = tb.groupBy("b").agg(F.count(F.lit(1)).alias("tc")).persist()
     r_counts = doc_b.groupBy("b").agg(F.sum("n").alias("rc"))
-    t_total = t_counts.agg(F.sum("tc")).first()[0] or 0
-    r_total = r_counts.agg(F.sum("rc")).first()[0] or 0
+    # Both corpus-total scalars come back in ONE driver action (r13):
+    # the old shape ran two sequential .first() jobs at plan build time,
+    # each materializing one persisted corpus pass before the next
+    # started; the crossJoin of the two 1-row aggregates runs both
+    # passes inside a single job, so they overlap across the executor
+    # cores and the persisted tables are materialized exactly once,
+    # serially-safe, before the main action.  (Folding the totals into
+    # the plan as broadcast scalar columns was tried first and measured
+    # a PESSIMIZATION: with nothing eager, the unmaterialized persisted
+    # subtrees were recomputed concurrently by racing broadcast-build
+    # threads — scripts/r13_ab_dsir.py records the falsification.)
+    # The totals stay Python ints spliced in as literals, so the
+    # log-ratio doubles are bit-identical to the old shape.
+    tot_row = (
+        t_counts.agg(F.sum("tc").alias("tt"))
+        .crossJoin(r_counts.agg(F.sum("rc").alias("rt")))
+        .first()
+    )
+    t_total = tot_row[0] or 0
+    r_total = tot_row[1] or 0
     lr = (
         r_counts.join(t_counts, "b", "left")
         .select(
