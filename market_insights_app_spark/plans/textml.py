@@ -10,6 +10,8 @@ portable twin or a pure-Python reference in tests/.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
@@ -2978,6 +2980,26 @@ def _host_pagerank_oracle(iters: int = 10) -> str:
 TEXTML_ORACLES["host_authority"] = _host_pagerank_oracle()
 
 
+# single cleanup slot for q_txn_merge's discard-after-read gate table
+# (bounds the per-call mkdtemp leak to one directory; see below).  The
+# atexit hook clears the LAST dir when the process ends — without it
+# every bench/sweep process would strand one table on the RAM-backed
+# filesystem.
+_TXN_MERGE_DIR: list = []
+
+
+def _txn_merge_cleanup() -> None:
+    import shutil
+
+    while _TXN_MERGE_DIR:
+        shutil.rmtree(_TXN_MERGE_DIR.pop(), ignore_errors=True)
+
+
+import atexit  # noqa: E402
+
+atexit.register(_txn_merge_cleanup)
+
+
 def q_txn_merge(spark: SparkSession, sf: str) -> DataFrame:
     """r13 registration (staged r12): the ACID MERGE surface (D5's
     transactional form, storage/txnlog.TxnTable.merge — reference
@@ -3000,6 +3022,7 @@ def q_txn_merge(spark: SparkSession, sf: str) -> DataFrame:
     anti/union algebra MERGE is defined by.  The table lives in a
     per-call temp dir (POSIX path, like the streaming replays' memory
     sinks); output depends only on the input slice."""
+    import shutil
     import tempfile
 
     from market_insights_app_spark.storage.txnlog import TxnTable
@@ -3014,7 +3037,24 @@ def q_txn_merge(spark: SparkSession, sf: str) -> DataFrame:
         "user_id",
         (F.col("value") * 2 + 1).alias("value"),
     )
-    t = TxnTable(spark, tempfile.mkdtemp(prefix="mias_txn_merge_"))
+    # Single-use gate table on a RAM-backed dir when available (r13,
+    # same contract as the streaming replays' _replay_checkpoint_dir):
+    # the table is written, read once and discarded, so disk-backed
+    # /tmp paid pure fsync overhead — and the old mkdtemp LEAKED one
+    # data dir per call.  Single cleanup slot: the previous call's dir
+    # is removed on the next call (its action is long finished by
+    # then), bounding the footprint to one ~MB-scale table.
+    base_dir = os.environ.get("SPARK_GRAFT_CKPT_BASE")
+    if base_dir is None and os.path.isdir("/dev/shm") and os.access(
+        "/dev/shm", os.W_OK
+    ):
+        base_dir = "/dev/shm"
+    prev = _TXN_MERGE_DIR.pop() if _TXN_MERGE_DIR else None
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    path = tempfile.mkdtemp(prefix="mias_txn_merge_", dir=base_dir)
+    _TXN_MERGE_DIR.append(path)
+    t = TxnTable(spark, path)
     t.append(base, stats_col="event_id")
     t.merge(updates, key_cols=["event_id"])
     return t.read().select("event_id", "user_id", "value")

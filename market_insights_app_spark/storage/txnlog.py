@@ -287,26 +287,37 @@ class TxnTable:
 
     def _write_data(self, df: DataFrame, stats_col: str | None) -> dict:
         """Write `df` into a fresh immutable data directory and return
-        its add-entry (dir, rows, key-range stats).  Stats are read
-        back from the written files — one column scan over the new
-        directory only, never a recompute of the producing plan."""
+        its add-entry (dir, rows, key-range stats).  Stats ride the
+        write job itself as observed metrics (r13) — the rows that
+        flow into the files ARE the aggregated rows, so the values are
+        the ones a read-back scan of the new directory would return
+        (Spark parquet round-trips every SQL type losslessly), without
+        the extra per-write job the old read-back pass paid.  Observed
+        metrics count only successful tasks, so a task retry cannot
+        double-count (and this table's writers run with speculation
+        off, the same premise the crawl accumulators document)."""
+        from pyspark.sql import Observation
+
         rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
         full = os.path.join(self.path, rel)
-        df.write.mode("errorifexists").parquet(full)
-        entry: dict = {"dir": rel}
-        back = self.spark.read.parquet(full)
-        if stats_col is not None and stats_col in back.columns:
-            row = back.agg(
+        obs = Observation()
+        if stats_col is not None and stats_col in df.columns:
+            watched = df.observe(
+                obs,
                 F.count(F.lit(1)).alias("n"),
                 F.min(stats_col).alias("lo"),
                 F.max(stats_col).alias("hi"),
-            ).first()
+            )
+        else:
+            stats_col = None
+            watched = df.observe(obs, F.count(F.lit(1)).alias("n"))
+        watched.write.mode("errorifexists").parquet(full)
+        row = obs.get
+        entry: dict = {"dir": rel, "rows": row["n"]}
+        if stats_col is not None:
             lo, hi = _stat_value(row["lo"]), _stat_value(row["hi"])
-            entry["rows"] = row["n"]
             if lo is not None and hi is not None:
                 entry["stats"] = {"col": stats_col, "min": lo, "max": hi}
-        else:
-            entry["rows"] = back.count()
         return entry
 
     def _write_clustered(
