@@ -494,27 +494,25 @@ def simhash_df(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(text_col, shingle_n)).alias("g"),
     ).select("id", gh.alias("gh"))
-    votes = grams.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("gh"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                ).otherwise(F.lit(-1))
-            ).alias(f"v{b}")
-            for b in range(bits)
-        ]
-    )
-
-    def bit_value(b: int) -> Column:
-        mask = (1 << b) if b < 63 else -(1 << 63)
-        return F.when(F.col(f"v{b}") > 0, F.lit(mask).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    # ONE parsed SQL expression for the whole vote→bit→pack tree (r13):
+    # the former shape built `bits` aggregate Columns plus a `bits`-term
+    # bitwiseOR chain through individual py4j calls — several hundred
+    # driver round-trips per plan build, the dominant cost of
+    # constructing this query.  The SQL string parses in a single call
+    # to the same operators (sum over the ±1 case vote, case-on-sign
+    # mask, bitwise or), so `h` is bit-identical.
+    def bit_term(b: int) -> str:
+        mask = (
+            f"{1 << b}L" if b < 63 else "(-9223372036854775807L - 1L)"
         )
+        vote = (
+            f"sum(case when (shiftright(gh, {b}) & 1) = 1 "
+            "then 1 else -1 end)"
+        )
+        return f"(case when {vote} > 0 then {mask} else 0L end)"
 
-    out = bit_value(0)
-    for b in range(1, bits):
-        out = out.bitwiseOR(bit_value(b))
-    return votes.select("id", out.alias("h"))
+    h = " | ".join(bit_term(b) for b in range(bits))
+    return grams.groupBy("id").agg(F.expr(h).alias("h"))
 
 
 def simhash_near_dupes(
