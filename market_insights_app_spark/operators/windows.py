@@ -296,6 +296,45 @@ def ewma(value: Column | str, w: WindowSpec, span: int) -> Column:
     return num / F.element_at(den_lits, m)
 
 
+def ewma_pair(
+    value: Column | str, w: WindowSpec, fast: int = 12, slow: int = 26
+) -> tuple[Column, Column]:
+    """Both MACD EWMAs off ONE trailing ``slow``-row collect_list
+    (r13): the fast lane's reversed window array is exactly the first
+    ``fast`` elements of the slow lane's (a trailing window of a
+    prefix is a prefix of the trailing window), so computing both
+    spans from one window function halves the Window operator's frame
+    processors and per-row array builds vs two separate :func:`ewma`
+    calls.  Element order, weight slices, fold order and the partial-
+    window denominators are identical to :func:`ewma`, so both columns
+    are bit-identical to it (pinned in tests/test_domain_operators)."""
+    v = F.col(value) if isinstance(value, str) else value
+    v = F.coalesce(v.cast("double"), F.lit(0.0))
+    arr = F.collect_list(v).over(trailing(w, slow))
+    rev = F.reverse(arr)
+    m = F.size(rev)
+
+    def fold(span: int) -> Column:
+        wts = ewma_weights(span)
+        lits = F.array(*[F.lit(x) for x in wts])
+        dens, acc = [], 0.0
+        for x in wts:
+            acc += x
+            dens.append(acc)
+        den_lits = F.array(*[F.lit(x) for x in dens])
+        mm = F.least(m, F.lit(span))
+        num = F.aggregate(
+            F.zip_with(
+                F.slice(rev, 1, mm), F.slice(lits, 1, mm), lambda a, b: a * b
+            ),
+            F.lit(0.0),
+            lambda acc_, x: acc_ + x,
+        )
+        return num / F.element_at(den_lits, mm)
+
+    return fold(fast), fold(slow)
+
+
 def macd(value: Column | str, w: WindowSpec, fast: int = 12, slow: int = 26) -> Column:
     """MACD line = EWMA(fast) − EWMA(slow) (bounded-horizon form)."""
     return ewma(value, w, fast) - ewma(value, w, slow)

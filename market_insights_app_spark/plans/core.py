@@ -944,15 +944,26 @@ def q_ewma_macd(spark: SparkSession, sf: str) -> DataFrame:
     IEEE arithmetic (no libm pow in either plan)."""
     ev = _events(spark, sf)
     w = EVENTS_W()
-    e12 = W.ewma("value", w, 12)
-    e26 = W.ewma("value", w, 26)
-    return ev.select(
+    # ONE collect_list window feeds both spans (W.ewma_pair, r13), and
+    # the two-level select keeps each O(span) fold evaluated ONCE —
+    # inlining e12/e26 into the macd expression re-ran the array fold
+    # per referencing column (CollapseProject leaves non-cheap aliases
+    # staged, so the inner projection survives).
+    e12, e26 = W.ewma_pair("value", w, 12, 26)
+    inner = ev.select(
         "user_id",
         "event_id",
         ts_us("ts").alias("ts_us"),
-        F.round(e12, 6).alias("ewma12"),
-        F.round(e26, 6).alias("ewma26"),
-        F.round(e12 - e26, 6).alias("macd"),
+        e12.alias("__e12"),
+        e26.alias("__e26"),
+    )
+    return inner.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.round("__e12", 6).alias("ewma12"),
+        F.round("__e26", 6).alias("ewma26"),
+        F.round(F.col("__e12") - F.col("__e26"), 6).alias("macd"),
     )
 
 

@@ -712,6 +712,38 @@ def test_ewma_golden(spark):
         assert abs(got - num / den) < 1e-12, (i, got, num / den)
 
 
+def test_ewma_pair_bit_identical_to_ewma(spark):
+    """The fused one-window ewma_pair (r13) must reproduce both spans'
+    standalone ewma values BIT-identically, through every warm-up
+    partial window — including the fast span's slice of the slow
+    span's window array."""
+    from pyspark.sql.window import Window
+
+    from market_insights_app_spark.operators.windows import ewma, ewma_pair
+
+    vals = [10.0, 12.0, 11.0, 15.0, 14.0, 13.0, 9.5, 16.25, 8.0, 14.5,
+            11.75, 10.0, None, 12.5]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, value double"
+    )
+    w = Window.orderBy("i")
+    f, s = ewma_pair("value", w, 3, 5)
+    rows = (
+        df.select(
+            "i",
+            f.alias("pf"),
+            s.alias("ps"),
+            ewma("value", w, 3).alias("ef"),
+            ewma("value", w, 5).alias("es"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    for r in rows:
+        assert r["pf"] == r["ef"], (r["i"], r["pf"], r["ef"])
+        assert r["ps"] == r["es"], (r["i"], r["ps"], r["es"])
+
+
 def test_passage_dedup_first_occurrence(spark):
     """A passage shared across docs survives only at its first
     (doc_id, idx) occurrence; reassembly preserves passage order."""
