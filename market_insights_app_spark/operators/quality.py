@@ -30,7 +30,13 @@ def _bigrams_multiset(text_col: str) -> Column:
     """Word bigrams WITH multiplicity (``word_shingles`` dedups, which
     is right for Jaccard but wrong for repetition counting). Same
     shifted-slice zip as word_shingles — O(tokens) per doc."""
-    toks = _lower_tokens(text_col)
+    return _bigrams_of(_lower_tokens(text_col))
+
+
+def _bigrams_of(toks: Column) -> Column:
+    """Bigram multiset off an already-tokenized array column — the
+    r13 single-tokenize lane (the regex tokenizer runs once per
+    corpus pass; bigram derivation is a cheap array zip)."""
     k = F.greatest(F.size(toks) - 1, F.lit(0))
     return F.zip_with(
         F.slice(toks, 1, k),
@@ -55,9 +61,15 @@ def repetition_features(
     a decimal half-way point and diverge). Documents with zero tokens
     produce no output row (nothing to measure).
     """
-    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    # r13 single-tokenize: the token and bigram lanes each ran the
+    # regex tokenizer over the full text; materialize the token arrays
+    # once (intra-query checkpoint, freed with the plan) and derive
+    # both explodes from them.
+    base = df.select(
+        F.col(id_col).alias("id"), _lower_tokens(text_col).alias("__toks")
+    ).localCheckpoint(eager=False)
 
-    tok = base.select("id", F.explode(_lower_tokens("__t")).alias("tok"))
+    tok = base.select("id", F.explode("__toks").alias("tok"))
     tok_counts = tok.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("c"))
     per_tok = tok_counts.groupBy("id").agg(
         F.sum("c").alias("n_tokens"),
@@ -65,7 +77,7 @@ def repetition_features(
         F.max("c").alias("top_tok"),
     )
 
-    big = base.select("id", F.explode(_bigrams_multiset("__t")).alias("g"))
+    big = base.select("id", F.explode(_bigrams_of(F.col("__toks"))).alias("g"))
     big_counts = big.groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
     per_big = big_counts.groupBy("id").agg(
         F.sum("c").alias("n_bigrams"), F.max("c").alias("top_big")
@@ -135,9 +147,13 @@ def unigram_logprob(
     Determinism: ln computed in doubles; avg rounded to 6 dp (the
     DuckDB twin hash-matches; per-doc token counts are small enough
     that summation-order ulps sit far below the rounding grain)."""
-    toks = df.select(
-        F.col(id_col), F.explode(_lower_tokens(text_col)).alias("term")
-    )
+    # r13 single-tokenize: the vocabulary build and the score join
+    # each ran the regex tokenizer over the full text; materialize the
+    # token arrays once and explode twice (cheap array op).
+    tarr = df.select(
+        F.col(id_col), _lower_tokens(text_col).alias("__toks")
+    ).localCheckpoint(eager=False)
+    toks = tarr.select(F.col(id_col), F.explode("__toks").alias("term"))
     vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     lp = (
@@ -186,18 +202,39 @@ def bigram_logprob(
 
     Determinism: counts are exact integers; the probability is one
     double division, ln in doubles, avg rounded to 6 dp; ppl rounds
-    exp(-avg) to 4 dp (relative ulp noise ≪ both grains)."""
-    toks = _lower_tokens(text_col)
-    pairs = df.select(
-        F.col(id_col), F.explode(_bigrams_multiset(text_col)).alias("bg")
+    exp(-avg) to 4 dp (relative ulp noise ≪ both grains).
+
+    r13: the corpus is tokenized ONCE into a lazily-materialized token
+    table that feeds all three consumers (bigram stream, count table,
+    vocabulary).  The naive plan ran the regex tokenizer over the full
+    text FOUR times — pairs' join side, bgc, w1c and vocab each scanned
+    the corpus, and exchange reuse could not merge bgc with w1c's
+    rebuild because the joins push DIFFERENT null filters into each
+    subtree (isnotnull(bg) vs isnotnull(split(bg,' ')[0])).  The bigram
+    count table is likewise materialized once so w1c derives from it
+    instead of re-aggregating the corpus; both checkpoints are
+    intra-query (computed fresh per invocation, freed with the plan)."""
+    toks_df = df.select(
+        F.col(id_col), _lower_tokens(text_col).alias("__toks")
+    ).localCheckpoint(eager=False)
+    k = F.greatest(F.size("__toks") - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice("__toks", 1, k),
+        F.slice("__toks", 2, k),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    bgc = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    pairs = toks_df.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+    bgc = (
+        pairs.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=False)
+    )
     w1c = (
         bgc.select(F.split("bg", " ", 2).getItem(0).alias("w1"), "c12")
         .groupBy("w1")
         .agg(F.sum("c12").alias("c1"))
     )
-    vocab_n = df.select(F.explode(toks).alias("t")).agg(
+    vocab_n = toks_df.select(F.explode("__toks").alias("t")).agg(
         F.count_distinct("t").alias("v")
     )
     lp = (
