@@ -489,21 +489,28 @@ def pmi_collocations(
     joins (AQE broadcasts the heavy-hitter-pruned sides at bench
     scale); the totals are a broadcast 1-row cross join; top-k is
     TakeOrderedAndProject, no global sort."""
-    toks = _lower_tokens(text_col)
-    per_doc = df.select(
-        toks.alias("w"), _bigrams_multiset(text_col).alias("g")
+    # r13 single-tokenize: per_doc feeds THREE consumers (totals,
+    # unigram counts, bigram counts) and the unigram table joins
+    # twice, so the naive plan ran the regex tokenizer over the full
+    # corpus four times.  Materialize the token arrays once (bigrams
+    # derive from them with a cheap zip) and the vocabulary-sized
+    # unigram count table once; both checkpoints are intra-query.
+    per_doc = df.select(_lower_tokens(text_col).alias("w")).localCheckpoint(
+        eager=False
     )
+    g = _bigrams_of(F.col("w"))
     tot = per_doc.agg(
         F.sum(F.size("w")).alias("t_uni"),
-        F.sum(F.greatest(F.size("g"), F.lit(0))).alias("t_big"),
+        F.sum(F.greatest(F.size(g), F.lit(0))).alias("t_big"),
     )
     uni = (
         per_doc.select(F.explode("w").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     big = (
-        per_doc.select(F.explode("g").alias("g"))
+        per_doc.select(F.explode(g).alias("g"))
         .groupBy("g")
         .agg(F.count(F.lit(1)).alias("c_xy"))
         .filter(F.col("c_xy") >= min_count)
