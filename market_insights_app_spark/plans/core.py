@@ -1502,13 +1502,20 @@ def q_beta_benchmark(spark: SparkSession, sf: str) -> DataFrame:
     """CAPM beta/alpha of every series against the equal-weight
     cross-sectional benchmark (operators/market.beta_vs_benchmark):
     day-level market means broadcast back onto the returns, one
-    sufficient-statistic pass per key."""
+    sufficient-statistic pass per key.
+
+    r13: the returns frame feeds BOTH the day-keyed market mean and
+    the per-key stats join, so without the checkpoint each lane
+    re-derives daily_returns from the raw ticks (two sort-aggregates
+    + a window, twice) — the q_rolling_corr_market trade: the returns
+    table is key×day-sized, materializing it once is right at any
+    scale."""
     from market_insights_app_spark.operators.market import (
         beta_vs_benchmark,
         daily_returns,
     )
 
-    rets = daily_returns(_events(spark, sf))
+    rets = daily_returns(_events(spark, sf)).localCheckpoint(eager=False)
     out = beta_vs_benchmark(rets)
     return out.select(
         F.col("k").alias("user_id"),
