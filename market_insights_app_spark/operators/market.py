@@ -491,10 +491,18 @@ def resample_ffill(
             F.col("__ts").desc(), F.col("__id").desc()
         )
     )
-    closes = ticks.withColumn("__rn", rn).filter(F.col("__rn") == 1).select(
-        "k", "h", "v"
+    # r13: closes feeds both the grid bounds and the fill join, and
+    # bounds over the closes table equal bounds over the raw ticks
+    # (closes keeps exactly one row per occupied (key, bucket)), so
+    # materializing closes once (key×bucket-sized) replaces the second
+    # full tick scan + aggregate with a reduce over the small table.
+    closes = (
+        ticks.withColumn("__rn", rn)
+        .filter(F.col("__rn") == 1)
+        .select("k", "h", "v")
+        .localCheckpoint(eager=False)
     )
-    bounds = ticks.groupBy("k").agg(
+    bounds = closes.groupBy("k").agg(
         F.min("h").alias("lo"), F.max("h").alias("hi")
     )
     grid = bounds.select(
