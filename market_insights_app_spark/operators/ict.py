@@ -83,11 +83,18 @@ def analyze_ict(
             hw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    pre = s3.groupBy(*key_cols).agg(
-        F.max(F.when(F.col("is_local_high"), F.col("__hi_rank"))).alias("nh"),
-        F.max(F.when(F.col("is_local_low"), F.col("__lo_rank"))).alias("nl"),
+    # r13: the last-extremum ranks ride an unbounded window over the
+    # SAME key partitioning instead of a groupBy + join-back — the old
+    # shape recomputed the entire window chain a second time to feed
+    # the join's aggregate side (2 full scans → 1, join gone).  Values
+    # are identical: max over the whole partition == the groupBy max,
+    # and a key with no extrema yields NULL either way.
+    wk = Window.partitionBy(*key_cols)
+    s4 = s3.withColumn(
+        "nh", F.max(F.when(F.col("is_local_high"), F.col("__hi_rank"))).over(wk)
+    ).withColumn(
+        "nl", F.max(F.when(F.col("is_local_low"), F.col("__lo_rank"))).over(wk)
     )
-    s4 = s3.join(pre, on=key_cols, how="left")
     agg = s4.groupBy(*key_cols).agg(
         F.max(v).alias("hi"),
         F.min(v).alias("lo"),
