@@ -437,14 +437,33 @@ def temperature_mixture(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
-    weights = {
-        r[group_col]: float(r["n"]) ** alpha for r in counts if r["n"] > 0
-    }
-    if not weights:
+    sizes = {r[group_col]: r["n"] for r in counts if r["n"] > 0}
+    if not sizes:
         return df.limit(0)
-    return mixture_sample(
-        df, weights, group_col=group_col, id_col=id_col, salt=salt
+    # r13: the collected counts already determine the keep-rates, so
+    # deriving them here and broadcasting the rate table drops
+    # mixture_sample's in-plan group recount — one full corpus pass
+    # fewer (3 → 2 including the count job).  The arithmetic replays
+    # mixture_sample's expression chain operation for operation
+    # (float64 throughout: w = n^alpha, N = min ⌊gn/w⌋, rate =
+    # min(1, N·w/gn)) so every rate double — and therefore the hash
+    # predicate's survivor set — is bit-identical to the
+    # mixture_sample path.  Its weighted-but-empty raise cannot fire
+    # here by construction (every group comes from the data).
+    import math
+
+    weights = {g: float(n) ** alpha for g, n in sizes.items()}
+    n_cap = min(math.floor(n / weights[g]) for g, n in sizes.items())
+    rates = sorted(
+        (g, min(1.0, n_cap * weights[g] / sizes[g])) for g in sizes
     )
+    rates_df = df.sparkSession.createDataFrame(
+        rates, f"{group_col} string, __rate double"
+    )
+    out = df.join(F.broadcast(rates_df), group_col)
+    return out.filter(
+        hash_fraction(id_col, salt) < F.col("__rate")
+    ).drop("__rate")
 
 
 def kfold_column(
