@@ -1008,12 +1008,20 @@ def semantic_decontaminate(
     corpus is scanned exactly once.  Two lanes, BIT-IDENTICAL by
     construction:
 
-    - expression lane (``dense=False``, default below 256 eval rows):
-      per (train, eval) pair one index-ordered dot fold over
-      precomputed norms; the per-train argmax is an order-insensitive
-      ``max(struct)`` aggregate (map-side combinable — no window sort
-      over the pair stream).
-    - dense Arrow lane (``dense=True``, auto at ≥ 256 eval rows): the
+    - expression lane (``dense=False``; auto only for an EMPTY eval
+      set, where it degenerates to an empty join): per (train, eval)
+      pair one index-ordered dot fold over precomputed norms; the
+      per-train argmax is an order-insensitive ``max(struct)``
+      aggregate (map-side combinable — no window sort over the pair
+      stream).  Kept as the no-Arrow fallback and the lane-equality
+      test reference.
+    - dense Arrow lane (``dense=True``, auto for ANY non-empty eval
+      set — r13: interleaved best-of-3 at sf0.1 measured the dense
+      lane faster at EVERY eval size down to a single row, e.g. 0.50
+      vs 0.55 s at 1, 0.37 vs 1.33 s at 100 — the interpreted
+      higher-order-function dot fold loses to the Arrow boundary at
+      any pair count; the pre-r13 ≥256 gate left the bench query on
+      the interpreted lane): the
       eval matrix is collected (bounded: it IS the broadcast side) and
       each corpus batch computes all dots as ``d`` vectorized
       column-FMAs accumulated IN DIMENSION ORDER — the exact IEEE
@@ -1048,7 +1056,7 @@ def semantic_decontaminate(
             (r[0], list(r[1]))
             for r in evalset.select(id_col, vec_col).collect()
         ]
-        dense = len(ev_rows) >= 256
+        dense = len(ev_rows) >= 1
     elif dense:
         ev_rows = [
             (r[0], list(r[1]))

@@ -203,17 +203,28 @@ def test_semantic_decontaminate_lanes_bit_equal(spark):
 
 
 def test_semantic_decontaminate_is_broadcast_no_shuffle_on_corpus(spark):
-    """The corpus side must not sort or shuffle for the pair stage: the
-    eval set rides a broadcast nested-loop join and the per-train
-    reduce is one hash aggregate."""
+    """Neither lane may sort or shuffle the corpus for the pair stage:
+    the expression lane rides a broadcast nested-loop join; the dense
+    lane (the r13 default for any non-empty eval set) is a map-only
+    Arrow stage over the corpus scan."""
     emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
     ev = emb.filter(F.col("vec_id") % 20 == 0)
     tr = emb.filter(F.col("vec_id") % 20 != 0)
     plan = semantic_decontaminate(
-        tr, ev, threshold=0.4
+        tr, ev, threshold=0.4, dense=False
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+    # default gate lands on the dense Arrow lane: no join at all —
+    # the eval matrix is a TorrentBroadcast inside the Arrow closure
+    dplan = semantic_decontaminate(
+        tr, ev, threshold=0.4
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in dplan or "FlatMapGroupsInPandas" in dplan
+    assert "SortMergeJoin" not in dplan
+    assert "Exchange" not in dplan.split("HashAggregate")[0], (
+        "corpus must reach the Arrow stage without a shuffle"
+    )
 
 
 def test_hard_negatives_mining(spark):
