@@ -357,12 +357,16 @@ def pairwise_corr_dense(
         F.date_trunc(bucket, F.col(ts_col)).alias("bts"),
         F.col(value_col).cast(DEC).alias("v"),
     ).groupBy("k", "bts").agg(F.sum("v").cast(DEC).alias("s"))
+    # r13: the aligned table feeds BOTH task-grid join sides, so
+    # without the checkpoint each side re-runs the full bucket
+    # aggregate over the raw ticks.  It is key×bucket-sized (massively
+    # reduced at scale) — materialize it once.
     aligned = b.select(
         "k",
         F.unix_micros(F.col("bts").cast("timestamp")).alias("bidx"),
         (F.col("s") * 100).cast("long").alias("cents"),
         F.pmod(F.col("k"), F.lit(n_blocks)).cast("int").alias("blk"),
-    )
+    ).localCheckpoint(eager=False)
     task_rows = [
         (i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j
     ]
