@@ -609,6 +609,41 @@ def quantize_int8(
     return out.select(id_col, "scale", codes.alias("codes"))
 
 
+def _round6_ge_cutoff(threshold: float) -> float:
+    """The float64 cutoff c such that, for any finite double x,
+    ``F.round(x, 6) >= threshold``  ⟺  ``x >= c`` — which lets a numpy
+    lane replicate the JVM round-then-compare predicate EXACTLY with
+    one vectorized comparison on the raw value.
+
+    Spark's round(double, 6) is BigDecimal.valueOf(x) (the SHORTEST
+    round-trip decimal, same value as Python repr) .setScale(6,
+    HALF_UP) (ties away from zero) .toDouble — verified empirically on
+    this build: 0.3999995 → 0.4, nextafter-below → 0.399999,
+    -5e-07 → -1e-06.  round6 is monotone nondecreasing, so the
+    predicate is a half-line.  Derivation: k_min is the smallest
+    integer grid index whose rounded double clears the threshold; the
+    decimal half-way point H = (k_min − ½)·10⁻⁶ is never itself a
+    double ((2k−1)/2·10⁶ has a 5⁶ factor in the denominator), and a
+    tie (shortest(x) == H) rounds UP into k_min for H > 0 but AWAY
+    (down, out of k_min) for H < 0, so the half-line is closed at H
+    for positive H and open for negative H.  Shortest-repr ordering
+    agrees with double ordering, so the boundary double is resolved
+    with one repr comparison."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    grid = Decimal(10) ** 6
+    k = math.ceil(threshold * 1e6) + 2
+    while float(Decimal(k - 1) / grid) >= threshold:
+        k -= 1
+    h = (Decimal(2 * k - 1)) / (2 * grid)
+    hf = float(h)
+    r = Decimal(repr(hf))
+    if h > 0:
+        return hf if r >= h else math.nextafter(hf, math.inf)
+    return hf if r > h else math.nextafter(hf, math.inf)
+
+
 def _semdedup_in_cluster_pandas(
     assigned: DataFrame,
     threshold: float,
@@ -616,15 +651,25 @@ def _semdedup_in_cluster_pandas(
     vec_col: str,
 ) -> DataFrame:
     """Survivors of the in-cluster cosine screen, one applyInPandas
-    group per cluster.  Blocked matmul bounds memory: rows are id-sorted
-    and each block's similarities are taken against every lower-or-self
-    index, so 'drop if cosine ≥ threshold to ANY lower id' is exact.
-    Cosines are rounded to 6 dp like the JVM path; numpy's pairwise
-    summation can differ from the sequential fold in the last ulp, so
-    threshold-boundary ties are deterministic per-path only (this path
-    is the beyond-oracle scale lane)."""
+    group per cluster — BIT-IDENTICAL to the JVM pair probe
+    (:func:`_semdedup_pair_screen`) since r13: dots accumulate as
+    column FMAs in dimension order (the exact IEEE sequence of the
+    index-ordered ``dot`` fold — the ``_decontaminate_dense`` trick),
+    norms are the same sequential sum-of-squares + sqrt, the cosine is
+    the same single division by nrm_l·nrm_r, and the JVM
+    round(·,6) >= threshold predicate is replayed exactly via the
+    precomputed :func:`_round6_ge_cutoff` half-line (no np.round, no
+    summation-order caveat).  Zero-norm pairs match nothing, exactly
+    like the JVM lane's ``nullif`` NULL predicate.
+
+    Rows are id-sorted and each block's cosines are taken against
+    every lower-or-self index, so 'drop if cosine ≥ threshold to ANY
+    lower id' is exact; the per-dimension accumulation keeps the block
+    buffer ≤ ~32 MB like the matmul it replaces."""
     import numpy as np
     import pandas as pd
+
+    cutoff = _round6_ge_cutoff(threshold)
 
     def screen(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
@@ -632,15 +677,22 @@ def _semdedup_in_cluster_pandas(
         if m <= 1:
             return pdf[[id_col, "cluster"]]
         X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
-        nrm = np.sqrt((X * X).sum(axis=1))
-        nrm[nrm == 0.0] = np.inf          # zero vectors match nothing
-        S = X / nrm[:, None]
+        d = X.shape[1]
+        nsq = np.zeros(m)
+        for i in range(d):               # index-ordered fold == JVM norm
+            nsq += X[:, i] * X[:, i]
+        nrm = np.sqrt(nsq)
         drop = np.zeros(m, dtype=bool)
-        b = max(256, (1 << 22) // max(m, 1))   # ≤ ~32 MB per sim block
+        b = max(256, (1 << 22) // max(m, 1))   # ≤ ~32 MB per block
         for s in range(0, m, b):
             e = min(s + b, m)
-            sims = np.round(S[s:e] @ S[:e].T, 6)     # (b, e)
-            lower = np.tril(sims >= threshold, k=s - 1)  # j < global row id
+            dots = np.zeros((e - s, e))
+            for i in range(d):           # index-ordered fold == JVM dot
+                dots += X[s:e, i][:, None] * X[:e, i][None, :]
+            den = nrm[s:e][:, None] * nrm[:e][None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                hit = (den != 0.0) & ((dots / den) >= cutoff)
+            lower = np.tril(hit, k=s - 1)      # j < global row id only
             drop[s:e] |= lower.any(axis=1)
         return pdf.loc[~drop, [id_col, "cluster"]]
 
@@ -680,25 +732,18 @@ def semdedup(
     k-means init is the k smallest ids (operators/clustering.py), and
     the keep rule is pure min-id.
 
-    ``broadcast_probe`` picks the self-join strategy on the small-k
-    lane: True broadcasts the probe side (every partition screens
-    independently), False keeps the cluster-keyed sort-merge join (the
-    at-scale default shape), None (default) derives the hint from the
-    pre-checkpoint Catalyst size estimate — a driver-side plan lookup,
-    so the default path runs NO action over the corpus (pinned by
-    tests/test_retrieval_clustering.py).  Both lanes are bit-identical:
-    the join strategy changes the exchange, never the pair predicate.
-
-    Estimate-quality caveat (r11 ADVICE): the Catalyst sizeInBytes is
-    authoritative only for file-backed inputs (parquet statistics);
-    for createDataFrame / join / aggregate upstreams it is a
-    propagated guess or the conservative default, so the default gate
-    can pick the SMJ lane for a frame the old 100k-row semantics would
-    have broadcast (performance-only — the lanes are bit-identical).
-    The chosen lane and the estimate it keyed on are logged at DEBUG
-    (logger ``market_insights_app_spark.operators.similarity``) so a
-    mis-sized gate is diagnosable; callers with better knowledge pass
-    ``broadcast_probe`` explicitly.
+    ``broadcast_probe=None`` (default, r13) screens through the dense
+    Arrow in-cluster lane — bit-identical to the JVM pair probe since
+    the column-FMA rewrite (see :func:`_semdedup_in_cluster_pandas`)
+    and free of the quadratic interpreted higher-order-function
+    evaluation; the default path runs NO action over the corpus
+    (pinned by tests/test_retrieval_clustering.py).  An explicit
+    ``broadcast_probe`` keeps the JVM self-join screen with that join
+    strategy: True broadcasts the probe side, False keeps the
+    cluster-keyed sort-merge join (the lane-equality reference pair;
+    the bucketed layout keeps the SMJ form because its write-time
+    bucketing makes that screen exchange-free).  All three lanes
+    return the exact same survivor set.
 
     Returns the SURVIVING (id, cluster) rows.
     """
@@ -730,52 +775,44 @@ def semdedup(
         clustering._best_struct(v, cents)["c"].alias("cluster"),
         v.alias("v"),
     )
-    # the vector norm is fixed per row — computing it once here turns
-    # the per-PAIR cosine below from three array folds (dot + 2 norms)
-    # into one (3× less interpreted higher-order-function work in the
-    # quadratic stage); dot/(nrm_l·nrm_r) multiplies the exact same
-    # doubles cosine() would, so the 6 dp rounding is unchanged.
-    a = a.withColumn("nrm", norm(F.col("v")))
-    # the labeled frame feeds BOTH sides of the self-join and the final
-    # anti-join — localCheckpoint materializes it once (the ContextCleaner
-    # frees the blocks when the result frame is dropped, unlike the bare
-    # persist() this replaced, which leaked cache for the session's
-    # lifetime).  The repartition spreads the per-cluster quadratic probe
-    # across the fleet (the source is often a single parquet file → one
+    # the labeled frame feeds BOTH sides of the screen and the final
+    # survivor set — localCheckpoint materializes it once (the
+    # ContextCleaner frees the blocks when the result frame is dropped).
+    # The repartition spreads the per-cluster quadratic probe across
+    # the fleet (the source is often a single parquet file → one
     # partition → a serial O(n²/k·n) stage).  At 100 TB: write (id,
-    # cluster, v) bucketed by cluster instead, and the self-join needs no
-    # exchange at all.
-    # a checkpointed RDD-backed frame has no size statistics, so the
-    # planner would pick a sort-merge join keyed on `cluster` — at most
-    # k-way parallel and skew-prone.  The broadcast-vs-SMJ choice is a
-    # HINT, decided with NO action over the corpus (the in-repo
-    # standard set by hard_negatives r9 / embedding_neardup r10):
-    # callers say so explicitly via ``broadcast_probe``, and the
-    # default derives from the PRE-checkpoint Catalyst size estimate
-    # (parquet statistics — a driver-side plan lookup, zero jobs).
-    # Past the cutoff the SMJ stands — the at-scale answer: with
-    # k ≈ √n the cluster key has plenty of distinct values, and the
-    # bucketed-storage layout is the real 100 TB shape (note above).
+    # cluster, v) bucketed by cluster instead, and the screen needs no
+    # exchange at all (semdedup_bucketed).
     if broadcast_probe is None:
-        est = int(
-            a._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # r13 default: the in-cluster screen runs in the dense Arrow
+        # lane, which is BIT-IDENTICAL to the JVM pair probe since the
+        # column-FMA rewrite (dimension-ordered folds + the exact
+        # round6 cutoff — see _semdedup_in_cluster_pandas) and avoids
+        # the quadratic interpreted higher-order-function evaluation
+        # entirely (measured at sf0.1: the JVM screen loses at every
+        # cluster size, same finding as semantic_decontaminate's lane
+        # gate).  No Catalyst size gate is needed — the lane has no
+        # join to pick a strategy for, and the default path still runs
+        # NO action over the corpus (pinned).  Explicit
+        # ``broadcast_probe`` keeps the JVM screen lanes (the
+        # lane-equality reference pair and the bucketed layout's
+        # exchange-free shape).
+        a = a.repartition(
+            df.sparkSession.sparkContext.defaultParallelism
+        ).localCheckpoint(eager=True)
+        return _semdedup_in_cluster_pandas(a, threshold, "id", "v").select(
+            F.col("id").alias(id_col), "cluster"
         )
-        small = est <= 64 * 1024 * 1024
-        # estimate quality varies by source (docstring caveat): make
-        # the invisible gate diagnosable without adding a job
-        import logging
-
-        logging.getLogger(__name__).debug(
-            "semdedup probe-join gate: sizeInBytes estimate=%d -> %s",
-            est,
-            "broadcast" if small else "sort-merge",
-        )
-    else:
-        small = broadcast_probe
+    # explicit JVM-screen lanes: the vector norm is fixed per row —
+    # computing it once here turns the per-PAIR cosine below from
+    # three array folds (dot + 2 norms) into one; dot/(nrm_l·nrm_r)
+    # multiplies the exact same doubles cosine() would, so the 6 dp
+    # rounding is unchanged.
+    a = a.withColumn("nrm", norm(F.col("v")))
     a = a.repartition(df.sparkSession.sparkContext.defaultParallelism).localCheckpoint(
         eager=True
     )
-    return _semdedup_pair_screen(a, threshold, id_col, broadcast=small)
+    return _semdedup_pair_screen(a, threshold, id_col, broadcast=broadcast_probe)
 
 
 def _semdedup_pair_screen(

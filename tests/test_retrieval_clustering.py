@@ -546,3 +546,118 @@ def test_semdedup_bucketed_empty_corpus(spark):
     assert out.columns == ["vec_id", "cluster"]
     assert out.count() == 0
     assert not spark.catalog.tableExists("t_semdedup_bkt_empty")
+
+
+def test_round6_ge_cutoff_replays_jvm_round_compare():
+    """The half-line cutoff must agree with literal HALF_UP-on-
+    shortest-repr rounding (Spark's round(double, 6) semantics,
+    verified on this build) for every x, including exact half-way
+    shortest representations on both sides of zero."""
+    import math
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from market_insights_app_spark.operators.similarity import (
+        _round6_ge_cutoff,
+    )
+
+    def jvm_round6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    rng = random.Random(13)
+    xs = [
+        float("0.3999995"),
+        math.nextafter(float("0.3999995"), -math.inf),
+        math.nextafter(float("0.3999995"), math.inf),
+        float("0.9499995"),
+        float("-0.0000005"),
+        math.nextafter(float("-0.0000005"), math.inf),
+        float("-0.3999995"),
+        0.0,
+        1.0,
+        -1.0,
+    ] + [rng.uniform(-1.001, 1.001) for _ in range(2000)]
+    for t in (0.95, 0.4, 0.0, -0.4, 0.123456, 1.0):
+        c = _round6_ge_cutoff(t)
+        for x in xs:
+            want = jvm_round6(x) >= t
+            got = x >= c
+            assert got == want, (t, repr(x), c)
+
+
+def _unit_partner(c: float) -> list | None:
+    """A vector [c, y] whose JVM-fold norm is EXACTLY 1.0, so
+    cosine([1,0],[c,y]) replays as exactly c through the engine's
+    index-ordered folds (dot = c, den = 1·1).  Python floats ARE IEEE
+    doubles, so replicating the fold op-for-op here predicts the
+    engine bit-for-bit.  Returns None when no ulp-neighbor of
+    √(1−c²) makes the folded sum land on 1.0 exactly."""
+    import math
+
+    y0 = math.sqrt(max(0.0, 1.0 - c * c))
+    up = dn = y0
+    cands = [y0]
+    for _ in range(200):
+        up = math.nextafter(up, math.inf)
+        dn = math.nextafter(dn, 0.0)
+        cands += [up, dn]
+    for y in cands:
+        if 0.0 + c * c + y * y == 1.0:
+            return [c, y]
+    return None
+
+
+def test_semdedup_default_dense_screen_bit_identical_to_jvm(spark):
+    """The r13 default (dense Arrow screen) must return EXACTLY the
+    JVM pair-probe survivors — including at a constructed cosine that
+    is an exact half-way shortest repr at the 6 dp grain, where any
+    np.round/summation-order deviation would flip the decision."""
+    import math
+
+    from market_insights_app_spark.operators.similarity import semdedup
+
+    b = float("0.3999995")             # rounds UP to 0.400000 (HALF_UP)
+    vb = _unit_partner(b)
+    # below-the-boundary case: walk down ulps until a unit partner
+    # exists (everything strictly below b rounds DOWN to 0.399999)
+    lo, vlo = b, None
+    for _ in range(32):
+        lo = math.nextafter(lo, -math.inf)
+        vlo = _unit_partner(lo)
+        if vlo is not None:
+            break
+    assert vb is not None and vlo is not None  # constructions exist
+
+    def survivors(rows):
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        # k=1 puts every row in one cluster -> the screen decides alone
+        dense = {
+            tuple(r)
+            for r in semdedup(df, k=1, iters=1, threshold=0.4).collect()
+        }
+        jvm = {
+            tuple(r)
+            for r in semdedup(
+                df, k=1, iters=1, threshold=0.4, broadcast_probe=False
+            ).collect()
+        }
+        assert dense == jvm, (dense, jvm)
+        return {r[0] for r in dense}
+
+    # exact half-way cosine vs the lower-id anchor: HALF_UP drops it
+    ids = survivors([(0, [1.0, 0.0]), (1, vb), (2, [0.0, 0.0])])
+    assert 1 not in ids      # boundary cosine rounds up -> dropped
+    assert 2 in ids          # zero-norm survives (matches nothing)
+
+    # one ulp below the half-way point: kept
+    ids = survivors([(0, [1.0, 0.0]), (1, vlo)])
+    assert 1 in ids
+
+    # exact duplicates of the anchor: all higher ids drop
+    ids = survivors([(0, [1.0, 0.0])] + [(10 + i, [1.0, 0.0])
+                                         for i in range(4)])
+    assert ids == {0}
