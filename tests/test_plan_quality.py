@@ -296,16 +296,21 @@ def test_pairwise_corr_joins_aligned_table_not_ticks(spark):
 
 def test_pairwise_corr_registered_plan_is_gram_lane(spark):
     """The REGISTERED pairwise_corr plan (r11 flip) must be the
-    blocked-BLAS Gram lane: the aligned (key × bucket) HashAggregate
-    feeds an Arrow applyInPandas stage (FlatMapGroupsInPandas), and
-    the bucket self-join pair explosion is gone — the only joins are
-    the tiny block-pair task grid against the aligned table."""
+    blocked-BLAS Gram lane: the aligned (key × bucket) table feeds an
+    Arrow applyInPandas stage (FlatMapGroupsInPandas) and the bucket
+    self-join pair explosion is gone.  Since r13 the aligned bucket
+    aggregate is materialized ONCE (lazy localCheckpoint) — so the
+    visible plan must show NO parquet re-scan of the tick table (the
+    aggregate runs inside the single checkpoint materialization, where
+    explain has no stanza for it)."""
     from market_insights_app_spark.plans.registry import QUERIES
 
     p = plan_of(QUERIES["pairwise_corr"](spark, SF_ORACLE))
     assert "FlatMapGroupsInPandas" in p
-    assert "HashAggregate" in p
     assert "CartesianProduct" not in p
+    # both task-grid sides read the materialized aligned table: zero
+    # parquet scans in the visible plan (was 2 before the checkpoint)
+    assert "Scan parquet" not in p, p
 
 
 def test_bigram_lm_no_bigram_broadcast(spark):
