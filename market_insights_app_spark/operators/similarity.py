@@ -630,7 +630,7 @@ def _round6_ge_cutoff(threshold: float) -> float:
     agrees with double ordering, so the boundary double is resolved
     with one repr comparison."""
     import math
-    from decimal import ROUND_HALF_UP, Decimal
+    from decimal import Decimal
 
     grid = Decimal(10) ** 6
     k = math.ceil(threshold * 1e6) + 2
