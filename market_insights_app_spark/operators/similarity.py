@@ -670,6 +670,10 @@ def _semdedup_in_cluster_pandas(
     import pandas as pd
 
     cutoff = _round6_ge_cutoff(threshold)
+    # r14 (ADVICE): the output schema replays the INPUT id type instead
+    # of hardcoding long — string ids no longer fail at runtime and
+    # int ids are no longer silently widened.
+    id_type = assigned.schema[id_col].dataType.simpleString()
 
     def screen(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
@@ -699,7 +703,7 @@ def _semdedup_in_cluster_pandas(
     out = assigned.select(F.col(id_col), F.col("cluster"), F.col(vec_col))
     return (
         out.groupBy("cluster")
-        .applyInPandas(screen, schema=f"{id_col} long, cluster int")
+        .applyInPandas(screen, schema=f"{id_col} {id_type}, cluster int")
         .select(F.col(id_col), "cluster")
     )
 
@@ -736,14 +740,13 @@ def semdedup(
     Arrow in-cluster lane — bit-identical to the JVM pair probe since
     the column-FMA rewrite (see :func:`_semdedup_in_cluster_pandas`)
     and free of the quadratic interpreted higher-order-function
-    evaluation; the default path runs NO action over the corpus
-    (pinned by tests/test_retrieval_clustering.py).  An explicit
-    ``broadcast_probe`` keeps the JVM self-join screen with that join
-    strategy: True broadcasts the probe side, False keeps the
-    cluster-keyed sort-merge join (the lane-equality reference pair;
-    the bucketed layout keeps the SMJ form because its write-time
-    bucketing makes that screen exchange-free).  All three lanes
-    return the exact same survivor set.
+    evaluation.  An explicit ``broadcast_probe`` keeps the JVM
+    self-join screen with that join strategy: True broadcasts the
+    probe side, False keeps the cluster-keyed sort-merge join (the
+    lane-equality reference pair; the bucketed layout keeps the SMJ
+    form because its write-time bucketing makes that screen
+    exchange-free).  All three lanes return the exact same survivor
+    set.
 
     Returns the SURVIVING (id, cluster) rows.
     """
@@ -775,14 +778,6 @@ def semdedup(
         clustering._best_struct(v, cents)["c"].alias("cluster"),
         v.alias("v"),
     )
-    # the labeled frame feeds BOTH sides of the screen and the final
-    # survivor set — localCheckpoint materializes it once (the
-    # ContextCleaner frees the blocks when the result frame is dropped).
-    # The repartition spreads the per-cluster quadratic probe across
-    # the fleet (the source is often a single parquet file → one
-    # partition → a serial O(n²/k·n) stage).  At 100 TB: write (id,
-    # cluster, v) bucketed by cluster instead, and the screen needs no
-    # exchange at all (semdedup_bucketed).
     if broadcast_probe is None:
         # r13 default: the in-cluster screen runs in the dense Arrow
         # lane, which is BIT-IDENTICAL to the JVM pair probe since the
@@ -791,15 +786,12 @@ def semdedup(
         # the quadratic interpreted higher-order-function evaluation
         # entirely (measured at sf0.1: the JVM screen loses at every
         # cluster size, same finding as semantic_decontaminate's lane
-        # gate).  No Catalyst size gate is needed — the lane has no
-        # join to pick a strategy for, and the default path still runs
-        # NO action over the corpus (pinned).  Explicit
-        # ``broadcast_probe`` keeps the JVM screen lanes (the
-        # lane-equality reference pair and the bucketed layout's
-        # exchange-free shape).
-        a = a.repartition(
-            df.sparkSession.sparkContext.defaultParallelism
-        ).localCheckpoint(eager=True)
+        # gate).  r14: the labeled frame has exactly ONE consumer here
+        # and applyInPandas reshuffles by cluster anyway, so the r13
+        # repartition + eager localCheckpoint bought nothing and cost a
+        # full extra corpus materialization + round-robin exchange per
+        # call (the driver's cold-run r13 regression on this query) —
+        # the lane is now pure-lazy end to end.
         return _semdedup_in_cluster_pandas(a, threshold, "id", "v").select(
             F.col("id").alias(id_col), "cluster"
         )
@@ -809,6 +801,10 @@ def semdedup(
     # multiplies the exact same doubles cosine() would, so the 6 dp
     # rounding is unchanged.
     a = a.withColumn("nrm", norm(F.col("v")))
+    # the labeled frame feeds BOTH sides of the pair screen and the
+    # final survivor anti-join — materialize it once (ContextCleaner
+    # frees the blocks); the repartition spreads the per-cluster
+    # quadratic probe across the fleet.
     a = a.repartition(df.sparkSession.sparkContext.defaultParallelism).localCheckpoint(
         eager=True
     )
