@@ -357,27 +357,46 @@ def pairwise_corr_dense(
         F.date_trunc(bucket, F.col(ts_col)).alias("bts"),
         F.col(value_col).cast(DEC).alias("v"),
     ).groupBy("k", "bts").agg(F.sum("v").cast(DEC).alias("s"))
-    # r13: the aligned table feeds BOTH task-grid join sides, so
-    # without the checkpoint each side re-runs the full bucket
-    # aggregate over the raw ticks.  It is key×bucket-sized (massively
-    # reduced at scale) — materialize it once.
+    # r14: each aligned row fans out to its ≤ n_blocks+1 task slots with
+    # ONE generator expression over the literal task grid, instead of
+    # r13's two task-grid joins + union over a localCheckpoint-ed
+    # aligned table (the checkpoint write cost more than the saved
+    # second aggregate in the driver's cold runs).  The aligned table
+    # now has a single consumer — one scan, one aggregate, one explode,
+    # no materialization.  Diagonal tasks no longer ship a redundant
+    # side-1 copy (gram() never read it: for i == j it reuses side 0).
     aligned = b.select(
         "k",
         F.unix_micros(F.col("bts").cast("timestamp")).alias("bidx"),
         (F.col("s") * 100).cast("long").alias("cents"),
         F.pmod(F.col("k"), F.lit(n_blocks)).cast("int").alias("blk"),
-    ).localCheckpoint(eager=False)
-    task_rows = [
-        (i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j
-    ]
-    tasks = aligned.sparkSession.createDataFrame(task_rows, "i int, j int")
-    a_side = tasks.join(aligned, tasks.i == aligned.blk).select(
-        "i", "j", F.lit(0).alias("side"), "k", "bidx", "cents"
     )
-    b_side = tasks.join(aligned, tasks.j == aligned.blk).select(
-        "i", "j", F.lit(1).alias("side"), "k", "bidx", "cents"
+    tasks_sql = ",".join(
+        f"named_struct('i', {i}, 'j', {j})"
+        for i in range(n_blocks)
+        for j in range(n_blocks)
+        if i <= j
     )
-    both = a_side.unionByName(b_side)
+    both = aligned.select(
+        F.explode(
+            F.expr(
+                f"transform(filter(array({tasks_sql}), "
+                "t -> t.i = blk OR t.j = blk), "
+                "t -> named_struct('i', t.i, 'j', t.j, "
+                "'side', if(t.i = blk, 0, 1)))"
+            )
+        ).alias("t"),
+        "k",
+        "bidx",
+        "cents",
+    ).select(
+        F.col("t.i").alias("i"),
+        F.col("t.j").alias("j"),
+        F.col("t.side").alias("side"),
+        "k",
+        "bidx",
+        "cents",
+    )
 
     def gram(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
