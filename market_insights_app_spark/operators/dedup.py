@@ -784,7 +784,7 @@ def _dense_cc_buffers(np, n: int, w: int):
             np.empty((w, n), dtype=np.float32),   # matmul out (counts)
             np.empty((w, n), dtype=np.float64),   # inter, as double
             np.empty((w, n), dtype=np.float64),   # union, then quotient
-            np.empty((w, n), dtype=np.int64),     # masked-label strip
+            np.empty((w, n), dtype=np.int32),     # masked-label strip (ranks)
             np.empty((n, n), dtype=bool),         # adjacency
         )
     return _DENSE_CC_POOL["bufs"]
@@ -804,10 +804,18 @@ def _mask_components_numpy(
     cluster ids exactly."""
     import numpy as np
 
-    m = np.asarray(mask_vals, dtype=np.int64)
-    n = len(m)
+    m0 = np.asarray(mask_vals, dtype=np.int64)
+    n = len(m0)
     if n == 0:
         return []
+    # r14: work in mask-ascending order so labels are RANKS (int32):
+    # min-rank IS min-mask (masks are distinct), which halves the
+    # label-propagation bytes vs int64 mask labels.  Adjacency entries
+    # are a pure permutation of the r13 form (intersection counts are
+    # integers ≤ 64, exact in f32 in any accumulation order), so
+    # component membership — and therefore every returned (mask,
+    # min-mask) pair — is identical.
+    m = m0[np.argsort(m0, kind="stable")]
     # (n, 64) bit expansion; arithmetic >> keeps the sign bit correct
     bits = ((m[:, None] >> np.arange(64, dtype=np.int64)[None, :]) & 1)
     # float32 GEMM over only the OCCUPIED bit columns (r13): the
@@ -847,11 +855,11 @@ def _mask_components_numpy(
             np.greater_equal(u64[:r], threshold, out=adj[s:e])
     np.fill_diagonal(adj, False)
     has_nbr = adj.any(axis=1)
-    labels = m.copy()
-    big = np.iinfo(np.int64).max
+    labels = np.arange(n, dtype=np.int32)      # rank labels (sorted masks)
+    big = np.iinfo(np.int32).max
     for _ in range(n):                    # converges in O(diameter)
         changed = False
-        # blocked masked-min keeps peak memory at block × n int64
+        # blocked masked-min keeps peak memory at block × n int32
         for s in range(0, n, strip):
             e = min(s + strip, n)
             r = e - s
@@ -869,7 +877,7 @@ def _mask_components_numpy(
         if not changed:
             break
     return [
-        (int(m[i]), int(labels[i])) for i in range(n) if has_nbr[i]
+        (int(m[i]), int(m[labels[i]])) for i in range(n) if has_nbr[i]
     ]
 
 
@@ -905,11 +913,19 @@ def _dense_mask_clusters(
         # join — materialize once, cut lineage (GC-cleaned blocks)
         .localCheckpoint(eager=True)
     )
-    masks = dm.select("mask").distinct()
-    n_masks = masks.count()
-    if n_masks > 65536:  # see _dense_jaccard_pairs on the cap
-        return None
-    if n_masks <= _DENSE_CC_DRIVER_CAP:
+    # r14: ONE aggregate job returns the distinct masks AND their doc
+    # counts (the r13 shape paid a count() census, then a collect, then
+    # an in-plan per-mask count aggregate + second broadcast join).
+    # limit(cap+1) keeps the collect bounded by the same cap that gates
+    # the driver lane.
+    cap = _DENSE_CC_DRIVER_CAP
+    cnt_rows = (
+        dm.groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(cnt_rows) <= cap:
         # driver lane: ≤8192 distinct masks is ≤64 KB of longs to
         # collect and a ≤64 MB boolean adjacency — bounded BY THE SAME
         # CAP that gates this path, so the collect is safe by
@@ -919,15 +935,25 @@ def _dense_mask_clusters(
         # latency for a graph whose adjacency fits in one numpy array;
         # exact float64 intersection counts (integers ≤64) keep the
         # Jaccard division bit-identical to the JVM expression.
-        vals = [r["mask"] for r in masks.collect()]
-        pairs = _mask_components_numpy(vals, threshold)
-        if pairs:
-            mlab = dm.sparkSession.createDataFrame(
-                pairs, "mask long, mcomp long"
-            )
-        else:
-            mlab = dm.sparkSession.createDataFrame([], "mask long, mcomp long")
+        n_docs = {r["mask"]: r["n_docs"] for r in cnt_rows}
+        comp = dict(_mask_components_numpy(list(n_docs), threshold))
+        # keep a doc iff its mask has a cross-mask neighbor OR ≥2 docs
+        # share the mask; its component label is the neighbor
+        # component's min mask, else its own mask — the exact filter +
+        # coalesce the r13 plan ran as two broadcast joins.
+        lab_rows = [
+            (mk, comp.get(mk, mk))
+            for mk, nd in n_docs.items()
+            if mk in comp or nd >= 2
+        ]
+        mlab = dm.sparkSession.createDataFrame(
+            lab_rows, "mask long, comp long"
+        )
+        labeled = dm.join(F.broadcast(mlab), "mask").select("id", "comp")
     else:
+        masks = dm.select("mask").distinct()
+        if masks.count() > 65536:  # see _dense_jaccard_pairs on the cap
+            return None
         x, y = masks.alias("x"), masks.alias("y")
         inter = F.bit_count(F.col("x.mask").bitwiseAND(F.col("y.mask")))
         union = F.bit_count(F.col("x.mask").bitwiseOR(F.col("y.mask")))
@@ -940,13 +966,15 @@ def _dense_mask_clusters(
         mlab = duplicate_clusters(cross, max_iterations).select(
             F.col("id").alias("mask"), F.col("cluster").alias("mcomp")
         )
-    cnt = dm.groupBy("mask").agg(F.count(F.lit(1)).alias("n_docs"))
-    labeled = (
-        dm.join(F.broadcast(mlab), "mask", "left")
-        .join(F.broadcast(cnt), "mask")
-        .filter(F.col("mcomp").isNotNull() | (F.col("n_docs") >= 2))
-        .select("id", F.coalesce(F.col("mcomp"), F.col("mask")).alias("comp"))
-    )
+        cnt = dm.groupBy("mask").agg(F.count(F.lit(1)).alias("n_docs"))
+        labeled = (
+            dm.join(F.broadcast(mlab), "mask", "left")
+            .join(F.broadcast(cnt), "mask")
+            .filter(F.col("mcomp").isNotNull() | (F.col("n_docs") >= 2))
+            .select(
+                "id", F.coalesce(F.col("mcomp"), F.col("mask")).alias("comp")
+            )
+        )
     rep = labeled.groupBy("comp").agg(F.min("id").alias("cluster"))
     return labeled.join(F.broadcast(rep), "comp").select("id", "cluster")
 
