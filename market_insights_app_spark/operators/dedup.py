@@ -1412,6 +1412,46 @@ def span_dedup(
 # ---------------------------------------------------------------------------
 
 
+def _bloom_might_contain(
+    spark: SparkSession,
+    build_keys: DataFrame,
+    key_col: str,
+    probe_key: Column,
+    n_items: int,
+    n_bits: int,
+) -> Column:
+    """Spark's own runtime-filter expression pair, constructed directly:
+    a ``bloom_filter_agg(key)`` over ``build_keys[key_col]`` wrapped as
+    a scalar subquery, probed by ``might_contain(<subquery>,
+    probe_key)``.  Both expressions are public Apache Spark catalyst
+    classes (SPARK-32268) that the optimizer itself injects for runtime
+    join filters; PySpark just has no DataFrame-API surface for them,
+    so the Column is assembled through the classic ExpressionUtils
+    bridge.  The build aggregates distributedly (partial/final
+    ObjectHashAggregate) and the probe runs in whole-stage codegen — no
+    Python boundary anywhere."""
+    from pyspark.sql.classic.column import _to_java_column
+
+    jvm = spark.sparkContext._jvm
+    eu = jvm.org.apache.spark.sql.classic.ExpressionUtils
+
+    def jexpr(col: Column):
+        return eu.expression(_to_java_column(col))
+
+    agg = jvm.org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        jexpr(F.col(key_col)),
+        jexpr(F.lit(int(n_items)).cast("long")),
+        jexpr(F.lit(int(n_bits)).cast("long")),
+    )
+    bf = build_keys.agg(
+        Column(eu.column(agg.toAggregateExpression())).alias("__bf")
+    )
+    mc = jvm.org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        jexpr(bf.scalar()), jexpr(probe_key)
+    )
+    return Column(eu.column(mc))
+
+
 def decontaminate_bloom(
     train: DataFrame,
     eval_set: DataFrame,
@@ -1425,47 +1465,38 @@ def decontaminate_bloom(
     same result (Bloom filters have no false negatives and every
     candidate is re-confirmed against the real gram set), but the
     membership test that every training n-gram pays is a few bitwise
-    probes into a broadcast bit array instead of a probe into a
-    broadcast hash table of gram STRINGS.
+    probes into a Bloom bit array instead of a probe into a broadcast
+    hash table of gram STRINGS.
 
     Why it matters at 100 TB: a benchmark suite's distinct gram set is
     ~10⁷ strings (hundreds of MB broadcast, or a full shuffle join if
     it outgrows the broadcast threshold), while the Bloom array at 16
     bits/gram is ~20 MB regardless of string length.  The exact
-    confirm join then sees only true hits + ~0.1 % false positives
-    (k=4, m=16n ⇒ FPR ≈ (1-e^(-k·n/m))^k ≈ 0.24 %), so the expensive
-    join moves ~10³× fewer rows.  This is the runtime-filter design
-    Spark applies to join probes internally.
+    confirm join then sees only true hits + a sub-percent false-
+    positive residue, so the expensive join moves ~10³× fewer rows.
+    This is the runtime-filter design Spark applies to join probes
+    internally (SPARK-32268).
 
-    Mechanics: bit positions are computed JVM-side on BOTH sides with
-    the same ``xxhash64(gram, seed) & (m-1)`` expression (m a power of
-    two; two's-complement AND maps negative hashes into [0, m)), so no
-    Python reimplementation of the hash exists to drift.  The bit
-    array itself is BUILT DISTRIBUTEDLY: positions are repartitioned
-    by their 1 MiB chunk index (one exchange of packed int64s), each
-    chunk is OR-packed into a byte array inside an Arrow-batched
-    ``mapInPandas``, and the driver collects exactly m/8 bytes of
-    packed chunks — never a Row per position, so driver memory is
-    bounded by the ~20 MB array itself even at 10⁷⁺ grams.  The array
-    ships via ``SparkContext.broadcast``; the train-side probe is one
-    Arrow-batched pandas UDF doing vectorized bit lookups.  (numpy /
-    pandas are module-level imports here solely so the UDF's
-    ``pd.Series`` type hints resolve under ``from __future__ import
-    annotations``.)"""
+    Mechanics (r14): the filter IS Spark's own runtime-filter
+    expression pair — a ``bloom_filter_agg(xxhash64(g))`` scalar
+    subquery over the raw eval gram stream (distributed partial/final
+    build, no ``.distinct()`` — Bloom insert is idempotent) probed by
+    ``might_contain`` on the train side.  Both run entirely in the JVM
+    with whole-stage codegen; the r13 shape hand-built the same bit
+    array through a chunk exchange + Arrow ``mapInPandas`` pack and
+    probed it in a pandas UDF, shipping k int64 position columns per
+    train gram across the Python boundary (guide §4: the boundary was
+    the probe's dominant cost).  PySpark does not expose the pair, so
+    the expressions are constructed directly from the catalyst classes
+    (see :func:`_bloom_might_contain`).  ``n_hashes`` is kept for API
+    compatibility; the JVM filter derives its hash count from m/n.
+    Sizing still comes from the cheap ``sum(length/4)`` upper bound
+    (r13): m only tunes the FPR — the exact confirm join makes the
+    RESULT invariant to it."""
     eval_grams = (
         eval_set.select(F.explode(word_shingles(text_col, shingle_n)).alias("g"))
         .distinct()
     )
-    # Size the array from a CHEAP upper-bound estimate instead of an
-    # exact distinct-gram count (r13): the count() was a full
-    # normalize+shingle+distinct pass over the eval text — one of three
-    # such passes per run — spent only on picking m.  words ≤
-    # ceil(len/4) bounds any text whose words average ≥ 3 chars (+
-    # separator), and per-doc gram count ≤ word count, so the estimate
-    # over-sizes m vs the distinct count (duplicates, shorter-word
-    # corpora only shrink the true count).  m only tunes the FPR — the
-    # exact confirm join below makes the RESULT invariant to it, so an
-    # off estimate costs bits or candidate rows, never rows out.
     n_grams = (
         eval_set.agg(
             F.sum(
@@ -1477,82 +1508,33 @@ def decontaminate_bloom(
         or 1
     )
     m_bits = 1 << max(10, (bits_per_gram * max(n_grams, 1) - 1).bit_length())
-    mask = m_bits - 1
 
-    def positions(col: Column) -> list[Column]:
-        return [
-            F.xxhash64(col, F.lit(i)).bitwiseAND(F.lit(mask))
-            for i in range(n_hashes)
-        ]
-
-    # distributed bit-array build: no .distinct() (OR is idempotent),
-    # one exchange of int64 positions keyed by chunk, per-chunk OR-pack
-    # in Arrow batches, and a collect bounded by m/8 bytes total.
-    chunk_bits = min(1 << 23, m_bits)  # 1 MiB byte-chunks
-    chunk_bytes = chunk_bits >> 3
-    chunk_shift = chunk_bits.bit_length() - 1
-    n_chunks = m_bits // chunk_bits
-    # r13: positions come from the RAW per-doc gram stream, not
-    # eval_grams — OR-packing is idempotent, so the global .distinct()
-    # bought nothing here but a full hash-aggregate Exchange of gram
-    # STRINGS; the positions exchange ships packed int64s and the
-    # duplicate factor is bounded by cross-doc gram overlap.
-    # eval_grams (distinct) still backs the exact confirm join below.
-    pos_df = eval_set.select(
+    spark = train.sparkSession
+    # the engine caps bloom_filter_agg sizing; clamp to the session's
+    # limits (an undersized filter only raises the FPR — the confirm
+    # join keeps the result exact)
+    items_cap = int(
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems")
+    )
+    bits_cap = int(
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+    )
+    build_keys = eval_set.select(
         F.explode(word_shingles(text_col, shingle_n)).alias("g")
-    ).select(
-        F.explode(F.array(*positions(F.col("g")))).alias("p")
-    ).repartition(n_chunks, F.shiftright("p", chunk_shift))
-
-    def pack_chunks(batches):
-        local: dict[int, np.ndarray] = {}
-        for pdf in batches:
-            p = pdf["p"].to_numpy().astype(np.int64)
-            cid = p >> chunk_shift
-            for c in np.unique(cid):
-                arr = local.setdefault(
-                    int(c), np.zeros(chunk_bytes, dtype=np.uint8)
-                )
-                off = p[cid == c] & (chunk_bits - 1)
-                np.bitwise_or.at(
-                    arr, off >> 3, np.uint8(1) << (off & 7).astype(np.uint8)
-                )
-        yield pd.DataFrame(
-            {
-                "chunk": pd.Series(list(local.keys()), dtype="int64"),
-                "bits": pd.Series(
-                    [a.tobytes() for a in local.values()], dtype=object
-                ),
-            }
-        )
-
-    bits = np.zeros(m_bits >> 3, dtype=np.uint8)
-    for row in pos_df.mapInPandas(
-        pack_chunks, "chunk long, bits binary"
-    ).collect():
-        o = row["chunk"] * chunk_bytes
-        bits[o : o + chunk_bytes] |= np.frombuffer(row["bits"], dtype=np.uint8)
-    bc = train.sparkSession.sparkContext.broadcast(bits)
-
-    # r13: the k positions arrive as k SCALAR int64 Series, not one
-    # array column — the array form materialized a numpy object per
-    # row inside the UDF (np.stack over per-row arrays dominated the
-    # probe's Python time); column_stack over flat int64 arrays is a
-    # single vectorized copy and the Arrow transfer loses the
-    # per-row offsets layer.
-    @F.pandas_udf("boolean")
-    def might_contain(*pos: pd.Series) -> pd.Series:
-        b = bc.value
-        P = np.column_stack([p.to_numpy() for p in pos])  # (n, k) int64
-        hit = (b[P >> 3] & (np.uint8(1) << (P & 7).astype(np.uint8))) != 0
-        return pd.Series(hit.all(axis=1))
-
+    ).select(F.xxhash64(F.col("g")).alias("__k"))
     train_grams = train.select(
         F.col(id_col).alias("__id"),
         F.explode(word_shingles(text_col, shingle_n)).alias("g"),
     )
     candidates = train_grams.filter(
-        might_contain(*positions(F.col("g")))
+        _bloom_might_contain(
+            spark,
+            build_keys,
+            "__k",
+            F.xxhash64(F.col("g")),
+            min(max(n_grams, 1), items_cap),
+            min(m_bits, bits_cap),
+        )
     )
     # exact confirm: false positives die here; no broadcast hint — at
     # bench scale AQE broadcasts the eval grams, at web scale this is

@@ -352,17 +352,18 @@ def test_trend_ols_single_partial_aggregate(spark):
     assert tree.count("HashAggregate") == 2  # partial + final
 
 
-def test_bloom_probe_is_arrow_and_joins_stay_broadcast(spark):
-    """The Bloom membership probe must run in the Arrow lane
-    (ArrowEvalPython, never row-at-a-time BatchEvalPython), and with
-    the probe prefiltering the train grams the confirm + anti joins
-    stay broadcast — the train side is never shuffled on the gram."""
+def test_bloom_probe_is_jvm_native_and_joins_stay_broadcast(spark):
+    """The Bloom membership probe must be the JVM runtime-filter pair
+    (``might_contain`` over a ``bloom_filter_agg`` scalar subquery —
+    r14; no Python eval node of any kind), and with the probe
+    prefiltering the train grams the confirm + anti joins stay
+    broadcast — the train side is never shuffled on the gram."""
     from market_insights_app_spark.plans.registry import QUERIES
 
-    tree = plan_of(QUERIES["decontaminate_bloom"](spark, SF_ORACLE)).split(
-        "\n\n"
-    )[0]
-    assert "ArrowEvalPython" in tree
+    full = plan_of(QUERIES["decontaminate_bloom"](spark, SF_ORACLE))
+    tree = full.split("\n\n")[0]
+    assert "might_contain" in full  # expression detail, not a tree node
+    assert "ArrowEvalPython" not in tree
     assert "BatchEvalPython" not in tree
     assert tree.count("SortMergeJoin") == 0
 
