@@ -276,26 +276,33 @@ def dsir_weights(
     )
     t_counts = tb.groupBy("b").agg(F.count(F.lit(1)).alias("tc")).persist()
     r_counts = doc_b.groupBy("b").agg(F.sum("n").alias("rc"))
-    # Both corpus-total scalars come back in ONE driver action (r13):
-    # the old shape ran two sequential .first() jobs at plan build time,
-    # each materializing one persisted corpus pass before the next
-    # started; the crossJoin of the two 1-row aggregates runs both
-    # passes inside a single job, so they overlap across the executor
-    # cores and the persisted tables are materialized exactly once,
-    # serially-safe, before the main action.  (Folding the totals into
-    # the plan as broadcast scalar columns was tried first and measured
-    # a PESSIMIZATION: with nothing eager, the unmaterialized persisted
-    # subtrees were recomputed concurrently by racing broadcast-build
-    # threads — scripts/r13_ab_dsir.py records the falsification.)
-    # The totals stay Python ints spliced in as literals, so the
-    # log-ratio doubles are bit-identical to the old shape.
-    tot_row = (
-        t_counts.agg(F.sum("tc").alias("tt"))
-        .crossJoin(r_counts.agg(F.sum("rc").alias("rt")))
-        .first()
-    )
-    t_total = tot_row[0] or 0
-    r_total = tot_row[1] or 0
+    # Both corpus-total scalars come back in ONE driver action as a
+    # UNION of the two 1-row aggregates (r14): the r13 crossJoin form
+    # also ran one action, but its 1-row build side went through a
+    # broadcast exchange whose builder thread raced the stream side
+    # into the not-yet-materialized persisted subtrees — the same
+    # failure mode as the broadcast-scalar fold scripts/r13_ab_dsir.py
+    # falsified, and the driver's clean r14 baseline flagged it
+    # (1.013 → 1.612 s cold).  Union children are independent stages of
+    # one job: they overlap across cores with no broadcast thread and
+    # no shared subtree (the t-side never touches doc_b).  Cold
+    # best-of-3 ×2 interleaved: union 1.512/1.643 s vs crossJoin
+    # 1.927/1.808 s vs sequential .first()s 2.854/2.017 s.  The totals
+    # stay Python ints spliced in as literals, so the log-ratio doubles
+    # are bit-identical.
+    tots = {
+        r["side"]: r["v"]
+        for r in t_counts.agg(F.sum("tc").alias("v"))
+        .select("v", F.lit("t").alias("side"))
+        .unionByName(
+            r_counts.agg(F.sum("rc").alias("v")).select(
+                "v", F.lit("r").alias("side")
+            )
+        )
+        .collect()
+    }
+    t_total = tots.get("t") or 0
+    r_total = tots.get("r") or 0
     lr = (
         r_counts.join(t_counts, "b", "left")
         .select(
