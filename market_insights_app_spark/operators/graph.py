@@ -209,30 +209,29 @@ def pagerank(
     # (host_pagerank eagerly checkpoints the host edge list, which its
     # name join needs anyway — pipelines/crawl_corpus.py).
     default_parts = edges.sparkSession.sparkContext.defaultParallelism
-    nodes = (
+    nodes_plain = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        # persisted like elist: ``nodes`` anchors EVERY iteration's
-        # left join, and unpersisted it re-runs its 2·|E|-row distinct
-        # once per iteration inside each action — measured 19.6 s →
-        # 15.5 s end-to-end at 1M nodes / 3M edges / 10 iters
-        # (SCALE_NOTES r9).  Partitioned by the join key once so the
-        # per-iteration join reuses the layout; dropped with elist
-        # before return.
-        .repartition(default_parts, "node")
-        .persist()
     )
-    n = nodes.count()  # one driver scalar, same bound as a k-means k
+    # one driver scalar, same bound as a k-means k.  r14: the count
+    # runs on the PLAIN distinct — no wide repartition, no persist.
+    # Both of those only pay off in the distributed iteration below
+    # (nodes anchors every iteration's left join), so the tiny lane —
+    # where the gate count is the ONLY job this function runs — no
+    # longer writes a 32-partition cache it immediately drops, and the
+    # distributed lane can lay ``nodes`` out at its final
+    # data-adaptive width directly instead of persisting wide and
+    # re-persisting slim (the r9-r13 relayout dance paid an extra
+    # materialization job whenever the graph was small).
+    n = nodes_plain.count()
     if n == 0:
-        nodes.unpersist(blocking=False)
-        return nodes.select(
+        return nodes_plain.select(
             F.col("node"),
             F.lit(0).cast("long").alias("rank_grid"),
             F.lit(0.0).alias("pagerank"),
         )
     if 0 < tiny_threshold and n <= tiny_threshold:
-        nodes.unpersist(blocking=False)
         return _pagerank_tiny(
             e, iterations, damping_pct, grid, tol_grid,
             redistribute_dangling,
@@ -242,15 +241,15 @@ def pagerank(
     # overhead, and full-width layouts more than double it (sf0.1
     # fixture: 32 parts 6.3 s vs 8 parts 2.8 s best-of-2, SCALE_NOTES
     # r9).  ≥ ~10k nodes/partition before going wide; big graphs keep
-    # every core (parts = defaultParallelism) and pay NOTHING extra —
-    # the relayout branch below only runs when the graph is small,
-    # i.e. exactly when the extra tiny shuffle is free.
+    # every core (parts = defaultParallelism) and pay NOTHING extra.
+    # nodes is persisted like elist: it anchors EVERY iteration's left
+    # join, and unpersisted it re-runs its 2·|E|-row distinct once per
+    # iteration inside each action — measured 19.6 s → 15.5 s
+    # end-to-end at 1M nodes / 3M edges / 10 iters (SCALE_NOTES r9).
+    # Partitioned by the join key once so the per-iteration join
+    # reuses the layout; dropped with elist before return.
     parts = max(1, min(default_parts, n // 10_000))
-    if parts < default_parts:
-        slim = nodes.repartition(parts, "node").persist()
-        slim.count()  # materialize before dropping the wide layout
-        nodes.unpersist(blocking=False)
-        nodes = slim
+    nodes = nodes_plain.repartition(parts, "node").persist()
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out"))
     # one edge-list frame carrying the out-degree, partitioned by the
     # join key once so all `iterations` joins reuse the layout.
