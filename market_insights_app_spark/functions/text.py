@@ -32,6 +32,18 @@ def tokens(col: Column | str) -> Column:
     return F.filter(F.split(F.trim(_c(col)), TOKEN_SPLIT_RE), lambda x: x != "")
 
 
+def norm_tokens(col: Column | str) -> Column:
+    """``tokens(normalize_text(col))`` minus the redundant regex pass
+    (r14): splitting on ``\\s+`` and dropping empty strings yields
+    EXACTLY the tokens of the collapsed-and-trimmed form — both
+    expressions use the same ASCII ``\\s`` class — so normalize_text's
+    whitespace-collapse ``regexp_replace`` bought every tokenizing
+    caller a second full regex scan over the text for nothing.  Use
+    this for token/shingle derivation; keep :func:`normalize_text`
+    where the normalized STRING itself is the value (fingerprints)."""
+    return tokens(F.lower(_c(col)))
+
+
 def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
@@ -140,7 +152,7 @@ def word_shingles(col: Column | str, n: int = 2) -> Column:
     O(tokens) per document. (The naive per-index ``slice(toks, i, n)``
     transform is O(tokens²) per document: ~40% of the whole MinHash
     pipeline's runtime at 5k docs.)"""
-    toks = tokens(normalize_text(col))
+    toks = norm_tokens(col)
     if n == 1:
         return F.array_distinct(toks)
     k = F.greatest(F.size(toks) - (n - 1), F.lit(0))

@@ -51,7 +51,7 @@ def bm25_scores(
     terms = [t.lower() for t in query_terms]
     toks = docs.select(
         F.col(id_col),
-        F.explode(TX.tokens(TX.normalize_text(text_col))).alias("term"),
+        F.explode(TX.norm_tokens(text_col)).alias("term"),
     )
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
     # corpus stats: one row, broadcast everywhere it's needed

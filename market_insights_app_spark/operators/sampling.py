@@ -224,9 +224,9 @@ def hashed_ngram_buckets(
     the dedup family uses).  The md5-derived hash is engine-portable
     (same arithmetic as dedup._base_hash_portable), so a DuckDB oracle
     replays the bucketing exactly."""
-    from market_insights_app_spark.functions.text import normalize_text, tokens
+    from market_insights_app_spark.functions.text import norm_tokens
 
-    toks = tokens(normalize_text(text_col))
+    toks = norm_tokens(text_col)
     k = F.greatest(F.size(toks) - 1, F.lit(0))
     bigrams = F.zip_with(
         F.slice(toks, 1, k),

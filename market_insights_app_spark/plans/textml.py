@@ -1339,7 +1339,7 @@ def q_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
     docs = _docs(spark, sf)
     terms = docs.select(
         "doc_id",
-        F.explode(F.array_distinct(TX.tokens(TX.normalize_text("text")))).alias(
+        F.explode(F.array_distinct(TX.norm_tokens("text"))).alias(
             "term"
         ),
     )

@@ -136,3 +136,35 @@ def test_prices_filter_operator(spark):
     assert prices_filter(df, symbol="A").count() == 2
     assert prices_filter(df, start="2024-01-10", end="2024-01-20").count() == 1
     assert prices_filter(df).count() == 3  # no filters → identity
+
+
+def test_norm_tokens_identical_to_normalized_tokens(spark):
+    """norm_tokens (r14: no whitespace-collapse regex pass) must yield
+    EXACTLY tokens(normalize_text(...)) on every whitespace shape the
+    collapse could have mattered for — leading/trailing runs, tabs,
+    newlines, CRs, multi-space runs, unicode text, empty/blank docs."""
+    from market_insights_app_spark.functions.text import (
+        norm_tokens,
+        normalize_text,
+        tokens,
+    )
+
+    rows = [
+        ("  Leading and trailing  ",),
+        ("tabs\tand\t\tdouble\ttabs",),
+        ("new\nlines\r\nand\rCRs",),
+        ("many     spaces   between",),
+        ("MiXeD CaSe WORDS",),
+        ("",),
+        ("   ",),
+        ("\t\n\r",),
+        ("unicode: héllo wörld",),
+        ("a",),
+    ]
+    df = spark.createDataFrame(rows, ["text"])
+    got = df.select(
+        norm_tokens("text").alias("fast"),
+        tokens(normalize_text("text")).alias("ref"),
+    ).collect()
+    for r in got:
+        assert r["fast"] == r["ref"], (r["fast"], r["ref"])
