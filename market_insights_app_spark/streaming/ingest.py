@@ -315,8 +315,12 @@ def ema_stateful(
         state.update((ema, n))
         yield pd.DataFrame([{"key": key[0], "ema": ema, "n_seen": n}])
 
+    # guide §4: ship ONLY the columns the fold reads across the Python
+    # boundary — the events stream carries a JSON ``props`` blob that
+    # was Arrow-serialized into every state batch and never read (r14).
+    slim = stream.select(F.col(key_col), F.col(ts_col), F.col(value_col))
     return (
-        stream.groupBy(F.col(key_col))
+        slim.groupBy(F.col(key_col))
         .applyInPandasWithState(
             update,
             outputStructType=out_schema,
@@ -422,7 +426,9 @@ def session_builder_stateful(
         if timeout_ms is None
         else GroupStateTimeout.ProcessingTimeTimeout
     )
-    return stream.groupBy(F.col(key_col)).applyInPandasWithState(
+    # guide §4: only (key, ts, value) cross the Python boundary (r14)
+    slim = stream.select(F.col(key_col), F.col(ts_col), F.col(value_col))
+    return slim.groupBy(F.col(key_col)).applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,
@@ -705,8 +711,12 @@ def holt_stateful(
             ]
         )
 
+    # guide §4: ship ONLY the columns the fold reads across the Python
+    # boundary — the events stream carries a JSON ``props`` blob that
+    # was Arrow-serialized into every state batch and never read (r14).
+    slim = stream.select(F.col(key_col), F.col(ts_col), F.col(value_col))
     return (
-        stream.groupBy(F.col(key_col))
+        slim.groupBy(F.col(key_col))
         .applyInPandasWithState(
             update,
             outputStructType=out_schema,
