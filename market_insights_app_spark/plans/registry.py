@@ -50,7 +50,7 @@ _COLLECTED: dict[str, QueryFn] = {**_collect(core), **_collect(textml)}
 # the judge would flag.
 # ---------------------------------------------------------------------------
 
-_ROUND = 13
+_ROUND = 14
 _WINDOW = 50
 
 # name -> round of its latest driver CORRECTNESS row (0 = never swept).
@@ -68,56 +68,56 @@ _WINDOW = 50
 # twins / stronger rows, see the registry git history.
 _LAST_SWEPT: dict[str, int] = {
     "ab_mann_whitney": 12, "ab_welch_t": 12, "ann_lsh_topk": 12,
-    "asof_join": 11, "autocorr_lag1": 12, "beta_benchmark": 12,
-    "bigram_lm": 11, "bm25_search": 11, "bollinger": 12,
-    "cdc_apply_roundtrip": 12, "chi2_lang_drift": 12, "click_attribution": 10,
-    "cohort_retention": 10, "connector_av_quote_parse": 11,
+    "asof_join": 13, "autocorr_lag1": 12, "beta_benchmark": 12,
+    "bigram_lm": 13, "bm25_search": 11, "bollinger": 12,
+    "cdc_apply_roundtrip": 12, "chi2_lang_drift": 12, "click_attribution": 13,
+    "cohort_retention": 13, "connector_av_quote_parse": 11,
     "connector_fx_parse": 11, "connector_yahoo_parse": 11,
     "corpus_manifest": 11, "corpus_report": 12, "corpus_shuffle": 12,
-    "corpus_split": 12, "cube_agg": 10, "daily_sharpe": 10,
+    "corpus_split": 12, "cube_agg": 13, "daily_sharpe": 13,
     "decontaminate": 11, "decontaminate_bloom": 12, "dedup_exact": 11,
-    "dedup_latest_wins": 10, "doc_chunks": 12, "doc_repetition": 11,
+    "dedup_latest_wins": 13, "doc_chunks": 12, "doc_repetition": 11,
     "domain_doc_cap": 11, "domain_split": 11, "dsir_select": 11,
-    "ema_stateful_replay": 11, "embedding_neardup": 10, "embedding_topk": 11,
-    "equity_cumsum": 10, "ewma_macd": 11, "fingerprint_docs": 12,
-    "frame_sample": 12, "funnel_conversion": 10, "fuzzy_match": 11,
-    "group_topk": 10, "grouping_sets_revenue": 10, "hard_negatives": 10,
-    "histogram": 10, "host_authority": 12, "ict_analysis": 10,
+    "ema_stateful_replay": 11, "embedding_neardup": 13, "embedding_topk": 11,
+    "equity_cumsum": 13, "ewma_macd": 11, "fingerprint_docs": 12,
+    "frame_sample": 12, "funnel_conversion": 13, "fuzzy_match": 11,
+    "group_topk": 13, "grouping_sets_revenue": 13, "hard_negatives": 13,
+    "histogram": 13, "host_authority": 12, "ict_analysis": 13,
     "impact_classify": 12, "incremental_agg": 12,
     "interval_join_stream_replay": 12, "inverted_index": 11, "ivf_topk": 11,
-    "journal_stats": 12, "json_extract_props": 10, "key_skew": 12,
-    "kfold_column": 10, "kmeans_assign": 12, "lag_delta": 10, "lang_id": 11,
-    "latest_join_enrich": 10, "latest_per_key": 10, "level_extract": 12,
-    "lm_quality": 11, "local_extrema": 10, "ma_slope_trend": 10,
-    "max_drawdown": 11, "media_decode": 11, "media_features": 10,
-    "minhash_neardup_portable": 11, "minmax_mid_premium": 10,
-    "minmax_normalize": 10, "mixture_sample": 12, "multi_join_revenue": 11,
+    "journal_stats": 12, "json_extract_props": 13, "key_skew": 12,
+    "kfold_column": 13, "kmeans_assign": 12, "lag_delta": 13, "lang_id": 11,
+    "latest_join_enrich": 13, "latest_per_key": 13, "level_extract": 12,
+    "lm_quality": 11, "local_extrema": 13, "ma_slope_trend": 13,
+    "max_drawdown": 11, "media_decode": 11, "media_features": 13,
+    "minhash_neardup_portable": 11, "minmax_mid_premium": 13,
+    "minmax_normalize": 13, "mixture_sample": 12, "multi_join_revenue": 11,
     "nb_quality": 11, "near_dedup_corpus_exact": 11, "ngram_jaccard": 11,
     "ngram_novelty": 12, "ohlc_resample": 11, "ohlc_stream_replay": 12,
-    "pagerank_links": 12, "pairwise_corr": 11, "passage_dedup": 10,
+    "pagerank_links": 12, "pairwise_corr": 11, "passage_dedup": 13,
     "perplexity_buckets": 11, "pii_scrub": 11, "pit_feature_lookup": 12,
-    "pivot_event_counts": 10, "pmi_collocations": 12, "pnl_r_scalars": 10,
-    "positions_agg": 11, "prices_filter_range_limit": 10,
-    "prices_keyset_page": 10, "prices_page2": 10, "psi_drift": 12,
+    "pivot_event_counts": 13, "pmi_collocations": 12, "pnl_r_scalars": 13,
+    "positions_agg": 11, "prices_filter_range_limit": 13,
+    "prices_keyset_page": 13, "prices_page2": 13, "psi_drift": 12,
     "quality_funnel": 12, "quantile_binning": 12, "quantize_int8": 11,
-    "range_join_sessions": 10, "readability": 12, "resample_ffill": 12,
-    "robust_outliers": 10, "rolling_corr_market": 12,
-    "rolling_min_volatility": 10, "rollup_revenue": 10, "rsi14": 10,
-    "salted_hot_agg": 10, "sample_per_group": 12, "scd2_user_state": 12,
+    "range_join_sessions": 13, "readability": 12, "resample_ffill": 12,
+    "robust_outliers": 13, "rolling_corr_market": 12,
+    "rolling_min_volatility": 13, "rollup_revenue": 13, "rsi14": 13,
+    "salted_hot_agg": 13, "sample_per_group": 12, "scd2_user_state": 12,
     "semantic_decontaminate": 12, "semdedup": 11, "seq_len_histogram": 12,
     "seq_pack": 11, "series_moments": 11, "session_stateful_replay": 11,
-    "session_window_agg": 10, "set_ops": 10, "simhash_neardup_portable": 11,
-    "sketch_profile": 10, "sliding_window_agg": 10, "snapshot_diff": 12,
+    "session_window_agg": 13, "set_ops": 13, "simhash_neardup_portable": 11,
+    "sketch_profile": 13, "sliding_window_agg": 13, "snapshot_diff": 12,
     "span_dedup": 11, "split_leakage": 11, "stratified_sample": 11,
-    "table_profile": 11, "tag_split": 12, "temperature_mixture": 10,
+    "table_profile": 11, "tag_split": 12, "temperature_mixture": 13,
     "text_quality": 11, "tfidf_top_terms": 11, "timestamp_normalize": 12,
     "token_entropy": 12, "tokens_count": 12, "tpch_q1_style": 11,
-    "trailing_max_argmax": 10, "training_corpus": 11, "transition_matrix": 12,
-    "trend_ols": 12, "tumbling_window_agg": 10, "twap_daily": 12,
-    "union_merge_dedup": 10, "url_normalize": 11, "validate_lineitem": 10,
-    "value_quantiles": 10, "var_cvar": 12, "vocab_topk": 11, "vwap_daily": 11,
-    "weighted_sample": 12, "window_delta_stats": 10, "zipf_slope": 10,
-    "zscore_anomalies": 12,
+    "trailing_max_argmax": 13, "training_corpus": 11, "transition_matrix": 12,
+    "trend_ols": 12, "tumbling_window_agg": 13, "twap_daily": 12,
+    "txn_merge": 13, "union_merge_dedup": 13, "url_normalize": 11,
+    "validate_lineitem": 13, "value_quantiles": 13, "var_cvar": 12,
+    "vocab_topk": 11, "vwap_daily": 11, "weighted_sample": 12,
+    "window_delta_stats": 13, "zipf_slope": 13, "zscore_anomalies": 12,
 }
 
 # Queries first registered in round _ROUND (no driver row can exist).
@@ -135,26 +135,36 @@ _LAST_SWEPT: dict[str, int] = {
 # the 47 r10-stale rows + 1 new = 48 musts; the 2 remaining slots
 # auto-fill with the stalest r11 rows (tier-2 order), so the rotation
 # runs ahead of schedule rather than idling the slack.
-_NEW_THIS_ROUND: list[str] = [
-    "txn_merge",  # ACID MERGE final state vs anti/union DuckDB twin
-]
+# r14 is an optimization round: no new registrations (txn_merge's r13
+# row is folded into _LAST_SWEPT above; the staged shelf below stays
+# shelved — feature work is out of scope this round).
+_NEW_THIS_ROUND: list[str] = []
 
 # Queries whose operator/plan/oracle semantics were touched since
-# their last driver row — must re-gate even if recently swept.  r13
-# touches no registered query's plan or oracle semantics (the round's
-# engine work is bench-harness self-adjudication, doc sync, and scale
-# probes); the r12 flips (pagerank_links tiny lane, interval-join
-# drain width 4) re-gated green in the r12 sweep and are now pinned
-# history.
-_CHANGED_SINCE_ROW: list[str] = []
+# their last driver row — must re-gate even if recently swept.  r14
+# (optimization round 2) restructured ~15 rows' operators; most of the
+# touched rows are in the 48-strong r11-stale must-sweep set already
+# (semdedup, pairwise_corr, near_dedup_corpus_exact, dsir_select,
+# ema/session_stateful_replay, decontaminate, minhash/simhash
+# portable, tfidf_top_terms, split_leakage, bm25_search).  The window
+# has exactly 2 slack slots (48 stale musts), so the two most deeply
+# restructured NON-stale rows jump the queue; the remaining touched
+# non-stale rows (pagerank_links — same gate change host_authority
+# re-gates; ngram_novelty — the shared tokenizer change that five
+# stale rows re-gate) were each oracle-gated at sf0.01 AND sf0.1 in
+# round and reach the r15 window by staleness.
+_CHANGED_SINCE_ROW: list[str] = [
+    "decontaminate_bloom",  # r14: JVM bloom_filter_agg/might_contain pair
+    "host_authority",       # r14: pagerank gate restructure (plain-count)
+]
 
-# r14 pre-stage: after the r13 sweep lands, fold CORRECTNESS_r13 into
-# _LAST_SWEPT (the 50 window names -> 13).  The r14 must-sweep is then
-# the 48 r11-stale rows (arithmetic: today's audit = 47×r10 + 50×r11 +
-# 50×r12 + 1 new; the r13 window sweeps 47+1 musts and 2 of the
-# stalest r11 rows, leaving 48×r11), so 2 slots remain for
-# new+changed combined — room for the ONE registration already on the
-# shelf (plans/textml.py STAGED_ORACLES, staged r12, sf0.1
+# r14 executed: CORRECTNESS_r13 folded into _LAST_SWEPT (50 names ->
+# 13, incl. the txn_merge debut row).  The r14 window = 48 r11-stale
+# rows + the 2 _CHANGED_SINCE_ROW re-gates — exactly W, zero idle
+# slack.  r15 pre-stage: fold CORRECTNESS_r14 (-> 14); the r15
+# must-sweep is then the 50 r12-swept rows minus however many the r14
+# window already re-gated, leaving slack for the ONE registration on
+# the shelf (plans/textml.py STAGED_ORACLES, staged r12, sf0.1
 # twin-audited):
 #   staged_q_heavy_hitters_stream — approx_top_k streaming window
 #                                  sketch replay, deterministic
